@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q.t
+
+/** The relational operator surface (SURVEY.md §2.2–§2.9 inventory re-expressed
+  * over the driver's TPC-H-ish tables): filters/projections, equi/outer/semi/
+  * anti/null-safe joins, hash aggregations, count-distinct, collect_list,
+  * window functions, sorts/top-k, set ops, histograms, conditional aggregates.
+  *
+  * Each query is the Spark-idiomatic plan (broadcast for dims, partial
+  * aggregation, pushed-down filters) with a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  val queries: Seq[Q] = Seq(
+    // ---- A-class: grouped aggregation with partial (map-side) combine ----
+    Q("q01_agg_pricing", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("double").as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+          round(avg($"l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base,
+        | round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS sum_disc,
+        | round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // ---- P-class: filter + projection (pushed to the parquet scan) ----
+    Q("q02_filter_project", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" >= 49 && $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
+        .select(
+          $"l_orderkey".cast("long").as("l_orderkey"),
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_quantity".cast("double").as("l_quantity"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some(
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        | CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(l_quantity AS DOUBLE) AS l_quantity
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- J-class: dimension joins — both dims broadcast (region 5 rows,
+    // nation 25 rows); no shuffle of the fact side beyond the final agg ----
+    Q("q03_join_dims", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          round(sum($"c_acctbal"), 2).as("sum_bal"))
+        .orderBy($"r_name", $"n_name")
+    }, Some(
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS cnt,
+        | round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      bench = true),
+
+    // ---- J1 analog: fact-to-fact equi-join (shuffle on the join key) ----
+    Q("q04_join_fact", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum($"l_quantity").cast("double").as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true),
+
+    // ---- left outer join with null-sentinel projection (SURVEY P6) ----
+    Q("q05_outer_join", (s, dir) => {
+      import s.implicits._
+      val bld = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      t(s, dir, "orders")
+        .join(bld, $"o_custkey" === $"c_custkey", "left")
+        .select(coalesce($"c_mktsegment", lit("none")).as("seg"))
+        .groupBy($"seg").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"seg")
+    }, Some(
+      """SELECT coalesce(c_mktsegment, 'none') AS seg, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- W-class: row_number window, first row per group ----
+    Q("q06_first_per_group", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderkey".cast("long").as("first_order"),
+          year($"o_orderdate").cast("long").as("first_year"))
+        .orderBy($"o_custkey")
+    }, Some(
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        | CAST(o_orderkey AS BIGINT) AS first_order,
+        | CAST(year(o_orderdate) AS BIGINT) AS first_year
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // ---- running sum window (prefix order is identical in both engines) ----
+    Q("q07_running_sum", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running", round(sum($"value").over(w), 4))
+        .select($"event_id".cast("long").as("event_id"), $"running")
+        .orderBy($"event_id")
+    }, Some(
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        | round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running
+        |FROM events ORDER BY event_id""".stripMargin),
+      bench = true),
+
+    // ---- sliding window (SURVEY W1: the FASTQ 4-row window shape) ----
+    Q("q08_sliding_avg", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id").rowsBetween(-3, 0)
+      t(s, dir, "events")
+        .withColumn("win_avg", round(avg($"value").over(w), 4))
+        .select($"event_id".cast("long").as("event_id"), $"win_avg")
+        .orderBy($"event_id")
+    }, Some(
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        | round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS win_avg
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- O-class: deterministic top-k (total order via tiebreak) ----
+    Q("q09_topk", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"))
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- U2: distinct ----
+    Q("q10_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_nationkey".cast("long").as("c_nationkey"), $"c_mktsegment")
+        .distinct()
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }, Some(
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // ---- U1: union-all then aggregate ----
+    Q("q11_union_all", (s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey"))
+      val cus = t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+      sup.unionAll(cus)
+        .groupBy($"nationkey").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"nationkey")
+    }, Some(
+      """SELECT nationkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        |  UNION ALL SELECT CAST(c_nationkey AS BIGINT) FROM customer)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    // ---- J4 analog: semi join (EXISTS) ----
+    Q("q12_semijoin", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS) ----
+    Q("q13_antijoin", (s, dir) => {
+      import s.implicits._
+      val recent = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"c_nationkey")
+    }, Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A5/A13: exact multi-column count-distinct ----
+    Q("q14_count_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(countDistinct($"c_mktsegment").cast("long").as("n_seg"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"c_nationkey")
+    }, Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_seg,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A12: aggregate + HAVING ----
+    Q("q15_having", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_partkey".cast("long").as("l_partkey"))
+        .agg(sum($"l_quantity").cast("double").as("sum_qty"))
+        .filter($"sum_qty" > 250.0)
+        .orderBy($"l_partkey")
+    }, Some(
+      """SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+        | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS DOUBLE) > 250.0
+        |ORDER BY 1""".stripMargin)),
+
+    // ---- P6: CASE WHEN sentinel projection ----
+    Q("q16_casewhen", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(when($"event_type" === "click", 1L)
+          .when($"event_type" === "view", 2L)
+          .when($"event_type" === "purchase", 3L)
+          .otherwise(-1L).as("code"))
+        .groupBy($"code").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"code")
+    }, Some(
+      """SELECT CASE WHEN event_type = 'click' THEN 1
+        |  WHEN event_type = 'view' THEN 2
+        |  WHEN event_type = 'purchase' THEN 3 ELSE -1 END AS code,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- P4: regexp_extract (sample-id extraction shape) ----
+    Q("q17_regex_extract", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .filter($"c_custkey" < 100)
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          regexp_extract($"c_name", "Customer#(\\d+)", 1).cast("long").as("cnum"))
+        .orderBy($"c_custkey")
+    }, Some(
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cnum
+        |FROM customer WHERE c_custkey < 100 ORDER BY 1""".stripMargin)),
+
+    // ---- A2 analog: collect_list regrouping (order restored by sort) ----
+    Q("q18_collect_sorted", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 400)
+        .groupBy($"l_orderkey".cast("long").as("l_orderkey"))
+        .agg(array_join(sort_array(collect_list($"l_linenumber")), ",").as("lines"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        | array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_orderkey < 400 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A3/A4 analog: two-level aggregation ----
+    Q("q19_twolevel_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .groupBy($"n_orders".cast("long").as("n_orders"))
+        .agg(count(lit(1)).cast("long").as("n_cust"))
+        .orderBy($"n_orders")
+    }, Some(
+      """SELECT CAST(n_orders AS BIGINT) AS n_orders, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- temporal truncation aggregate ----
+    Q("q20_year_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").cast("long").as("y"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"y")
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A10 analog: bucketed histogram ----
+    Q("q21_histogram", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(floor($"o_totalprice" / 10000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"bucket")
+    }, Some(
+      """SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A14 analog: min/max summary stats (exact, no FP reorder) ----
+    Q("q22_minmax", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(min($"l_quantity").cast("double").as("min_qty"),
+          max($"l_quantity").cast("double").as("max_qty"),
+          min($"l_extendedprice").cast("double").as("min_price"),
+          max($"l_extendedprice").cast("double").as("max_price"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        | CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        | CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        | CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- conditional aggregation (pivot shape) ----
+    Q("q23_conditional_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(($"user_id" % 100).cast("long").as("ub"))
+        .agg(count(when($"event_type" === "click", 1)).cast("long").as("clicks"),
+          count(when($"event_type" === "purchase", 1)).cast("long").as("purchases"),
+          count(when($"event_type" === "error", 1)).cast("long").as("errors"),
+          round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 4)
+            .as("purchase_value"))
+        .orderBy($"ub")
+    }, Some(
+      """SELECT CAST(user_id % 100 AS BIGINT) AS ub,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors,
+        | round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        |   AS DOUBLE), 4) AS purchase_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- J7 analog: null-safe equality join (<=>) ----
+    Q("q24_nullsafe_join", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select(when($"c_nationkey" === 3, lit(null)).otherwise($"c_nationkey")
+          .cast("long").as("ck"))
+      val sup = t(s, dir, "supplier")
+        .select(when($"s_nationkey" === 3, lit(null)).otherwise($"s_nationkey")
+          .cast("long").as("sk"))
+      c.join(sup, $"ck" <=> $"sk")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT CAST(nullif(c_nationkey, 3) AS BIGINT) AS ck FROM customer) c
+        |JOIN (SELECT CAST(nullif(s_nationkey, 3) AS BIGINT) AS sk FROM supplier) s
+        |ON ck IS NOT DISTINCT FROM sk""".stripMargin)),
+
+    // ---- J6 analog: two-key equi-join (adjacent-line self-join) ----
+    Q("q25_twokey_join", (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "lineitem").select($"l_orderkey".as("ok"),
+        $"l_linenumber".as("ln"), $"l_quantity".as("q1"))
+      val b = t(s, dir, "lineitem").select($"l_orderkey".as("ok"),
+        ($"l_linenumber" - 1).as("ln"), $"l_quantity".as("q2"))
+      a.join(b, Seq("ok", "ln"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum($"q1" * $"q2").cast("double").as("sum_qq"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(a.l_quantity * b.l_quantity) AS DOUBLE) AS sum_qq
+        |FROM lineitem a JOIN lineitem b
+        |ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber - 1""".stripMargin),
+      bench = true)
+  )
+}

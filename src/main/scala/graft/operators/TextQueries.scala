@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Text / training-data-pipeline operators over the `documents` table that are
+  * expressible in ANSI SQL (so the DuckDB oracle verifies them exactly):
+  * exact dedup, prefix-block near-dup candidates, token counting, quality
+  * scoring, word-frequency (explode/generator shape).
+  *
+  * The non-SQL-expressible ops (MinHash LSH, SimHash, n-gram Jaccard,
+  * language-ID) live in [[Dedup]] / [[TextAnalysis]] with rows-only checks.
+  */
+object TextQueries {
+
+  val queries: Seq[Q] = Seq(
+    // ---- exact dedup: content-hash grouping, keep lowest doc_id ----
+    Q("t01_dedup_exact", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(md5($"text".cast("binary")).as("h"), $"doc_id")
+        .groupBy($"h")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          min($"doc_id").cast("long").as("keep"))
+        .orderBy($"h")
+    }, Some(
+      """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(min(doc_id) AS BIGINT) AS keep
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // ---- near-dup candidate blocking on a content prefix ----
+    Q("t02_dedup_prefix_block", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(md5(substring($"text", 1, 40).cast("binary")).as("block"), $"doc_id")
+        .groupBy($"block")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          min($"doc_id").cast("long").as("keep"))
+        .filter($"cnt" > 1)
+        .orderBy($"block")
+    }, Some(
+      """SELECT md5(substr(text, 1, 40)) AS block, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(min(doc_id) AS BIGINT) AS keep
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // ---- token counting (whitespace tokens, engine-neutral arithmetic) ----
+    Q("t03_token_count", (s, dir) => {
+      import s.implicits._
+      val tr = trim($"text")
+      t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          when(tr === "", 0L)
+            .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+            .cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(CASE WHEN trim(text) = '' THEN 0
+        |   ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |   END AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY 1""".stripMargin)),
+
+    // ---- quality scoring: length, avg word length, stopword count ----
+    Q("t04_quality_score", (s, dir) => {
+      import s.implicits._
+      val tr = trim($"text")
+      val chars = length(regexp_replace(tr, " ", ""))
+      val toks = when(tr === "", 0L)
+        .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+      t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          length($"text").cast("long").as("len"),
+          round(chars.cast("double") / toks.cast("double"), 4).as("avg_word_len"),
+          ((length($"text") - length(regexp_replace($"text", " the ", "_")))
+            / lit(4)).cast("long").as("the_cnt"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(length(text) AS BIGINT) AS len,
+        | round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) /
+        |   CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS DOUBLE),
+        |   4) AS avg_word_len,
+        | CAST((length(text) - length(replace(text, ' the ', '_'))) / 4 AS BIGINT) AS the_cnt
+        |FROM documents ORDER BY 1""".stripMargin)),
+
+    // ---- generator / explode shape: corpus word frequencies, top 20 ----
+    Q("t05_word_freq", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"cnt".desc, $"word".asc)
+        .limit(20)
+    }, Some(
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin))
+  )
+}

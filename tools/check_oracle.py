@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and compares:
+column names (sorted), row count, and cell values (exact for non-floats,
+report max abs diff for floats).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_bad += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                                 ignore_index=True)
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"FAIL {name}: cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_bad += 1; continue
+        a, b = norm(spark_df), norm(duck_df)
+        bad_cols = []
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+                av = av.astype(float); bv = bv.astype(float)
+                if not np.array_equal(av, bv, equal_nan=True):
+                    d = np.nanmax(np.abs(av - bv))
+                    bad_cols.append(f"{c} (maxdiff={d:.3g})")
+            else:
+                if not (pd.Series(av).fillna('\0') == pd.Series(bv).fillna('\0')).all():
+                    i = int(np.argmax(~(pd.Series(av).fillna('\0') == pd.Series(bv).fillna('\0')).values))
+                    bad_cols.append(f"{c} (row{i}: {av[i]!r} vs {bv[i]!r})")
+        # dtype comparison (schema check): int vs float mismatch matters
+        dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if a[c].dtype.kind != b[c].dtype.kind]
+        if bad_cols or dt:
+            print(f"FAIL {name}: values {bad_cols} dtypes {dt}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(a)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail; "
+          f"{len(oracle)} oracled of {len(glob.glob(out_dir + '/*')) - 1} queries")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
