@@ -1,0 +1,348 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kmers._
+import graft.sources.InputFragment
+import graft.taxa.{LcaResolver, Sentinels, TaxonLcaAggregator, Taxonomy}
+
+/** Index construction parameters, persisted as a sidecar next to the records
+  * (spec: reference kmers/IndexParams.scala). Defaults are Kraken 2's. */
+final case class IndexParams(
+    k: Int = 35,
+    m: Int = 31,
+    spaces: Int = 7,
+    canonical: Boolean = true,
+    xorMask: Long = RandomXorPriority.DEFAULT_MASK,
+    buckets: Int = 32) {
+
+  def priority: MinimizerPriority = {
+    val base = RandomXorPriority(m, xorMask, canonical)
+    if (spaces > 0) SpacedSeedPriority(spaces, base) else base
+  }
+
+  def scanner: SupermerScanner = new SupermerScanner(k, priority)
+}
+
+/** A classification-time span: a super-mer stripped of sequence payload
+  * (spec: reference slacken/package.scala:41-62).
+  * @param id1      minimizer priority (join key)
+  * @param distinct minimizer differs from the previous valid span's (feeds the
+  *                 Kraken 2 minimum-hit-groups rule)
+  * @param kmers    number of k-mers in the span
+  * @param flag     SEQUENCE=1 / AMBIGUOUS=2 / MATE_PAIR_BORDER=3
+  * @param ordinal  position of the span within its read (order reconstruction
+  *                 after shuffles)
+  * @param seqLen   total fragment length (constant per title)
+  */
+final case class OrdinalSpan(
+    id1: Long, distinct: Boolean, kmers: Int, flag: Int, ordinal: Int,
+    title: String, seqLen: Int)
+
+/** A span joined to the index: resolved LCA taxon + k-mer count. */
+final case class TaxonHit(ordinal: Int, taxon: Int, kmers: Int, distinct: Boolean)
+
+/** Kraken-compatible per-read classification result. */
+final case class ClassifiedRead(
+    title: String, classified: Boolean, taxon: Int, length: Int, hits: String) {
+  def outputLine: String =
+    s"${if (classified) "C" else "U"}\t$title\t$taxon\t$length\t$hits"
+}
+
+/** The minimizer -> LCA-taxon key-value index and the classification pipeline
+  * over it (spec: reference slacken/KeyValueIndex.scala, Classifier.scala —
+  * re-architected: single-Long minimizer keys for m<=32, depth-based LCA,
+  * no k-mer payload ever shuffled).
+  *
+  * Scale design:
+  *  - records are bucketed by id1 so every classification join is a
+  *    one-sided shuffle (only the read spans move);
+  *  - the LCA groupBy gets map-side partial aggregation from the Aggregator;
+  *  - ambiguous spans carry random minimizers for load balance;
+  *  - the taxonomy is a broadcast array structure, never a join.
+  */
+final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
+    extends Serializable {
+
+  import Sentinels._
+
+  // ---------------- span extraction (executor-local kernel) ----------------
+
+  /** Split one fragment into ordinal spans: valid segments through the
+    * supermer scanner; ambiguous segments (len >= k) as single pseudo-spans
+    * with random minimizers; a border sentinel between mates. */
+  def fragmentSpans(f: InputFragment): Iterator[OrdinalSpan] = {
+    val scanner = params.scanner
+    val k = params.k
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val totalLen = f.nucleotides.length + f.nucleotides2.map(_.length).getOrElse(0)
+
+    def segSpans(seq: String): Iterator[(Long, Int, Int)] =
+      SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+        if (run.seq.length < k) Iterator.empty
+        else if (run.valid)
+          scanner.scan(run.seq).map(sm => (sm.minimizer, sm.kmers, SEQUENCE_FLAG))
+        else
+          Iterator((rnd.nextLong(), run.seq.length - (k - 1), AMBIGUOUS_FLAG))
+      }
+
+    val all: Iterator[(Long, Int, Int)] = f.nucleotides2 match {
+      case Some(nt2) =>
+        segSpans(f.nucleotides) ++
+          Iterator((rnd.nextLong(), 0, MATE_PAIR_BORDER_FLAG)) ++ segSpans(nt2)
+      case None => segSpans(f.nucleotides)
+    }
+
+    var last = 0L
+    var first = true
+    all.zipWithIndex.map { case ((min, kmers, flag), ordinal) =>
+      val isSeq = flag == SEQUENCE_FLAG
+      val distinct = isSeq && (first || min != last)
+      if (isSeq) { last = min; first = false }
+      OrdinalSpan(min, distinct, kmers, flag, ordinal, f.header, totalLen)
+    }
+  }
+
+  def spans(reads: Dataset[InputFragment]): Dataset[OrdinalSpan] = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads.flatMap(fragmentSpans _)
+  }
+
+  // ---------------- index build ----------------
+
+  /** Build index records from a labeled genome library:
+    * flatMap minimizers -> groupBy(id1) -> LCA fold (partial agg map-side). */
+  def makeRecords(library: Dataset[(Int, String)]): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val scanner = params.scanner
+    val k = params.k
+    val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
+    library
+      .flatMap { case (taxon, seq) =>
+        SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+          if (!run.valid || run.seq.length < k) Iterator.empty
+          else scanner.scan(run.seq).map(sm => (sm.minimizer, taxon))
+        }
+      }
+      .toDF("id1", "taxon")
+      .groupBy($"id1")
+      .agg(lcaAgg($"taxon").as("taxon"))
+  }
+
+  // ---------------- classification ----------------
+
+  /** Join spans against records (left; the bucketed record side does not
+    * shuffle), project sentinel taxa, regroup per read, resolve. */
+  def classify(spans: Dataset[OrdinalSpan], records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val k = params.k
+    val bc = bcTax
+
+    val joined = spans.join(records, Seq("id1"), "left")
+      .select($"title",
+        struct($"ordinal",
+          when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
+            .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))
+            .otherwise(coalesce($"taxon", lit(Taxonomy.NONE))).as("taxon"),
+          $"kmers", $"distinct").as("hit"),
+        $"seqLen")
+
+    val grouped = joined
+      .groupBy($"title")
+      .agg(collect_list($"hit").as("hits"),
+        sum(when($"hit.distinct" && $"hit.taxon" > 0, 1).otherwise(0)).as("hitGroups"),
+        max($"seqLen").as("seqLen"))
+      .as[(String, Seq[TaxonHit], Long, Int)]
+
+    grouped.map { case (title, hits, hitGroups, seqLen) =>
+      val resolver = new LcaResolver(bc.value)
+      val ordered = hits.sortBy(_.ordinal)
+      val taxon =
+        if (hitGroups < minHitGroups) Taxonomy.NONE
+        else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), confidence)
+      ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen,
+        hitString(ordered))
+    }
+  }
+
+  /** Kraken 2 hit-detail string: "taxon:count taxon:count |:| ...",
+    * run-length merging consecutive equal taxa, A for ambiguous. */
+  private def hitString(ordered: Seq[TaxonHit]): String = {
+    val sb = new StringBuilder
+    var lastTaxon = Int.MinValue
+    var lastCount = 0
+    def flush(): Unit = if (lastCount > 0 || lastTaxon != Int.MinValue) {
+      if (lastTaxon != Int.MinValue) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(if (lastTaxon == AMBIGUOUS_SPAN) "A" else lastTaxon.toString)
+        sb.append(':').append(lastCount)
+      }
+    }
+    for (h <- ordered) {
+      if (h.taxon == MATE_PAIR_BORDER) {
+        flush(); lastTaxon = Int.MinValue; lastCount = 0
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append("|:|")
+      } else if (h.taxon == lastTaxon) lastCount += h.kmers
+      else {
+        flush(); lastTaxon = h.taxon; lastCount = h.kmers
+      }
+    }
+    flush()
+    sb.toString
+  }
+
+  // ---------------- persistence (bucketed parquet) ----------------
+
+  /** Persist records bucketed by id1 so classification joins never shuffle
+    * the index side (spec: reference KeyValueIndex.scala:125-159). */
+  def writeRecords(records: DataFrame, path: String): Unit = {
+    val spark = records.sparkSession
+    val table = MinimizerIndex.tableName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    records.write
+      .bucketBy(params.buckets, "id1")
+      .sortBy("id1")
+      .option("path", path)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    IndexParams.write(spark, params, path)
+  }
+
+  /** Reopen bucketed records via DDL (bucket metadata makes the sort-merge
+    * join one-sided; shuffle.partitions should equal `buckets`). */
+  def loadRecords(spark: SparkSession, path: String): DataFrame =
+    MinimizerIndex.loadRecords(spark, path, params.buckets)
+
+  // ---------------- reports ----------------
+
+  /** Per-taxon read counts -> Kraken-style report rows, driver-side
+    * (clade aggregation; spec: reference slacken/KrakenReport.scala). */
+  def report(classified: Dataset[ClassifiedRead]): KrakenReport = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    val counts = classified
+      .groupBy($"taxon").agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect()
+    new KrakenReport(bcTax.value, counts)
+  }
+}
+
+object MinimizerIndex {
+
+  def tableName(path: String): String =
+    "graft_idx_" + Integer.toHexString(path.hashCode).replace('-', '_')
+
+  def loadRecords(spark: SparkSession, path: String, buckets: Int): DataFrame = {
+    val table = tableName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (id1 BIGINT, taxon INT)
+         |USING PARQUET
+         |CLUSTERED BY (id1) SORTED BY (id1) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(table)
+  }
+
+  /** Load an index (records + params sidecar) from a path. */
+  def open(spark: SparkSession, path: String, bcTax: Broadcast[Taxonomy])
+      : (MinimizerIndex, DataFrame) = {
+    val params = IndexParams.read(spark, path)
+    val idx = new MinimizerIndex(params, bcTax)
+    (idx, idx.loadRecords(spark, path))
+  }
+}
+
+object IndexParams {
+  import org.apache.hadoop.fs.Path
+
+  def write(spark: SparkSession, p: IndexParams, indexPath: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("k", p.k.toString)
+    props.setProperty("m", p.m.toString)
+    props.setProperty("spaces", p.spaces.toString)
+    props.setProperty("canonical", p.canonical.toString)
+    props.setProperty("xorMask", java.lang.Long.toHexString(p.xorMask))
+    props.setProperty("buckets", p.buckets.toString)
+    val path = new Path(indexPath, "_index.properties")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try props.store(out, "graft index parameters") finally out.close()
+  }
+
+  def read(spark: SparkSession, indexPath: String): IndexParams = {
+    val path = new Path(indexPath, "_index.properties")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    IndexParams(
+      k = props.getProperty("k").toInt,
+      m = props.getProperty("m").toInt,
+      spaces = props.getProperty("spaces").toInt,
+      canonical = props.getProperty("canonical").toBoolean,
+      xorMask = java.lang.Long.parseUnsignedLong(props.getProperty("xorMask"), 16),
+      buckets = props.getProperty("buckets").toInt)
+  }
+}
+
+/** Driver-side Kraken-style hierarchical report: clade-aggregated counts,
+  * DFS print with children ordered by clade count. */
+final class KrakenReport(tax: Taxonomy, taxonCounts: Array[(Int, Long)]) {
+
+  val countMap: Map[Int, Long] = taxonCounts.toMap
+  val totalReads: Long = taxonCounts.map(_._2).sum
+  val unclassified: Long = countMap.getOrElse(Taxonomy.NONE, 0L)
+
+  /** Count per clade: own count + all descendants (computed by walking each
+    * counted taxon's root path once). */
+  val cladeCounts: Map[Int, Long] = {
+    val m = collection.mutable.Map.empty[Int, Long]
+    for ((t, c) <- taxonCounts if t != Taxonomy.NONE) {
+      var cur = t
+      while (cur != Taxonomy.NONE) {
+        m(cur) = m.getOrElse(cur, 0L) + c
+        cur = tax.parents(cur)
+      }
+    }
+    m.toMap
+  }
+
+  def lines: Iterator[String] = {
+    val sb = collection.mutable.ArrayBuffer.empty[String]
+    def pct(c: Long): String =
+      if (totalReads == 0) "0.00" else f"${100.0 * c / totalReads}%.2f"
+    def rankCode(t: Int): String = tax.rankName(t) match {
+      case "superkingdom" => "D"
+      case "kingdom" => "K"
+      case "phylum" => "P"
+      case "class" => "C"
+      case "order" => "O"
+      case "family" => "F"
+      case "genus" => "G"
+      case "species" => "S"
+      case _ => "-"
+    }
+    if (unclassified > 0)
+      sb += s"${pct(unclassified)}\t$unclassified\t$unclassified\tU\t0\tunclassified"
+    def dfs(t: Int, depth: Int): Unit = {
+      val clade = cladeCounts.getOrElse(t, 0L)
+      if (clade > 0) {
+        val own = countMap.getOrElse(t, 0L)
+        val name = Option(tax.names(t)).getOrElse(s"taxid $t")
+        sb += s"${pct(clade)}\t$clade\t$own\t${rankCode(t)}\t$t\t${"  " * depth}$name"
+        for (c <- tax.children(t).sortBy(c => -cladeCounts.getOrElse(c, 0L)))
+          dfs(c, depth + 1)
+      }
+    }
+    dfs(Taxonomy.ROOT, 0)
+    sb.iterator
+  }
+
+  def render: String = lines.mkString("\n")
+}

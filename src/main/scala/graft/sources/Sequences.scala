@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A sequencing read or genome fragment.
+  * @param nucleotides2 second mate of a paired-end read, if any. */
+final case class InputFragment(
+    header: String,
+    location: Long,
+    nucleotides: String,
+    nucleotides2: Option[String])
+
+/** Sequence file sources (spec: reference kmers/input/FileInputs.scala).
+  * All are declarative Spark text reads — compression (gz/bz2) comes free
+  * from the text source; multi-file unions are plain `unionAll`.
+  */
+object Sequences {
+
+  /** Multi-line FASTA records via the ">" line-separator trick: every text row
+    * is then one full record (header line + sequence lines). */
+  def fasta(spark: SparkSession, path: String): Dataset[InputFragment] = {
+    import spark.implicits._
+    spark.read.option("lineSep", ">").text(path).as[String]
+      .flatMap { rec =>
+        val nl = rec.indexOf('\n')
+        if (nl < 0) None
+        else {
+          val header = rec.substring(0, nl).trim.split(" ")(0)
+          val seq = rec.substring(nl + 1).replaceAll("[\n\r]+", "")
+          if (header.isEmpty || seq.isEmpty) None
+          else Some(InputFragment(header, 0L, seq, None))
+        }
+      }
+  }
+
+  /** FASTQ 4-line records via a sliding 4-row window. Validating '@' at row 1
+    * AND '+' at row 3 anchors the window even when quality strings start with
+    * '@'/'+' (same disambiguation rule as the reference, FileInputs.scala:196-209). */
+  def fastq(spark: SparkSession, path: String): Dataset[InputFragment] = {
+    import spark.implicits._
+    val w = Window.partitionBy($"file").orderBy($"rowId")
+      .rowsBetween(Window.currentRow, 3)
+    spark.read.text(path)
+      .withColumn("file", input_file_name())
+      .withColumn("rowId", monotonically_increasing_id())
+      .withColumn("values", collect_list($"value").over(w))
+      .where(substring(element_at($"values", 1), 1, 1) === "@" &&
+        substring(element_at($"values", 3), 1, 1) === "+")
+      .select(element_at($"values", 1).as("header"), element_at($"values", 2).as("seq"))
+      .as[(String, String)]
+      .map { case (h, seq) =>
+        InputFragment(h.split(" ")(0).substring(1), 0L, seq, None)
+      }
+  }
+
+  /** Pair R1/R2 mates by header (suffixes /1 /2 stripped)
+    * (spec: reference kmers/input/InputReader.scala:109-131). */
+  def paired(r1: Dataset[InputFragment], r2: Dataset[InputFragment]): Dataset[InputFragment] = {
+    val spark = r1.sparkSession
+    import spark.implicits._
+    def clean(ds: Dataset[InputFragment]): Dataset[(String, String)] =
+      ds.map(f => (f.header.replaceAll("/[12]$", ""), f.nucleotides))
+    clean(r1).toDF("header", "nt1")
+      .join(clean(r2).toDF("header", "nt2"), "header")
+      .as[(String, String, String)]
+      .map { case (h, nt1, nt2) => InputFragment(h, 0L, nt1, Some(nt2)) }
+  }
+
+  /** Classify reads already held in a DataFrame (API mode): `header`,
+    * `nucleotides`, optional `nucleotides2` columns. */
+  def fromDataFrame(df: DataFrame): Dataset[InputFragment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withMate =
+      if (df.columns.contains("nucleotides2")) df
+      else df.withColumn("nucleotides2", lit(null).cast("string"))
+    withMate
+      .withColumn("location", lit(0L))
+      .select("header", "location", "nucleotides", "nucleotides2")
+      .as[InputFragment]
+  }
+
+  /** 2-column TSV seqid -> taxon label file. */
+  def labels(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("header", "taxon")
+      .select(col("header"), col("taxon").cast("int"))
+
+  /** Sample-id extraction from read headers by regex capture group
+    * (spec: reference slacken/Classifier.scala:297-301). */
+  def withSample(df: DataFrame, regex: Option[String], titleCol: String = "title"): DataFrame =
+    regex match {
+      case Some(re) =>
+        df.withColumn("sample",
+          coalesce(nullif(regexp_extract(col(titleCol), re, 1), lit("")), lit("other")))
+      case None => df.withColumn("sample", lit("all"))
+    }
+}

@@ -1,0 +1,183 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.kmers._
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+import scala.util.Random
+
+/** End-to-end: random taxonomy + random genomes on leaves, build index,
+  * simulate reads, classify — every classified read must map to its source
+  * taxon or an ancestor (the reference's own acceptance criterion,
+  * ClassifierTest.scala:75-130). */
+class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  // deterministic fixture
+  val rng = new Random(42)
+  def randomDna(n: Int): String =
+    Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  // taxonomy: root(1) <- 2,3 (genus); 2 <- 4,5 ; 3 <- 6 (species)
+  val tax = Taxonomy.fromTuples(Seq(
+    (2, 1, "genus", "g1"), (3, 1, "genus", "g2"),
+    (4, 2, "species", "s4"), (5, 2, "species", "s5"),
+    (6, 3, "species", "s6")))
+
+  val genomes: Map[Int, String] =
+    Map(4 -> randomDna(4000), 5 -> randomDna(4000), 6 -> randomDna(4000))
+
+  val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+
+  lazy val bcTax = spark.sparkContext.broadcast(tax)
+  lazy val index = new MinimizerIndex(params, bcTax)
+
+  lazy val records: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val lib = spark.createDataset(genomes.toSeq.map { case (t, g) => (t, g) })
+    index.makeRecords(lib).cache()
+  }
+
+  test("index record count equals distinct minimizer count (computed locally)") {
+    val scanner = params.scanner
+    val local = genomes.values
+      .flatMap(g => scanner.scan(g).map(_.minimizer)).toSet
+    assert(records.count() == local.size)
+  }
+
+  test("single-genome minimizers map to that genome's taxon") {
+    import spark.implicits._
+    // minimizers present in only genome 4 must have taxon 4 (no LCA lifting)
+    val scanner = params.scanner
+    val only4 = scanner.scan(genomes(4)).map(_.minimizer).toSet --
+      scanner.scan(genomes(5)).map(_.minimizer).toSet --
+      scanner.scan(genomes(6)).map(_.minimizer).toSet
+    val got = records.as[(Long, Int)].collect().toMap
+    for (m <- only4.take(50)) assert(got(m) == 4)
+  }
+
+  test("shared minimizers get the LCA of their taxa") {
+    import spark.implicits._
+    // construct a library where one sequence is shared between taxa 4 and 5
+    val shared = randomDna(200)
+    val lib = spark.createDataset(Seq((4, shared), (5, shared), (6, randomDna(200))))
+    val recs = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val scanner = params.scanner
+    for (sm <- scanner.scan(shared))
+      assert(recs(sm.minimizer) == 2, s"shared minimizer should lift to genus 2")
+  }
+
+  test("classification maps reads to source taxon or ancestor") {
+    import spark.implicits._
+    val reads = (0 until 200).map { i =>
+      val taxon = Seq(4, 5, 6)(rng.nextInt(3))
+      val g = genomes(taxon)
+      val start = rng.nextInt(g.length - 150)
+      InputFragment(s"read$i|src=$taxon", 0L, g.substring(start, start + 150), None)
+    }
+    val classified = index
+      .classify(index.spans(spark.createDataset(reads)), records)
+      .collect()
+    assert(classified.length == 200)
+    val byTitle = classified.map(c => c.title -> c).toMap
+    var nClassified = 0
+    for (r <- reads) {
+      val c = byTitle(r.header)
+      val src = r.header.split("src=")(1).toInt
+      if (c.classified) {
+        nClassified += 1
+        assert(tax.hasAncestor(src, c.taxon),
+          s"${c.title}: got ${c.taxon}, not an ancestor of $src")
+      }
+    }
+    // random 4kb genomes: 150bp reads should classify nearly always
+    assert(nClassified > 180)
+  }
+
+  test("paired-end reads classify with mate-pair border protocol") {
+    import spark.implicits._
+    val g = genomes(6)
+    val reads = (0 until 30).map { i =>
+      val s1 = rng.nextInt(g.length - 300)
+      InputFragment(s"pair$i", 0L, g.substring(s1, s1 + 120),
+        Some(Dna.reverseComplement(g.substring(s1 + 150, s1 + 270))))
+    }
+    val classified = index
+      .classify(index.spans(spark.createDataset(reads)), records)
+      .collect()
+    for (c <- classified if c.classified)
+      assert(tax.hasAncestor(6, c.taxon))
+    assert(classified.count(_.classified) > 25)
+    // the hit string shows the mate border sentinel
+    assert(classified.exists(_.hits.contains("|:|")))
+  }
+
+  test("confidence threshold forces unclassified on weak evidence") {
+    import spark.implicits._
+    // chimeric read: half from genome 4, half random junk
+    val g = genomes(4)
+    val reads = (0 until 20).map { i =>
+      val start = rng.nextInt(g.length - 80)
+      InputFragment(s"chi$i", 0L, g.substring(start, start + 80) + randomDna(80), None)
+    }
+    val ds = spark.createDataset(reads)
+    val loose = index.classify(index.spans(ds), records, confidence = 0.0).collect()
+    val strict = index.classify(index.spans(ds), records, confidence = 0.9).collect()
+    assert(loose.count(_.classified) >= strict.count(_.classified))
+    assert(strict.count(_.classified) < 5)
+  }
+
+  test("ambiguous bases form pseudo-spans, excluded from scoring") {
+    import spark.implicits._
+    val g = genomes(5)
+    val read = g.substring(0, 80) + ("N" * 50) + g.substring(100, 180)
+    val spans = index.fragmentSpans(InputFragment("amb", 0L, read, None)).toVector
+    assert(spans.exists(_.flag == graft.taxa.Sentinels.AMBIGUOUS_FLAG))
+    val classified = index
+      .classify(index.spans(spark.createDataset(Seq(
+        InputFragment("amb", 0L, read, None)))), records)
+      .collect()
+    assert(classified.head.classified && tax.hasAncestor(5, classified.head.taxon))
+    assert(classified.head.hits.contains("A:"))
+  }
+
+  test("bucketed write + DDL reload roundtrip preserves records") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/index"
+    index.writeRecords(records, dir)
+    val (idx2, reloaded) = MinimizerIndex.open(spark, dir, bcTax)
+    assert(idx2.loadRecords(spark, dir).count() == records.count())
+    assert(reloaded.as[(Long, Int)].collect().toMap ==
+      records.as[(Long, Int)].collect().toMap)
+    // classification against the reloaded index gives identical results
+    val reads = (0 until 40).map { i =>
+      val g = genomes(4)
+      val start = rng.nextInt(g.length - 150)
+      InputFragment(s"rl$i", 0L, g.substring(start, start + 150), None)
+    }
+    val a = index.classify(index.spans(spark.createDataset(reads)), records)
+      .collect().map(c => c.title -> c.taxon).toMap
+    val b = idx2.classify(idx2.spans(spark.createDataset(reads)), reloaded)
+      .collect().map(c => c.title -> c.taxon).toMap
+    assert(a == b)
+  }
+
+  test("kreport clade counts aggregate to ancestors") {
+    import spark.implicits._
+    val reads = (0 until 90).map { i =>
+      val taxon = Seq(4, 5, 6)(i % 3)
+      val g = genomes(taxon)
+      val start = rng.nextInt(g.length - 150)
+      InputFragment(s"rep$i", 0L, g.substring(start, start + 150), None)
+    }
+    val classified = index.classify(index.spans(spark.createDataset(reads)), records)
+    val rep = index.report(classified)
+    // clade count at root equals total classified
+    val classifiedCount = classified.collect().count(_.classified)
+    assert(rep.cladeCounts(Taxonomy.ROOT) == classifiedCount)
+    // genus 2's clade includes species 4 and 5
+    assert(rep.cladeCounts.getOrElse(2, 0L) >=
+      rep.countMap.getOrElse(4, 0L) + rep.countMap.getOrElse(5, 0L))
+    assert(rep.render.nonEmpty)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import java.nio.file.Files
+
+class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-seq")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("multi-line FASTA records parse as single fragments") {
+    val fa = tmpFile("test.fasta",
+      """>seq1 some description
+        |ACGTACGT
+        |ACGT
+        |>seq2
+        |TTTT
+        |GGGG
+        |CCCC
+        |""".stripMargin)
+    val frags = Sequences.fasta(spark, fa).collect().sortBy(_.header)
+    assert(frags.length == 2)
+    assert(frags(0) == InputFragment("seq1", 0L, "ACGTACGTACGT", None))
+    assert(frags(1) == InputFragment("seq2", 0L, "TTTTGGGGCCCC", None))
+  }
+
+  test("FASTQ parses 4-line records, quality lines starting with @ or +") {
+    val fq = tmpFile("test.fastq",
+      """@r1 desc
+        |ACGTACGTAC
+        |+
+        |@IIIIIIIII
+        |@r2
+        |TTTTGGGGCC
+        |+r2
+        |+IIIIIIIII
+        |""".stripMargin)
+    val frags = Sequences.fastq(spark, fq).collect().sortBy(_.header)
+    assert(frags.length == 2)
+    assert(frags(0) == InputFragment("r1", 0L, "ACGTACGTAC", None))
+    assert(frags(1) == InputFragment("r2", 0L, "TTTTGGGGCC", None))
+  }
+
+  test("paired-end mates join on cleaned headers") {
+    val r1 = tmpFile("r1.fastq",
+      "@p1/1\nAAAA\n+\nIIII\n@p2/1\nCCCC\n+\nIIII\n")
+    val r2 = tmpFile("r2.fastq",
+      "@p1/2\nGGGG\n+\nIIII\n@p2/2\nTTTT\n+\nIIII\n")
+    val pairs = Sequences.paired(
+      Sequences.fastq(spark, r1), Sequences.fastq(spark, r2))
+      .collect().sortBy(_.header)
+    assert(pairs.length == 2)
+    assert(pairs(0) == InputFragment("p1", 0L, "AAAA", Some("GGGG")))
+    assert(pairs(1) == InputFragment("p2", 0L, "CCCC", Some("TTTT")))
+  }
+
+  test("direct DataFrame source with defaulted mate column") {
+    import spark.implicits._
+    val df = Seq(("a", "ACGT"), ("b", "TTTT")).toDF("header", "nucleotides")
+    val frags = Sequences.fromDataFrame(df).collect().sortBy(_.header)
+    assert(frags.toSeq == Seq(
+      InputFragment("a", 0L, "ACGT", None), InputFragment("b", 0L, "TTTT", None)))
+  }
+
+  test("label TSV parses header -> taxon") {
+    val labels = tmpFile("labels.tsv", "seq1\t42\nseq2\t77\n")
+    val got = Sequences.labels(spark, labels).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(("seq1", 42), ("seq2", 77)))
+  }
+
+  test("sample extraction by regex with fallback") {
+    import spark.implicits._
+    val df = Seq("S0R5/1", "S1R2/1", "weird").toDF("title")
+    val got = Sequences.withSample(df, Some("(S\\d+)R")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("S0R5/1") == "S0" && got("S1R2/1") == "S1" && got("weird") == "other")
+  }
+}
