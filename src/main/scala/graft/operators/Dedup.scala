@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis._
+
+/** Near-duplicate detection at 100 TB scale. The common shape:
+  *
+  *   signature (typed map, local) -> band explode -> groupBy band bucket
+  *   (the only shuffle, on short keys) -> candidate pairs within buckets
+  *   -> exact verification on the pair set (second shuffle, but only over
+  *   candidates, a tiny fraction of n^2).
+  *
+  * Never a full cross join: candidate generation is linear in corpus size
+  * per band. MinHash-LSH (Broder), SimHash (Charikar) with pigeonhole
+  * banding, and exact n-gram Jaccard for verification.
+  */
+object Dedup {
+
+  // ---------------- MinHash ----------------
+
+  /** Deterministic affine permutation parameters for minhashing. */
+  private def hashParams(numHashes: Int): Array[(Long, Long)] =
+    Array.tabulate(numHashes)(i => (mix64(2 * i + 1) | 1L, mix64(2 * i + 2)))
+
+  /** MinHash signature of a shingle set: sig(i) = min over shingles of
+    * mix64(a_i * s + b_i). */
+  def minhashSignature(shingleHashes: Array[Long], numHashes: Int): Array[Long] = {
+    val params = hashParams(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < shingleHashes.length) {
+      val s = shingleHashes(si)
+      var i = 0
+      while (i < numHashes) {
+        val (a, b) = params(i)
+        val h = mix64(a * s + b)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** docs(id, text) -> (id, minhash signature). Signature computation is a
+    * narrow typed map; nothing shuffles. */
+  def minhashSignatures(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      numHashes: Int = 64): Dataset[(Long, Array[Long])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { case (id, text) =>
+      (id, minhashSignature(shingleSet(text, shingleN), numHashes))
+    }
+  }
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs.
+    * bands*rows must equal numHashes. Returns (idA, idB) with idA < idB,
+    * deduplicated. */
+  def lshCandidates(signatures: Dataset[(Long, Array[Long])], bands: Int,
+      rows: Int): DataFrame = {
+    val spark = signatures.sparkSession
+    import spark.implicits._
+    val banded = signatures.flatMap { case (id, sig) =>
+      require(sig.length == bands * rows, s"bands*rows != ${sig.length}")
+      (0 until bands).iterator.map { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        var r = 0
+        while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "id")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification over candidate pairs only. */
+  def verifyJaccard(docs: Dataset[(Long, String)], candidates: DataFrame,
+      shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docs.map { case (id, text) => (id, shingleSet(text, shingleN)) }
+      .toDF("id", "sh")
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .withColumn("jaccard", col("inter") / greatest(col("uni"), lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures -> bands -> verified pairs. */
+  def minhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame =
+    verifyJaccard(docs, lshCandidates(minhashSignatures(docs, shingleN, numHashes),
+      bands, numHashes / bands), shingleN, threshold)
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over shingle hashes (sign of weighted bit sums). */
+  def simhash(shingleHashes: Array[Long]): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = shingleHashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via the
+    * pigeonhole principle: split 64 bits into (maxDist+1) chunks — any pair
+    * within distance shares at least one exact chunk, so candidates come
+    * from equi-joins on (chunkIdx, chunkValue), never a cross join. */
+  def simhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sigs = docs.map { case (id, text) =>
+      (id, simhash(shingleSet(text, shingleN)))
+    }.toDF("id", "sim")
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
+      (0 until chunks).iterator.map { c =>
+        val lo = c * bitsPer
+        val width = if (c == chunks - 1) 64 - lo else bitsPer
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        (c, (sim >>> lo) & mask, id, sim)
+      }
+    }.toDF("chunk", "val", "id", "sim")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, expr("a.chunk = b.chunk AND a.val = b.val AND a.id < b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(expr("a.sim").bitwiseXOR(expr("b.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  // ---------------- exact n-gram Jaccard (no LSH, for modest candidate sets) ----------------
+
+  /** Inverted-index Jaccard: explode shingles, self-join on shingle (the
+    * shuffle is on shingle hashes — skew-prone on boilerplate text; prefer
+    * LSH above at full scale), count common, compute exact similarity. */
+  def ngramJaccardPairs(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = docs.flatMap { case (id, text) =>
+      shingleSet(text, shingleN).iterator.map(s => (id, s))
+    }.toDF("id", "sh")
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, expr("a.sh = b.sh AND a.id < b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexParams, MinimizerIndex}
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+import Q.t
+
+/** The flagship domain pipeline (minimizer extraction, LCA index build,
+  * read classification) exercised inside the driver harness. DNA is derived
+  * deterministically from the relational tables (md5 hex -> ACGT via
+  * `translate`), so the same pipeline that the ScalaTest golden specs verify
+  * also runs against the driver's parquet inputs at every scale factor.
+  * Rows-only checks (the ops are not ANSI-SQL-expressible).
+  */
+object GenomicQueries {
+
+  private val HEX2DNA: (String, String) = ("0123456789abcdef", "AAAACCCCGGGGTTTT")
+
+  /** 128 bp of deterministic DNA from a string column (4 chained md5s). */
+  private def dnaCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(
+      concat(md5(c.cast("binary")),
+        md5(concat(c, lit("x")).cast("binary")),
+        md5(concat(c, lit("y")).cast("binary")),
+        md5(concat(c, lit("z")).cast("binary"))),
+      HEX2DNA._1, HEX2DNA._2)
+
+  /** Taxonomy over the star dims: root <- regions (2..6) <- nations (10..34). */
+  private def starTaxonomy(s: SparkSession, dir: String): Taxonomy = {
+    val nations = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+    val regions = t(s, dir, "region").select("r_regionkey", "r_name").collect()
+    Taxonomy.fromTuples(
+      regions.map(r => (2 + r.getInt(0), 1, "kingdom", r.getString(1))).toSeq ++
+        nations.map(n =>
+          (10 + n.getInt(0), 2 + n.getInt(2), "species", n.getString(1))).toSeq)
+  }
+
+  private val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 32)
+
+  /** Customer genomes: (taxon = 10 + nationkey, 128 bp dna from c_name). */
+  private def customerGenomes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select((col("c_nationkey") + 10).cast("int").as("taxon"),
+        dnaCol(col("c_name")).as("dna"), col("c_name"))
+
+  val queries: Seq[Q] = Seq(
+    // supermer/minimizer extraction over derived DNA
+    Q("g01_supermer_spans", (s, dir) => {
+      import s.implicits._
+      val scanner = params.scanner
+      t(s, dir, "documents")
+        .select($"doc_id", dnaCol($"text").as("dna"))
+        .as[(Long, String)]
+        .map { case (id, dna) =>
+          val sms = scanner.scan(dna).toVector
+          (id, sms.length.toLong, sms.map(_.kmers.toLong).sum,
+            sms.map(_.minimizer).distinct.length.toLong)
+        }
+        .toDF("doc_id", "n_spans", "n_kmers", "n_distinct_minimizers")
+        .orderBy($"doc_id")
+    }, None),
+
+    // index build: flatMap minimizers -> LCA fold -> per-taxon record counts
+    Q("g02_lca_index", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna")
+        .as[(Int, String)]
+      index.makeRecords(lib)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_minimizers"))
+        .orderBy($"taxon")
+    }, None, bench = true),
+
+    // classification: reads are genome substrings addressed by orders
+    Q("g03_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classify(index.spans(reads), records, confidence = 0.0, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None, bench = true)
+  )
+}

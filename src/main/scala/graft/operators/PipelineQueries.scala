@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import Q.t
+
+/** Harness entries for the non-SQL-expressible training-data operators
+  * (MinHash LSH, SimHash, n-gram Jaccard, language-ID, fingerprinting,
+  * token estimation, ANN). These get rows-only driver checks; their
+  * correctness (e.g. LSH recall vs exact Jaccard) is asserted in ScalaTest.
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+  }
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "embeddings").select($"vec_id", $"embedding").as[(Long, Array[Float])]
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("t06_minhash_lsh", (s, dir) => {
+      import s.implicits._
+      Dedup.minhashDedup(docs(s, dir), shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }, None, bench = true),
+
+    Q("t07_ngram_jaccard", (s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }, None),
+
+    Q("t08_simhash", (s, dir) => {
+      import s.implicits._
+      Dedup.simhashDedup(docs(s, dir), shingleN = 3, maxDist = 6)
+        .orderBy($"id_a", $"id_b")
+    }, None),
+
+    Q("t09_langid", (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .map { case (id, text) => (id, TextAnalysis.detectLanguage(text)) }
+        .toDF("doc_id", "lang_detected")
+        .groupBy($"lang_detected").agg(count(lit(1)).as("cnt"))
+        .orderBy($"lang_detected")
+    }, None),
+
+    Q("t10_fingerprints", (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .map { case (id, text) =>
+          (id, TextAnalysis.winnowingFingerprints(text).length)
+        }
+        .toDF("doc_id", "n_fingerprints")
+        .orderBy($"doc_id")
+    }, None),
+
+    Q("t11_token_estimate", (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .map { case (id, text) => (id, TextAnalysis.tokenEstimate(text)) }
+        .toDF("doc_id", "n_tokens_est")
+        .orderBy($"doc_id")
+    }, None),
+
+    Q("t12_quality_metrics", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .select($"doc_id".cast("long").as("doc_id"), $"n_tokens",
+          round($"avg_word_len", 4).as("avg_word_len"),
+          round($"alpha_ratio", 4).as("alpha_ratio"),
+          round($"punct_ratio", 4).as("punct_ratio"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(CASE WHEN trim(text) = '' THEN 0
+        |   ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        | round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) /
+        |   greatest(CASE WHEN trim(text) = '' THEN 0
+        |     ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1), 4) AS avg_word_len,
+        | round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS alpha_ratio,
+        | round(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) /
+        |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
+        |FROM documents ORDER BY 1""".stripMargin)),
+
+    Q("v04_knn_lsh", (s, dir) => {
+      import s.implicits._
+      val v = vecs(s, dir)
+      Similarity.lshKnn(v.filter(_._1 < 20), v, k = 3, planes = 10)
+        .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"qid", $"sim".desc, $"nid")
+    }, None, bench = true),
+
+    Q("v05_cosine_dedup", (s, dir) => {
+      import s.implicits._
+      // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the
+      // check non-vacuous while still exercising the bucketed-pairs path
+      Similarity.cosineDedup(vecs(s, dir), threshold = 0.25, planes = 10)
+        .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }, None)
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.functions.TextAnalysis
+import scala.util.Random
+
+class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(7)
+  val vocab: IndexedSeq[String] =
+    (0 until 200).map(i => s"w$i")
+
+  def randomDoc(n: Int): String =
+    Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+
+  /** Corpus with planted near-duplicates: for some docs, a copy with 1-2
+    * token substitutions (high-similarity dups, jaccard ~0.9). */
+  lazy val corpus: Seq[(Long, String)] = {
+    val base = (0L until 60L).map(i => (i, randomDoc(80)))
+    val nearDups = base.take(12).map { case (i, text) =>
+      val toks = text.split(" ")
+      val mutated = toks.zipWithIndex.map { case (t, j) =>
+        if (j % 41 == 5) vocab(rng.nextInt(vocab.length)) else t
+      }
+      (i + 1000L, mutated.mkString(" "))
+    }
+    base ++ nearDups
+  }
+
+  def ds = {
+    import spark.implicits._
+    spark.createDataset(corpus)
+  }
+
+  /** Exact Jaccard over shingle sets, brute force (the oracle). */
+  def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val sets = corpus.map { case (id, t) =>
+      (id, TextAnalysis.shingleSet(t, 3).toSet)
+    }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if j >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minhash LSH finds all high-similarity pairs (recall = 1 on planted dups)") {
+    val expected = exactPairs(0.7)
+    assert(expected.nonEmpty, "fixture must contain near-duplicates")
+    val got = Dedup.minhashDedup(ds, shingleN = 3, numHashes = 64,
+      bands = 16, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"missed pairs: ${expected -- got}")
+    // verification step guarantees precision: every reported pair is exact
+    assert(got.subsetOf(exactPairs(0.7)))
+  }
+
+  test("ngram Jaccard pairs match the brute-force oracle exactly") {
+    val got = Dedup.ngramJaccardPairs(ds, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs(0.5))
+  }
+
+  test("simhash distance reflects similarity; banding finds close pairs") {
+    val planted = corpus.filter(_._1 >= 1000).map(c => (c._1 - 1000, c._1))
+    val got = Dedup.simhashDedup(ds, shingleN = 3, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // most planted near-dup pairs are within hamming distance 10
+    val found = planted.count(got.contains)
+    assert(found >= planted.size * 2 / 3, s"found only $found of ${planted.size}")
+  }
+
+  test("minhash signature similarity approximates Jaccard") {
+    val a = TextAnalysis.shingleSet(corpus.head._2, 3)
+    val mutated = corpus.find(_._1 == 1000L).get._2
+    val b = TextAnalysis.shingleSet(mutated, 3)
+    val sigA = Dedup.minhashSignature(a, 256)
+    val sigB = Dedup.minhashSignature(b, 256)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y } / 256.0
+    val exact = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(11)
+  val dim = 32
+
+  def randomVec(): Array[Float] = Array.fill(dim)(rng.nextGaussian().toFloat)
+
+  def perturb(v: Array[Float], eps: Float): Array[Float] =
+    v.map(x => x + eps * rng.nextGaussian().toFloat)
+
+  lazy val base: Seq[(Long, Array[Float])] = {
+    val anchors = (0L until 40L).map(i => (i, randomVec()))
+    val close = anchors.take(10).map { case (i, v) => (i + 500L, perturb(v, 0.05f)) }
+    anchors ++ close
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("brute-force kNN returns the exact top-k") {
+    import spark.implicits._
+    val df = spark.createDataset(base).toDF("id", "vec")
+    val got = Similarity.bruteForceKnn(df.filter($"id" < 5), df, k = 3)
+      .collect().groupBy(_.getLong(0))
+    for (q <- 0L until 5L) {
+      val expected = base.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(base(q.toInt)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val gotIds = got(q).sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq
+      assert(gotIds == expected, s"query $q")
+    }
+  }
+
+  test("LSH kNN finds the planted nearest neighbor (multi-probe recall)") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = Similarity.lshKnn(queries, ds, k = 1, planes = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each anchor 0..9 has a planted twin at id+500 with cosine ~0.999
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"LSH found only $hits of 10 planted neighbors")
+  }
+
+  test("cosine dedup finds planted near-identical pairs") {
+    import spark.implicits._
+    val got = Similarity.cosineDedup(spark.createDataset(base), 0.98, planes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(i => got.contains((i, i + 500L)))
+    assert(found >= 8, s"found only $found of 10 planted pairs")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TextAnalysis._
+
+  test("shingles slide over tokens; short docs fall back to whole text") {
+    assert(shingles("a b c d", 3).length == 2)
+    assert(shingles("a b", 3).length == 1)
+    assert(shingles("", 3).isEmpty)
+  }
+
+  test("winnowing fingerprints are edit-robust: shared content -> shared prints") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("lazy", "hazy")
+    val fa = winnowingFingerprints(a).toSet
+    val fb = winnowingFingerprints(b).toSet
+    assert(fa.intersect(fb).size.toDouble / fa.union(fb).size > 0.5)
+    assert(winnowingFingerprints(a).toSeq == winnowingFingerprints(a).toSeq)
+  }
+
+  test("language detection: stopword and CJK heuristics") {
+    assert(detectLanguage("the cat sat on the mat and it was happy") == "en")
+    assert(detectLanguage("le chat est sur la table et il est content") == "fr")
+    assert(detectLanguage("el gato es feliz y la casa es grande") == "es")
+    assert(detectLanguage("der Hund ist nicht zu Hause und die Katze") == "de")
+    assert(detectLanguage("你好世界这是中文") == "zh")
+    assert(detectLanguage("") == "und")
+  }
+
+  test("token estimate counts words, digit runs, punctuation") {
+    assert(tokenEstimate("hello world") == 2L)
+    assert(tokenEstimate("hello, world!") == 4L)
+    assert(tokenEstimate("abc 123 x.y") == 5L)
+    // long words cost subword tokens
+    assert(tokenEstimate("internationalization") > 1L)
+  }
+}
