@@ -1,0 +1,186 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kmers.SupermerScanner
+import graft.taxa.{LcaResolver, Taxonomy}
+import scala.collection.mutable
+
+/** A run of consecutive k-mer window positions with one taxon.
+  * Covers every k-mer slot of a fragment (NONE runs fill ambiguous regions
+  * and the k-1 tail of each valid segment so window arithmetic stays exact). */
+final case class HitRun(taxon: Int, start: Int, count: Int, distinct: Boolean)
+
+/** Bracken-style weight generation: self-classify every read-length window of
+  * every library genome against the index, count (source taxon -> destination
+  * taxon) assignments (spec: reference slacken/BrackenWeights.scala — the
+  * FragmentWindow incremental slide re-expressed over run-length hit runs).
+  *
+  * Scale design: fragments are bounded (maxFragment with k-1 overlap), the
+  * only shuffles are the minimizer->LCA join (one-sided on the bucketed index)
+  * and the final (source,dest) count; the window slide is executor-local and
+  * O(1) amortized per position.
+  */
+final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Serializable {
+
+  val k: Int = params.k
+
+  /** Split genomes into bounded fragments overlapping by readLen-1, so every
+    * read-length window lives in exactly one fragment (window starts in
+    * [fragStart, fragStart + max - readLen] — consecutive fragments tile the
+    * window-start space with no gap or double count). */
+  def fragments(library: Dataset[(Int, String)], readLen: Int,
+      maxFragment: Int = 100000): Dataset[(Int, String, String, Long)] = {
+    require(maxFragment >= 2 * readLen, "maxFragment must be >= 2*readLen")
+    val spark = library.sparkSession
+    import spark.implicits._
+    library.flatMap { case (taxon, seq) =>
+      val header = s"g$taxon"
+      if (seq.length <= maxFragment) Iterator((taxon, seq, header, 0L))
+      else Iterator.range(0, seq.length - readLen + 1, maxFragment - (readLen - 1))
+        .map { start =>
+          val end = math.min(start + maxFragment, seq.length)
+          (taxon, seq.substring(start, end), header, start.toLong)
+        }
+    }
+  }
+
+  /** Per-fragment ordered hit runs covering every k-mer slot: valid super-mers
+    * get their index LCA; each valid segment gets a k-1 NONE tail; ambiguous
+    * segments get NONE runs of their full length. */
+  private def hitRuns(seq: String, lcaOf: collection.Map[Long, Int]): Array[HitRun] = {
+    val scanner = params.scanner
+    val out = mutable.ArrayBuffer.empty[HitRun]
+    var pos = 0
+    var first = true
+    var lastMin = 0L
+    for (run <- SupermerScanner.splitByAmbiguity(seq)) {
+      if (run.valid && run.seq.length >= k) {
+        for (sm <- scanner.scan(run.seq)) {
+          val distinct = first || sm.minimizer != lastMin
+          first = false; lastMin = sm.minimizer
+          out += HitRun(lcaOf.getOrElse(sm.minimizer, Taxonomy.NONE),
+            pos + sm.start, sm.kmers, distinct)
+        }
+        out += HitRun(Taxonomy.NONE, pos + run.seq.length - (k - 1), k - 1, distinct = false)
+      } else {
+        out += HitRun(Taxonomy.NONE, pos, run.seq.length, distinct = false)
+      }
+      pos += run.seq.length
+    }
+    out.toArray
+  }
+
+  /** Slide a read-length window over the runs; classify each position.
+    * Returns (destTaxon -> windowCount) for this fragment. */
+  def windowClassifications(seq: String, lcaOf: collection.Map[Long, Int],
+      readLen: Int, resolver: LcaResolver): Iterator[(Int, Int)] = {
+    if (seq.length < readLen) return Iterator.empty
+    val runs = hitRuns(seq, lcaOf)
+    val kmersPerWindow = readLen - (k - 1)
+    val counts = mutable.Map.empty[Int, Int]
+    var hitGroups = 0
+
+    // taxon of the k-mer slot at an absolute position, via a run cursor
+    final class Cursor { var i = 0 }
+    def runAt(c: Cursor, p: Int): Int = {
+      while (runs(c.i).start + runs(c.i).count <= p) c.i += 1
+      c.i
+    }
+    val enter = new Cursor; val exit = new Cursor
+    var enteredRun = -1; var exitedRun = -1
+
+    def add(p: Int): Unit = {
+      val ri = runAt(enter, p)
+      val r = runs(ri)
+      counts(r.taxon) = counts.getOrElse(r.taxon, 0) + 1
+      if (ri != enteredRun && r.distinct && r.taxon != Taxonomy.NONE) hitGroups += 1
+      enteredRun = ri
+    }
+    def remove(p: Int): Unit = {
+      val ri = runAt(exit, p)
+      val r = runs(ri)
+      val u = counts(r.taxon) - 1
+      if (u > 0) counts(r.taxon) = u else counts.remove(r.taxon)
+      // run fully passed once its last position exits
+      if (p == r.start + r.count - 1 && r.distinct && r.taxon != Taxonomy.NONE)
+        hitGroups -= 1
+      exitedRun = ri
+    }
+
+    var p = 0
+    while (p < kmersPerWindow) { add(p); p += 1 }
+
+    val nWindows = seq.length - readLen + 1
+    Iterator.range(0, nWindows).map { start =>
+      if (start > 0) {
+        remove(start - 1)
+        add(start + kmersPerWindow - 1)
+      }
+      val scoring = counts.filter(kv => kv._1 != Taxonomy.NONE)
+      val dest =
+        if (hitGroups < 2 || scoring.isEmpty) Taxonomy.NONE
+        else resolver.resolveTree(scoring, 0.0)
+      dest
+    }.map((_, 1))
+  }
+
+  /** Full weight pipeline: fragments -> distinct minimizers -> LCA join
+    * (one-sided on the bucketed index) -> regroup -> window classify ->
+    * (source, dest, count). */
+  def weights(library: Dataset[(Int, String)], records: DataFrame, readLen: Int,
+      maxFragment: Int = 100000): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val frags = fragments(library, readLen, maxFragment)
+      .toDF("taxon", "seq", "header", "location")
+
+    // distinct minimizers per fragment
+    val scanner = params.scanner
+    val kk = k
+    val mins = frags.select($"header", $"location", $"seq").as[(String, Long, String)]
+      .flatMap { case (h, loc, seq) =>
+        val set = mutable.LongMap.empty[Unit]
+        SupermerScanner.splitByAmbiguity(seq).foreach { run =>
+          if (run.valid && run.seq.length >= kk)
+            scanner.scan(run.seq).foreach(sm => set(sm.minimizer) = ())
+        }
+        set.keysIterator.map(m => (h, loc, m))
+      }.toDF("header", "location", "id1")
+
+    // LCA lookup via the index (records side pre-bucketed: no index shuffle)
+    val lcas = mins.join(records, Seq("id1"), "left")
+      .groupBy($"header", $"location")
+      .agg(collect_list(struct($"id1", coalesce($"taxon", lit(Taxonomy.NONE))
+        .as("taxon"))).as("lcas"))
+
+    val bc = bcTax
+    frags.join(lcas, Seq("header", "location"), "left")
+      .select($"taxon", $"seq", $"lcas")
+      .as[(Int, String, Seq[(Long, Int)])]
+      .flatMap { case (source, seq, lcaPairs) =>
+        val lcaOf = Option(lcaPairs).getOrElse(Seq.empty).toMap
+        val resolver = new LcaResolver(bc.value)
+        windowClassifications(seq, lcaOf, readLen, resolver)
+          .map { case (dest, c) => (source, dest, c) }
+      }
+      .toDF("source", "dest", "n")
+      .groupBy($"source", $"dest")
+      .agg(sum($"n").cast("long").as("reads"))
+  }
+
+  /** Render bracken-build-style lines: per destination taxon, the list of
+    * source:count:fraction triples (spec: BrackenWeights.scala:377-414). */
+  def weightLines(w: DataFrame): DataFrame = {
+    val spark = w.sparkSession
+    import spark.implicits._
+    val bySource = w.groupBy($"source").agg(sum($"reads").as("sourceTotal"))
+    w.join(bySource, "source")
+      .withColumn("frac", $"reads".cast("double") / $"sourceTotal".cast("double"))
+      .groupBy($"dest")
+      .agg(sort_array(collect_list(struct($"source", $"reads", $"frac"))).as("triples"))
+      .select($"dest", concat_ws(" ", transform($"triples",
+        t => concat_ws(":", t("source"), t("reads"), round(t("frac"), 6)))).as("line"))
+  }
+}

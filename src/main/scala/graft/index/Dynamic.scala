@@ -1,0 +1,100 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+
+/** Taxon-selection heuristic for the first pass of 2-step classification
+  * (spec: reference slacken/Dynamic.scala:250-258). */
+sealed trait TaxonCriterion
+/** Total minimizer hits per taxon. */
+case object TotalMinimizers extends TaxonCriterion
+/** Distinct minimizers hit per taxon. */
+case object DistinctMinimizers extends TaxonCriterion
+/** Reads classified per taxon (full first-pass classification). */
+case object ClassifiedReads extends TaxonCriterion
+
+/** Two-step ("dynamic") classification: classify against the full static
+  * index to find which taxa are present, cut a sample-tailored sub-index
+  * restricted to those taxa (plus descendants), and re-classify
+  * (spec: reference slacken/Dynamic.scala:314-354).
+  *
+  * Scale design: the expensive span extraction runs ONCE — spans depend only
+  * on splitter parameters, so the cached span dataset is reused by the
+  * evidence pass and the final pass. The rebuild filters the library BEFORE
+  * minimizer extraction (predicate pushdown on taxon).
+  */
+final class DynamicClassifier(params: IndexParams, bcTax: Broadcast[Taxonomy]) {
+
+  val index = new MinimizerIndex(params, bcTax)
+
+  /** Per-taxon evidence counts from the first pass. */
+  def evidence(spans: Dataset[OrdinalSpan], records: DataFrame,
+      criterion: TaxonCriterion, confidence: Double = 0.0): DataFrame = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    criterion match {
+      case TotalMinimizers =>
+        spans.join(records, Seq("id1"))
+          .groupBy($"taxon").agg(sum($"kmers").cast("long").as("count"))
+      case DistinctMinimizers =>
+        spans.join(records, Seq("id1"))
+          .groupBy($"taxon").agg(countDistinct($"id1").cast("long").as("count"))
+      case ClassifiedReads =>
+        index.classify(spans, records, confidence)
+          .filter(_.classified)
+          .groupBy($"taxon").agg(count(lit(1)).cast("long").as("count"))
+    }
+  }
+
+  /** Threshold clade-aggregated evidence at a rank; expand with descendants
+    * (spec: Dynamic.scala:189-201, CountFilter). Driver-side tree math on
+    * collected per-taxon counts (small). */
+  def selectTaxa(evidenceCounts: Array[(Int, Long)], rank: String,
+      threshold: Long): collection.BitSet = {
+    val tax = bcTax.value
+    val rc = Taxonomy.rankCode(rank)
+    val atRank = collection.mutable.Map.empty[Int, Long]
+    for ((t, c) <- evidenceCounts if t > 0 && tax.isDefined(t)) {
+      val anc = tax.ancestorAtRank(t, rc)
+      if (anc != Taxonomy.NONE)
+        atRank(anc) = atRank.getOrElse(anc, 0L) + c
+    }
+    val selected = atRank.collect { case (t, c) if c >= threshold => t }
+    collection.immutable.BitSet.empty ++ tax.withDescendants(selected.toSeq)
+  }
+
+  /** Full 2-step pipeline. Returns (classified reads, selected taxa). */
+  def classify2(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
+      staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
+      rank: String = "species", threshold: Long = 100,
+      confidence: Double = 0.0, minHitGroups: Int = 2)
+      : (Dataset[ClassifiedRead], collection.BitSet) = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+
+    val spans = index.spans(reads).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ev = evidence(spans, staticRecords, criterion)
+        .as[(Int, Long)].collect()
+      val taxa = selectTaxa(ev, rank, threshold)
+      val bcTaxa = spark.sparkContext.broadcast(taxa)
+
+      // rebuild restricted to selected taxa: filter BEFORE extraction
+      val subLibrary = library.filter(g => bcTaxa.value.contains(g._1))
+      val dynRecords = index.makeRecords(subLibrary)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val result = index.classify(spans, dynRecords, confidence, minHitGroups)
+      (result, taxa)
+    } finally {
+      // spans stay cached until the returned dataset is consumed; caller-
+      // driven unpersist would need materialization here, so leave managed
+      // by Spark's LRU.
+      ()
+    }
+  }
+}

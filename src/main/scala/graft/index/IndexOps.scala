@@ -1,0 +1,164 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.sources.InputFragment
+import graft.taxa.{LcaResolver, Taxonomy}
+
+/** Index statistics, re-spacing, and the SQL (report-only) classification
+  * path (spec: reference KeyValueIndex stats/respace + SQLClassifier,
+  * Classifier.scala:254-410).
+  */
+object IndexOps {
+
+  /** Distinct minimizers per taxon (spec: A5, KeyValueIndex.scala:220-229). */
+  def minimizersPerTaxon(records: DataFrame): DataFrame =
+    records.groupBy(col("taxon"))
+      .agg(count(lit(1)).cast("long").as("n_minimizers"))
+
+  /** Taxonomic-depth histogram of index records (spec: A10). The depth
+    * lookup is a broadcast-array access wrapped as a UDF (2-3M entries —
+    * far too big for a literal CASE, too small to justify a join). */
+  def depthHistogram(records: DataFrame, bcTax: Broadcast[Taxonomy]): DataFrame = {
+    val depthUdf = udf((t: Int) => {
+      val tax = bcTax.value
+      if (t >= 0 && t < tax.size && tax.isDefined(t)) tax.depths(t) else -1
+    })
+    records.select(depthUdf(col("taxon")).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).cast("long").as("n_minimizers"))
+      .orderBy(col("depth"))
+  }
+
+  /** Per-rank record counts (how specific is the index?). */
+  def rankHistogram(records: DataFrame, bcTax: Broadcast[Taxonomy]): DataFrame = {
+    val rankUdf = udf((t: Int) => {
+      val tax = bcTax.value
+      if (t >= 0 && t < tax.size && tax.isDefined(t)) tax.rankName(t) else "invalid"
+    })
+    records.select(rankUdf(col("taxon")).as("rank"))
+      .groupBy(col("rank")).agg(count(lit(1)).cast("long").as("n_minimizers"))
+      .orderBy(col("rank"))
+  }
+
+  /** Re-space an index to a wider spaced-seed mask without rescanning the
+    * library: widening only clears additional minimizer positions, so it is
+    * a pure column expression (bitwise AND) + LCA re-aggregation
+    * (spec: P11/A1 respace variant, KeyValueIndex.scala:368-379). */
+  def respace(records: DataFrame, params: IndexParams, newSpaces: Int,
+      bcTax: Broadcast[Taxonomy]): DataFrame = {
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    var mask = graft.kmers.Dna.merMask(params.m)
+    var i = 0
+    while (i < newSpaces) {
+      mask &= ~(3L << (2 * (2 * i + 1)))
+      i += 1
+    }
+    val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
+    records
+      .select(col("id1").bitwiseAND(lit(mask)).as("id1"), col("taxon"))
+      .groupBy(col("id1"))
+      .agg(lcaAgg(col("taxon")).as("taxon"))
+  }
+
+  /** Genomes that contributed no minimizers to the index (quality check;
+    * spec: A12/A13, KeyValueIndex.scala:56-76): distinct library minimizers
+    * anti-joined against records. */
+  def missingGenomes(index: MinimizerIndex, library: Dataset[(Int, String)],
+      records: DataFrame): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val params = index.paramsOf
+    val scanner = params.scanner
+    val k = params.k
+    val libMins = library.flatMap { case (taxon, seq) =>
+      val set = scala.collection.mutable.LongMap.empty[Unit]
+      graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
+        if (run.valid && run.seq.length >= k)
+          scanner.scan(run.seq).foreach(sm => set(sm.minimizer) = ())
+      }
+      set.keysIterator.map(m => (taxon, m))
+    }.toDF("taxon", "id1")
+    libMins.join(records.select("id1"), Seq("id1"), "left_anti")
+      .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_missing"))
+  }
+
+  /** Report-only classification: the SQL path that trades per-read hit order
+    * for a cheaper two-level aggregation (no ordinal sort, no big structs;
+    * spec: A3/SQLClassifier design note in SURVEY §2.10). Returns per-taxon
+    * read counts directly. */
+  def classifyReport(index: MinimizerIndex, spans: Dataset[OrdinalSpan],
+      records: DataFrame, confidence: Double = 0.0, minHitGroups: Int = 2)
+      : DataFrame = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    import graft.taxa.Sentinels._
+    val bc = index.taxonomyOf
+
+    // level 1: per (read, taxon) k-mer totals — much smaller than per-span
+    val perTaxon = spans.join(records, Seq("id1"), "left")
+      .select($"title",
+        when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
+          .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))
+          .otherwise(coalesce($"taxon", lit(Taxonomy.NONE))).as("taxon"),
+        $"kmers", $"distinct")
+      .groupBy($"title", $"taxon")
+      .agg(sum($"kmers").cast("int").as("kmers"),
+        sum(when($"distinct" && $"taxon" > 0, 1).otherwise(0)).as("groups"))
+
+    // level 2: per read — taxa counts as pairs, order-free
+    val perRead = perTaxon
+      .groupBy($"title")
+      .agg(collect_list(struct($"taxon", $"kmers")).as("pairs"),
+        sum($"groups").cast("int").as("hitGroups"))
+      .as[(String, Seq[(Int, Int)], Int)]
+
+    perRead.map { case (_, pairs, hitGroups) =>
+      val resolver = new LcaResolver(bc.value)
+      if (hitGroups < minHitGroups) Taxonomy.NONE
+      else resolver.classify(pairs, confidence)
+    }.toDF("taxon")
+      .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_reads"))
+  }
+
+  /** Multi-sample classification: extract a sample id from read titles by
+    * regex; per-(sample, taxon) report counts in one aggregation
+    * (spec: P4 + A4, Classifier.scala:297-301,396-399). */
+  def classifyMultiSample(index: MinimizerIndex, reads: Dataset[InputFragment],
+      records: DataFrame, sampleRegex: String, confidence: Double = 0.0,
+      minHitGroups: Int = 2): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val classified = index.classify(index.spans(reads), records, confidence,
+      minHitGroups)
+    classified
+      .withColumn("sample",
+        coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),
+          lit("other")))
+      .groupBy($"sample", $"taxon")
+      .agg(count(lit(1)).cast("long").as("n_reads"))
+  }
+
+  /** Per-read output sink: gzip text partitioned by sample, bounded file
+    * count (spec: S12, Classifier.scala:199-210). */
+  def writePerSampleOutput(classified: Dataset[ClassifiedRead], sampleRegex: String,
+      path: String, maxPartitions: Int = 1000): Unit = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    classified
+      .withColumn("sample",
+        coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),
+          lit("other")))
+      .withColumn("value", concat_ws("\t",
+        when($"classified", "C").otherwise("U"),
+        $"title", $"taxon", $"length", $"hits"))
+      .select($"sample", $"value")
+      .coalesce(maxPartitions)
+      .write
+      .partitionBy("sample")
+      .option("compression", "gzip")
+      .mode("overwrite")
+      .text(path)
+  }
+}

@@ -67,6 +67,9 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
 
   import Sentinels._
 
+  def paramsOf: IndexParams = params
+  def taxonomyOf: Broadcast[Taxonomy] = bcTax
+
   // ---------------- span extraction (executor-local kernel) ----------------
 
   /** Split one fragment into ordinal spans: valid segments through the

@@ -76,6 +76,58 @@ object GenomicQueries {
         .orderBy($"taxon")
     }, None, bench = true),
 
+    // 2-step dynamic classification: evidence -> taxon selection -> rebuild
+    Q("g04_classify2", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val dyn = new graft.index.DynamicClassifier(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val staticRecords = dyn.index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        // only orders of even nations: half the taxa are absent from the sample
+        .filter($"c_nationkey" % 2 === 0)
+        .select($"o_orderkey",
+          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      val (classified, _) = dyn.classify2(reads, lib, staticRecords,
+        criterion = graft.index.DistinctMinimizers, rank = "species",
+        threshold = 50, minHitGroups = 1)
+      classified
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None),
+
+    // bracken-style abundance weights: self-classify genome windows
+    Q("g05_bracken", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val bracken = new graft.index.Bracken(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      bracken.weights(lib, records, readLen = 64)
+        .select($"source".cast("long").as("source"),
+          $"dest".cast("long").as("dest"), $"reads")
+        .orderBy($"source", $"dest")
+    }, None),
+
+    // index statistics + respace: depth histogram of the re-spaced index
+    Q("g06_index_stats", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val respaced = graft.index.IndexOps.respace(records, params, 10, bcTax)
+      graft.index.IndexOps.depthHistogram(respaced, bcTax)
+        .select($"depth".cast("long").as("depth"), $"n_minimizers")
+        .orderBy($"depth")
+    }, None),
+
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {
       import s.implicits._

@@ -1,0 +1,272 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.kmers.SupermerScanner
+import graft.sources.InputFragment
+import graft.taxa.{LcaResolver, Taxonomy}
+import scala.util.Random
+
+class BrackenSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(13)
+  def randomDna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  val tax = Taxonomy.fromTuples(Seq(
+    (2, 1, "genus", "g1"),
+    (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+
+  val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+  lazy val bcTax = spark.sparkContext.broadcast(tax)
+  lazy val index = new MinimizerIndex(params, bcTax)
+  lazy val bracken = new Bracken(params, bcTax)
+
+  val genomes = Map(4 -> randomDna(1200), 5 -> randomDna(1200))
+
+  def lib = {
+    import spark.implicits._
+    spark.createDataset(genomes.toSeq)
+  }
+
+  /** Brute-force oracle: classify the window starting at `start` by direct
+    * k-mer minimizer lookup (recomputes everything per window). */
+  def bruteWindow(seq: String, start: Int, readLen: Int,
+      lcaOf: Map[Long, Int]): Int = {
+    val window = seq.substring(start, start + readLen)
+    val scanner = params.scanner
+    val resolver = new LcaResolver(tax)
+    var hitGroups = 0
+    var lastMin = 0L
+    var first = true
+    val counts = scala.collection.mutable.Map.empty[Int, Int]
+    for (run <- SupermerScanner.splitByAmbiguity(window)
+         if run.valid && run.seq.length >= params.k;
+         sm <- scanner.scan(run.seq)) {
+      val t = lcaOf.getOrElse(sm.minimizer, Taxonomy.NONE)
+      if ((first || sm.minimizer != lastMin) && t != Taxonomy.NONE) hitGroups += 1
+      first = false; lastMin = sm.minimizer
+      if (t != Taxonomy.NONE) counts(t) = counts.getOrElse(t, 0) + sm.kmers
+    }
+    if (hitGroups < 2 || counts.isEmpty) Taxonomy.NONE
+    else resolver.resolveTree(counts, 0.0)
+  }
+
+  test("sliding-window classifications match per-window brute force") {
+    import spark.implicits._
+    val records = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val seq = genomes(4)
+    val readLen = 100
+    val resolver = new LcaResolver(tax)
+    val got = bracken.windowClassifications(seq, records, readLen, resolver)
+      .map(_._1).toVector
+    assert(got.length == seq.length - readLen + 1)
+    val expected = (0 to seq.length - readLen)
+      .map(s => bruteWindow(seq, s, readLen, records))
+    assert(got == expected)
+  }
+
+  test("window classify handles ambiguous regions") {
+    import spark.implicits._
+    val records = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val seq = genomes(4).substring(0, 300) + ("N" * 40) + genomes(4).substring(340, 640)
+    val resolver = new LcaResolver(tax)
+    val got = bracken.windowClassifications(seq, records, 100, resolver).toVector
+    assert(got.length == seq.length - 100 + 1)
+    val expected = (0 to seq.length - 100).map(s => bruteWindow(seq, s, 100, records))
+    assert(got.map(_._1) == expected)
+  }
+
+  test("end-to-end weights: self-classification lands in the source clade") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val w = bracken.weights(lib, records, readLen = 100)
+      .as[(Int, Int, Long)].collect()
+    assert(w.nonEmpty)
+    val total = w.map(_._3).sum
+    // every window of every genome is accounted for
+    val expectedWindows = genomes.values.map(g => g.length - 100 + 1).sum
+    assert(total == expectedWindows)
+    // classified windows map into the source's clade (or its ancestors)
+    for ((src, dest, _) <- w if dest != Taxonomy.NONE)
+      assert(tax.hasAncestor(src, dest) || tax.hasAncestor(dest, src))
+    // most windows of distinct random genomes classify to their own species
+    val own = w.filter(x => x._1 == x._2).map(_._3).sum
+    assert(own.toDouble / total > 0.8)
+    // fragment splitting must not change totals
+    val wSplit = new Bracken(params, bcTax)
+      .weights(lib, records, readLen = 100, maxFragment = 300)
+      .as[(Int, Int, Long)].collect()
+    assert(wSplit.map(_._3).sum == total)
+  }
+
+  test("weight lines render source:count:fraction triples per destination") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val lines = bracken.weightLines(bracken.weights(lib, records, 100))
+      .collect()
+    assert(lines.nonEmpty)
+    for (r <- lines) assert(r.getString(1).matches("[0-9]+:[0-9]+:[0-9.]+( .*)?"))
+  }
+}
+
+class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(17)
+  def randomDna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  // two genera, four species; reads come only from species 4 and 6
+  val tax = Taxonomy.fromTuples(Seq(
+    (2, 1, "genus", "g1"), (3, 1, "genus", "g2"),
+    (4, 2, "species", "s4"), (5, 2, "species", "s5"),
+    (6, 3, "species", "s6"), (7, 3, "species", "s7")))
+
+  val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+  lazy val bcTax = spark.sparkContext.broadcast(tax)
+  lazy val dyn = new DynamicClassifier(params, bcTax)
+
+  val genomes = Map(4 -> randomDna(3000), 5 -> randomDna(3000),
+    6 -> randomDna(3000), 7 -> randomDna(3000))
+
+  def lib = {
+    import spark.implicits._
+    spark.createDataset(genomes.toSeq)
+  }
+
+  def reads: Seq[InputFragment] = (0 until 120).map { i =>
+    val t = if (i % 2 == 0) 4 else 6
+    val g = genomes(t)
+    val s = rng.nextInt(g.length - 150)
+    InputFragment(s"r$i|src=$t", 0L, g.substring(s, s + 150), None)
+  }
+
+  test("2-step classification selects only present taxa and stays correct") {
+    import spark.implicits._
+    val staticRecords = dyn.index.makeRecords(lib)
+    val (classified, selected) = dyn.classify2(
+      spark.createDataset(reads), lib, staticRecords,
+      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    // only species 4 and 6 (plus no others) are selected
+    assert(selected.contains(4) && selected.contains(6))
+    assert(!selected.contains(5) && !selected.contains(7))
+    val res = classified.collect()
+    assert(res.count(_.classified) > 100)
+    for (c <- res if c.classified) {
+      val src = c.title.split("src=")(1).toInt
+      assert(tax.hasAncestor(src, c.taxon))
+    }
+  }
+
+  test("evidence criteria agree on which taxa dominate") {
+    import spark.implicits._
+    val staticRecords = dyn.index.makeRecords(lib)
+    val spans = dyn.index.spans(spark.createDataset(reads))
+    for (crit <- Seq(TotalMinimizers, DistinctMinimizers, ClassifiedReads)) {
+      val ev = dyn.evidence(spans, staticRecords, crit)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(ev.getOrElse(4, 0L) > ev.getOrElse(5, 0L), s"$crit")
+      assert(ev.getOrElse(6, 0L) > ev.getOrElse(7, 0L), s"$crit")
+    }
+  }
+}
+
+class IndexOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(19)
+  def randomDna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  val tax = Taxonomy.fromTuples(Seq(
+    (2, 1, "genus", "g1"),
+    (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+  val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+  lazy val bcTax = spark.sparkContext.broadcast(tax)
+  lazy val index = new MinimizerIndex(params, bcTax)
+  val genomes = Map(4 -> randomDna(2000), 5 -> randomDna(2000))
+
+  def lib = {
+    import spark.implicits._
+    spark.createDataset(genomes.toSeq)
+  }
+
+  test("stats: minimizers per taxon + depth/rank histograms are consistent") {
+    val records = index.makeRecords(lib).cache()
+    val total = records.count()
+    val perTaxon = IndexOps.minimizersPerTaxon(records).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perTaxon.values.sum == total)
+    val byDepth = IndexOps.depthHistogram(records, bcTax).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDepth.values.sum == total)
+    // species sit at depth 2, shared minimizers lift to genus depth 1
+    assert(byDepth.getOrElse(2, 0L) > 0)
+    val byRank = IndexOps.rankHistogram(records, bcTax).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRank.getOrElse("species", 0L) == byDepth.getOrElse(2, 0L))
+  }
+
+  test("respace widens the mask: fewer distinct minimizers, LCA re-folded") {
+    val records = index.makeRecords(lib).cache()
+    val respaced = IndexOps.respace(records, params, newSpaces = 10, bcTax).cache()
+    assert(respaced.count() <= records.count())
+    // all respaced keys have the extra positions cleared
+    var mask = graft.kmers.Dna.merMask(params.m)
+    for (i <- 0 until 10) mask &= ~(3L << (2 * (2 * i + 1)))
+    for (r <- respaced.collect())
+      assert((r.getLong(0) & ~mask) == 0L)
+  }
+
+  test("missingGenomes is empty when every genome contributed") {
+    val records = index.makeRecords(lib)
+    assert(IndexOps.missingGenomes(index, lib, records).count() == 0)
+  }
+
+  test("SQL report path agrees with the typed path on per-taxon counts") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val reads = (0 until 100).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 120)
+      InputFragment(s"r$i", 0L, g.substring(s, s + 120), None)
+    }
+    val ds = spark.createDataset(reads)
+    val spans = index.spans(ds).cache()
+    val typed = index.classify(spans, records)
+      .groupBy($"taxon").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sqlPath = IndexOps.classifyReport(index, spans, records)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(typed == sqlPath)
+  }
+
+  test("multi-sample classification splits counts by sample regex") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val reads = (0 until 60).map { i =>
+      val sample = s"S${i % 3}"
+      val g = genomes(4)
+      val s = rng.nextInt(g.length - 120)
+      InputFragment(s"${sample}R$i", 0L, g.substring(s, s + 120), None)
+    }
+    val bySample = IndexOps.classifyMultiSample(index,
+      spark.createDataset(reads), records, "(S\\d+)R")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(bySample.map(_._1).distinct.sorted.toSeq == Seq("S0", "S1", "S2"))
+    assert(bySample.map(_._3).sum == 60)
+  }
+
+  test("per-sample output sink writes kraken-format gzip text") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val reads = (0 until 20).map { i =>
+      val g = genomes(5)
+      val s = rng.nextInt(g.length - 120)
+      InputFragment(s"S${i % 2}R$i", 0L, g.substring(s, s + 120), None)
+    }
+    val classified = index.classify(index.spans(spark.createDataset(reads)), records)
+    val out = java.nio.file.Files.createTempDirectory("graft-out").toString + "/reads"
+    IndexOps.writePerSampleOutput(classified, "(S\\d+)R", out, maxPartitions = 2)
+    val back = spark.read.text(out + "/sample=S0").collect()
+    assert(back.nonEmpty)
+    assert(back.head.getString(0).matches("[CU]\t.*\t-?[0-9]+\t[0-9]+\t.*"))
+  }
+}
