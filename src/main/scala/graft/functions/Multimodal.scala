@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media as opaque `binary` columns plus typed metadata structs.
+  *
+  * The Spark-side plumbing — schema, format sniffing, partition-size-aware
+  * batching, per-partition kernel invocation, frame sampling — is real and
+  * tested. The codec kernels (pixel decode, resample) are STUBBED with
+  * deterministic byte arithmetic because no image/audio libraries exist in
+  * this environment; swap [[StubCodecs]] for real decoders (e.g. javacpp
+  * ffmpeg/opencv) in production — the dataflow does not change.
+  */
+object Multimodal {
+
+  /** Sniff a container format from magic bytes (real logic, no stub). */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def hasPrefix(p: Int*): Boolean =
+      bytes.length >= p.length && p.zipWithIndex.forall { case (b, i) =>
+        (bytes(i) & 0xff) == b
+      }
+    if (bytes == null || bytes.isEmpty) "empty"
+    else if (hasPrefix(0x89, 0x50, 0x4e, 0x47)) "png"
+    else if (hasPrefix(0xff, 0xd8, 0xff)) "jpeg"
+    else if (hasPrefix(0x47, 0x49, 0x46, 0x38)) "gif"
+    else if (hasPrefix(0x52, 0x49, 0x46, 0x46)) "riff" // wav/avi/webp share RIFF
+    else if (hasPrefix(0x49, 0x44, 0x33) || hasPrefix(0xff, 0xfb)) "mp3"
+    else if (bytes.length >= 12 && new String(bytes, 4, 4, "ASCII") == "ftyp") "mp4"
+    else "unknown"
+  }
+
+  /** STUB CODECS — deterministic stand-ins for real decoders. The shapes
+    * (dimensions from header-ish bytes, fixed-size feature vectors) mirror
+    * what a real codec would produce so downstream plumbing is realistic. */
+  object StubCodecs {
+    /** ??? real impl: decode pixels; stub: dims derived from content hash. */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      val h = TextAnalysis.mix64(java.util.Arrays.hashCode(bytes).toLong)
+      (64 + ((h & 0xff) * 8).toInt, 64 + (((h >> 8) & 0xff) * 8).toInt)
+    }
+
+    /** ??? real impl: CNN/CLIP features; stub: 16-dim rolling-hash profile
+      * of the raw bytes (deterministic, content-sensitive). */
+    def extractFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, bytes.length / dim)
+      acc.map(_ / n)
+    }
+
+    /** ??? real impl: resize via resampling; stub: byte decimation keeping
+      * every stride-th byte (preserves determinism + size contract). */
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+      if (bytes.length <= targetBytes) bytes
+      else {
+        val stride = bytes.length.toDouble / targetBytes
+        Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+      }
+    }
+  }
+
+  /** Media schema: (media_id, bytes, format, n_bytes, width, height). */
+  def describe(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h) = StubCodecs.decodeDims(bytes)
+        (id, bytes, sniffFormat(bytes), bytes.length.toLong, w, h)
+      }
+      .toDF("media_id", "bytes", "format", "n_bytes", "width", "height")
+  }
+
+  /** Feature extraction over binary columns. Batch shape matters at scale:
+    * repartition by byte-size so no task gets all the large blobs (skew
+    * mitigation a real decode stage needs). */
+  def withFeatures(media: DataFrame, idCol: String, bytesCol: String,
+      dim: Int = 16, sizePartitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val base = media.select(col(idCol).cast("long").as("media_id"),
+      col(bytesCol).as("bytes"))
+    val balanced =
+      if (sizePartitions > 0)
+        base.repartitionByRange(sizePartitions, length(col("bytes")), col("media_id"))
+      else base
+    balanced.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition kernel: a real codec would init once per partition
+        it.map { case (id, bytes) =>
+          (id, StubCodecs.extractFeatures(bytes, dim))
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** Frame sampling for "video" blobs: fixed-offset chunk extraction —
+    * every `everyNth` chunk of `frameBytes` bytes, the dataflow shape of
+    * real frame decimation. */
+  def sampleFrames(media: DataFrame, idCol: String, bytesCol: String,
+      frameBytes: Int, everyNth: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / math.max(1, frameBytes)
+        Iterator.range(0, nFrames, math.max(1, everyNth)).map { f =>
+          (id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+            math.min((f + 1) * frameBytes, bytes.length)))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

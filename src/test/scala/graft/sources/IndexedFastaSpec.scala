@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import java.nio.file.Files
+import scala.util.Random
+
+class IndexedFastaSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(29)
+  def randomDna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  /** Write a FASTA file with fixed line width and its .fai (offsets computed
+    * independently of the reader under test). */
+  def writeFasta(seqs: Seq[(String, String)], lineBases: Int): String = {
+    val dir = Files.createTempDirectory("graft-fai")
+    val fa = new StringBuilder
+    val fai = new StringBuilder
+    for ((name, seq) <- seqs) {
+      fa.append('>').append(name).append('\n')
+      val offset = fa.length
+      for (chunk <- seq.grouped(lineBases)) fa.append(chunk).append('\n')
+      fai.append(s"$name\t${seq.length}\t$offset\t$lineBases\t${lineBases + 1}\n")
+    }
+    val faPath = dir.resolve("test.fna")
+    Files.writeString(faPath, fa.toString)
+    Files.writeString(dir.resolve("test.fna.fai"), fai.toString)
+    faPath.toString
+  }
+
+  test("ranged reads reconstruct sequences exactly (multi-line, multi-seq)") {
+    val seqs = Seq("chr1" -> randomDna(3023), "chr2" -> randomDna(517),
+      "chr3" -> randomDna(70))
+    val fa = writeFasta(seqs, lineBases = 70)
+    // large maxFragment: one fragment per sequence
+    val frags = IndexedFasta.fragments(spark, fa, k = 35, maxFragment = 10000)
+      .collect().map(f => f.header -> f.nucleotides).toMap
+    assert(frags == seqs.toMap)
+  }
+
+  test("bounded fragments overlap by k-1 and cover every k-mer exactly once") {
+    val k = 35
+    val seq = randomDna(2600)
+    val fa = writeFasta(Seq("big" -> seq), lineBases = 60)
+    val frags = IndexedFasta.fragments(spark, fa, k = k, maxFragment = 500)
+      .collect().sortBy(_.location)
+    assert(frags.length > 1)
+    // fragment content matches the source at its location
+    for (f <- frags)
+      assert(seq.substring(f.location.toInt,
+        f.location.toInt + f.nucleotides.length) == f.nucleotides)
+    // k-mer multiset equals the unsplit k-mer multiset
+    def kmers(s: String): Seq[String] = (0 to s.length - k).map(i => s.substring(i, i + k))
+    val fromFrags = frags.flatMap(f => kmers(f.nucleotides)).sorted.toSeq
+    assert(fromFrags == kmers(seq).sorted)
+  }
+
+  test("odd line widths and fragment boundaries inside lines") {
+    val seq = randomDna(997)
+    val fa = writeFasta(Seq("odd" -> seq), lineBases = 13)
+    val frags = IndexedFasta.fragments(spark, fa, k = 10, maxFragment = 100)
+      .collect().sortBy(_.location)
+    for (f <- frags)
+      assert(seq.substring(f.location.toInt,
+        f.location.toInt + f.nucleotides.length) == f.nucleotides)
+    // union of [start, start+len) covers [0, 997)
+    val covered = frags.map(f => (f.location, f.location + f.nucleotides.length))
+    assert(covered.head._1 == 0 && covered.last._2 == 997)
+    for (w <- covered.sliding(2) if covered.size > 1)
+      assert(w(1)._1 <= w(0)._2) // overlap, no gap
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import graft.functions.Multimodal
+
+  val rng = new Random(31)
+
+  def fakeMedia(n: Int): Seq[(Long, Array[Byte])] = (0 until n).map { i =>
+    val body = Array.fill(200 + i * 37)((rng.nextInt(256) - 128).toByte)
+    // give some rows real magic bytes
+    val withMagic = i % 3 match {
+      case 0 => Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ body
+      case 1 => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ body
+      case _ => body
+    }
+    (i.toLong, withMagic)
+  }
+
+  test("format sniffing reads magic bytes") {
+    assert(Multimodal.sniffFormat(Array(0x89.toByte, 0x50, 0x4e, 0x47, 0, 0)) == "png")
+    assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 1)) == "jpeg")
+    assert(Multimodal.sniffFormat("RIFFxxxx".getBytes) == "riff")
+    assert(Multimodal.sniffFormat(Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'm', 'p', '4', '2')) == "mp4")
+    assert(Multimodal.sniffFormat(Array[Byte](1, 2, 3)) == "unknown")
+  }
+
+  test("describe: schema + deterministic metadata over binary columns") {
+    import spark.implicits._
+    val df = spark.createDataset(fakeMedia(9)).toDF("id", "data")
+    val desc = Multimodal.describe(df, "id", "data").collect()
+    assert(desc.length == 9)
+    val byId = desc.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getString(2) == "png" && byId(1L).getString(2) == "jpeg")
+    // deterministic: same input -> same dims
+    val again = Multimodal.describe(df, "id", "data").collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5))).toMap
+    assert(desc.map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5))).toMap == again)
+  }
+
+  test("feature extraction: fixed dim, size-balanced partitioning") {
+    import spark.implicits._
+    val df = spark.createDataset(fakeMedia(20)).toDF("id", "data")
+    val feats = Multimodal.withFeatures(df, "id", "data", dim = 16,
+      sizePartitions = 4).collect()
+    assert(feats.length == 20)
+    for (r <- feats) assert(r.getSeq[Float](1).length == 16)
+  }
+
+  test("frame sampling yields every-nth bounded chunks") {
+    import spark.implicits._
+    val media = Seq((1L, Array.tabulate[Byte](1000)(_.toByte)))
+    val df = spark.createDataset(media).toDF("id", "data")
+    val frames = Multimodal.sampleFrames(df, "id", "data",
+      frameBytes = 100, everyNth = 2).collect()
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 100))
+  }
+}

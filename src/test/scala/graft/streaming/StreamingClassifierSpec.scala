@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSessionTestWrapper
+import graft.index.{ClassifiedRead, IndexParams, MinimizerIndex}
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+import scala.util.Random
+
+class StreamingClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(23)
+  def randomDna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  val tax = Taxonomy.fromTuples(Seq(
+    (2, 1, "genus", "g1"),
+    (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+  val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+  lazy val bcTax = spark.sparkContext.broadcast(tax)
+  lazy val index = new MinimizerIndex(params, bcTax)
+  val genomes = Map(4 -> randomDna(2500), 5 -> randomDna(2500))
+
+  def reads(n: Int, offset: Int = 0): Seq[InputFragment] = (0 until n).map { i =>
+    val t = if (i % 2 == 0) 4 else 5
+    val g = genomes(t)
+    val s = rng.nextInt(g.length - 150)
+    InputFragment(s"sr${offset + i}|src=$t", 0L, g.substring(s, s + 150), None)
+  }
+
+  test("foreachBatch streaming classification matches batch results per batch") {
+    import spark.implicits._
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+    records.count()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[InputFragment]
+    val results = scala.collection.mutable.Map.empty[Long, Array[ClassifiedRead]]
+
+    val query = StreamingClassifier.classifyStream(index, stream.toDS(), records) {
+      (batchId, classified) => results.synchronized {
+        results(batchId) = classified.collect()
+      }
+    }.start()
+
+    try {
+      val batch1 = reads(30)
+      val batch2 = reads(30, offset = 100)
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+
+      assert(results.size == 2)
+      val all = results.values.flatten.toSeq
+      assert(all.size == 60)
+      for (c <- all if c.classified) {
+        val src = c.title.split("src=")(1).toInt
+        assert(tax.hasAncestor(src, c.taxon))
+      }
+      assert(all.count(_.classified) > 50)
+
+      // streaming per batch == batch API on the same input
+      val batchResult = index.classify(
+        index.spans(spark.createDataset(batch1)), records)
+        .collect().map(c => c.title -> c.taxon).toMap
+      val streamResult = results(0).map(c => c.title -> c.taxon).toMap
+      assert(batchResult == streamResult)
+    } finally query.stop()
+  }
+
+  test("native streaming aggregation: running taxon k-mer mass in update mode") {
+    import spark.implicits._
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[InputFragment]
+    val agg = StreamingClassifier.taxonKmerMassStream(index, stream.toDS(), records)
+    val query = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("taxon_mass")
+      .start()
+
+    try {
+      stream.addData(reads(40))
+      query.processAllAvailable()
+      val state = spark.sql("SELECT * FROM taxon_mass").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(state.keySet.intersect(Set(2, 4, 5)).nonEmpty)
+      assert(state.values.forall(_ > 0))
+    } finally query.stop()
+  }
+
+  test("windowed event-time abundance with watermark") {
+    import spark.implicits._
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, InputFragment)]
+    val agg = StreamingClassifier.windowedAbundance(index, stream.toDS(), records,
+      windowLen = "1 minute", watermark = "2 minutes")
+    val query = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("windowed_abundance")
+      .start()
+
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:30")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+      stream.addData(reads(20).map(f => (t0, f)))
+      query.processAllAvailable()
+      // advance event time far past the watermark to close the first window
+      stream.addData(reads(5, offset = 200).map(f => (t1, f)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM windowed_abundance").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getLong(2) > 0))
+    } finally query.stop()
+  }
+}
