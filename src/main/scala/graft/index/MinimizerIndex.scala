@@ -75,8 +75,10 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   /** Split one fragment into ordinal spans: valid segments through the
     * supermer scanner; ambiguous segments (len >= k) as single pseudo-spans
     * with random minimizers; a border sentinel between mates. */
-  def fragmentSpans(f: InputFragment): Iterator[OrdinalSpan] = {
-    val scanner = params.scanner
+  def fragmentSpans(f: InputFragment): Iterator[OrdinalSpan] =
+    fragmentSpans(f, params.scanner)
+
+  def fragmentSpans(f: InputFragment, scanner: SupermerScanner): Iterator[OrdinalSpan] = {
     val k = params.k
     val rnd = java.util.concurrent.ThreadLocalRandom.current()
     val totalLen = f.nucleotides.length + f.nucleotides2.map(_.length).getOrElse(0)
@@ -110,7 +112,11 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   def spans(reads: Dataset[InputFragment]): Dataset[OrdinalSpan] = {
     val spark = reads.sparkSession
     import spark.implicits._
-    reads.flatMap(fragmentSpans _)
+    reads.mapPartitions { it =>
+      // one scanner per task, not per fragment
+      val scanner = params.scanner
+      it.flatMap(f => fragmentSpans(f, scanner))
+    }
   }
 
   // ---------------- index build ----------------
@@ -162,14 +168,17 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
         max($"seqLen").as("seqLen"))
       .as[(String, Seq[TaxonHit], Long, Int)]
 
-    grouped.map { case (title, hits, hitGroups, seqLen) =>
+    grouped.mapPartitions { it =>
+      // one resolver per task, not per read
       val resolver = new LcaResolver(bc.value)
-      val ordered = hits.sortBy(_.ordinal)
-      val taxon =
-        if (hitGroups < minHitGroups) Taxonomy.NONE
-        else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), confidence)
-      ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen,
-        hitString(ordered))
+      it.map { case (title, hits, hitGroups, seqLen) =>
+        val ordered = hits.sortBy(_.ordinal)
+        val taxon =
+          if (hitGroups < minHitGroups) Taxonomy.NONE
+          else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), confidence)
+        ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen,
+          hitString(ordered))
+      }
     }
   }
 

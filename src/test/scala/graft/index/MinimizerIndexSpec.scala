@@ -162,6 +162,33 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
+  test("classify join never shuffles the bucketed index side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString + "/index"
+    index.writeRecords(records, dir)
+    val reloaded = index.loadRecords(spark, dir)
+    val reads = (0 until 10).map { i =>
+      val g = genomes(4)
+      InputFragment(s"bk$i", 0L, g.substring(i * 37, i * 37 + 150), None)
+    }
+    // a production-size index would never broadcast; force the SMJ path the
+    // 100 TB plan takes (at test scale Catalyst rightly prefers broadcast)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = index.spans(spark.createDataset(reads))
+        .join(reloaded, Seq("id1"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the index-side scan carries bucket metadata into the join directly
+      assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
+      // exactly one shuffle total: the span (read) side repartitioning to the
+      // bucket layout; the index side must have none
+      val exchanges = plan.split("\n").count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected 1 shuffle (span side only), plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("kreport clade counts aggregate to ancestors") {
     import spark.implicits._
     val reads = (0 until 90).map { i =>
