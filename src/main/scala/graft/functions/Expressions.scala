@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from generated code (one static call per row —
+  * no per-row closure/array allocation like the zip_with/aggregate chain). */
+object VectorKernels {
+
+  /** Cosine similarity of two float-array columns, accumulated in double,
+    * left-to-right (bitwise-compatible with the HOF formulation). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Distinct minimizers of a DNA string (ambiguity-aware), as array<long>. */
+  def minimizers(dna: UTF8String, k: Int, m: Int, spaces: Int): ArrayData = {
+    val scanner = new graft.kmers.SupermerScanner(k,
+      if (spaces > 0)
+        graft.kmers.SpacedSeedPriority(spaces, graft.kmers.RandomXorPriority(m))
+      else graft.kmers.RandomXorPriority(m))
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.kmers.SupermerScanner.splitByAmbiguity(dna.toString).foreach { run =>
+      if (run.valid && run.seq.length >= k)
+        scanner.scan(run.seq).foreach { sm =>
+          if (!seen.contains(sm.minimizer)) { seen(sm.minimizer) = (); out += sm.minimizer }
+        }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native codegen'd cosine similarity over two array<float> columns.
+  * Replaces `aggregate(zip_with(...))` in ANN hot paths: whole-stage codegen
+  * emits a single static call, no intermediate array allocation. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Native codegen'd dot product over two array<float> columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Native expression exposing the minimizer kernel to SQL users:
+  * graft_minimizers(dna, k, m, spaces) -> array<bigint> of distinct
+  * minimizer priorities. k/m/spaces must be foldable (literals). */
+case class SupermerMinimizers(dna: Expression, k: Expression, m: Expression,
+    spaces: Expression) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(dna, k, m, spaces)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = dna.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = dna.eval(input)
+    if (d == null) null
+    else VectorKernels.minimizers(d.asInstanceOf[UTF8String],
+      k.eval(input).asInstanceOf[Int], m.eval(input).asInstanceOf[Int],
+      spaces.eval(input).asInstanceOf[Int])
+  }
+
+  // CodegenFallback: the scanning kernel dominates per-row cost (per-bp
+  // loop), so interpreted dispatch is immaterial for this convenience fn.
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(dna = newChildren(0), k = newChildren(1), m = newChildren(2),
+      spaces = newChildren(3))
+}
+
+/** Registration: imperative (per-session) and declarative
+  * (spark.sql.extensions=graft.functions.GraftExtensions). */
+object GraftFunctions {
+
+  // inputs are cast at build time (ExpectsInputTypes is private to Spark)
+  private def fa(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+  private def int(e: Expression): Expression = Cast(e, IntegerType)
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(fa(es(0)), fa(es(1)))),
+    "dot_product" -> (es => DotProduct(fa(es(0)), fa(es(1)))),
+    "graft_minimizers" -> (es =>
+      SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))))
+
+  /** Register as temp functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    for ((name, builder) <- all)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+}
+
+/** Session-extension entry point: built-in registration at session build
+  * time (`.withExtensions(new GraftExtensions)` or the
+  * spark.sql.extensions conf). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    for ((name, builder) <- GraftFunctions.all)
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Expressions", name), builder))
+}

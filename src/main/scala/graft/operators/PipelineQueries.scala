@@ -33,7 +33,26 @@ object PipelineQueries {
       import s.implicits._
       Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
-    }, None),
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM words
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        | round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("t08_simhash", (s, dir) => {
       import s.implicits._

@@ -23,12 +23,18 @@ object Similarity {
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
+  /** Cosine via the native codegen'd expression (graft.functions
+    * .CosineSimilarity) — bitwise-equal to the HOF formulation but with no
+    * per-row array allocation. Callers must have run
+    * [[graft.functions.GraftFunctions.register]] on the session (all
+    * Similarity entry points do). */
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    call_function("cosine_sim", a, b)
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * queries/base: (id, vec). */
   def bruteForceKnn(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
     val b = base.select(col("id").as("nid"), col("vec").as("nv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -77,6 +83,7 @@ object Similarity {
   def lshKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, planes: Int = 12): DataFrame = {
     val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val baseB = base.map { case (id, v) =>
       (hyperplaneBucket(v, planes), id, v)
@@ -99,6 +106,7 @@ object Similarity {
   def cosineDedup(vectors: Dataset[(Long, Array[Float])], threshold: Double,
       planes: Int = 12): DataFrame = {
     val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val banded = vectors.flatMap { case (id, v) =>
       probeBuckets(v, planes).iterator.map(b => (b, id, v))
