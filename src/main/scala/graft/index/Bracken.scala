@@ -170,6 +170,31 @@ final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Ser
       .agg(sum($"n").cast("long").as("reads"))
   }
 
+  /** Fault-tolerant chunked weight build: the library is processed in
+    * `chunks` pieces, each appended to a parquet checkpoint before the next
+    * starts — a lost driver resumes from the chunks already on disk
+    * (spec: S15 checkpoint-by-append, BrackenWeights.scala:359-374). */
+  def weightsGradually(library: Dataset[(Int, String)], records: DataFrame,
+      readLen: Int, checkpointPath: String, chunks: Int = 5): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(checkpointPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (c <- 0 until chunks) {
+      val donePath = new org.apache.hadoop.fs.Path(s"$checkpointPath/_chunk$c")
+      if (!fs.exists(donePath)) {
+        val part = library.filter(g => math.abs(g._1.hashCode % chunks) == c)
+        weights(part, records, readLen)
+          .withColumn("chunk", lit(c))
+          .write.mode("append").parquet(checkpointPath)
+        fs.create(donePath, true).close()
+      }
+    }
+    spark.read.parquet(checkpointPath)
+      .groupBy($"source", $"dest")
+      .agg(sum($"reads").cast("long").as("reads"))
+  }
+
   /** Render bracken-build-style lines: per destination taxon, the list of
     * source:count:fraction triples (spec: BrackenWeights.scala:377-414). */
   def weightLines(w: DataFrame): DataFrame = {

@@ -84,6 +84,36 @@ object IndexOps {
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_missing"))
   }
 
+  /** Index-to-index comparison: how did each minimizer's LCA migrate between
+    * two indexes (e.g. before/after a respace or a dynamic rebuild)?
+    * Null-safe full outer join on the key; counts per (depth delta) bucket
+    * (spec: J7, analysis/MinimizerMigration.scala:44-71). */
+  def compareIndexes(a: DataFrame, b: DataFrame,
+      bcTax: Broadcast[Taxonomy]): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depthUdf = udf((t: Int) => {
+      val tax = bcTax.value
+      if (t > 0 && t < tax.size && tax.isDefined(t)) tax.depths(t) else -1
+    })
+    val left = a.select(col("id1").as("id1"), col("taxon").as("taxon_a"))
+    val right = b.select(col("id1").as("id1"), col("taxon").as("taxon_b"))
+    left.join(right, left("id1") <=> right("id1"), "full_outer")
+      .select(
+        coalesce(col("taxon_a"), lit(Taxonomy.NONE)).as("taxon_a"),
+        coalesce(col("taxon_b"), lit(Taxonomy.NONE)).as("taxon_b"))
+      .withColumn("steps",
+        depthUdf(col("taxon_b")) - depthUdf(col("taxon_a")))
+      .groupBy(col("steps")).agg(count(lit(1)).cast("long").as("n_minimizers"))
+      .orderBy(col("steps"))
+  }
+
+  /** Numeric summary (count/mean/stddev/min/quartiles/max) of per-taxon
+    * record counts — index balance at a glance (spec: A14,
+    * IndexStatistics.scala:79 `.summary()`). */
+  def coverageSummary(records: DataFrame): DataFrame =
+    minimizersPerTaxon(records).select(col("n_minimizers").cast("double")).summary()
+
   /** Report-only classification: the SQL path that trades per-read hit order
     * for a cheaper two-level aggregation (no ordinal sort, no big structs;
     * spec: A3/SQLClassifier design note in SURVEY §2.10). Returns per-taxon

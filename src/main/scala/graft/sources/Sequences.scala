@@ -82,6 +82,50 @@ object Sequences {
       .as[InputFragment]
   }
 
+  /** Expand @list.txt arguments: a file of file names
+    * (spec: S4, FileInputs.scala:50-58). */
+  def expandFileList(spark: SparkSession, paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      if (p.startsWith("@"))
+        spark.read.textFile(p.drop(1)).collect().toSeq.filter(_.nonEmpty)
+      else Seq(p)
+    }
+
+  /** Format dispatch by extension, .fai presence aware
+    * (spec: S5, FileInputs.scala:64-85). */
+  def forFile(spark: SparkSession, path: String, k: Int = 35): Dataset[InputFragment] = {
+    val stripped = path.replaceAll("\\.(gz|bz2)$", "")
+    val hasFai = {
+      val p = new org.apache.hadoop.fs.Path(path + ".fai")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (stripped.endsWith(".fastq") || stripped.endsWith(".fq")) fastq(spark, path)
+    else if (hasFai) IndexedFasta.fragments(spark, path, k)
+    else fasta(spark, path)
+  }
+
+  /** Parse many files and union (spec: S6, FileInputs.scala:103-116). */
+  def forFiles(spark: SparkSession, paths: Seq[String], k: Int = 35)
+      : Dataset[InputFragment] =
+    expandFileList(spark, paths).map(forFile(spark, _, k)).reduce(_ unionAll _)
+
+  /** Add reverse-complement copies of all fragments
+    * (spec: P10, InputReader.scala:34-47). */
+  def withReverseComplements(ds: Dataset[InputFragment]): Dataset[InputFragment] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { f =>
+      Iterator(f, f.copy(header = f.header + "/rc",
+        nucleotides = graft.kmers.Dna.reverseComplement(f.nucleotides),
+        nucleotides2 = f.nucleotides2.map(graft.kmers.Dna.reverseComplement)))
+    }
+  }
+
+  /** Deterministic-seed input sampling (spec: R1, InputReader.scala:91-101). */
+  def sampled(ds: Dataset[InputFragment], fraction: Double,
+      seed: Long = 42L): Dataset[InputFragment] =
+    if (fraction >= 1.0) ds else ds.sample(withReplacement = false, fraction, seed)
+
   /** 2-column TSV seqid -> taxon label file. */
   def labels(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").csv(path)
