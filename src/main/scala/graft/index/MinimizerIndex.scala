@@ -182,6 +182,46 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     }
   }
 
+  /** Classify at several confidence thresholds, computing the expensive
+    * join+regroup ONCE and reusing the cached per-read hit dataset for every
+    * threshold (spec: R4 multi-threshold sweep, Classifier.scala:156-170).
+    * Returns (threshold -> classified reads). */
+  def classifyMultiThreshold(spans: Dataset[OrdinalSpan], records: DataFrame,
+      confidences: Seq[Double], minHitGroups: Int = 2)
+      : Seq[(Double, Dataset[ClassifiedRead])] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val bc = bcTax
+
+    val joined = spans.join(records, Seq("id1"), "left")
+      .select($"title",
+        struct($"ordinal",
+          when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
+            .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))
+            .otherwise(coalesce($"taxon", lit(Taxonomy.NONE))).as("taxon"),
+          $"kmers", $"distinct").as("hit"),
+        $"seqLen")
+      .groupBy($"title")
+      .agg(collect_list($"hit").as("hits"),
+        sum(when($"hit.distinct" && $"hit.taxon" > 0, 1).otherwise(0)).as("hitGroups"),
+        max($"seqLen").as("seqLen"))
+      .as[(String, Seq[TaxonHit], Long, Int)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    confidences.map { conf =>
+      conf -> joined.mapPartitions { it =>
+        val resolver = new LcaResolver(bc.value)
+        it.map { case (title, hits, hitGroups, seqLen) =>
+          val ordered = hits.sortBy(_.ordinal)
+          val taxon =
+            if (hitGroups < minHitGroups) Taxonomy.NONE
+            else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), conf)
+          ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen, "")
+        }
+      }
+    }
+  }
+
   /** Kraken 2 hit-detail string: "taxon:count taxon:count |:| ...",
     * run-length merging consecutive equal taxa, A for ambiguous. */
   private def hitString(ordered: Seq[TaxonHit]): String = {

@@ -112,6 +112,28 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classified.exists(_.hits.contains("|:|")))
   }
 
+  test("multi-threshold sweep reuses one hit dataset, agrees with single runs") {
+    import spark.implicits._
+    val reads = (0 until 60).map { i =>
+      val g = genomes(5)
+      val start = rng.nextInt(g.length - 150)
+      InputFragment(s"mt$i", 0L, g.substring(start, start + 150), None)
+    }
+    val ds = spark.createDataset(reads)
+    val sp = index.spans(ds)
+    val multi = index.classifyMultiThreshold(sp, records, Seq(0.0, 0.5, 0.95))
+    assert(multi.map(_._1) == Seq(0.0, 0.5, 0.95))
+    for ((conf, result) <- multi) {
+      val single = index.classify(index.spans(ds), records, confidence = conf)
+        .collect().map(c => c.title -> c.taxon).toMap
+      val got = result.collect().map(c => c.title -> c.taxon).toMap
+      assert(got == single, s"threshold $conf")
+    }
+    // monotone: higher confidence never classifies more reads
+    val counts = multi.map(_._2.collect().count(_.classified))
+    assert(counts == counts.sorted.reverse)
+  }
+
   test("confidence threshold forces unclassified on weak evidence") {
     import spark.implicits._
     // chimeric read: half from genome 4, half random junk
