@@ -122,14 +122,21 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   // ---------------- index build ----------------
 
   /** Build index records from a labeled genome library:
-    * flatMap minimizers -> groupBy(id1) -> LCA fold (partial agg map-side). */
-  def makeRecords(library: Dataset[(Int, String)]): DataFrame = {
+    * flatMap minimizers -> groupBy(id1) -> LCA fold (partial agg map-side).
+    *
+    * @param saltBuckets optional skew hardening for 100 TB libraries:
+    *   low-complexity DNA concentrates a few minimizers into giant groups;
+    *   with salting the fold runs in two stages — groupBy(id1, salt) then
+    *   groupBy(id1) — which is legal because LCA is associative and
+    *   commutative (SURVEY §7.4 risk 5). 0 = single-stage (default).
+    */
+  def makeRecords(library: Dataset[(Int, String)], saltBuckets: Int = 0): DataFrame = {
     val spark = library.sparkSession
     import spark.implicits._
     val scanner = params.scanner
     val k = params.k
     val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
-    library
+    val pairs = library
       .flatMap { case (taxon, seq) =>
         SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
           if (!run.valid || run.seq.length < k) Iterator.empty
@@ -137,8 +144,13 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
         }
       }
       .toDF("id1", "taxon")
-      .groupBy($"id1")
-      .agg(lcaAgg($"taxon").as("taxon"))
+    if (saltBuckets <= 0)
+      pairs.groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
+    else
+      pairs
+        .withColumn("salt", pmod(hash($"taxon"), lit(saltBuckets)))
+        .groupBy($"id1", $"salt").agg(lcaAgg($"taxon").as("taxon"))
+        .groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
   }
 
   // ---------------- classification ----------------

@@ -394,6 +394,74 @@ object RelationalQueries {
         |JOIN (SELECT CAST(nullif(s_nationkey, 3) AS BIGINT) AS sk FROM supplier) s
         |ON ck IS NOT DISTINCT FROM sk""".stripMargin)),
 
+    // ---- gap-based sessionization (stateful window composition) ----
+    Q("q26_sessionize", (s, dir) => {
+      import s.implicits._
+      // events.ts is read as BIGINT nanos (nanosAsLong); a >1h gap starts a
+      // new session. DuckDB sees TIMESTAMP_NS and compares epoch_ns equally.
+      val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 3600L * 1000000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id".cast("long").as("user_id"))
+        .agg(max($"session_idx").cast("long").as("n_sessions"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy($"user_id")
+    }, Some(
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        | CAST(max(session_idx) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id,
+        |     CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |       IS NULL OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+        |       (PARTITION BY user_id ORDER BY event_id) > 3600000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- rollup (grouping-set aggregate; NULL-free output for parity) ----
+    Q("q27_rollup", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup(year($"o_orderdate").cast("long").as("y"), $"o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(coalesce($"y", lit(-1L)).as("y"),
+          coalesce($"o_orderpriority", lit("ALL")).as("pri"), $"cnt")
+        .orderBy($"y", $"pri")
+    }, Some(
+      """SELECT coalesce(CAST(y AS BIGINT), -1) AS y,
+        | coalesce(o_orderpriority, 'ALL') AS pri,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT year(o_orderdate) AS y, o_orderpriority FROM orders)
+        |GROUP BY ROLLUP (y, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- exact interpolated percentiles ----
+    Q("q28_percentiles", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority,
+        | round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+        | round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- J6 analog: two-key equi-join (adjacent-line self-join) ----
     Q("q25_twokey_join", (s, dir) => {
       import s.implicits._

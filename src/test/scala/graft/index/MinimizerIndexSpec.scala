@@ -56,6 +56,16 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (m <- only4.take(50)) assert(got(m) == 4)
   }
 
+  test("salted two-stage LCA build equals the single-stage build") {
+    import spark.implicits._
+    val lib = spark.createDataset(genomes.toSeq ++ Seq(
+      (5, genomes(4)), (6, genomes(4)))) // force multi-taxon minimizers
+    val plain = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val salted = index.makeRecords(lib, saltBuckets = 7)
+      .as[(Long, Int)].collect().toMap
+    assert(salted == plain)
+  }
+
   test("shared minimizers get the LCA of their taxa") {
     import spark.implicits._
     // construct a library where one sequence is shared between taxa 4 and 5
