@@ -70,6 +70,9 @@ object Dedup {
         (b, h, id)
       }
     }.toDF("band", "bucket", "id")
+      // materialize once: both self-join sides read the cache instead of
+      // recomputing signatures for the whole corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
@@ -84,6 +87,7 @@ object Dedup {
     import spark.implicits._
     val sets = docs.map { case (id, text) => (id, shingleSet(text, shingleN)) }
       .toDF("id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -142,6 +146,7 @@ object Dedup {
         (c, (sim >>> lo) & mask, id, sim)
       }
     }.toDF("chunk", "val", "id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.chunk = b.chunk AND a.val = b.val AND a.id < b.id"))
@@ -163,6 +168,7 @@ object Dedup {
     val exploded = docs.flatMap { case (id, text) =>
       shingleSet(text, shingleN).iterator.map(s => (id, s))
     }.toDF("id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = exploded.as("a")
     val b = exploded.as("b")

@@ -111,6 +111,7 @@ object Similarity {
     val banded = vectors.flatMap { case (id, v) =>
       probeBuckets(v, planes).iterator.map(b => (b, id, v))
     }.toDF("bucket", "id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.bucket = b.bucket AND a.id < b.id"))
