@@ -156,6 +156,71 @@ object Dedup {
       .distinct()
   }
 
+  // ---------------- cluster resolution: pairs -> keep/drop decisions ----------------
+
+  /** Connected components over duplicate pairs via iterative min-label
+    * propagation (each round: every node adopts the smallest id reachable in
+    * one hop; rounds double the reach, so convergence in O(log diameter)
+    * iterations — dup clusters are tiny, so this is 2-3 rounds in practice).
+    * Returns (id, cluster) where cluster = min doc id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncluster")).as("minNeighbor"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("minNeighbor"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup decision: MinHash-LSH pairs -> components -> keep the lowest
+    * doc id per cluster, drop the rest. Returns (id, cluster, keep). */
+  def dedupDecisions(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashDedup(docs, shingleN, numHashes, bands, threshold)
+    val comps = connectedComponents(pairs)
+    comps.withColumn("keep", col("id") === col("cluster"))
+  }
+
+  /** The deduplicated corpus: all docs minus non-keeper cluster members. */
+  def deduplicate(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7)
+      : Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val drop = dedupDecisions(docs, shingleN, numHashes, bands, threshold)
+      .filter(!col("keep"))
+      .select(col("id"))
+    docs.toDF("id", "text")
+      .join(drop, Seq("id"), "left_anti")
+      .as[(Long, String)]
+  }
+
   // ---------------- exact n-gram Jaccard (no LSH, for modest candidate sets) ----------------
 
   /** Inverted-index Jaccard: explode shingles, self-join on shingle (the

@@ -108,6 +108,23 @@ object PipelineQueries {
         |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
         |FROM documents ORDER BY 1""".stripMargin)),
 
+    Q("t13_dedup_decisions", (s, dir) => {
+      import s.implicits._
+      Dedup.dedupDecisions(docs(s, dir), threshold = 0.5)
+        .select($"id".cast("long").as("id"), $"cluster".cast("long").as("cluster"),
+          $"keep")
+        .orderBy($"id")
+    }, None),
+
+    Q("v06_ivf_knn", (s, dir) => {
+      import s.implicits._
+      val v = vecs(s, dir)
+      Similarity.ivfKnn(v.filter(_._1 < 20), v, k = 3, nCells = 8, nProbe = 3)
+        .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"qid", $"sim".desc, $"nid")
+    }, None),
+
     Q("v04_knn_lsh", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)

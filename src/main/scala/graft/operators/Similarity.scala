@@ -101,6 +101,58 @@ object Similarity {
       .drop("rn")
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** IVF top-k: a k-means coarse quantizer (Spark ML, trained on a sample)
+    * partitions the base into cells; queries probe the nProbe nearest
+    * centroids and run exact cosine only inside those cells. The alternative
+    * scale path to hyperplane LSH: recall tunes with nProbe, and the cell
+    * assignment is one narrow pass over the base. */
+  def ivfKnn(queries: Dataset[(Long, Array[Float])],
+      base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
+      nProbe: Int = 3, sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+
+    val train = (if (sampleFraction < 1.0)
+      base.sample(withReplacement = false, sampleFraction, seed) else base)
+      .map { case (_, v) => Tuple1(Vectors.dense(v.map(_.toDouble))) }
+      .toDF("features")
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
+      val cs = bcCentroids.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(n).map(_._1).toArray
+    }
+
+    val baseCells = base.map { case (id, v) => (nearestCells(v, 1)(0), id, v) }
+      .toDF("cell", "nid", "nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queryCells = queries.flatMap { case (id, v) =>
+      nearestCells(v, nProbe).iterator.map(c => (c, id, v))
+    }.toDF("cell", "qid", "qv")
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    queryCells.join(baseCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** All pairs above a cosine threshold via LSH buckets (near-dup detection
     * for embeddings). */
   def cosineDedup(vectors: Dataset[(Long, Array[Float])], threshold: Double,

@@ -72,6 +72,31 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(found >= planted.size * 2 / 3, s"found only $found of ${planted.size}")
   }
 
+  test("connected components resolve transitive clusters to min ids") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singleton edges 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup decisions keep exactly one doc per duplicate cluster") {
+    val decisions = Dedup.dedupDecisions(ds, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every cluster has exactly one keeper
+    for ((cluster, members) <- decisions.groupBy(_._2))
+      assert(members.count(_._3) == 1, s"cluster $cluster")
+    // the planted dup (id+1000) is dropped, the original kept
+    val dropped = decisions.filter(!_._3).map(_._1).toSet
+    assert(dropped.nonEmpty && dropped.forall(_ >= 1000L))
+    // deduplicate() removes exactly the dropped docs
+    val kept = Dedup.deduplicate(ds, threshold = 0.7).collect().map(_._1).toSet
+    assert(kept == corpus.map(_._1).toSet -- dropped)
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     val a = TextAnalysis.shingleSet(corpus.head._2, 3)
     val mutated = corpus.find(_._1 == 1000L).get._2
@@ -129,6 +154,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // each anchor 0..9 has a planted twin at id+500 with cosine ~0.999
     val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
     assert(hits >= 8, s"LSH found only $hits of 10 planted neighbors")
+  }
+
+  test("IVF kNN finds the planted nearest neighbor") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = Similarity.ivfKnn(queries, ds, k = 1, nCells = 8, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"IVF found only $hits of 10 planted neighbors")
   }
 
   test("cosine dedup finds planted near-identical pairs") {
