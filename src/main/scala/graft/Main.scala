@@ -113,10 +113,11 @@ object Main {
         val classified = index.classify(index.spans(loadReads(spark, opts)), records,
           confidence = opts.getOrElse("c", "0.0").toDouble,
           minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         IndexOps.writePerSampleOutput(classified,
           opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
-        index.report(index.classify(index.spans(loadReads(spark, opts)), records))
-          .lines.foreach(println)
+        index.report(classified).lines.foreach(println)
+        classified.unpersist()
 
       case "classify2" =>
         val idxPath = opts("index")

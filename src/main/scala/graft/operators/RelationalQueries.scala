@@ -394,6 +394,56 @@ object RelationalQueries {
         |JOIN (SELECT CAST(nullif(s_nationkey, 3) AS BIGINT) AS sk FROM supplier) s
         |ON ck IS NOT DISTINCT FROM sk""".stripMargin)),
 
+    // ---- ranking windows: rank / dense_rank / ntile ----
+    Q("q29_ranking", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .filter($"rnk" <= 8)
+        .select($"c_nationkey".cast("long").as("c_nationkey"),
+          $"c_custkey".cast("long").as("c_custkey"),
+          $"rnk".cast("long").as("rnk"), $"drnk".cast("long").as("drnk"),
+          $"quartile".cast("long").as("quartile"))
+        .orderBy($"c_nationkey", $"rnk", $"c_custkey")
+    }, Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+        | CAST(quartile AS BIGINT) AS quartile
+        |FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |   rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |   ntile(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rnk <= 8 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
+
+    // ---- lag/lead offsets with defaults ----
+    Q("q30_lag_lead", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag($"o_totalprice", 1, 0.0).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1, 0.0).over(w))
+        .filter($"o_custkey" < 100)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          round($"o_totalprice" - $"prev_price", 4).as("delta_prev"),
+          round($"next_price" - $"o_totalprice", 4).as("delta_next"))
+        .orderBy($"o_orderkey")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | round(o_totalprice - prev_price, 4) AS delta_prev,
+        | round(next_price - o_totalprice, 4) AS delta_next
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |   lag(o_totalprice, 1, 0.0) OVER w AS prev_price,
+        |   lead(o_totalprice, 1, 0.0) OVER w AS next_price
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
+        |WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin)),
+
     // ---- gap-based sessionization (stateful window composition) ----
     Q("q26_sessionize", (s, dir) => {
       import s.implicits._
