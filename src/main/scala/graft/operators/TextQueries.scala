@@ -84,6 +84,25 @@ object TextQueries {
         | CAST((length(text) - length(replace(text, ' the ', '_'))) / 4 AS BIGINT) AS the_cnt
         |FROM documents ORDER BY 1""".stripMargin)),
 
+    // ---- repetition quality signal: repeated-token fraction per doc ----
+    Q("t14_repetition", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"doc_id".cast("long").as("doc_id"))
+        .agg(round(lit(1.0) - countDistinct($"w").cast("double") /
+          count(lit(1)).cast("double"), 4).as("rep_ratio"),
+          count(lit(1)).cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | round(1.0 - CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS rep_ratio,
+        | CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |      FROM documents)
+        |WHERE w <> '' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- generator / explode shape: corpus word frequencies, top 20 ----
     Q("t05_word_freq", (s, dir) => {
       import s.implicits._
