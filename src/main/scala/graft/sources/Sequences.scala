@@ -46,8 +46,11 @@ object Sequences {
       .withColumn("file", input_file_name())
       .withColumn("rowId", monotonically_increasing_id())
       .withColumn("values", collect_list($"value").over(w))
-      .where(substring(element_at($"values", 1), 1, 1) === "@" &&
-        substring(element_at($"values", 3), 1, 1) === "+")
+      // try_element_at: near EOF the forward window is short, and Spark 4's
+      // ANSI mode makes element_at throw where 3.x returned null
+      .where(size($"values") === 4 &&
+        substring(try_element_at($"values", lit(1)), 1, 1) === "@" &&
+        substring(try_element_at($"values", lit(3)), 1, 1) === "+")
       .select(element_at($"values", 1).as("header"), element_at($"values", 2).as("seq"))
       .as[(String, String)]
       .map { case (h, seq) =>

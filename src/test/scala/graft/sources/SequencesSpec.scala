@@ -46,6 +46,23 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(frags(1) == InputFragment("r2", 0L, "TTTTGGGGCC", None))
   }
 
+  test("FASTQ parses correctly across multiple input splits") {
+    // > 64 KB (the test session's maxPartitionBytes) forces multi-split
+    // reads; records straddling split boundaries must still assemble
+    val rng = new scala.util.Random(53)
+    val sb = new StringBuilder
+    val n = 1200
+    for (i <- 0 until n) {
+      val seq = Array.fill(80)("ACGT"(rng.nextInt(4))).mkString
+      sb.append(s"@multi$i desc\n$seq\n+\n").append("@" * 80).append('\n')
+    }
+    val fq = tmpFile("multi.fastq", sb.toString)
+    val frags = Sequences.fastq(spark, fq).collect()
+    assert(frags.length == n)
+    assert(frags.map(_.header).toSet == (0 until n).map(i => s"multi$i").toSet)
+    assert(frags.forall(_.nucleotides.length == 80))
+  }
+
   test("paired-end mates join on cleaned headers") {
     val r1 = tmpFile("r1.fastq",
       "@p1/1\nAAAA\n+\nIIII\n@p2/1\nCCCC\n+\nIIII\n")
