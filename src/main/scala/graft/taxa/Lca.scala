@@ -15,38 +15,101 @@ object Sentinels {
   val MATE_PAIR_BORDER_FLAG = 3
 }
 
+/** Minimal open-addressing int->int counter map (no boxing, reusable per
+  * task): the per-read hit sets are tiny, so a small power-of-two table with
+  * linear probing beats a boxed Map in the classification hot loop. */
+final class IntCounter(initialCapacity: Int = 16) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2)
+  private var keys = new Array[Int](cap)
+  private var vals = new Array[Int](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+
+  def clear(): Unit = {
+    java.util.Arrays.fill(used, false)
+    n = 0
+  }
+
+  @inline private def slot(key: Int): Int = {
+    var i = (key * 0x9e3775cd) & (cap - 1)
+    while (used(i) && keys(i) != key) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def add(key: Int, count: Int): Unit = {
+    if (n * 2 >= cap) grow()
+    val i = slot(key)
+    if (!used(i)) { used(i) = true; keys(i) = key; vals(i) = count; n += 1 }
+    else vals(i) += count
+  }
+
+  def get(key: Int): Int = {
+    val i = slot(key)
+    if (used(i)) vals(i) else 0
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used; val ocap = cap
+    cap *= 2
+    keys = new Array[Int](cap); vals = new Array[Int](cap)
+    used = new Array[Boolean](cap); n = 0
+    var i = 0
+    while (i < ocap) { if (ou(i)) add(ok(i), ov(i)); i += 1 }
+  }
+
+  /** Iterate (key, value) pairs via callback (no allocation). */
+  def foreachEntry(f: (Int, Int) => Unit): Unit = {
+    var i = 0
+    while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+  }
+}
+
 /** Kraken 2 read-level classification: weighted leaf-to-root path scoring with
   * confidence-threshold lifting (algorithm published in Kraken 2's classify.cc;
   * behavioral spec also at reference LowestCommonAncestor.scala:91-146).
   *
-  * Executor-local; one instance per task via mapPartitions/closure.
+  * Executor-local; one instance per task via mapPartitions/closure. The
+  * internal counter map is reused across reads (no per-read allocation).
   */
 final class LcaResolver(taxonomy: Taxonomy) extends Serializable {
+
+  @transient private lazy val counts = new IntCounter(32)
 
   /** Resolve hit counts (taxon -> k-mer count, sentinels excluded) to a taxon.
     * @param requiredScore minimum k-mers within the chosen clade
     *                      (ceil(confidence * totalKmers)) */
   def resolveTree(hitCounts: collection.Map[Int, Int], requiredScore: Double): Int = {
+    counts.clear()
+    for ((t, c) <- hitCounts) counts.add(t, c)
+    resolveCounter(counts, requiredScore)
+  }
+
+  private def resolveCounter(hitCounts: IntCounter, requiredScore: Double): Int = {
     var maxTaxon = Taxonomy.NONE
     var maxScore = 0
-    for (taxon <- hitCounts.keysIterator) {
+    hitCounts.foreachEntry { (taxon, _) =>
       // score = sum of counts along this taxon's root path
       var node = taxon
       var score = 0
       while (node != Taxonomy.NONE) {
-        score += hitCounts.getOrElse(node, 0)
+        score += hitCounts.get(node)
         node = taxonomy.parents(node)
       }
       if (score > maxScore) { maxTaxon = taxon; maxScore = score }
       else if (score == maxScore && score > 0) maxTaxon = taxonomy.lca(maxTaxon, taxon)
     }
     // lift toward the root until the clade score reaches the requirement
-    maxScore = hitCounts.getOrElse(maxTaxon, 0)
+    maxScore = hitCounts.get(maxTaxon)
     while (maxTaxon != Taxonomy.NONE && maxScore < requiredScore) {
-      maxScore = 0
-      for ((taxon, cnt) <- hitCounts)
-        if (taxonomy.hasAncestor(taxon, maxTaxon)) maxScore += cnt
-      if (maxScore >= requiredScore) return maxTaxon
+      var cladeScore = 0
+      hitCounts.foreachEntry { (taxon, cnt) =>
+        if (taxonomy.hasAncestor(taxon, maxTaxon)) cladeScore += cnt
+      }
+      if (cladeScore >= requiredScore) return maxTaxon
+      maxScore = cladeScore
       maxTaxon = taxonomy.parents(maxTaxon)
     }
     maxTaxon
@@ -57,14 +120,14 @@ final class LcaResolver(taxonomy: Taxonomy) extends Serializable {
     * mate-pair borders count nothing (spec: TaxonCounts.scala:83-87). */
   def classify(hits: Iterable[(Int, Int)], confidenceThreshold: Double): Int = {
     var total = 0
-    val counts = collection.mutable.Map.empty[Int, Int]
+    counts.clear()
     for ((t, c) <- hits) {
       if (t != Sentinels.MATE_PAIR_BORDER) total += c
       if (t != Sentinels.MATE_PAIR_BORDER && t != Sentinels.AMBIGUOUS_SPAN && t != Taxonomy.NONE)
-        counts(t) = counts.getOrElse(t, 0) + c
+        counts.add(t, c)
     }
     if (counts.isEmpty) Taxonomy.NONE
-    else resolveTree(counts, math.ceil(confidenceThreshold * total))
+    else resolveCounter(counts, math.ceil(confidenceThreshold * total))
   }
 }
 
