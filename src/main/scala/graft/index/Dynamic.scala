@@ -67,20 +67,43 @@ final class DynamicClassifier(params: IndexParams, bcTax: Broadcast[Taxonomy]) {
     collection.immutable.BitSet.empty ++ tax.withDescendants(selected.toSeq)
   }
 
-  /** Full 2-step pipeline. Returns (classified reads, selected taxa). */
+  /** Precision/recall of a selected taxon set against a gold-standard set at
+    * a rank (spec: Dynamic.scala:284-312 gold-set comparison). */
+  def goldSetMetrics(selected: collection.BitSet, gold: Set[Int],
+      rank: String): (Double, Double) = {
+    val tax = bcTax.value
+    val rc = Taxonomy.rankCode(rank)
+    def atRank(ts: Iterable[Int]): Set[Int] =
+      ts.map(t => tax.ancestorAtRank(t, rc)).filter(_ != Taxonomy.NONE).toSet
+    val sel = atRank(selected)
+    val g = atRank(gold)
+    val tp = sel.intersect(g).size.toDouble
+    (if (sel.isEmpty) 0.0 else tp / sel.size,
+      if (g.isEmpty) 0.0 else tp / g.size)
+  }
+
+  /** Full 2-step pipeline. Returns (classified reads, selected taxa).
+    * @param goldSet when given, REPLACES the heuristic selection (with
+    *   descendants) — the reference's gold-standard mode. */
   def classify2(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
       staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
-      confidence: Double = 0.0, minHitGroups: Int = 2)
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      goldSet: Option[Set[Int]] = None)
       : (Dataset[ClassifiedRead], collection.BitSet) = {
     val spark = reads.sparkSession
     import spark.implicits._
 
     val spans = index.spans(reads).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val ev = evidence(spans, staticRecords, criterion)
-        .as[(Int, Long)].collect()
-      val taxa = selectTaxa(ev, rank, threshold)
+      val taxa = goldSet match {
+        case Some(g) =>
+          collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
+        case None =>
+          val ev = evidence(spans, staticRecords, criterion)
+            .as[(Int, Long)].collect()
+          selectTaxa(ev, rank, threshold)
+      }
       val bcTaxa = spark.sparkContext.broadcast(taxa)
 
       // rebuild restricted to selected taxa: filter BEFORE extraction

@@ -128,6 +128,26 @@ object GenomicQueries {
         .orderBy($"depth")
     }, None),
 
+    // wide-minimizer path (m=40 > 32: two-long keys) end to end
+    Q("g07_wide_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring(dnaCol($"c_name"), (($"o_orderkey" % 60) + 1).cast("int"),
+            lit(56)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classifyReport(index.spans(reads), records, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None),
+
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {
       import s.implicits._

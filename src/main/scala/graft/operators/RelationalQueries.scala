@@ -512,6 +512,25 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- correlated-subquery shape (TPC-H Q17 style): per-group average
+    // threshold; Spark expresses it as a join against the grouped aggregate,
+    // DuckDB as the correlated subquery — identical semantics ----
+    Q("q31_corr_subquery", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy($"l_partkey".as("pk"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      li.join(avgQty, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"avg_qty" * 0.5)
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem l
+        |WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem
+        |                          WHERE l_partkey = l.l_partkey)""".stripMargin)),
+
     // ---- J6 analog: two-key equi-join (adjacent-line self-join) ----
     Q("q25_twokey_join", (s, dir) => {
       import s.implicits._

@@ -156,6 +156,21 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("gold-set mode replaces heuristic selection; metrics score it") {
+    import spark.implicits._
+    val staticRecords = dyn.index.makeRecords(lib)
+    val (classified, selected) = dyn.classify2(
+      spark.createDataset(reads), lib, staticRecords,
+      goldSet = Some(Set(4, 6)))
+    assert(selected.contains(4) && selected.contains(6))
+    assert(!selected.contains(5) && !selected.contains(7))
+    assert(classified.collect().count(_.classified) > 100)
+    // metrics against a gold set containing one extra taxon
+    val (precision, recall) = dyn.goldSetMetrics(selected, Set(4, 6, 7), "species")
+    assert(precision == 1.0) // everything selected is in gold
+    assert(math.abs(recall - 2.0 / 3.0) < 1e-12)
+  }
+
   test("evidence criteria agree on which taxa dominate") {
     import spark.implicits._
     val staticRecords = dyn.index.makeRecords(lib)

@@ -46,6 +46,22 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(frags(1) == InputFragment("r2", 0L, "TTTTGGGGCC", None))
   }
 
+  test("FASTA parses correctly across multiple input splits") {
+    val rng = new scala.util.Random(59)
+    val sb = new StringBuilder
+    val n = 400
+    val expected = (0 until n).map { i =>
+      val seq = Array.fill(300)("ACGT"(rng.nextInt(4))).mkString
+      sb.append(s">fa$i desc\n")
+      for (c <- seq.grouped(70)) sb.append(c).append('\n')
+      s"fa$i" -> seq
+    }.toMap
+    val fa = tmpFile("multi.fasta", sb.toString)
+    val frags = Sequences.fasta(spark, fa).collect()
+      .map(f => f.header -> f.nucleotides).toMap
+    assert(frags == expected)
+  }
+
   test("FASTQ parses correctly across multiple input splits") {
     // > 64 KB (the test session's maxPartitionBytes) forces multi-split
     // reads; records straddling split boundaries must still assemble
