@@ -62,6 +62,26 @@ object IndexOps {
       .agg(lcaAgg(col("taxon")).as("taxon"))
   }
 
+  /** Widen span keys to match a respaced index: span priorities already have
+    * the original spacing applied, so ANDing with the wider mask makes the
+    * join keys consistent with [[respace]]d records — classification against
+    * a respaced index without re-extracting spans. */
+  def respaceSpans(spans: Dataset[OrdinalSpan], params: IndexParams,
+      newSpaces: Int): Dataset[OrdinalSpan] = {
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    var mask = graft.kmers.Dna.merMask(params.m)
+    var i = 0
+    while (i < newSpaces) {
+      mask &= ~(3L << (2 * (2 * i + 1)))
+      i += 1
+    }
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val m = mask
+    spans.map(s => s.copy(id1 = s.id1 & m))
+  }
+
   /** Genomes that contributed no minimizers to the index (quality check;
     * spec: A12/A13, KeyValueIndex.scala:56-76): distinct library minimizers
     * anti-joined against records. */

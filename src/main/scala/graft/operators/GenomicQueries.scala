@@ -128,6 +128,28 @@ object GenomicQueries {
         .orderBy($"depth")
     }, None),
 
+    // multi-sample classification: sample extracted from read titles by regex
+    Q("g08_multisample", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_orderpriority",
+          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String, String)]
+        .map { case (ok, pri, read) =>
+          InputFragment(s"S${pri.take(1)}R$ok", 0L, read, None)
+        }
+      graft.index.IndexOps.classifyMultiSample(index, reads, records,
+          sampleRegex = "(S\\d)R", confidence = 0.0, minHitGroups = 1)
+        .select($"sample", $"taxon".cast("long").as("taxon"), $"n_reads")
+        .orderBy($"sample", $"taxon")
+    }, None),
+
     // wide-minimizer path (m=40 > 32: two-long keys) end to end
     Q("g07_wide_classify", (s, dir) => {
       import s.implicits._

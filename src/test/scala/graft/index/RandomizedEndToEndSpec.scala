@@ -1,0 +1,91 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+import scala.util.Random
+
+/** The reference's layer-3 acceptance, randomized: generate a random
+  * taxonomy, attach random genomes to leaves, build, classify simulated
+  * reads — every classified read must resolve to its source taxon or an
+  * ancestor (ClassifierTest.scala:75-130). */
+class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  def randomTaxonomy(rng: Random, n: Int): Taxonomy = {
+    val ranks = Array("kingdom", "phylum", "genus", "species")
+    Taxonomy.fromTuples((2 to n).map { i =>
+      val parent = 1 + rng.nextInt(i - 1)
+      (i, parent, ranks(rng.nextInt(ranks.length)), s"t$i")
+    })
+  }
+
+  test("random taxonomies: classified reads map to source taxon or ancestor") {
+    for (seed <- Seq(101, 202, 303)) {
+      val rng = new Random(seed)
+      val tax = randomTaxonomy(rng, 12 + rng.nextInt(20))
+      val leaves = (2 until tax.size).filter(t => tax.children(t).isEmpty)
+      val genomeTaxa = rng.shuffle(leaves).take(math.min(5, leaves.size))
+      def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+      val genomes = genomeTaxa.map(t => t -> dna(2000)).toMap
+
+      import spark.implicits._
+      val bcTax = spark.sparkContext.broadcast(tax)
+      val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+      val index = new MinimizerIndex(params, bcTax)
+      val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+
+      val reads = (0 until 80).map { i =>
+        val t = genomeTaxa(rng.nextInt(genomeTaxa.size))
+        val g = genomes(t)
+        val s = rng.nextInt(g.length - 120)
+        InputFragment(s"e2e$i|src=$t", 0L, g.substring(s, s + 120), None)
+      }
+      val classified = index
+        .classify(index.spans(spark.createDataset(reads)), records)
+        .collect()
+      assert(classified.length == 80, s"seed $seed")
+      var nC = 0
+      for (c <- classified if c.classified) {
+        nC += 1
+        val src = c.title.split("src=")(1).toInt
+        assert(tax.hasAncestor(src, c.taxon),
+          s"seed $seed: ${c.title} -> ${c.taxon}")
+      }
+      assert(nC > 60, s"seed $seed: only $nC classified")
+      records.unpersist()
+    }
+  }
+
+  test("respaced index + respaced spans classify consistently") {
+    val rng = new Random(71)
+    def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    import spark.implicits._
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 4)
+    val index = new MinimizerIndex(params, bcTax)
+    val genomes = Map(4 -> dna(2500), 5 -> dna(2500))
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+    val respaced = IndexOps.respace(records, params, 10, bcTax).cache()
+
+    val reads = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 130)
+      InputFragment(s"rs$i|src=$t", 0L, g.substring(s, s + 130), None)
+    }
+    val spans = index.spans(spark.createDataset(reads))
+    val wideSpans = IndexOps.respaceSpans(spans, params, 10)
+    val classified = index.classify(wideSpans, respaced).collect()
+    var nC = 0
+    for (c <- classified if c.classified) {
+      nC += 1
+      val src = c.title.split("src=")(1).toInt
+      assert(tax.hasAncestor(src, c.taxon))
+    }
+    // wider spacing loses specificity but must stay ancestor-consistent
+    assert(nC > 40, s"only $nC classified after respace")
+  }
+}
