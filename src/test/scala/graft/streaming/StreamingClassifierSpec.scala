@@ -92,6 +92,33 @@ class StreamingClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val query = Sessionize.sessions(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try {
+      val h = 3600L * 1000000000L
+      // user 1: two bursts separated by > 1h gap; user 2: one burst
+      stream.addData(Seq(
+        UserEvent(1L, 0L, "click", 1.0),
+        UserEvent(1L, 1000L, "view", 2.0),
+        UserEvent(1L, 2 * h, "click", 3.0), // gap -> closes first session
+        UserEvent(2L, 0L, "purchase", 9.0)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sessions_out").as[SessionOut].collect()
+      // the first session of user 1 must be closed with 2 events, value 3.0
+      val closed = rows.filter(s => s.userId == 1L && s.closed)
+      assert(closed.length == 1)
+      assert(closed.head.nEvents == 2 && closed.head.totalValue == 3.0)
+      assert(closed.head.startNanos == 0L && closed.head.endNanos == 1000L)
+      // user 2's session is still open (no gap, no timeout yet)
+      assert(!rows.exists(s => s.userId == 2L))
+    } finally query.stop()
+  }
+
   test("windowed event-time abundance with watermark") {
     import spark.implicits._
     val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
