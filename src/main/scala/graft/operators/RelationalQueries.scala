@@ -512,6 +512,23 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- RANGE window frame (value-based, not row-based) ----
+    Q("q32_range_frame", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+        .rangeBetween(-10000L, 0L)
+      t(s, dir, "orders")
+        .withColumn("n_similar", count(lit(1)).over(w))
+        .filter($"o_custkey" < 200)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"n_similar".cast("long").as("n_similar"))
+        .orderBy($"o_orderkey")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar
+        |FROM orders WHERE o_custkey < 200 ORDER BY o_orderkey""".stripMargin)),
+
     // ---- correlated-subquery shape (TPC-H Q17 style): per-group average
     // threshold; Spark expresses it as a join against the grouped aggregate,
     // DuckDB as the correlated subquery — identical semantics ----
