@@ -135,7 +135,11 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     import spark.implicits._
     val scanner = params.scanner
     val k = params.k
-    val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
+    // native TypedImperativeAggregate: Int buffer, no Encoder roundtrip
+    // (the Aggregator-based TaxonLcaAggregator remains as the documented
+    // user-level API; both fold with the same broadcast LCA)
+    graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
     val pairs = library
       .flatMap { case (taxon, seq) =>
         SupermerScanner.splitByAmbiguity(seq).flatMap { run =>

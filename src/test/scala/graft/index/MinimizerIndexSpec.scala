@@ -56,6 +56,22 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (m <- only4.take(50)) assert(got(m) == 4)
   }
 
+  test("native TypedImperativeAggregate LCA equals the Aggregator UDAF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val lib = spark.createDataset(genomes.toSeq ++ Seq((5, genomes(4))))
+    val native = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    // rebuild the same records through the Aggregator-based UDAF
+    val scanner = params.scanner
+    val agg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
+    val viaUdaf = lib.flatMap { case (taxon, seq) =>
+      scanner.scan(seq).map(sm => (sm.minimizer, taxon))
+    }.toDF("id1", "taxon")
+      .groupBy($"id1").agg(agg($"taxon").as("taxon"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == viaUdaf)
+  }
+
   test("salted two-stage LCA build equals the single-stage build") {
     import spark.implicits._
     val lib = spark.createDataset(genomes.toSeq ++ Seq(
