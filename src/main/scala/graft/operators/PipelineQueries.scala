@@ -125,6 +125,31 @@ object PipelineQueries {
         .orderBy($"qid", $"sim".desc, $"nid")
     }, None),
 
+    // group-level MinHash sketches via the native aggregate: per-source
+    // corpus signatures -> pairwise estimated Jaccard between sources
+    Q("t15_source_similarity", (s, dir) => {
+      import s.implicits._
+      graft.functions.MinHashAggregate.register(s, numHashes = 128)
+      val shingled = t(s, dir, "documents")
+        .select($"source", $"text").as[(String, String)]
+        .flatMap { case (source, text) =>
+          graft.functions.TextAnalysis.shingleSet(text, 3).iterator
+            .map(sh => (source, sh))
+        }
+        .toDF("source", "shingle")
+      val sigs = shingled.groupBy($"source")
+        .agg(graft.functions.MinHashAggregate.minhashAgg($"shingle").as("sig"))
+        .as[(String, Seq[Long])].collect().sortBy(_._1)
+      val pairs = for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+      } yield (sigs(i)._1, sigs(j)._1,
+        graft.functions.MinHashAggregate.estimateSimilarity(sigs(i)._2, sigs(j)._2))
+      import org.apache.spark.sql.functions.round
+      s.createDataFrame(pairs).toDF("source_a", "source_b", "est_jaccard")
+        .select($"source_a", $"source_b", round($"est_jaccard", 4).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    }, None),
+
     Q("v04_knn_lsh", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)
