@@ -51,6 +51,20 @@ class BrackenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     else resolver.resolveTree(counts, 0.0)
   }
 
+  test("hit runs tile every k-mer slot exactly once (with ambiguity)") {
+    import spark.implicits._
+    val records = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val resolver = new graft.taxa.LcaResolver(tax)
+    for (seq <- Seq(genomes(4),
+      genomes(4).substring(0, 200) + "NNNNN" + genomes(5).substring(0, 200),
+      "N" * 50 + genomes(5).substring(0, 150))) {
+      // windowClassifications emits exactly one result per window position —
+      // which requires the internal runs to cover every k-mer slot
+      val got = bracken.windowClassifications(seq, records, 80, resolver).size
+      assert(got == math.max(0, seq.length - 80 + 1), s"len ${seq.length}")
+    }
+  }
+
   test("sliding-window classifications match per-window brute force") {
     import spark.implicits._
     val records = index.makeRecords(lib).as[(Long, Int)].collect().toMap
