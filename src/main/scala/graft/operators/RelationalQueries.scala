@@ -512,6 +512,32 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- set operators: INTERSECT / EXCEPT (distinct semantics) ----
+    Q("q33_setops", (s, dir) => {
+      import s.implicits._
+      val custNations = t(s, dir, "customer")
+        .select($"c_nationkey".cast("long").as("nationkey")).distinct()
+      val suppNations = t(s, dir, "supplier")
+        .select($"s_nationkey".cast("long").as("nationkey")).distinct()
+      val both = custNations.intersect(suppNations)
+        .withColumn("op", lit("both"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("op", lit("cust_only"))
+      both.unionAll(custOnly)
+        .select($"op", $"nationkey")
+        .orderBy($"op", $"nationkey")
+    }, Some(
+      """SELECT 'both' AS op, nationkey FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS op, nationkey FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin)),
+
     // ---- RANGE window frame (value-based, not row-based) ----
     Q("q32_range_frame", (s, dir) => {
       import s.implicits._
