@@ -104,9 +104,11 @@ object Main {
 
       case "classify" =>
         val idxPath = opts("index")
-        val sparkTmp = session(buckets)
-        val params = IndexParams.read(sparkTmp, idxPath)
-        val spark = session(params.buckets)
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        // getOrCreate returns the existing session, so pin the partition
+        // count at runtime (it is a runtime-settable SQL conf)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
@@ -121,9 +123,9 @@ object Main {
 
       case "classify2" =>
         val idxPath = opts("index")
-        val sparkTmp = session(buckets)
-        val params = IndexParams.read(sparkTmp, idxPath)
-        val spark = session(params.buckets)
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         val dyn = new DynamicClassifier(params, bcTax)
@@ -138,9 +140,9 @@ object Main {
 
       case "bracken" =>
         val idxPath = opts("index")
-        val sparkTmp = session(buckets)
-        val params = IndexParams.read(sparkTmp, idxPath)
-        val spark = session(params.buckets)
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
@@ -152,9 +154,9 @@ object Main {
 
       case "stats" =>
         val idxPath = opts("index")
-        val sparkTmp = session(buckets)
-        val params = IndexParams.read(sparkTmp, idxPath)
-        val spark = session(params.buckets)
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         var records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
