@@ -63,7 +63,11 @@ object Dedup {
     import spark.implicits._
     val banded = signatures.flatMap { case (id, sig) =>
       require(sig.length == bands * rows, s"bands*rows != ${sig.length}")
-      (0 until bands).iterator.map { b =>
+      // docs with no shingles have the all-MaxValue signature; banding them
+      // would put every empty doc in one bucket (quadratic pair blowup at
+      // corpus scale) for pairs that can never verify — skip them
+      if (sig.forall(_ == Long.MaxValue)) Iterator.empty
+      else (0 until bands).iterator.map { b =>
         var h = 0xcbf29ce484222325L ^ b
         var r = 0
         while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
@@ -136,8 +140,10 @@ object Dedup {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     val sigs = docs.map { case (id, text) =>
-      (id, simhash(shingleSet(text, shingleN)))
-    }.toDF("id", "sim")
+      val sh = shingleSet(text, shingleN)
+      (id, simhash(sh), sh.nonEmpty)
+    }.filter(_._3).map(t => (t._1, t._2)) // empty docs: see lshCandidates note
+      .toDF("id", "sim")
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
       (0 until chunks).iterator.map { c =>
         val lo = c * bitsPer

@@ -97,6 +97,19 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept == corpus.map(_._1).toSet -- dropped)
   }
 
+  test("empty/whitespace docs never become near-dup candidates") {
+    import spark.implicits._
+    val withEmpties = corpus ++ (9000L until 9050L).map(i => (i, ""))
+      .toSeq ++ Seq((9500L, "   "))
+    val ds2 = spark.createDataset(withEmpties)
+    val mh = Dedup.minhashDedup(ds2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mh.exists { case (a, b) => a >= 9000L || b >= 9000L })
+    val sh = Dedup.simhashDedup(ds2, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sh.exists { case (a, b) => a >= 9000L || b >= 9000L })
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     val a = TextAnalysis.shingleSet(corpus.head._2, 3)
     val mutated = corpus.find(_._1 == 1000L).get._2
