@@ -95,6 +95,9 @@ object IndexedFasta {
   def fragments(spark: SparkSession, faPath: String, k: Int,
       maxFragment: Int = 1000000): Dataset[InputFragment] = {
     import spark.implicits._
+    require(!faPath.endsWith(".gz") && !faPath.endsWith(".bz2"),
+      "indexed FASTA requires an uncompressed file (byte-range seeks); " +
+        "use Sequences.fasta for compressed inputs")
     val entries = readFai(spark, faPath + ".fai")
     val splits = planSplits(faPath, entries, k, maxFragment)
     val confBc = spark.sparkContext.broadcast(

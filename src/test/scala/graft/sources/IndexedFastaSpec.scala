@@ -117,6 +117,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (r <- feats) assert(r.getSeq[Float](1).length == 16)
   }
 
+  test("resize stub decimates deterministically, preserves small inputs") {
+    val big = Array.tabulate[Byte](1000)(_.toByte)
+    val small = Array.tabulate[Byte](50)(_.toByte)
+    val r1 = Multimodal.StubCodecs.resize(big, 100)
+    assert(r1.length == 100)
+    assert(r1.toSeq == Multimodal.StubCodecs.resize(big, 100).toSeq) // deterministic
+    assert(Multimodal.StubCodecs.resize(small, 100).toSeq == small.toSeq)
+  }
+
   test("frame sampling yields every-nth bounded chunks") {
     import spark.implicits._
     val media = Seq((1L, Array.tabulate[Byte](1000)(_.toByte)))

@@ -79,6 +79,17 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(frags.forall(_.nucleotides.length == 80))
   }
 
+  test("gzip-compressed FASTQ parses transparently") {
+    val dir = Files.createTempDirectory("graft-gz")
+    val p = dir.resolve("reads.fastq.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    out.write("@gz1\nACGTACGT\n+\nIIIIIIII\n@gz2\nTTTTGGGG\n+\nIIIIIIII\n".getBytes)
+    out.close()
+    val frags = Sequences.fastq(spark, p.toString).collect().sortBy(_.header)
+    assert(frags.map(f => f.header -> f.nucleotides).toSeq ==
+      Seq("gz1" -> "ACGTACGT", "gz2" -> "TTTTGGGG"))
+  }
+
   test("paired-end mates join on cleaned headers") {
     val r1 = tmpFile("r1.fastq",
       "@p1/1\nAAAA\n+\nIIII\n@p2/1\nCCCC\n+\nIIII\n")
