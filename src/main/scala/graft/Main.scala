@@ -90,17 +90,25 @@ object Main {
     cmd match {
       case "build" =>
         val spark = session(buckets)
-        val params = IndexParams(
-          k = opts.getOrElse("k", "35").toInt,
-          m = opts.getOrElse("m", "31").toInt,
-          spaces = opts.getOrElse("s", "7").toInt,
-          buckets = buckets)
+        val m = opts.getOrElse("m", "31").toInt
+        val k = opts.getOrElse("k", "35").toInt
         val tax = loadTaxonomy(spark, opts("taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val index = new MinimizerIndex(params, bcTax)
-        val records = index.makeRecords(loadLibrary(spark, opts))
-        index.writeRecords(records, opts("output"))
-        println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
+        if (m > 32) {
+          // wide-minimizer path: two-long keys, no spaced seed
+          val index = new WideMinimizerIndex(k, m, bcTax)
+          val records = index.makeRecords(loadLibrary(spark, opts))
+          index.writeRecords(records, opts("output"), buckets)
+          println(s"index written (wide m=$m): " +
+            s"${index.loadRecords(spark, opts("output"), buckets).count()} records")
+        } else {
+          val params = IndexParams(k = k, m = m,
+            spaces = opts.getOrElse("s", "7").toInt, buckets = buckets)
+          val index = new MinimizerIndex(params, bcTax)
+          val records = index.makeRecords(loadLibrary(spark, opts))
+          index.writeRecords(records, opts("output"))
+          println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
+        }
 
       case "classify" =>
         val idxPath = opts("index")
@@ -111,6 +119,18 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
+        if (params.m > 32) {
+          // wide index: report-only classification path
+          val wide = new WideMinimizerIndex(params.k, params.m, bcTax)
+          val records = wide.loadRecords(spark, idxPath, params.buckets)
+          val report = wide.classifyReport(
+            wide.spans(loadReads(spark, opts)), records,
+            confidence = opts.getOrElse("c", "0.0").toDouble,
+            minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
+          report.groupBy("taxon").count().orderBy("taxon").collect()
+            .foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+          return
+        }
         val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
         val classified = index.classify(index.spans(loadReads(spark, opts)), records,
           confidence = opts.getOrElse("c", "0.0").toDouble,

@@ -60,6 +60,34 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     }.toDF("id1", "id2", "distinct", "kmers", "title")
   }
 
+  /** Bucketed persistence on the two-long key (same scheme as the narrow
+    * index: bucketBy + DDL reload keeps the classify join one-sided). */
+  def writeRecords(records: DataFrame, path: String, buckets: Int): Unit = {
+    val spark = records.sparkSession
+    val table = MinimizerIndex.tableName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    records.write
+      .bucketBy(buckets, "id1", "id2")
+      .sortBy("id1", "id2")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table)
+    IndexParams.write(spark, IndexParams(k = k, m = m, spaces = 0,
+      buckets = buckets), path)
+  }
+
+  def loadRecords(spark: org.apache.spark.sql.SparkSession, path: String,
+      buckets: Int): DataFrame = {
+    val table = MinimizerIndex.tableName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (id1 BIGINT, id2 BIGINT, taxon INT)
+         |USING PARQUET
+         |CLUSTERED BY (id1, id2) SORTED BY (id1, id2) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(table)
+  }
+
   /** Report-only classification on two-long keys. */
   def classifyReport(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): DataFrame = {
