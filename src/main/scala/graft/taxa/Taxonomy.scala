@@ -21,22 +21,30 @@ final class Taxonomy(
 
   val size: Int = parents.length
 
-  /** Depth of each defined taxon (ROOT=0); -1 for undefined ids. */
+  /** Depth of each defined taxon (ROOT=0); -1 for undefined ids.
+    * Chains that do not reach ROOT (dangling parent ids in malformed input,
+    * or cycles) are severed: every node on such a chain gets parent NONE, so
+    * it reads as undefined everywhere instead of hanging the walk. */
   val depths: Array[Int] = {
     val d = Array.fill(size)(-1)
     if (ROOT < size) d(ROOT) = 0
-    def depthOf(t: Int): Int = {
-      if (t == ROOT) 0
-      else if (d(t) >= 0) d(t)
-      else {
+    def depthOf(t: Int): Unit = {
+      if (t != ROOT && d(t) < 0) {
         // iterative two-pass to avoid deep recursion on long chains
         var path = List.empty[Int]
+        var steps = 0
         var cur = t
-        while (cur != ROOT && d(cur) < 0) { path ::= cur; cur = parents(cur) }
-        // path head is the node closest to the root; assign downward
-        var base = if (cur == ROOT) 0 else d(cur)
-        for (n <- path) { base += 1; d(n) = base }
-        d(t)
+        while (cur != ROOT && cur != NONE && cur < size && d(cur) < 0 && steps <= size) {
+          path ::= cur; cur = parents(cur); steps += 1
+        }
+        if (cur == NONE || cur >= size || steps > size) {
+          // dangling or cyclic: sever so these ids are undefined, not ROOT-deep
+          for (n <- path) parents(n) = NONE
+        } else {
+          // path head is the node closest to the root; assign downward
+          var base = if (cur == ROOT) 0 else d(cur)
+          for (n <- path) { base += 1; d(n) = base }
+        }
       }
     }
     var t = 0
@@ -48,7 +56,7 @@ final class Taxonomy(
   }
 
   @inline def isDefined(t: Int): Boolean =
-    t > 0 && t < size && (t == ROOT || parents(t) != NONE)
+    t > 0 && t < size && (t == ROOT || (parents(t) != NONE && depths(t) >= 0))
 
   def rankName(t: Int): String = {
     val r = ranks(t)
@@ -58,8 +66,10 @@ final class Taxonomy(
   /** Lowest common ancestor via depth-aligned parallel ascent. NONE is the
     * identity element (LCA fold zero), matching the reference semantics. */
   def lca(a: Int, b: Int): Int = {
-    if (a == NONE) return b
-    if (b == NONE) return a
+    // single-sided folds still validate the survivor: an id absent from the
+    // taxonomy must not flow through (it would crash later parent walks)
+    if (a == NONE) return if (b == NONE || isDefined(b)) b else ROOT
+    if (b == NONE) return if (isDefined(a)) a else ROOT
     if (!isDefined(a) || !isDefined(b)) return ROOT
     var x = a; var y = b
     while (depths(x) > depths(y)) x = parents(x)
