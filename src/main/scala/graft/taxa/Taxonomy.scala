@@ -13,11 +13,16 @@ import scala.collection.mutable
   * @param names   scientific name per id (null if undefined)
   */
 final class Taxonomy(
-    val parents: Array[Int],
+    parents0: Array[Int],
     val ranks: Array[Byte],
     val names: Array[String]) extends Serializable {
 
   import Taxonomy._
+
+  /** Parent taxon per id (ROOT's parent is NONE). Defensively copied: the
+    * depths initializer severs dangling/cyclic chains in place, and callers
+    * retaining the constructor array must not observe that. */
+  val parents: Array[Int] = parents0.clone()
 
   val size: Int = parents.length
 
@@ -34,10 +39,10 @@ final class Taxonomy(
         var path = List.empty[Int]
         var steps = 0
         var cur = t
-        while (cur != ROOT && cur != NONE && cur < size && d(cur) < 0 && steps <= size) {
+        while (cur != ROOT && cur > NONE && cur < size && d(cur) < 0 && steps <= size) {
           path ::= cur; cur = parents(cur); steps += 1
         }
-        if (cur == NONE || cur >= size || steps > size) {
+        if (cur <= NONE || cur >= size || steps > size) {
           // dangling or cyclic: sever so these ids are undefined, not ROOT-deep
           for (n <- path) parents(n) = NONE
         } else {
@@ -49,7 +54,9 @@ final class Taxonomy(
     }
     var t = 0
     while (t < size) {
-      if (t != NONE && isDefined(t)) depthOf(t)
+      // must not call isDefined here: it reads this very field mid-init;
+      // the raw parent-link predicate is the construction-time equivalent
+      if (t == ROOT || (t > NONE && parents(t) != NONE)) depthOf(t)
       t += 1
     }
     d
@@ -67,7 +74,11 @@ final class Taxonomy(
     * identity element (LCA fold zero), matching the reference semantics. */
   def lca(a: Int, b: Int): Int = {
     // single-sided folds still validate the survivor: an id absent from the
-    // taxonomy must not flow through (it would crash later parent walks)
+    // taxonomy must not flow through (it would crash later parent walks).
+    // Deliberate deviation from the reference LowestCommonAncestor, which
+    // returns the survivor unconditionally; here an undefined survivor maps
+    // to ROOT for crash-safety (upstream build filtering keeps undefined ids
+    // out of index folds, so this path is defensive only).
     if (a == NONE) return if (b == NONE || isDefined(b)) b else ROOT
     if (b == NONE) return if (isDefined(a)) a else ROOT
     if (!isDefined(a) || !isDefined(b)) return ROOT

@@ -70,6 +70,59 @@ class TaxonomySpec extends AnyFunSuite with PropChecks {
     }
   }
 
+  // canary for construction-time breakage: plain construction + a basic LCA
+  // must work without any factory indirection (round-2 shipped an init-order
+  // NPE that this exact call path exposes)
+  test("fromTuples constructs and answers lca(ROOT, leaf)") {
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "superkingdom", "sk"),
+      (3, 2, "species", "sp")))
+    assert(t.isDefined(3))
+    assert(t.lca(Taxonomy.ROOT, 3) == Taxonomy.ROOT)
+    assert(t.lca(3, 2) == 2)
+    assert(t.depths(3) == 2)
+  }
+
+  test("dangling parent chain is severed, not ROOT-deep and not a hang") {
+    // 5 -> 4 -> 99 (undefined, out of the id space reachable as a node)
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "superkingdom", "sk"),
+      (4, 99, "genus", "dangling-mid"),
+      (5, 4, "species", "dangling-leaf"),
+      (99, 0, "no rank", null))) // 99 explicitly undefined (parent NONE)
+    assert(t.isDefined(2))
+    assert(!t.isDefined(4) && !t.isDefined(5))
+    assert(t.depths(4) < 0 && t.depths(5) < 0)
+    assert(t.lca(2, 5) == Taxonomy.ROOT) // undefined operand -> defensive ROOT
+  }
+
+  test("parent cycle is severed, not a hang") {
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "superkingdom", "sk"),
+      (3, 4, "genus", "cyc-a"),
+      (4, 3, "genus", "cyc-b")))
+    assert(!t.isDefined(3) && !t.isDefined(4))
+    assert(t.isDefined(2) && t.depths(2) == 1)
+  }
+
+  test("negative parent id is treated as dangling, not AIOOBE") {
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "superkingdom", "sk"),
+      (3, -7, "genus", "neg")))
+    assert(!t.isDefined(3))
+    assert(t.isDefined(2))
+  }
+
+  test("constructor does not mutate the caller's parents array") {
+    // id 3 has a dangling parent; severing must happen on an internal copy
+    val parents = Array(0, 0, 1, 98)
+    val ranks = Array.fill[Byte](4)(0)
+    val names = Array[String](null, "root", "a", "b")
+    val t = new Taxonomy(parents, ranks, names)
+    assert(parents(3) == 98)   // caller copy untouched
+    assert(t.parents(3) == Taxonomy.NONE) // internal copy severed
+  }
+
   test("NCBI dump parsing") {
     val nodes = Iterator(
       "1\t|\t1\t|\tno rank\t|",
