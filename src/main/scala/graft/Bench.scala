@@ -17,21 +17,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // full materialization through a noop sink: unlike count(), this cannot
+    // be satisfied by column pruning / partial aggregation shortcuts
+    def run(q: org.apache.spark.sql.DataFrame): Unit =
+      q.write.format("noop").mode("overwrite").save()
+
     // one untimed warm-up action to JIT/codegen and prime the FS cache
     SparkEntry.benchQueries.headOption.foreach { case (_, q) =>
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.benchQueries.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1, never its time-to-crash (round-2
+      // post-mortem: swallowing made a total outage look like a 2x speedup)
+      val elapsed =
+        try { run(q.fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val sf = sfDir.replaceAll(".*sf", "")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    val failed = results.values.count(_ < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

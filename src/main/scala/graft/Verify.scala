@@ -22,7 +22,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // fail LOUD: an error marker makes the driver report `err` for this
+        // query instead of silently omitting the row (round-2 post-mortem)
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
+        Files.writeString(Paths.get(s"$outDir/$name.error"),
+          s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
