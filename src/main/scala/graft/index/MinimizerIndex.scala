@@ -140,9 +140,15 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     // user-level API; both fold with the same broadcast LCA)
     graft.taxa.LcaAggregate.register(spark, bcTax)
     val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
+    val tax = bcTax
     val pairs = library
       .flatMap { case (taxon, seq) =>
-        SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+        // validity gate (spec: reference slacken/KeyValueIndex.scala:105-121):
+        // a label taxon absent from the taxonomy (stale seqid2taxid entry)
+        // contributes NO records — without this, its minimizers would fold to
+        // ROOT and silently degrade every shared minimizer's LCA
+        if (!tax.value.isDefined(taxon)) Iterator.empty
+        else SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
           if (!run.valid || run.seq.length < k) Iterator.empty
           else scanner.scan(run.seq).map(sm => (sm.minimizer, taxon))
         }
@@ -201,10 +207,11 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   /** Classify at several confidence thresholds, computing the expensive
     * join+regroup ONCE and reusing the cached per-read hit dataset for every
     * threshold (spec: R4 multi-threshold sweep, Classifier.scala:156-170).
-    * Returns (threshold -> classified reads). */
-  def classifyMultiThreshold(spans: Dataset[OrdinalSpan], records: DataFrame,
+    * Loan pattern: the cached hit dataset lives exactly as long as `use`
+    * runs — it is unpersisted on the way out, so sweeps cannot leak cache. */
+  def classifyMultiThreshold[T](spans: Dataset[OrdinalSpan], records: DataFrame,
       confidences: Seq[Double], minHitGroups: Int = 2)
-      : Seq[(Double, Dataset[ClassifiedRead])] = {
+      (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
     val spark = spans.sparkSession
     import spark.implicits._
     val bc = bcTax
@@ -224,7 +231,7 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
       .as[(String, Seq[TaxonHit], Long, Int)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    confidences.map { conf =>
+    try use(confidences.map { conf =>
       conf -> joined.mapPartitions { it =>
         val resolver = new LcaResolver(bc.value)
         it.map { case (title, hits, hitGroups, seqLen) =>
@@ -235,7 +242,8 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
           ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen, "")
         }
       }
-    }
+    })
+    finally joined.unpersist(blocking = false)
   }
 
   /** Kraken 2 hit-detail string: "taxon:count taxon:count |:| ...",

@@ -82,6 +82,22 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(salted == plain)
   }
 
+  test("undefined label taxa yield zero records and no ROOT lift") {
+    import spark.implicits._
+    // 999 is not in the taxonomy (stale seqid2taxid entry). Its sequence —
+    // which overlaps genome 4 — must contribute nothing: no records of its
+    // own, and no ROOT-lifting of minimizers it shares with taxon 4.
+    val lib = spark.createDataset(Seq((4, genomes(4)), (999, genomes(4))))
+    val recs = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val expected = index.makeRecords(
+      spark.createDataset(Seq((4, genomes(4))))).as[(Long, Int)].collect().toMap
+    assert(recs == expected)
+    assert(!recs.values.exists(_ == Taxonomy.ROOT))
+    // a library of ONLY undefined taxa builds an empty index
+    val empty = index.makeRecords(spark.createDataset(Seq((999, genomes(4))))).count()
+    assert(empty == 0)
+  }
+
   test("shared minimizers get the LCA of their taxa") {
     import spark.implicits._
     // construct a library where one sequence is shared between taxa 4 and 5
@@ -147,17 +163,21 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     val ds = spark.createDataset(reads)
     val sp = index.spans(ds)
-    val multi = index.classifyMultiThreshold(sp, records, Seq(0.0, 0.5, 0.95))
-    assert(multi.map(_._1) == Seq(0.0, 0.5, 0.95))
-    for ((conf, result) <- multi) {
-      val single = index.classify(index.spans(ds), records, confidence = conf)
-        .collect().map(c => c.title -> c.taxon).toMap
-      val got = result.collect().map(c => c.title -> c.taxon).toMap
-      assert(got == single, s"threshold $conf")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    index.classifyMultiThreshold(sp, records, Seq(0.0, 0.5, 0.95)) { multi =>
+      assert(multi.map(_._1) == Seq(0.0, 0.5, 0.95))
+      for ((conf, result) <- multi) {
+        val single = index.classify(index.spans(ds), records, confidence = conf)
+          .collect().map(c => c.title -> c.taxon).toMap
+        val got = result.collect().map(c => c.title -> c.taxon).toMap
+        assert(got == single, s"threshold $conf")
+      }
+      // monotone: higher confidence never classifies more reads
+      val counts = multi.map(_._2.collect().count(_.classified))
+      assert(counts == counts.sorted.reverse)
     }
-    // monotone: higher confidence never classifies more reads
-    val counts = multi.map(_._2.collect().count(_.classified))
-    assert(counts == counts.sorted.reverse)
+    // the sweep's cached hit dataset is released on the way out
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
   }
 
   test("confidence threshold forces unclassified on weak evidence") {
