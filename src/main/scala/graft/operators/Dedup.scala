@@ -180,6 +180,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster", col("id"))
+    var prevCached: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -196,9 +197,15 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).count()
+      // `updated` is materialized by the count above; the previous round's
+      // cache (and its lineage) is now dead weight — free it each iteration
+      // instead of accumulating one persisted copy per round
+      if (prevCached != null) prevCached.unpersist(blocking = false)
+      prevCached = updated
       labels = updated
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 
