@@ -119,26 +119,23 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        if (params.m > 32) {
-          // wide index: report-only classification path
+        // wide (m>32) and narrow share the span protocol and ClassifyKernel,
+        // so per-read output, paired-end and confidence work at any m
+        val classified = (if (params.m > 32) {
           val wide = new WideMinimizerIndex(params.k, params.m, bcTax)
           val records = wide.loadRecords(spark, idxPath, params.buckets)
-          val report = wide.classifyReport(
-            wide.spans(loadReads(spark, opts)), records,
+          wide.classify(wide.spans(loadReads(spark, opts)), records,
             confidence = opts.getOrElse("c", "0.0").toDouble,
             minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
-          report.groupBy("taxon").count().orderBy("taxon").collect()
-            .foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
-          return
-        }
-        val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
-        val classified = index.classify(index.spans(loadReads(spark, opts)), records,
-          confidence = opts.getOrElse("c", "0.0").toDouble,
-          minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        } else {
+          val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
+          index.classify(index.spans(loadReads(spark, opts)), records,
+            confidence = opts.getOrElse("c", "0.0").toDouble,
+            minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         IndexOps.writePerSampleOutput(classified,
           opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
-        index.report(classified).lines.foreach(println)
+        ClassifyKernel.report(classified, bcTax).lines.foreach(println)
         classified.unpersist()
 
       case "classify2" =>

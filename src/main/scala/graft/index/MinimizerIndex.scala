@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kmers._
 import graft.sources.InputFragment
-import graft.taxa.{LcaResolver, Sentinels, TaxonLcaAggregator, Taxonomy}
+import graft.taxa.{Sentinels, Taxonomy}
 
 /** Index construction parameters, persisted as a sidecar next to the records
   * (spec: reference kmers/IndexParams.scala). Defaults are Kraken 2's. */
@@ -166,43 +166,13 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   // ---------------- classification ----------------
 
   /** Join spans against records (left; the bucketed record side does not
-    * shuffle), project sentinel taxa, regroup per read, resolve. */
+    * shuffle), then the shared kernel: sentinel projection, per-read regroup,
+    * LCA resolution. */
   def classify(spans: Dataset[OrdinalSpan], records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] = {
-    val spark = spans.sparkSession
-    import spark.implicits._
-    val k = params.k
-    val bc = bcTax
-
-    val joined = spans.join(records, Seq("id1"), "left")
-      .select($"title",
-        struct($"ordinal",
-          when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
-            .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))
-            .otherwise(coalesce($"taxon", lit(Taxonomy.NONE))).as("taxon"),
-          $"kmers", $"distinct").as("hit"),
-        $"seqLen")
-
-    val grouped = joined
-      .groupBy($"title")
-      .agg(collect_list($"hit").as("hits"),
-        sum(when($"hit.distinct" && $"hit.taxon" > 0, 1).otherwise(0)).as("hitGroups"),
-        max($"seqLen").as("seqLen"))
-      .as[(String, Seq[TaxonHit], Long, Int)]
-
-    grouped.mapPartitions { it =>
-      // one resolver per task, not per read
-      val resolver = new LcaResolver(bc.value)
-      it.map { case (title, hits, hitGroups, seqLen) =>
-        val ordered = hits.sortBy(_.ordinal)
-        val taxon =
-          if (hitGroups < minHitGroups) Taxonomy.NONE
-          else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), confidence)
-        ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen,
-          hitString(ordered))
-      }
-    }
-  }
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
+    ClassifyKernel.resolve(
+      ClassifyKernel.group(spans.join(records, Seq("id1"), "left")),
+      bcTax, confidence, minHitGroups)
 
   /** Classify at several confidence thresholds, computing the expensive
     * join+regroup ONCE and reusing the cached per-read hit dataset for every
@@ -212,65 +182,13 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
   def classifyMultiThreshold[T](spans: Dataset[OrdinalSpan], records: DataFrame,
       confidences: Seq[Double], minHitGroups: Int = 2)
       (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
-    val spark = spans.sparkSession
-    import spark.implicits._
-    val bc = bcTax
-
-    val joined = spans.join(records, Seq("id1"), "left")
-      .select($"title",
-        struct($"ordinal",
-          when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
-            .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))
-            .otherwise(coalesce($"taxon", lit(Taxonomy.NONE))).as("taxon"),
-          $"kmers", $"distinct").as("hit"),
-        $"seqLen")
-      .groupBy($"title")
-      .agg(collect_list($"hit").as("hits"),
-        sum(when($"hit.distinct" && $"hit.taxon" > 0, 1).otherwise(0)).as("hitGroups"),
-        max($"seqLen").as("seqLen"))
-      .as[(String, Seq[TaxonHit], Long, Int)]
+    val grouped = ClassifyKernel.group(spans.join(records, Seq("id1"), "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     try use(confidences.map { conf =>
-      conf -> joined.mapPartitions { it =>
-        val resolver = new LcaResolver(bc.value)
-        it.map { case (title, hits, hitGroups, seqLen) =>
-          val ordered = hits.sortBy(_.ordinal)
-          val taxon =
-            if (hitGroups < minHitGroups) Taxonomy.NONE
-            else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), conf)
-          ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen, "")
-        }
-      }
+      conf -> ClassifyKernel.resolve(grouped, bcTax, conf, minHitGroups,
+        detail = false)
     })
-    finally joined.unpersist(blocking = false)
-  }
-
-  /** Kraken 2 hit-detail string: "taxon:count taxon:count |:| ...",
-    * run-length merging consecutive equal taxa, A for ambiguous. */
-  private def hitString(ordered: Seq[TaxonHit]): String = {
-    val sb = new StringBuilder
-    var lastTaxon = Int.MinValue
-    var lastCount = 0
-    def flush(): Unit = if (lastCount > 0 || lastTaxon != Int.MinValue) {
-      if (lastTaxon != Int.MinValue) {
-        if (sb.nonEmpty) sb.append(' ')
-        sb.append(if (lastTaxon == AMBIGUOUS_SPAN) "A" else lastTaxon.toString)
-        sb.append(':').append(lastCount)
-      }
-    }
-    for (h <- ordered) {
-      if (h.taxon == MATE_PAIR_BORDER) {
-        flush(); lastTaxon = Int.MinValue; lastCount = 0
-        if (sb.nonEmpty) sb.append(' ')
-        sb.append("|:|")
-      } else if (h.taxon == lastTaxon) lastCount += h.kmers
-      else {
-        flush(); lastTaxon = h.taxon; lastCount = h.kmers
-      }
-    }
-    flush()
-    sb.toString
+    finally grouped.unpersist(blocking = false)
   }
 
   // ---------------- persistence (bucketed parquet) ----------------
@@ -299,14 +217,8 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
 
   /** Per-taxon read counts -> Kraken-style report rows, driver-side
     * (clade aggregation; spec: reference slacken/KrakenReport.scala). */
-  def report(classified: Dataset[ClassifiedRead]): KrakenReport = {
-    val spark = classified.sparkSession
-    import spark.implicits._
-    val counts = classified
-      .groupBy($"taxon").agg(count(lit(1)).as("cnt"))
-      .as[(Int, Long)].collect()
-    new KrakenReport(bcTax.value, counts)
-  }
+  def report(classified: Dataset[ClassifiedRead]): KrakenReport =
+    ClassifyKernel.report(classified, bcTax)
 }
 
 object MinimizerIndex {

@@ -1,20 +1,32 @@
 package graft.index
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kmers.{SupermerScanner, WideRandomXorPriority, WideSupermerScanner}
 import graft.sources.InputFragment
-import graft.taxa.{LcaResolver, TaxonLcaAggregator, Taxonomy}
+import graft.taxa.{Sentinels, TaxonLcaAggregator, Taxonomy}
+
+/** A wide classification-time span: same ordinal/flag/mate protocol as
+  * [[OrdinalSpan]], with the minimizer as two longs (id1 = high word). */
+final case class WideOrdinalSpan(
+    id1: Long, id2: Long, distinct: Boolean, kmers: Int, flag: Int,
+    ordinal: Int, title: String, seqLen: Int)
 
 /** Wide-minimizer index (m in [33, 64]): records carry two key columns
   * (id1, id2) — the reference's idLongs = ceil(m/32) column scheme
-  * (KmerKeyedIndex.scala:27-55) at width 2. Build and classify mirror
-  * [[MinimizerIndex]]; joins/groupBys run on primitive long column pairs so
-  * Tungsten hashing stays allocation-free.
+  * (KmerKeyedIndex.scala:27-55) at width 2. The reference treats key width
+  * uniformly; here only the key columns differ from [[MinimizerIndex]] —
+  * span extraction carries the identical ordinal/flag/mate-border protocol
+  * and classification shares [[ClassifyKernel]], so per-read output,
+  * paired-end reads and confidence thresholds all work at any m.
+  * Joins/groupBys run on primitive long column pairs so Tungsten hashing
+  * stays allocation-free.
   */
 final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     extends Serializable {
+
+  import Sentinels._
 
   val scanner = new WideSupermerScanner(k, new WideRandomXorPriority(m))
 
@@ -23,9 +35,13 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     import spark.implicits._
     val sc = scanner
     val kk = k
+    val tax = bcTax
     val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
     library.flatMap { case (taxon, seq) =>
-      SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+      // same validity gate as the narrow build: undefined label taxa
+      // contribute no records (no silent ROOT lift)
+      if (!tax.value.isDefined(taxon)) Iterator.empty
+      else SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
         if (!run.valid || run.seq.length < kk) Iterator.empty
         else sc.scan(run.seq).map(sm => (sm.minHi, sm.minLo, taxon))
       }
@@ -34,31 +50,75 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
       .agg(lcaAgg($"taxon").as("taxon"))
   }
 
-  /** Spans with two-long keys; same ordinal/distinct protocol as narrow. */
-  def spans(reads: Dataset[InputFragment]): DataFrame = {
+  // ---------------- span extraction (executor-local kernel) ----------------
+
+  /** Split one fragment into wide ordinal spans: valid segments through the
+    * wide scanner; ambiguous segments (len >= k) as single pseudo-spans with
+    * random keys; a border sentinel between mates — the same protocol as
+    * [[MinimizerIndex.fragmentSpans]]. */
+  def fragmentSpans(f: InputFragment, sc: WideSupermerScanner)
+      : Iterator[WideOrdinalSpan] = {
+    val kk = k
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val totalLen = f.nucleotides.length + f.nucleotides2.map(_.length).getOrElse(0)
+
+    def segSpans(seq: String): Iterator[(Long, Long, Int, Int)] =
+      SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+        if (run.seq.length < kk) Iterator.empty
+        else if (run.valid)
+          sc.scan(run.seq).map(sm => (sm.minHi, sm.minLo, sm.kmers, SEQUENCE_FLAG))
+        else
+          Iterator((rnd.nextLong(), rnd.nextLong(),
+            run.seq.length - (kk - 1), AMBIGUOUS_FLAG))
+      }
+
+    val all: Iterator[(Long, Long, Int, Int)] = f.nucleotides2 match {
+      case Some(nt2) =>
+        segSpans(f.nucleotides) ++
+          Iterator((rnd.nextLong(), rnd.nextLong(), 0, MATE_PAIR_BORDER_FLAG)) ++
+          segSpans(nt2)
+      case None => segSpans(f.nucleotides)
+    }
+
+    var lastHi = 0L
+    var lastLo = 0L
+    var first = true
+    all.zipWithIndex.map { case ((hi, lo, kmers, flag), ordinal) =>
+      val isSeq = flag == SEQUENCE_FLAG
+      val distinct = isSeq && (first || hi != lastHi || lo != lastLo)
+      if (isSeq) { lastHi = hi; lastLo = lo; first = false }
+      WideOrdinalSpan(hi, lo, distinct, kmers, flag, ordinal, f.header, totalLen)
+    }
+  }
+
+  def spans(reads: Dataset[InputFragment]): Dataset[WideOrdinalSpan] = {
     val spark = reads.sparkSession
     import spark.implicits._
     val sc = scanner
-    val kk = k
-    reads.mapPartitions { it =>
-      val rnd = java.util.concurrent.ThreadLocalRandom.current()
-      it.flatMap { f =>
-        var last: (Long, Long) = (0L, 0L)
-        var first = true
-        SupermerScanner.splitByAmbiguity(f.nucleotides).flatMap { run =>
-          if (run.seq.length < kk) Iterator.empty
-          else if (run.valid)
-            sc.scan(run.seq).map { sm =>
-              val distinct = first || (sm.minHi, sm.minLo) != last
-              first = false; last = (sm.minHi, sm.minLo)
-              (sm.minHi, sm.minLo, distinct, sm.kmers, f.header)
-            }
-          else Iterator((rnd.nextLong(), rnd.nextLong(), false,
-            run.seq.length - (kk - 1), f.header))
-        }
-      }
-    }.toDF("id1", "id2", "distinct", "kmers", "title")
+    reads.mapPartitions(it => it.flatMap(f => fragmentSpans(f, sc)))
   }
+
+  // ---------------- classification ----------------
+
+  /** Per-read classification: join on the two-long key (left; the bucketed
+    * record side does not shuffle), then the shared kernel. */
+  def classify(spans: Dataset[WideOrdinalSpan], records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
+    ClassifyKernel.resolve(
+      ClassifyKernel.group(spans.join(records, Seq("id1", "id2"), "left")),
+      bcTax, confidence, minHitGroups)
+
+  /** (title, taxon) projection of [[classify]], kept for report-only callers. */
+  def classifyReport(spans: Dataset[WideOrdinalSpan], records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): DataFrame =
+    classify(spans, records, confidence, minHitGroups)
+      .select(col("title"), col("taxon"))
+
+  /** Per-taxon read counts -> Kraken-style report (shared kernel). */
+  def report(classified: Dataset[ClassifiedRead]): KrakenReport =
+    ClassifyKernel.report(classified, bcTax)
+
+  // ---------------- persistence (bucketed parquet) ----------------
 
   /** Bucketed persistence on the two-long key (same scheme as the narrow
     * index: bucketBy + DDL reload keeps the classify join one-sided). */
@@ -76,8 +136,7 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
       buckets = buckets), path)
   }
 
-  def loadRecords(spark: org.apache.spark.sql.SparkSession, path: String,
-      buckets: Int): DataFrame = {
+  def loadRecords(spark: SparkSession, path: String, buckets: Int): DataFrame = {
     val table = MinimizerIndex.tableName(path)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
@@ -86,33 +145,5 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
          |CLUSTERED BY (id1, id2) SORTED BY (id1, id2) INTO $buckets BUCKETS
          |LOCATION '$path'""".stripMargin)
     spark.table(table)
-  }
-
-  /** Report-only classification on two-long keys. */
-  def classifyReport(spans: DataFrame, records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): DataFrame = {
-    val spark = spans.sparkSession
-    import spark.implicits._
-    val bc = bcTax
-    spans.join(records, Seq("id1", "id2"), "left")
-      .select($"title", coalesce($"taxon", lit(Taxonomy.NONE)).as("taxon"),
-        $"kmers", $"distinct")
-      .groupBy($"title", $"taxon")
-      .agg(sum($"kmers").cast("int").as("kmers"),
-        sum(when($"distinct" && $"taxon" > 0, 1).otherwise(0)).as("groups"))
-      .groupBy($"title")
-      .agg(collect_list(struct($"taxon", $"kmers")).as("pairs"),
-        sum($"groups").cast("int").as("hitGroups"))
-      .as[(String, Seq[(Int, Int)], Int)]
-      .mapPartitions { it =>
-        val resolver = new LcaResolver(bc.value)
-        it.map { case (title, pairs, hitGroups) =>
-          val taxon =
-            if (hitGroups < minHitGroups) Taxonomy.NONE
-            else resolver.classify(pairs, confidence)
-          (title, taxon)
-        }
-      }
-      .toDF("title", "taxon")
   }
 }

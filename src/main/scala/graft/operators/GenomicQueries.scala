@@ -150,7 +150,8 @@ object GenomicQueries {
         .orderBy($"sample", $"taxon")
     }, None),
 
-    // wide-minimizer path (m=40 > 32: two-long keys) end to end
+    // wide-minimizer path (m=40 > 32: two-long keys) end to end, through the
+    // unified per-read protocol (ordinals, flags, paired-end mate border)
     Q("g07_wide_classify", (s, dir) => {
       import s.implicits._
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
@@ -164,7 +165,7 @@ object GenomicQueries {
             lit(56)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classifyReport(index.spans(reads), records, minHitGroups = 1)
+      index.classify(index.spans(reads), records, minHitGroups = 1)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")

@@ -111,4 +111,110 @@ class WideIndexSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {
     }
     assert(classified > 90)
   }
+
+  test("wide per-read classify carries hit strings, ordinals and confidence") {
+    import spark.implicits._
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val index = new WideMinimizerIndex(k = 50, m = 40, bcTax)
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+
+    val reads = (0 until 50).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      InputFragment(s"p$i|src=$t", 0L, g.substring(s, s + 150), None)
+    }
+    val out = index.classify(index.spans(spark.createDataset(reads)), records)
+      .collect()
+    assert(out.length == 50)
+    for (c <- out if c.classified) {
+      assert(tax.hasAncestor(c.title.split("src=")(1).toInt, c.taxon))
+      assert(c.hits.nonEmpty && c.hits.contains(":"))
+      assert(c.length == 150)
+    }
+    assert(out.count(_.classified) > 45)
+    // a strict confidence threshold classifies no more reads than a loose one
+    val strict = index
+      .classify(index.spans(spark.createDataset(reads)), records, confidence = 0.9)
+      .collect()
+    assert(strict.count(_.classified) <= out.count(_.classified))
+
+    // ambiguous-junk chimera: classified loose, lifted/unclassified strict
+    val chimera = (0 until 10).map { i =>
+      val g = genomes(4)
+      val s = rng.nextInt(g.length - 80)
+      InputFragment(s"chi$i", 0L, g.substring(s, s + 80) + dna(120), None)
+    }
+    val loose = index.classify(index.spans(spark.createDataset(chimera)), records,
+      minHitGroups = 1).collect()
+    val hard = index.classify(index.spans(spark.createDataset(chimera)), records,
+      confidence = 0.9, minHitGroups = 1).collect()
+    assert(hard.count(_.classified) < loose.count(_.classified))
+  }
+
+  test("wide paired-end reads use the mate-pair border protocol") {
+    import spark.implicits._
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val index = new WideMinimizerIndex(k = 50, m = 40, bcTax)
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+
+    val g = genomes(5)
+    val reads = (0 until 30).map { i =>
+      val s1 = rng.nextInt(g.length - 400)
+      InputFragment(s"pair$i", 0L, g.substring(s1, s1 + 130),
+        Some(Dna.reverseComplement(g.substring(s1 + 200, s1 + 330))))
+    }
+    val out = index.classify(index.spans(spark.createDataset(reads)), records)
+      .collect()
+    for (c <- out if c.classified) assert(tax.hasAncestor(5, c.taxon))
+    assert(out.count(_.classified) > 25)
+    // both mates contribute: the span count exceeds what either mate alone
+    // yields, and the hit string shows the border sentinel
+    assert(out.exists(_.hits.contains("|:|")))
+    // total length covers both mates
+    assert(out.forall(_.length == 260))
+  }
+
+  test("m=31 (narrow) and m=33 (wide) classifications agree on clean reads") {
+    import spark.implicits._
+    import graft.index.{IndexParams, MinimizerIndex}
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    val lib = spark.createDataset(genomes.toSeq)
+
+    val narrow = new MinimizerIndex(
+      IndexParams(k = 45, m = 31, spaces = 0, buckets = 4), bcTax)
+    val wide = new WideMinimizerIndex(k = 45, m = 33, bcTax)
+    val nRec = narrow.makeRecords(lib).cache()
+    val wRec = wide.makeRecords(lib).cache()
+
+    val reads = (0 until 80).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      InputFragment(s"a$i|src=$t", 0L, g.substring(s, s + 150), None)
+    }
+    val ds = spark.createDataset(reads)
+    val nGot = narrow.classify(narrow.spans(ds), nRec, minHitGroups = 1)
+      .collect().map(c => c.title -> c.taxon).toMap
+    val wGot = wide.classify(wide.spans(ds), wRec, minHitGroups = 1)
+      .collect().map(c => c.title -> c.taxon).toMap
+    assert(nGot.keySet == wGot.keySet)
+    // different m => different minimizer sets, but on clean single-source
+    // reads both protocols must land on the source taxon almost always
+    val agree = nGot.count { case (t, tx) => wGot(t) == tx }
+    assert(agree >= 72, s"only $agree/80 reads agree between m=31 and m=33")
+    for ((title, tx) <- nGot if tx != Taxonomy.NONE)
+      assert(tax.hasAncestor(title.split("src=")(1).toInt, tx))
+    for ((title, tx) <- wGot if tx != Taxonomy.NONE)
+      assert(tax.hasAncestor(title.split("src=")(1).toInt, tx))
+  }
 }
