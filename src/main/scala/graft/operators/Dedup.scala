@@ -17,6 +17,31 @@ import graft.functions.TextAnalysis._
   */
 object Dedup {
 
+  /** Default per-bucket size cap for all LSH candidate generators. */
+  val DEFAULT_MAX_BUCKET = 1024
+
+  /** Drop rows belonging to hash buckets larger than `maxBucket`.
+    *
+    * Boilerplate content (license headers, templates, empty-ish docs)
+    * concentrates a huge fraction of a corpus into a handful of buckets;
+    * pairing within such a bucket is quadratic and would dominate the job at
+    * corpus scale. Oversized buckets are dropped wholesale: genuine near-dup
+    * pairs caught only by a mega-bucket are rare (they nearly always share
+    * another, small bucket in a different band), and candidate generation
+    * must stay near-linear. The bucket-size scan is one aggregation on the
+    * already-shuffled key; the removal is an anti-join against the (tiny,
+    * <= n/maxBucket rows) oversized-bucket list, which AQE turns into a
+    * broadcast join at runtime. */
+  private[operators] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val big = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(keys: _*)
+    banded.join(big, keyCols, "left_anti")
+  }
+
   // ---------------- MinHash ----------------
 
   /** Deterministic affine permutation parameters for minhashing. */
@@ -56,12 +81,14 @@ object Dedup {
 
   /** LSH banding: docs sharing any band bucket become candidate pairs.
     * bands*rows must equal numHashes. Returns (idA, idB) with idA < idB,
-    * deduplicated. */
+    * deduplicated. Buckets larger than `maxBucket` are dropped (see
+    * [[capBuckets]]) so candidate generation stays near-linear even when
+    * boilerplate concentrates the corpus into a few buckets. */
   def lshCandidates(signatures: Dataset[(Long, Array[Long])], bands: Int,
-      rows: Int): DataFrame = {
+      rows: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val spark = signatures.sparkSession
     import spark.implicits._
-    val banded = signatures.flatMap { case (id, sig) =>
+    val banded0 = signatures.flatMap { case (id, sig) =>
       require(sig.length == bands * rows, s"bands*rows != ${sig.length}")
       // docs with no shingles have the all-MaxValue signature; banding them
       // would put every empty doc in one bucket (quadratic pair blowup at
@@ -74,9 +101,10 @@ object Dedup {
         (b, h, id)
       }
     }.toDF("band", "bucket", "id")
-      // materialize once: both self-join sides read the cache instead of
-      // recomputing signatures for the whole corpus
+      // materialize once: the bucket-size scan and both self-join sides read
+      // the cache instead of recomputing signatures for the whole corpus
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
@@ -104,9 +132,10 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: signatures -> bands -> verified pairs. */
   def minhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame =
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame =
     verifyJaccard(docs, lshCandidates(minhashSignatures(docs, shingleN, numHashes),
-      bands, numHashes / bands), shingleN, threshold)
+      bands, numHashes / bands, maxBucket), shingleN, threshold)
 
   // ---------------- SimHash ----------------
 
@@ -134,7 +163,7 @@ object Dedup {
     * within distance shares at least one exact chunk, so candidates come
     * from equi-joins on (chunkIdx, chunkValue), never a cross join. */
   def simhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val chunks = maxDist + 1
@@ -144,7 +173,7 @@ object Dedup {
       (id, simhash(sh), sh.nonEmpty)
     }.filter(_._3).map(t => (t._1, t._2)) // empty docs: see lshCandidates note
       .toDF("id", "sim")
-    val banded = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
+    val banded0 = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
       (0 until chunks).iterator.map { c =>
         val lo = c * bitsPer
         val width = if (c == chunks - 1) 64 - lo else bitsPer
@@ -153,6 +182,9 @@ object Dedup {
       }
     }.toDF("chunk", "val", "id", "sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // chunk-value mega-buckets (e.g. a zeroed chunk across boilerplate docs)
+    // pair quadratically — cap them like the MinHash bands
+    val banded = capBuckets(banded0, Seq("chunk", "val"), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.chunk = b.chunk AND a.val = b.val AND a.id < b.id"))

@@ -154,16 +154,20 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold via LSH buckets (near-dup detection
-    * for embeddings). */
+    * for embeddings). Buckets larger than `maxBucket` are dropped
+    * ([[Dedup.capBuckets]]): embedding mass concentrated on one side of all
+    * hyperplanes (e.g. near-zero vectors) would otherwise pair
+    * quadratically. */
   def cosineDedup(vectors: Dataset[(Long, Array[Float])], threshold: Double,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12, maxBucket: Int = Dedup.DEFAULT_MAX_BUCKET): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val banded = vectors.flatMap { case (id, v) =>
+    val banded0 = vectors.flatMap { case (id, v) =>
       probeBuckets(v, planes).iterator.map(b => (b, id, v))
     }.toDF("bucket", "id", "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = Dedup.capBuckets(banded0, Seq("bucket"), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.bucket = b.bucket AND a.id < b.id"))

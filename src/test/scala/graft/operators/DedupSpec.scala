@@ -110,6 +110,38 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!sh.exists { case (a, b) => a >= 9000L || b >= 9000L })
   }
 
+  test("oversized LSH buckets are capped: boilerplate cannot go quadratic") {
+    import spark.implicits._
+    // adversarial corpus: 500 identical docs (every band maps all of them to
+    // one bucket -> 124,750 pairs if uncapped) plus one planted normal dup
+    val boiler = (0L until 500L).map(i => (i, "the same license header " * 10))
+    val normal = Seq((9000L, randomDoc(80)))
+    val dup = Seq((9001L, normal.head._2))
+    val ds2 = spark.createDataset(boiler ++ normal ++ dup)
+
+    val sigs = Dedup.minhashSignatures(ds2, shingleN = 3, numHashes = 64)
+    val capped = Dedup.lshCandidates(sigs, bands = 16, rows = 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-bucket is dropped wholesale; the normal pair survives
+    assert(!capped.exists { case (a, b) => a < 500L && b < 500L })
+    assert(capped.contains((9000L, 9001L)))
+
+    // simhash: same adversarial shape, same bound
+    val sh = Dedup.simhashDedup(ds2, shingleN = 3, maxDist = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sh.exists { case (a, b) => a < 500L && b < 500L })
+
+    // cosine LSH: 500 identical vectors share every probe bucket
+    val vecs = (0L until 500L).map(i => (i, Array.fill(8)(0.5f))) ++
+      Seq((9000L, Array.tabulate(8)(d => if (d == 0) 1f else 0f)),
+        (9001L, Array.tabulate(8)(d => if (d == 0) 0.99f else 0.01f)))
+    val cd = Similarity.cosineDedup(spark.createDataset(vecs), threshold = 0.9,
+      planes = 6, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cd.exists { case (a, b) => a < 500L && b < 500L })
+    assert(cd.contains((9000L, 9001L)))
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     val a = TextAnalysis.shingleSet(corpus.head._2, 3)
     val mutated = corpus.find(_._1 == 1000L).get._2
