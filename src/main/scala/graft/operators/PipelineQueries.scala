@@ -126,10 +126,16 @@ object PipelineQueries {
     }, None),
 
     // group-level MinHash sketches via the native aggregate: per-source
-    // corpus signatures -> pairwise estimated Jaccard between sources
+    // corpus signatures -> pairwise estimated Jaccard between sources.
+    // Fully distributed: signatures posexplode to (idx, val) and sources
+    // whose sketches agree at a position meet in an equi-join, so the
+    // estimate (= fraction of matching positions) never touches the driver
+    // and pairs with zero sketch overlap are never materialized — at 10^5+
+    // sources a driver-side O(n^2) loop would be the job's bottleneck.
     Q("t15_source_similarity", (s, dir) => {
       import s.implicits._
-      graft.functions.MinHashAggregate.register(s, numHashes = 128)
+      val numHashes = 128
+      graft.functions.MinHashAggregate.register(s, numHashes)
       val shingled = t(s, dir, "documents")
         .select($"source", $"text").as[(String, String)]
         .flatMap { case (source, text) =>
@@ -137,16 +143,13 @@ object PipelineQueries {
             .map(sh => (source, sh))
         }
         .toDF("source", "shingle")
-      val sigs = shingled.groupBy($"source")
+      val pos = shingled.groupBy($"source")
         .agg(graft.functions.MinHashAggregate.minhashAgg($"shingle").as("sig"))
-        .as[(String, Seq[Long])].collect().sortBy(_._1)
-      val pairs = for {
-        i <- sigs.indices; j <- (i + 1) until sigs.length
-      } yield (sigs(i)._1, sigs(j)._1,
-        graft.functions.MinHashAggregate.estimateSimilarity(sigs(i)._2, sigs(j)._2))
-      import org.apache.spark.sql.functions.round
-      s.createDataFrame(pairs).toDF("source_a", "source_b", "est_jaccard")
-        .select($"source_a", $"source_b", round($"est_jaccard", 4).as("est_jaccard"))
+        .select($"source", posexplode($"sig").as(Seq("idx", "val")))
+      pos.as("a").join(pos.as("b"),
+          expr("a.idx = b.idx AND a.val = b.val AND a.source < b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(round(count(lit(1)) / numHashes.toDouble, 4).as("est_jaccard"))
         .orderBy($"source_a", $"source_b")
     }, None),
 
