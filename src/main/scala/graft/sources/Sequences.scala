@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** A sequencing read or genome fragment.
   * @param nucleotides2 second mate of a paired-end read, if any. */
@@ -35,27 +34,26 @@ object Sequences {
       }
   }
 
-  /** FASTQ 4-line records via a sliding 4-row window. Validating '@' at row 1
-    * AND '+' at row 3 anchors the window even when quality strings start with
-    * '@'/'+' (same disambiguation rule as the reference, FileInputs.scala:196-209). */
+  /** FASTQ 4-line records via the split-parallel [[FastqInputFormat]]: each
+    * HDFS-block-sized split self-syncs to the next record boundary ('@' at
+    * line 1 AND '+' at line 3 — the same disambiguation rule as the
+    * reference, FileInputs.scala:196-209), so a 50 GB file reads as hundreds
+    * of tasks instead of one. `location` is the record's byte offset in its
+    * file. Compressed inputs (gz/bz2) read as one split per file. */
   def fastq(spark: SparkSession, path: String): Dataset[InputFragment] = {
     import spark.implicits._
-    val w = Window.partitionBy($"file").orderBy($"rowId")
-      .rowsBetween(Window.currentRow, 3)
-    spark.read.text(path)
-      .withColumn("file", input_file_name())
-      .withColumn("rowId", monotonically_increasing_id())
-      .withColumn("values", collect_list($"value").over(w))
-      // try_element_at: near EOF the forward window is short, and Spark 4's
-      // ANSI mode makes element_at throw where 3.x returned null
-      .where(size($"values") === 4 &&
-        substring(try_element_at($"values", lit(1)), 1, 1) === "@" &&
-        substring(try_element_at($"values", lit(3)), 1, 1) === "+")
-      .select(element_at($"values", 1).as("header"), element_at($"values", 2).as("seq"))
-      .as[(String, String)]
-      .map { case (h, seq) =>
-        InputFragment(h.split(" ")(0).substring(1), 0L, seq, None)
+    import org.apache.hadoop.io.{LongWritable, Text}
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[FastqInputFormat], classOf[LongWritable], classOf[Text],
+        spark.sparkContext.hadoopConfiguration)
+      // Hadoop reuses Writable instances: extract primitives immediately
+      .map { case (k, v) => (k.get(), v.toString) }
+      .map { case (offset, rec) =>
+        val lines = rec.split('\n')
+        InputFragment(lines(0).split(" ")(0).substring(1), offset,
+          lines(1).trim, None)
       }
+    spark.createDataset(rdd)
   }
 
   /** Pair R1/R2 mates by header (suffixes /1 /2 stripped)

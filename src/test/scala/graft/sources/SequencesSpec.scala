@@ -42,8 +42,10 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
         |""".stripMargin)
     val frags = Sequences.fastq(spark, fq).collect().sortBy(_.header)
     assert(frags.length == 2)
-    assert(frags(0) == InputFragment("r1", 0L, "ACGTACGTAC", None))
-    assert(frags(1) == InputFragment("r2", 0L, "TTTTGGGGCC", None))
+    assert(frags.map(f => f.header -> f.nucleotides).toSeq ==
+      Seq("r1" -> "ACGTACGTAC", "r2" -> "TTTTGGGGCC"))
+    // location is the record's byte offset: r1 at 0, r2 after r1's 4 lines
+    assert(frags(0).location == 0L && frags(1).location > 0L)
   }
 
   test("FASTA parses correctly across multiple input splits") {
@@ -63,8 +65,9 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("FASTQ parses correctly across multiple input splits") {
-    // > 64 KB (the test session's maxPartitionBytes) forces multi-split
-    // reads; records straddling split boundaries must still assemble
+    // force 16 KiB splits: records straddling boundaries must assemble
+    // exactly once, and the read must genuinely fan out over many tasks
+    // (adversarial quality lines start with '@' to stress boundary sync)
     val rng = new scala.util.Random(53)
     val sb = new StringBuilder
     val n = 1200
@@ -73,10 +76,25 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       sb.append(s"@multi$i desc\n$seq\n+\n").append("@" * 80).append('\n')
     }
     val fq = tmpFile("multi.fastq", sb.toString)
-    val frags = Sequences.fastq(spark, fq).collect()
-    assert(frags.length == n)
-    assert(frags.map(_.header).toSet == (0 until n).map(i => s"multi$i").toSet)
-    assert(frags.forall(_.nucleotides.length == 80))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong("mapreduce.input.fileinputformat.split.maxsize", 16384)
+    try {
+      val ds = Sequences.fastq(spark, fq)
+      assert(ds.rdd.getNumPartitions > 4,
+        s"expected a multi-task read, got ${ds.rdd.getNumPartitions} partition(s)")
+      val frags = ds.collect()
+      assert(frags.length == n)
+      assert(frags.map(_.header).toSet == (0 until n).map(i => s"multi$i").toSet)
+      assert(frags.forall(_.nucleotides.length == 80))
+      // byte offsets are unique and strictly ordered within the file
+      val locs = frags.map(_.location).sorted
+      assert(locs.distinct.length == n)
+      // identical result to a single-split read
+      hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      val single = Sequences.fastq(spark, fq).collect()
+      assert(single.map(f => (f.header, f.location, f.nucleotides)).sortBy(_._2)
+        .sameElements(frags.map(f => (f.header, f.location, f.nucleotides)).sortBy(_._2)))
+    } finally hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
   }
 
   test("gzip-compressed FASTQ parses transparently") {
