@@ -154,6 +154,16 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
         }
       }
       .toDF("id1", "taxon")
+    foldRecords(pairs, lcaAgg, saltBuckets)
+  }
+
+  /** The LCA fold: groupBy(id1), optionally in two salted stages (legal
+    * because LCA is associative and commutative). */
+  private def foldRecords(pairs: DataFrame,
+      lcaAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      saltBuckets: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     if (saltBuckets <= 0)
       pairs.groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
     else
@@ -161,6 +171,44 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
         .withColumn("salt", pmod(hash($"taxon"), lit(saltBuckets)))
         .groupBy($"id1", $"salt").agg(lcaAgg($"taxon").as("taxon"))
         .groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
+  }
+
+  /** Split a string library into 2-bit packed valid runs: (taxon, packed
+    * bytes, base length). Ambiguous runs and runs shorter than k contribute
+    * no k-mers and are dropped here. Pack BEFORE any wide transformation
+    * (label join, repartition) so genome payloads move at 2 bits/base
+    * instead of UTF-8 text (spec: reference NTBitArray library payload). */
+  def packLibrary(library: Dataset[(Int, String)]): Dataset[(Int, Array[Byte], Int)] = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val kk = params.k
+    library.flatMap { case (taxon, seq) =>
+      SupermerScanner.splitByAmbiguity(seq).collect {
+        case run if run.valid && run.seq.length >= kk =>
+          (taxon, Dna.pack2bit(run.seq), run.seq.length)
+      }
+    }
+  }
+
+  /** [[makeRecords]] over a 2-bit packed library (see [[packLibrary]]):
+    * identical records, but the scan reads the packed bytes through a
+    * zero-copy view — no unpacked string is ever materialized. */
+  def makeRecordsPacked(library: Dataset[(Int, Array[Byte], Int)],
+      saltBuckets: Int = 0): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val scanner = params.scanner
+    graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
+    val tax = bcTax
+    val pairs = library
+      .flatMap { case (taxon, packed, len) =>
+        if (!tax.value.isDefined(taxon)) Iterator.empty
+        else scanner.scan(new Dna.Packed(packed, len))
+          .map(sm => (sm.minimizer, taxon))
+      }
+      .toDF("id1", "taxon")
+    foldRecords(pairs, lcaAgg, saltBuckets)
   }
 
   // ---------------- classification ----------------
@@ -305,30 +353,40 @@ final class KrakenReport(tax: Taxonomy, taxonCounts: Array[(Int, Long)]) {
     val sb = collection.mutable.ArrayBuffer.empty[String]
     def pct(c: Long): String =
       if (totalReads == 0) "0.00" else f"${100.0 * c / totalReads}%.2f"
-    def rankCode(t: Int): String = tax.rankName(t) match {
-      case "superkingdom" => "D"
-      case "kingdom" => "K"
-      case "phylum" => "P"
-      case "class" => "C"
-      case "order" => "O"
-      case "family" => "F"
-      case "genus" => "G"
-      case "species" => "S"
-      case _ => "-"
+    def primaryCode(t: Int): Option[String] = tax.rankName(t) match {
+      case "superkingdom" => Some("D")
+      case "kingdom" => Some("K")
+      case "phylum" => Some("P")
+      case "class" => Some("C")
+      case "order" => Some("O")
+      case "family" => Some("F")
+      case "genus" => Some("G")
+      case "species" => Some("S")
+      case _ => None
     }
     if (unclassified > 0)
       sb += s"${pct(unclassified)}\t$unclassified\t$unclassified\tU\t0\tunclassified"
-    def dfs(t: Int, depth: Int): Unit = {
+    // sub-rank protocol (spec: reference KrakenReport.scala:72-99, from
+    // kraken 2's reports.cc): a ranked taxon emits its own code at depth 0;
+    // an unranked taxon inherits the nearest ranked ancestor's code with the
+    // number of steps below it, e.g. G1, S2. Root itself prints as R.
+    def dfs(t: Int, depth: Int, inheritedCode: String, rankDepth: Int): Unit = {
       val clade = cladeCounts.getOrElse(t, 0L)
       if (clade > 0) {
+        val (code, rd) = primaryCode(t) match {
+          case Some(c) => (c, 0)
+          case None if t == Taxonomy.ROOT => ("R", 0)
+          case None => (inheritedCode, rankDepth + 1)
+        }
+        val codeStr = if (rd == 0) code else s"$code$rd"
         val own = countMap.getOrElse(t, 0L)
         val name = Option(tax.names(t)).getOrElse(s"taxid $t")
-        sb += s"${pct(clade)}\t$clade\t$own\t${rankCode(t)}\t$t\t${"  " * depth}$name"
+        sb += s"${pct(clade)}\t$clade\t$own\t$codeStr\t$t\t${"  " * depth}$name"
         for (c <- tax.children(t).sortBy(c => -cladeCounts.getOrElse(c, 0L)))
-          dfs(c, depth + 1)
+          dfs(c, depth + 1, code, rd)
       }
     }
-    dfs(Taxonomy.ROOT, 0)
+    dfs(Taxonomy.ROOT, 0, "R", 0)
     sb.iterator
   }
 

@@ -74,6 +74,36 @@ object Dna {
     if (java.lang.Long.compareUnsigned(mer, rc) <= 0) mer else rc
   }
 
+  /** Pack an ACGT/U-only segment at 2 bits/base, 4 bases/byte, big-endian
+    * within each byte (behavioral spec: reference kmers/util/NTBitArray
+    * .scala:194-203 — the library payload representation that shuffles at
+    * 1/4 the bytes of UTF-8 text and 1/8 of in-memory UTF-16). Ambiguous
+    * characters must be split out first (see SupermerScanner.splitByAmbiguity). */
+  def pack2bit(s: CharSequence): Array[Byte] = {
+    val n = s.length
+    val out = new Array[Byte]((n + 3) / 4)
+    var i = 0
+    while (i < n) {
+      val c = code(s.charAt(i))
+      require(c >= 0, s"cannot 2-bit pack ambiguous base '${s.charAt(i)}'")
+      out(i >> 2) = (out(i >> 2) | (c << ((3 - (i & 3)) << 1))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Zero-copy CharSequence view over a 2-bit packed segment: the scanner
+    * kernels consume CharSequence, so packed payloads never materialize an
+    * unpacked string on the executor. */
+  final class Packed(bytes: Array[Byte], val length: Int) extends CharSequence {
+    @inline override def charAt(i: Int): Char =
+      Dna.chars((bytes(i >> 2) >> ((3 - (i & 3)) << 1)) & 3)
+    override def subSequence(start: Int, end: Int): CharSequence =
+      new java.lang.StringBuilder(end - start).append(this, start, end)
+    override def toString: String =
+      new java.lang.StringBuilder(length).append(this, 0, length).toString
+  }
+
   /** Reverse complement of a string (for RC-augmented inputs / tests). */
   def reverseComplement(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)

@@ -82,6 +82,22 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(salted == plain)
   }
 
+  test("2-bit packed build produces identical records to the string build") {
+    import spark.implicits._
+    // include ambiguous bases so packing must split runs first
+    val withN = genomes(4).substring(0, 1500) + "NNN" + genomes(4).substring(1500)
+    val lib = spark.createDataset(Seq(
+      (4, withN), (5, genomes(5)), (6, genomes(6))))
+    val viaString = index.makeRecords(lib).as[(Long, Int)].collect().toMap
+    val viaPacked = index.makeRecordsPacked(index.packLibrary(lib))
+      .as[(Long, Int)].collect().toMap
+    assert(viaPacked == viaString)
+    // salted fold works over packed input too
+    val salted = index.makeRecordsPacked(index.packLibrary(lib), saltBuckets = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(salted == viaString)
+  }
+
   test("undefined label taxa yield zero records and no ROOT lift") {
     import spark.implicits._
     // 999 is not in the taxonomy (stale seqid2taxid entry). Its sequence —
@@ -255,6 +271,49 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
         l.contains("Exchange hashpartitioning"))
       assert(exchanges == 1, s"expected 1 shuffle (span side only), plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("kreport emits sub-rank codes for unranked taxa (G1, G2, ...)") {
+    // genus 2 <- no-rank 3 <- no-rank 4 <- species 5
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"),
+      (3, 2, "no rank", "strain-group"),
+      (4, 3, "no rank", "strain"),
+      (5, 4, "species", "sp")))
+    val rep = new KrakenReport(t, Array((5, 10L), (3, 2L), (0, 1L)))
+    val lines = rep.lines.toVector
+    def row(taxid: Int): Array[String] =
+      lines.find(_.split("\t")(4) == taxid.toString).get.split("\t")
+    assert(lines.head.split("\t")(3) == "U") // unclassified first
+    assert(row(1)(3) == "R")
+    assert(row(2)(3) == "G")
+    assert(row(3)(3) == "G1")
+    assert(row(4)(3) == "G2")
+    assert(row(5)(3) == "S")
+    // clade counts aggregate upward through the unranked chain
+    assert(row(3)(1).toLong == 12L && row(5)(1).toLong == 10L)
+    // indentation deepens along the path
+    assert(row(4)(5).takeWhile(_ == ' ').length >
+      row(3)(5).takeWhile(_ == ' ').length)
+  }
+
+  test("per-sample kreport files are written, one per extracted sample") {
+    import spark.implicits._
+    val reads = (0 until 40).map { i =>
+      val taxon = Seq(4, 5, 6)(i % 3)
+      val g = genomes(taxon)
+      val start = rng.nextInt(g.length - 150)
+      InputFragment(s"S${i % 2}R$i", 0L, g.substring(start, start + 150), None)
+    }
+    val classified = index.classify(index.spans(spark.createDataset(reads)), records)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ksamp").toString
+    IndexOps.writePerSampleReports(classified, "(S\\d)R", dir, bcTax)
+    for (s <- Seq("S0", "S1")) {
+      val p = java.nio.file.Paths.get(dir, s"$s.kreport.txt")
+      assert(java.nio.file.Files.exists(p), s"missing $p")
+      val content = java.nio.file.Files.readString(p)
+      assert(content.contains("\tR\t") || content.contains("\tU\t"))
+    }
   }
 
   test("kreport clade counts aggregate to ancestors") {

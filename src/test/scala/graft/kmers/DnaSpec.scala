@@ -51,6 +51,27 @@ class DnaSpec extends AnyFunSuite with PropChecks {
     }
   }
 
+  test("2-bit packing roundtrips and scans identically to the string") {
+    forAll(dnaString(1, 200)) { s =>
+      val packed = new Dna.Packed(Dna.pack2bit(s), s.length)
+      assert(packed.toString == s)
+      assert(packed.length == s.length)
+      assert(packed.charAt(0) == s.charAt(0) &&
+        packed.charAt(s.length - 1) == s.charAt(s.length - 1))
+    }
+    // the supermer scan over a packed view equals the scan over the string
+    forAll(dnaString(40, 300)) { s =>
+      val sc = new SupermerScanner(35, RandomXorPriority(31))
+      val a = sc.scan(s).toVector
+      val b = sc.scan(new Dna.Packed(Dna.pack2bit(s), s.length)).toVector
+      assert(a == b)
+    }
+  }
+
+  test("packing rejects ambiguous bases") {
+    intercept[IllegalArgumentException](Dna.pack2bit("ACGTN"))
+  }
+
   test("complement is XOR with ones") {
     assert(Dna.code('A') == (Dna.code('T') ^ 3))
     assert(Dna.code('C') == (Dna.code('G') ^ 3))
