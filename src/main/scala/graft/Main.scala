@@ -10,12 +10,15 @@ import graft.taxa.Taxonomy
   *
   *   build     -k 35 -m 31 -s 7 -p 32 --library lib.fna --labels l.tsv
   *             --taxonomy dir --output idx
-  *   classify  --index idx --reads r.fastq [--reads2 r2.fastq] [-c 0.0]
-  *             [--min-hit-groups 2] [--sample-regex re] --output out
+  *   classify  --index idx --reads r.fastq [--reads2 r2.fastq]
+  *             [-c 0.0 | -c 0.0,0.1,0.5] [--min-hit-groups 2]
+  *             [--sample-regex re] --output out
   *   classify2 --index idx --library lib.fna --labels l.tsv --reads r.fastq
   *             [--rank species] [--threshold 100] --output out
   *   bracken   --index idx --library lib.fna --labels l.tsv [--read-len 100]
   *             --output out
+  *   compare   --taxonomy dir --classified out --truth mapping.tsv
+  *             [--rank species] [--output categories]
   *   stats     --index idx [--respace s] --output out
   *   report    --index idx --classified out  (kreport to stdout)
   */
@@ -58,17 +61,43 @@ object Main {
     Taxonomy.fromDumpLines(lines("nodes.dmp"), lines("names.dmp"), lines("merged.dmp"))
   }
 
-  private def loadLibrary(spark: SparkSession, opts: Map[String, String]) = {
-    import spark.implicits._
-    val fasta = opts.get("library-fai") match {
+  private def libraryFasta(spark: SparkSession, opts: Map[String, String]) =
+    opts.get("library-fai") match {
       case Some(fai) => graft.sources.IndexedFasta.fragments(spark, fai,
         opts.getOrElse("k", "35").toInt)
       case None => Sequences.fasta(spark, opts("library"))
     }
+
+  private def loadLibrary(spark: SparkSession, opts: Map[String, String]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    // the label table (one short row per sequence) is orders of magnitude
+    // smaller than the genomes: broadcasting it keeps genome payloads from
+    // ever shuffling in this join
     val labels = Sequences.labels(spark, opts("labels"))
-    fasta.toDF("header", "location", "nucleotides", "nucleotides2")
-      .join(labels, "header")
+    libraryFasta(spark, opts)
+      .toDF("header", "location", "nucleotides", "nucleotides2")
+      .join(broadcast(labels), "header")
       .select($"taxon", $"nucleotides").as[(Int, String)]
+  }
+
+  /** Library as 2-bit packed valid runs, packed BEFORE the label join: if
+    * the join ever does shuffle (label side too big to broadcast), genome
+    * payloads move at 2 bits/base instead of UTF-8 text. */
+  private def loadPackedLibrary(spark: SparkSession, opts: Map[String, String],
+      k: Int): org.apache.spark.sql.Dataset[(Int, Array[Byte], Int)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    import graft.kmers.{Dna, SupermerScanner}
+    val labels = Sequences.labels(spark, opts("labels"))
+    val runs = libraryFasta(spark, opts).flatMap { f =>
+      SupermerScanner.splitByAmbiguity(f.nucleotides).collect {
+        case run if run.valid && run.seq.length >= k =>
+          (f.header, Dna.pack2bit(run.seq), run.seq.length)
+      }
+    }.toDF("header", "packed", "len")
+    runs.join(broadcast(labels), "header")
+      .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
   }
 
   private def loadReads(spark: SparkSession, opts: Map[String, String]) = {
@@ -105,7 +134,9 @@ object Main {
           val params = IndexParams(k = k, m = m,
             spaces = opts.getOrElse("s", "7").toInt, buckets = buckets)
           val index = new MinimizerIndex(params, bcTax)
-          val records = index.makeRecords(loadLibrary(spark, opts))
+          // build from the 2-bit packed library: same records, 1/4 the
+          // payload bytes anywhere the library moves
+          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k))
           index.writeRecords(records, opts("output"))
           println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
         }
@@ -119,24 +150,54 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        // wide (m>32) and narrow share the span protocol and ClassifyKernel,
-        // so per-read output, paired-end and confidence work at any m
-        val classified = (if (params.m > 32) {
+        val sampleRegex = opts.getOrElse("sample-regex", "^(.*)$")
+        val minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt
+        // -c accepts a comma-separated threshold list (reference cached
+        // sweep, Classifier.scala:156-170)
+        val confs = opts.getOrElse("c", "0.0")
+          .split(",").map(_.trim.toDouble).toSeq
+
+        def emit(classified: org.apache.spark.sql.Dataset[ClassifiedRead],
+            outPath: String): Unit = {
+          val cached = classified
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          IndexOps.writePerSampleOutput(cached, sampleRegex, outPath)
+          // one kreport per sample when a regex is given, plus the overall
+          // report on stdout (reference Classifier.scala:229-251)
+          if (opts.contains("sample-regex"))
+            IndexOps.writePerSampleReports(cached, sampleRegex,
+              outPath + "_reports", bcTax)
+          ClassifyKernel.report(cached, bcTax).lines.foreach(println)
+          cached.unpersist()
+        }
+
+        if (params.m > 32) {
+          // wide (m>32) and narrow share the span protocol and ClassifyKernel,
+          // so per-read output, paired-end and confidence work at any m
           val wide = new WideMinimizerIndex(params.k, params.m, bcTax)
           val records = wide.loadRecords(spark, idxPath, params.buckets)
-          wide.classify(wide.spans(loadReads(spark, opts)), records,
-            confidence = opts.getOrElse("c", "0.0").toDouble,
-            minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
+          val spans = wide.spans(loadReads(spark, opts))
+          for (conf <- confs) {
+            if (confs.length > 1) println(s"== confidence $conf ==")
+            emit(wide.classify(spans, records, conf, minHitGroups),
+              if (confs.length > 1) s"${opts("output")}/c$conf" else opts("output"))
+          }
         } else {
           val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
-          index.classify(index.spans(loadReads(spark, opts)), records,
-            confidence = opts.getOrElse("c", "0.0").toDouble,
-            minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt)
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        IndexOps.writePerSampleOutput(classified,
-          opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
-        ClassifyKernel.report(classified, bcTax).lines.foreach(println)
-        classified.unpersist()
+          val spans = index.spans(loadReads(spark, opts))
+          if (confs.length > 1)
+            // one join+regroup for the whole sweep (cached hit dataset)
+            index.classifyMultiThreshold(spans, records, confs, minHitGroups) {
+              results =>
+                for ((conf, ds) <- results) {
+                  println(s"== confidence $conf ==")
+                  emit(ds, s"${opts("output")}/c$conf")
+                }
+            }
+          else
+            emit(index.classify(spans, records, confs.head, minHitGroups),
+              opts("output"))
+        }
 
       case "classify2" =>
         val idxPath = opts("index")
@@ -168,6 +229,35 @@ object Main {
           readLen = opts.getOrElse("read-len", "100").toInt)
         bracken.weightLines(w).write.option("sep", "\t").mode("overwrite")
           .csv(opts("output"))
+
+      case "compare" =>
+        // classification accuracy vs a reference mapping (spec: reference
+        // analysis/MappingComparison.scala): per-read categories at a rank
+        // + PPV/sensitivity
+        val spark = session(buckets)
+        import spark.implicits._
+        val tax = loadTaxonomy(spark, opts("taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val classified = MappingComparison
+          .readKrakenOutput(spark, opts("classified"))
+          .as[(String, Int)]
+          .map { case (title, taxon) =>
+            ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, 0, "")
+          }
+        val truth = Sequences.labels(spark, opts("truth"))
+          .toDF("title", "taxon")
+        val rank = opts.getOrElse("rank", "species")
+        val categories = MappingComparison
+          .categorize(classified, truth, bcTax, rank)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        for (out <- opts.get("output"))
+          categories.write.option("sep", "\t").mode("overwrite").csv(out)
+        MappingComparison.readMetrics(categories).show()
+        val (precision, recall, det, tru) =
+          MappingComparison.taxonMetrics(classified, truth, bcTax, rank)
+        println(f"taxon precision=$precision%.4f recall=$recall%.4f " +
+          s"detected=${det.size} truth=${tru.size}")
+        categories.unpersist()
 
       case "stats" =>
         val idxPath = opts("index")

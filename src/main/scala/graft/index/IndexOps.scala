@@ -190,6 +190,33 @@ object IndexOps {
       .agg(count(lit(1)).cast("long").as("n_reads"))
   }
 
+  /** Per-sample Kraken report files: `<outDir>/<sample>.kreport.txt` for
+    * each sample extracted from read titles (spec: reference
+    * Classifier.scala:229-251). Counting is fully distributed — only the
+    * (sample, taxon, count) triples reach the driver, where each sample's
+    * clade tree renders locally. */
+  def writePerSampleReports(classified: Dataset[ClassifiedRead],
+      sampleRegex: String, outDir: String, bcTax: Broadcast[Taxonomy]): Unit = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    val counts = classified
+      .withColumn("sample",
+        coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),
+          lit("other")))
+      .groupBy($"sample", $"taxon")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Int, Long)]
+      .collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((sample, group) <- counts.groupBy(_._1)) {
+      val rep = new KrakenReport(bcTax.value, group.map(g => (g._2, g._3)))
+      val p = new org.apache.hadoop.fs.Path(outDir, s"$sample.kreport.txt")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write((rep.render + "\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Per-read output sink: gzip text partitioned by sample, bounded file
     * count (spec: S12, Classifier.scala:199-210). */
   def writePerSampleOutput(classified: Dataset[ClassifiedRead], sampleRegex: String,
