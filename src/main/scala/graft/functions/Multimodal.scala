@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, format sniffing, partition-size-aware
   * batching, per-partition kernel invocation, frame sampling — is real and
-  * tested. The codec kernels (pixel decode, resample) are STUBBED with
-  * deterministic byte arithmetic because no image/audio libraries exist in
-  * this environment; swap [[StubCodecs]] for real decoders (e.g. javacpp
-  * ffmpeg/opencv) in production — the dataflow does not change.
+  * tested. IMAGE decode/feature/resize run through the JDK's javax.imageio
+  * ([[ImageCodecs]] — PNG/JPEG/GIF/BMP, real pixels). Audio/video kernels
+  * remain STUBBED with deterministic byte arithmetic ([[StubCodecs]])
+  * because no media libraries exist in this environment; swap them for real
+  * decoders (e.g. javacpp ffmpeg) in production — the dataflow does not
+  * change.
   */
 object Multimodal {
 
@@ -31,9 +33,71 @@ object Multimodal {
     else "unknown"
   }
 
-  /** STUB CODECS — deterministic stand-ins for real decoders. The shapes
-    * (dimensions from header-ish bytes, fixed-size feature vectors) mirror
-    * what a real codec would produce so downstream plumbing is realistic. */
+  /** REAL image codecs via the JDK's javax.imageio: no external dependency,
+    * executor-local, init-free (ImageIO readers are looked up per call; a
+    * production deployment would cache readers per partition). Formats:
+    * whatever the JRE registers — PNG, JPEG, GIF, BMP at minimum. */
+  object ImageCodecs {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Real pixel dimensions, or None if the bytes do not decode. */
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      decode(bytes).map(img => (img.getWidth, img.getHeight))
+
+    /** Grid-pooled luminance features: mean brightness per cell of a
+      * gridW x gridH partition of the image (dim = gridW*gridH floats in
+      * [0,1]) — a real, deterministic content descriptor. */
+    def features(bytes: Array[Byte], gridW: Int = 4, gridH: Int = 4)
+        : Option[Array[Float]] =
+      decode(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val acc = new Array[Float](gridW * gridH)
+        val cnt = new Array[Int](gridW * gridH)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val cell = math.min(gridH - 1, y * gridH / h) * gridW +
+              math.min(gridW - 1, x * gridW / w)
+            acc(cell) += lum / 255.0f
+            cnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(gridW * gridH)(i =>
+          if (cnt(i) == 0) 0f else acc(i) / cnt(i))
+      }
+
+    /** Real resize (smooth-scaled redraw), re-encoded as PNG. */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int)
+        : Option[Array[Byte]] =
+      decode(bytes).map { img =>
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(
+          img.getScaledInstance(targetW, targetH, java.awt.Image.SCALE_SMOOTH),
+          0, 0, null)
+        finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** STUB CODECS — deterministic stand-ins for the NON-IMAGE decoders
+    * (audio/video). The shapes (dimensions from header-ish bytes, fixed-size
+    * feature vectors) mirror what a real codec would produce so downstream
+    * plumbing is realistic. Images use the real [[ImageCodecs]]. */
   object StubCodecs {
     /** ??? real impl: decode pixels; stub: dims derived from content hash. */
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
@@ -65,15 +129,22 @@ object Multimodal {
     }
   }
 
-  /** Media schema: (media_id, bytes, format, n_bytes, width, height). */
+  private val imageFormats = Set("png", "jpeg", "gif")
+
+  /** Media schema: (media_id, bytes, format, n_bytes, width, height).
+    * Image formats get REAL dimensions from javax.imageio; non-image (or
+    * undecodable) blobs fall back to the deterministic stub. */
   def describe(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val (w, h) = StubCodecs.decodeDims(bytes)
-        (id, bytes, sniffFormat(bytes), bytes.length.toLong, w, h)
+        val fmt = sniffFormat(bytes)
+        val (w, h) =
+          (if (imageFormats(fmt)) ImageCodecs.dims(bytes) else None)
+            .getOrElse(StubCodecs.decodeDims(bytes))
+        (id, bytes, fmt, bytes.length.toLong, w, h)
       }
       .toDF("media_id", "bytes", "format", "n_bytes", "width", "height")
   }
@@ -93,9 +164,16 @@ object Multimodal {
       else base
     balanced.as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition kernel: a real codec would init once per partition
+        // per-partition kernel: imageio for decodable images (grid pooling
+        // to `dim` floats needs a square-ish grid), byte-profile stub else
+        val grid = math.max(1, math.sqrt(dim).toInt)
         it.map { case (id, bytes) =>
-          (id, StubCodecs.extractFeatures(bytes, dim))
+          val viaImage =
+            if (imageFormats(sniffFormat(bytes)))
+              ImageCodecs.features(bytes, grid, grid)
+                .map(f => java.util.Arrays.copyOf(f, dim))
+            else None
+          (id, viaImage.getOrElse(StubCodecs.extractFeatures(bytes, dim)))
         }
       }
       .toDF("media_id", "features")

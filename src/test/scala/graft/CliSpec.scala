@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.util.Random
+
+/** End-to-end CLI: build an index from FASTA + labels + taxonomy dumps,
+  * run a multi-threshold classify sweep, and compare against ground truth
+  * (the reference tool's command surface driven exactly as a user would). */
+class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(11)
+  def dna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  def write(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("CLI: build -> classify -c sweep -> compare") {
+    spark // init the shared session first so Main.session getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-cli")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    assert(Files.exists(java.nio.file.Paths.get(idx, "_index.properties")))
+
+    // reads: substrings of known genomes, sample id + truth taxon in title
+    val fqSb = new StringBuilder
+    val truthSb = new StringBuilder
+    for (i <- 0 until 40) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      val title = s"S${i % 2}R$i"
+      fqSb.append(s"@$title\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+      truthSb.append(s"$title\t$t\n")
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    write(dir.resolve("truth.tsv"), truthSb.toString)
+
+    val out = dir.resolve("out").toString
+    Main.main(Array("classify", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--c", "0.0,0.9", "--min-hit-groups", "1",
+      "--sample-regex", "(S\\d)R",
+      "--output", out))
+    // per-threshold output dirs, partitioned by extracted sample
+    for (c <- Seq("0.0", "0.9"); s <- Seq("S0", "S1"))
+      assert(Files.exists(java.nio.file.Paths.get(s"$out/c$c", s"sample=$s")),
+        s"missing $out/c$c/sample=$s")
+    // per-sample kreports were written for each threshold
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/c0.0_reports",
+      "S0.kreport.txt")))
+
+    // compare: read back one threshold's S0 output vs truth at species rank
+    Main.main(Array("compare",
+      "--taxonomy", dir.resolve("tax").toString,
+      "--classified", s"$out/c0.0/sample=S0",
+      "--truth", dir.resolve("truth.tsv").toString,
+      "--rank", "species",
+      "--output", dir.resolve("cmp").toString))
+    val cmpFiles = Files.list(dir.resolve("cmp")).toArray.map(_.toString)
+    assert(cmpFiles.exists(_.contains("part-")))
+    // clean reads from distinct random genomes: every S0 read classifies TP
+    val cats = cmpFiles.filter(_.endsWith(".csv"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(cats.nonEmpty && cats.forall(_.endsWith("\tTP")))
+  }
+}

@@ -117,6 +117,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (r <- feats) assert(r.getSeq[Float](1).length == 16)
   }
 
+  /** A real PNG: width x height gradient, encoded through javax.imageio. */
+  def realPng(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width)
+      img.setRGB(x, y, ((x * 255 / math.max(1, width - 1)) << 16) |
+        ((y * 255 / math.max(1, height - 1)) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: true dimensions, grid features, resize roundtrip") {
+    import spark.implicits._
+    val png = realPng(40, 24)
+    assert(Multimodal.sniffFormat(png) == "png")
+    // describe reports the TRUE pixel dimensions via javax.imageio
+    val df = spark.createDataset(Seq((7L, png))).toDF("id", "data")
+    val desc = Multimodal.describe(df, "id", "data").collect().head
+    assert(desc.getInt(4) == 40 && desc.getInt(5) == 24)
+    // grid features: 16 floats in [0,1]; left-to-right red gradient means
+    // rightmost column cells are brighter than leftmost
+    val f = Multimodal.ImageCodecs.features(png, 4, 4).get
+    assert(f.length == 16 && f.forall(v => v >= 0f && v <= 1f))
+    assert(f(3) > f(0))
+    // withFeatures dispatches images to the real codec (deterministic)
+    val feats = Multimodal.withFeatures(df, "id", "data", dim = 16).collect().head
+    assert(feats.getSeq[Float](1) == f.toSeq)
+    // resize re-encodes a decodable PNG at the target size
+    val small = Multimodal.ImageCodecs.resize(png, 10, 6).get
+    assert(Multimodal.ImageCodecs.dims(small).contains((10, 6)))
+  }
+
+  test("undecodable bytes with an image magic fall back to the stub") {
+    val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
+      Array.fill(64)(7.toByte)
+    assert(Multimodal.ImageCodecs.dims(junk).isEmpty)
+    import spark.implicits._
+    val df = spark.createDataset(Seq((1L, junk))).toDF("id", "data")
+    val desc = Multimodal.describe(df, "id", "data").collect().head
+    assert(desc.getInt(4) > 0 && desc.getInt(5) > 0) // stub dims, no crash
+  }
+
   test("resize stub decimates deterministically, preserves small inputs") {
     val big = Array.tabulate[Byte](1000)(_.toByte)
     val small = Array.tabulate[Byte](50)(_.toByte)
