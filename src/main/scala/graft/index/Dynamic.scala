@@ -22,29 +22,36 @@ case object ClassifiedReads extends TaxonCriterion
   * restricted to those taxa (plus descendants), and re-classify
   * (spec: reference slacken/Dynamic.scala:314-354).
   *
+  * Width-independent: runs over any [[KeyedIndex]] (narrow m <= 32 or wide
+  * m in [33, 64]).
+  *
   * Scale design: the expensive span extraction runs ONCE — spans depend only
   * on splitter parameters, so the cached span dataset is reused by the
   * evidence pass and the final pass. The rebuild filters the library BEFORE
   * minimizer extraction (predicate pushdown on taxon).
   */
-final class DynamicClassifier(params: IndexParams, bcTax: Broadcast[Taxonomy]) {
+final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) {
 
-  val index = new MinimizerIndex(params, bcTax)
+  def this(params: IndexParams, bcTax: Broadcast[Taxonomy]) =
+    this(new MinimizerIndex(params, bcTax), bcTax)
 
   /** Per-taxon evidence counts from the first pass. */
-  def evidence(spans: Dataset[OrdinalSpan], records: DataFrame,
+  def evidence(spans: DataFrame, records: DataFrame,
       criterion: TaxonCriterion, confidence: Double = 0.0): DataFrame = {
     val spark = spans.sparkSession
     import spark.implicits._
+    val keys = index.keyCols
     criterion match {
       case TotalMinimizers =>
-        spans.join(records, Seq("id1"))
+        spans.join(records, keys)
           .groupBy($"taxon").agg(sum($"kmers").cast("long").as("count"))
       case DistinctMinimizers =>
-        spans.join(records, Seq("id1"))
-          .groupBy($"taxon").agg(countDistinct($"id1").cast("long").as("count"))
+        spans.join(records, keys)
+          .groupBy($"taxon")
+          .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
+            .cast("long").as("count"))
       case ClassifiedReads =>
-        index.classify(spans, records, confidence)
+        index.classifyDF(spans, records, confidence)
           .filter(_.classified)
           .groupBy($"taxon").agg(count(lit(1)).cast("long").as("count"))
     }
@@ -94,7 +101,7 @@ final class DynamicClassifier(params: IndexParams, bcTax: Broadcast[Taxonomy]) {
     val spark = reads.sparkSession
     import spark.implicits._
 
-    val spans = index.spans(reads).persist(StorageLevel.MEMORY_AND_DISK)
+    val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val taxa = goldSet match {
         case Some(g) =>
@@ -108,10 +115,10 @@ final class DynamicClassifier(params: IndexParams, bcTax: Broadcast[Taxonomy]) {
 
       // rebuild restricted to selected taxa: filter BEFORE extraction
       val subLibrary = library.filter(g => bcTaxa.value.contains(g._1))
-      val dynRecords = index.makeRecords(subLibrary)
+      val dynRecords = index.buildRecords(subLibrary)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val result = index.classify(spans, dynRecords, confidence, minHitGroups)
+      val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups)
       (result, taxa)
     } finally {
       // spans stay cached until the returned dataset is consumed; caller-

@@ -1,0 +1,39 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+
+/** Width-independent face of a minimizer index (spec: the reference treats
+  * key width uniformly via idLongs columns, KmerKeyedIndex.scala:27-55).
+  *
+  * [[MinimizerIndex]] (single-long keys, m <= 32) and [[WideMinimizerIndex]]
+  * (two-long keys, m in [33, 64]) both expose their span extraction, build
+  * and classification through this trait, so pipelines built on top of an
+  * index — two-step dynamic classification, streaming classification,
+  * abundance aggregation — work at any key width. Key columns are always a
+  * prefix (id1[, id2]) of the span/record schemas; joins use [[keyCols]].
+  */
+trait KeyedIndex extends Serializable {
+
+  /** Join key columns: Seq("id1") narrow, Seq("id1", "id2") wide. */
+  def keyCols: Seq[String]
+
+  def taxonomyOf: Broadcast[Taxonomy]
+
+  /** Ordinal spans as a DataFrame (key cols + distinct, kmers, flag,
+    * ordinal, title, seqLen). */
+  def spansDF(reads: Dataset[InputFragment]): DataFrame
+
+  /** Build key -> LCA-taxon records from a labeled library. */
+  def buildRecords(library: Dataset[(Int, String)]): DataFrame
+
+  /** Per-read classification of a span DataFrame (shape of [[spansDF]]). */
+  def classifyDF(spans: DataFrame, records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]
+
+  /** (ts, key cols..., kmers) per span of time-stamped reads — the input of
+    * watermarked streaming abundance windows. */
+  def timedSpanMass(reads: Dataset[(java.sql.Timestamp, InputFragment)]): DataFrame
+}

@@ -63,12 +63,40 @@ final case class ClassifiedRead(
   *  - the taxonomy is a broadcast array structure, never a join.
   */
 final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
-    extends Serializable {
+    extends KeyedIndex {
 
   import Sentinels._
 
   def paramsOf: IndexParams = params
-  def taxonomyOf: Broadcast[Taxonomy] = bcTax
+  override def taxonomyOf: Broadcast[Taxonomy] = bcTax
+
+  // ---------------- KeyedIndex (width-independent face) ----------------
+
+  override def keyCols: Seq[String] = Seq("id1")
+
+  override def spansDF(reads: Dataset[InputFragment]): DataFrame =
+    spans(reads).toDF()
+
+  override def buildRecords(library: Dataset[(Int, String)]): DataFrame =
+    makeRecords(library)
+
+  override def classifyDF(spans: DataFrame, records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
+    ClassifyKernel.resolve(
+      ClassifyKernel.group(spans.join(records, keyCols, "left")),
+      bcTax, confidence, minHitGroups)
+
+  override def timedSpanMass(reads: Dataset[(java.sql.Timestamp, InputFragment)])
+      : DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads.mapPartitions { it =>
+      val scanner = params.scanner
+      it.flatMap { case (ts, f) =>
+        fragmentSpans(f, scanner).map(s => (ts, s.id1, s.kmers))
+      }
+    }.toDF("ts", "id1", "kmers")
+  }
 
   // ---------------- span extraction (executor-local kernel) ----------------
 

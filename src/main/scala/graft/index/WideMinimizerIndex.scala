@@ -24,11 +24,41 @@ final case class WideOrdinalSpan(
   * stays allocation-free.
   */
 final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
-    extends Serializable {
+    extends KeyedIndex {
 
   import Sentinels._
 
   val scanner = new WideSupermerScanner(k, new WideRandomXorPriority(m))
+
+  // ---------------- KeyedIndex (width-independent face) ----------------
+
+  override def keyCols: Seq[String] = Seq("id1", "id2")
+
+  override def taxonomyOf: Broadcast[Taxonomy] = bcTax
+
+  override def spansDF(reads: Dataset[InputFragment]): DataFrame =
+    spans(reads).toDF()
+
+  override def buildRecords(library: Dataset[(Int, String)]): DataFrame =
+    makeRecords(library)
+
+  override def classifyDF(spans: DataFrame, records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
+    ClassifyKernel.resolve(
+      ClassifyKernel.group(spans.join(records, keyCols, "left")),
+      bcTax, confidence, minHitGroups)
+
+  override def timedSpanMass(reads: Dataset[(java.sql.Timestamp, InputFragment)])
+      : DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val sc = scanner
+    reads.mapPartitions { it =>
+      it.flatMap { case (ts, f) =>
+        fragmentSpans(f, sc).map(s => (ts, s.id1, s.id2, s.kmers))
+      }
+    }.toDF("ts", "id1", "id2", "kmers")
+  }
 
   def makeRecords(library: Dataset[(Int, String)]): DataFrame = {
     val spark = library.sparkSession

@@ -82,7 +82,7 @@ object GenomicQueries {
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
       val dyn = new graft.index.DynamicClassifier(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
-      val staticRecords = dyn.index.makeRecords(lib)
+      val staticRecords = dyn.index.buildRecords(lib)
       val reads = t(s, dir, "orders")
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         // only orders of even nations: half the taxa are absent from the sample

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import graft.index.{ClassifiedRead, MinimizerIndex}
+import graft.index.{ClassifiedRead, KeyedIndex}
 import graft.sources.InputFragment
 
 /** Structured Streaming classification — an extension beyond the reference
@@ -12,6 +12,9 @@ import graft.sources.InputFragment
   * boundaries: classification runs inside foreachBatch against the static
   * bucketed index (a stream-static join pattern), while running per-taxon
   * abundance uses a native streaming aggregation in update mode.
+  *
+  * Width-independent: all entry points take a [[KeyedIndex]], so narrow
+  * (m <= 32) and wide (m in [33, 64]) indexes stream identically.
   *
   * At scale this is the online-classification topology: executors hold the
   * broadcast taxonomy; each micro-batch shuffles only its own spans.
@@ -22,14 +25,14 @@ object StreamingClassifier {
     * reads for that batch). The index side is a static DataFrame — Spark
     * plans a fresh stream-static join per batch, so the bucketed index scan
     * stays shuffle-free. */
-  def classifyStream(index: MinimizerIndex, reads: Dataset[InputFragment],
+  def classifyStream(index: KeyedIndex, reads: Dataset[InputFragment],
       records: DataFrame, confidence: Double = 0.0, minHitGroups: Int = 2)(
       sink: (Long, Dataset[ClassifiedRead]) => Unit): DataStreamWriter[InputFragment] = {
     require(reads.isStreaming, "reads must be a streaming Dataset")
     reads.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[InputFragment], batchId: Long) =>
-        sink(batchId, index.classify(index.spans(batch), records,
+        sink(batchId, index.classifyDF(index.spansDF(batch), records,
           confidence, minHitGroups))
       }
   }
@@ -38,13 +41,13 @@ object StreamingClassifier {
     * spans -> stream-static join -> per-read resolution inside the batch is
     * replaced by a coarser span-level abundance signal (taxon k-mer mass),
     * which IS expressible as an incremental aggregation in update mode. */
-  def taxonKmerMassStream(index: MinimizerIndex, reads: Dataset[InputFragment],
+  def taxonKmerMassStream(index: KeyedIndex, reads: Dataset[InputFragment],
       records: DataFrame): DataFrame = {
     require(reads.isStreaming, "reads must be a streaming Dataset")
     val spark = reads.sparkSession
     import spark.implicits._
-    index.spans(reads)
-      .join(records, Seq("id1"))
+    index.spansDF(reads)
+      .join(records, index.keyCols)
       .groupBy($"taxon")
       .agg(sum($"kmers").as("kmer_mass"), count(lit(1)).as("n_spans"))
   }
@@ -52,20 +55,16 @@ object StreamingClassifier {
   /** Windowed event-time abundance: reads tagged with an event timestamp,
     * watermarked tumbling windows of per-taxon span counts (late data beyond
     * the watermark is dropped — bounded state at scale). */
-  def windowedAbundance(index: MinimizerIndex,
+  def windowedAbundance(index: KeyedIndex,
       timedReads: Dataset[(java.sql.Timestamp, InputFragment)],
       records: DataFrame, windowLen: String = "1 minute",
       watermark: String = "2 minutes"): DataFrame = {
     require(timedReads.isStreaming, "reads must be a streaming Dataset")
     val spark = timedReads.sparkSession
     import spark.implicits._
-    val idx = index
-    val spans = timedReads.flatMap { case (ts, frag) =>
-      idx.fragmentSpans(frag).map(s => (ts, s.id1, s.kmers))
-    }.toDF("ts", "id1", "kmers")
-    spans
+    index.timedSpanMass(timedReads)
       .withWatermark("ts", watermark)
-      .join(records, Seq("id1"))
+      .join(records, index.keyCols)
       .groupBy(window($"ts", windowLen), $"taxon")
       .agg(sum($"kmers").as("kmer_mass"))
       .select($"window.start".as("window_start"), $"taxon", $"kmer_mass")

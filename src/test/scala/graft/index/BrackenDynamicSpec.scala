@@ -155,7 +155,7 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("2-step classification selects only present taxa and stays correct") {
     import spark.implicits._
-    val staticRecords = dyn.index.makeRecords(lib)
+    val staticRecords = dyn.index.buildRecords(lib)
     val (classified, selected) = dyn.classify2(
       spark.createDataset(reads), lib, staticRecords,
       criterion = DistinctMinimizers, rank = "species", threshold = 50)
@@ -172,7 +172,7 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("gold-set mode replaces heuristic selection; metrics score it") {
     import spark.implicits._
-    val staticRecords = dyn.index.makeRecords(lib)
+    val staticRecords = dyn.index.buildRecords(lib)
     val (classified, selected) = dyn.classify2(
       spark.createDataset(reads), lib, staticRecords,
       goldSet = Some(Set(4, 6)))
@@ -187,13 +187,31 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("evidence criteria agree on which taxa dominate") {
     import spark.implicits._
-    val staticRecords = dyn.index.makeRecords(lib)
-    val spans = dyn.index.spans(spark.createDataset(reads))
+    val staticRecords = dyn.index.buildRecords(lib)
+    val spans = dyn.index.spansDF(spark.createDataset(reads))
     for (crit <- Seq(TotalMinimizers, DistinctMinimizers, ClassifiedReads)) {
       val ev = dyn.evidence(spans, staticRecords, crit)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(ev.getOrElse(4, 0L) > ev.getOrElse(5, 0L), s"$crit")
       assert(ev.getOrElse(6, 0L) > ev.getOrElse(7, 0L), s"$crit")
+    }
+  }
+
+  test("2-step classification runs width-generically over a wide (m=33) index") {
+    import spark.implicits._
+    val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
+    val dynW = new DynamicClassifier(wide, bcTax)
+    val staticRecords = wide.buildRecords(lib)
+    val (classified, selected) = dynW.classify2(
+      spark.createDataset(reads), lib, staticRecords,
+      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    assert(selected.contains(4) && selected.contains(6))
+    assert(!selected.contains(5) && !selected.contains(7))
+    val res = classified.collect()
+    assert(res.count(_.classified) > 100)
+    for (c <- res if c.classified) {
+      val src = c.title.split("src=")(1).toInt
+      assert(tax.hasAncestor(src, c.taxon))
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSessionTestWrapper
-import graft.index.{ClassifiedRead, IndexParams, MinimizerIndex}
+import graft.index.{ClassifiedRead, IndexParams, MinimizerIndex, WideMinimizerIndex}
 import graft.sources.InputFragment
 import graft.taxa.Taxonomy
 import scala.util.Random
@@ -142,6 +142,66 @@ class StreamingClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
       stream.addData(reads(5, offset = 200).map(f => (t1, f)))
       query.processAllAvailable()
       val rows = spark.sql("SELECT * FROM windowed_abundance").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getLong(2) > 0))
+    } finally query.stop()
+  }
+
+  test("streaming classification is width-generic: wide (m=33) index streams") {
+    import spark.implicits._
+    val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
+    val records = wide.buildRecords(spark.createDataset(genomes.toSeq)).cache()
+    records.count()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[InputFragment]
+    val results = scala.collection.mutable.Map.empty[Long, Array[ClassifiedRead]]
+    val query = StreamingClassifier.classifyStream(wide, stream.toDS(), records) {
+      (batchId, classified) => results.synchronized {
+        results(batchId) = classified.collect()
+      }
+    }.start()
+    try {
+      val batch = reads(30)
+      stream.addData(batch)
+      query.processAllAvailable()
+      val all = results.values.flatten.toSeq
+      assert(all.size == 30)
+      assert(all.count(_.classified) > 25)
+      for (c <- all if c.classified) {
+        val src = c.title.split("src=")(1).toInt
+        assert(tax.hasAncestor(src, c.taxon))
+      }
+      // streaming == batch API over the wide index on the same input
+      val batchResult = wide.classifyDF(
+        wide.spansDF(spark.createDataset(batch)), records)
+        .collect().map(c => c.title -> c.taxon).toMap
+      assert(results(0).map(c => c.title -> c.taxon).toMap == batchResult)
+    } finally query.stop()
+  }
+
+  test("windowed event-time abundance over a wide index joins on both keys") {
+    import spark.implicits._
+    val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
+    val records = wide.buildRecords(spark.createDataset(genomes.toSeq)).cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, InputFragment)]
+    val agg = StreamingClassifier.windowedAbundance(wide, stream.toDS(), records,
+      windowLen = "1 minute", watermark = "2 minutes")
+    val query = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("windowed_abundance_wide")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:30")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+      stream.addData(reads(20).map(f => (t0, f)))
+      query.processAllAvailable()
+      stream.addData(reads(5, offset = 200).map(f => (t1, f)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM windowed_abundance_wide").collect()
       assert(rows.nonEmpty)
       assert(rows.forall(_.getLong(2) > 0))
     } finally query.stop()
