@@ -17,14 +17,20 @@ final case class HitRun(taxon: Int, start: Int, count: Int, distinct: Boolean)
   * taxon) assignments (spec: reference slacken/BrackenWeights.scala — the
   * FragmentWindow incremental slide re-expressed over run-length hit runs).
   *
+  * Width-independent: runs over any [[KeyedIndex]] via [[KeyedIndex.scanKeyed]]
+  * (keys normalized to two longs; the narrow index pads with a zero word).
+  *
   * Scale design: fragments are bounded (maxFragment with k-1 overlap), the
   * only shuffles are the minimizer->LCA join (one-sided on the bucketed index)
   * and the final (source,dest) count; the window slide is executor-local and
   * O(1) amortized per position.
   */
-final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Serializable {
+final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends Serializable {
 
-  val k: Int = params.k
+  def this(params: IndexParams, bcTax: Broadcast[Taxonomy]) =
+    this(new MinimizerIndex(params, bcTax), bcTax)
+
+  val k: Int = index.kOf
 
   /** Split genomes into bounded fragments overlapping by readLen-1, so every
     * read-length window lives in exactly one fragment (window starts in
@@ -48,19 +54,22 @@ final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Ser
 
   /** Per-fragment ordered hit runs covering every k-mer slot: valid super-mers
     * get their index LCA; each valid segment gets a k-1 NONE tail; ambiguous
-    * segments get NONE runs of their full length. */
-  private def hitRuns(seq: String, lcaOf: collection.Map[Long, Int]): Array[HitRun] = {
-    val scanner = params.scanner
+    * segments get NONE runs of their full length. The per-fragment lookup is
+    * small (distinct minimizers of a bounded fragment), so a boxed pair map
+    * is fine — the O(1)-per-position window slide below is the hot path. */
+  private def hitRuns(seq: String,
+      lcaOf: collection.Map[(Long, Long), Int]): Array[HitRun] = {
     val out = mutable.ArrayBuffer.empty[HitRun]
     var pos = 0
     var first = true
-    var lastMin = 0L
+    var lastK1 = 0L
+    var lastK2 = 0L
     for (run <- SupermerScanner.splitByAmbiguity(seq)) {
       if (run.valid && run.seq.length >= k) {
-        for (sm <- scanner.scan(run.seq)) {
-          val distinct = first || sm.minimizer != lastMin
-          first = false; lastMin = sm.minimizer
-          out += HitRun(lcaOf.getOrElse(sm.minimizer, Taxonomy.NONE),
+        for (sm <- index.scanKeyed(run.seq)) {
+          val distinct = first || sm.k1 != lastK1 || sm.k2 != lastK2
+          first = false; lastK1 = sm.k1; lastK2 = sm.k2
+          out += HitRun(lcaOf.getOrElse((sm.k1, sm.k2), Taxonomy.NONE),
             pos + sm.start, sm.kmers, distinct)
         }
         out += HitRun(Taxonomy.NONE, pos + run.seq.length - (k - 1), k - 1, distinct = false)
@@ -72,9 +81,16 @@ final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Ser
     out.toArray
   }
 
+  /** Narrow-key convenience wrapper over [[windowClassificationsKeyed]]. */
+  def windowClassifications(seq: String, lcaOf: collection.Map[Long, Int],
+      readLen: Int, resolver: LcaResolver): Iterator[(Int, Int)] =
+    windowClassificationsKeyed(seq,
+      lcaOf.map { case (m, t) => (m, 0L) -> t }, readLen, resolver)
+
   /** Slide a read-length window over the runs; classify each position.
     * Returns (destTaxon -> windowCount) for this fragment. */
-  def windowClassifications(seq: String, lcaOf: collection.Map[Long, Int],
+  def windowClassificationsKeyed(seq: String,
+      lcaOf: collection.Map[(Long, Long), Int],
       readLen: Int, resolver: LcaResolver): Iterator[(Int, Int)] = {
     if (seq.length < readLen) return Iterator.empty
     val runs = hitRuns(seq, lcaOf)
@@ -136,33 +152,38 @@ final class Bracken(params: IndexParams, bcTax: Broadcast[Taxonomy]) extends Ser
     val frags = fragments(library, readLen, maxFragment)
       .toDF("taxon", "seq", "header", "location")
 
-    // distinct minimizers per fragment
-    val scanner = params.scanner
+    // distinct minimizer keys per fragment (two-long normalized)
+    val idx = index
     val kk = k
+    val wide = idx.keyCols.size == 2
     val mins = frags.select($"header", $"location", $"seq").as[(String, Long, String)]
       .flatMap { case (h, loc, seq) =>
-        val set = mutable.LongMap.empty[Unit]
+        val set = mutable.HashSet.empty[(Long, Long)]
         SupermerScanner.splitByAmbiguity(seq).foreach { run =>
           if (run.valid && run.seq.length >= kk)
-            scanner.scan(run.seq).foreach(sm => set(sm.minimizer) = ())
+            idx.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
         }
-        set.keysIterator.map(m => (h, loc, m))
-      }.toDF("header", "location", "id1")
+        set.iterator.map { case (a, b) => (h, loc, a, b) }
+      }.toDF("header", "location", "id1", "id2")
+    val minsKeyed = if (wide) mins else mins.drop("id2")
 
     // LCA lookup via the index (records side pre-bucketed: no index shuffle)
-    val lcas = mins.join(records, Seq("id1"), "left")
+    val lcas = minsKeyed.join(records, idx.keyCols, "left")
       .groupBy($"header", $"location")
-      .agg(collect_list(struct($"id1", coalesce($"taxon", lit(Taxonomy.NONE))
-        .as("taxon"))).as("lcas"))
+      .agg(collect_list(struct(
+        $"id1".as("k1"),
+        (if (wide) $"id2" else lit(0L)).as("k2"),
+        coalesce($"taxon", lit(Taxonomy.NONE)).as("taxon"))).as("lcas"))
 
     val bc = bcTax
     frags.join(lcas, Seq("header", "location"), "left")
       .select($"taxon", $"seq", $"lcas")
-      .as[(Int, String, Seq[(Long, Int)])]
-      .flatMap { case (source, seq, lcaPairs) =>
-        val lcaOf = Option(lcaPairs).getOrElse(Seq.empty).toMap
+      .as[(Int, String, Seq[(Long, Long, Int)])]
+      .flatMap { case (source, seq, lcaTriples) =>
+        val lcaOf = Option(lcaTriples).getOrElse(Seq.empty)
+          .map(t => (t._1, t._2) -> t._3).toMap
         val resolver = new LcaResolver(bc.value)
-        windowClassifications(seq, lcaOf, readLen, resolver)
+        windowClassificationsKeyed(seq, lcaOf, readLen, resolver)
           .map { case (dest, c) => (source, dest, c) }
       }
       .toDF("source", "dest", "n")

@@ -15,12 +15,24 @@ import graft.taxa.Taxonomy
   * abundance aggregation — work at any key width. Key columns are always a
   * prefix (id1[, id2]) of the span/record schemas; joins use [[keyCols]].
   */
+/** A super-mer in width-normalized form: the minimizer as two longs
+  * (k1 = id1; k2 = id2 for wide keys, 0 for narrow). */
+final case class KeyedSupermer(k1: Long, k2: Long, start: Int, kmers: Int)
+
 trait KeyedIndex extends Serializable {
 
   /** Join key columns: Seq("id1") narrow, Seq("id1", "id2") wide. */
   def keyCols: Seq[String]
 
+  /** k-mer length of this index. */
+  def kOf: Int
+
   def taxonomyOf: Broadcast[Taxonomy]
+
+  /** Executor-local super-mer scan of one VALID segment (no ambiguity codes,
+    * length >= k), keys normalized to two longs. Lets key-agnostic kernels
+    * (e.g. the bracken window slide) run at any width. */
+  def scanKeyed(segment: CharSequence): Iterator[KeyedSupermer]
 
   /** Ordinal spans as a DataFrame (key cols + distinct, kmers, flag,
     * ordinal, title, seqLen). */

@@ -74,6 +74,12 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
 
   override def keyCols: Seq[String] = Seq("id1")
 
+  override def kOf: Int = params.k
+
+  override def scanKeyed(segment: CharSequence): Iterator[KeyedSupermer] =
+    params.scanner.scan(segment)
+      .map(sm => KeyedSupermer(sm.minimizer, 0L, sm.start, sm.kmers))
+
   override def spansDF(reads: Dataset[InputFragment]): DataFrame =
     spans(reads).toDF()
 

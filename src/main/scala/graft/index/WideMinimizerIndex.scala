@@ -34,6 +34,12 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
 
   override def keyCols: Seq[String] = Seq("id1", "id2")
 
+  override def kOf: Int = k
+
+  override def scanKeyed(segment: CharSequence): Iterator[KeyedSupermer] =
+    scanner.scan(segment)
+      .map(sm => KeyedSupermer(sm.minHi, sm.minLo, sm.start, sm.kmers))
+
   override def taxonomyOf: Broadcast[Taxonomy] = bcTax
 
   override def spansDF(reads: Dataset[InputFragment]): DataFrame =

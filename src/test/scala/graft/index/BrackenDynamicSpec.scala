@@ -121,6 +121,23 @@ class BrackenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(lines.nonEmpty)
     for (r <- lines) assert(r.getString(1).matches("[0-9]+:[0-9]+:[0-9.]+( .*)?"))
   }
+
+  test("weights run width-generically over a wide (m=33) index") {
+    import spark.implicits._
+    val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
+    val wBracken = new Bracken(wide, bcTax)
+    val records = wide.buildRecords(lib)
+    val w = wBracken.weights(lib, records, readLen = 100)
+      .as[(Int, Int, Long)].collect()
+    assert(w.nonEmpty)
+    // every window of every genome is accounted for, as in the narrow path
+    val expectedWindows = genomes.values.map(g => g.length - 100 + 1).sum
+    assert(w.map(_._3).sum == expectedWindows)
+    for ((src, dest, _) <- w if dest != Taxonomy.NONE)
+      assert(tax.hasAncestor(src, dest) || tax.hasAncestor(dest, src))
+    val own = w.filter(x => x._1 == x._2).map(_._3).sum
+    assert(own.toDouble / expectedWindows > 0.8)
+  }
 }
 
 class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
