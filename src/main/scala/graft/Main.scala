@@ -8,8 +8,8 @@ import graft.taxa.Taxonomy
 /** Standalone CLI with the reference tool's command surface
   * (spec: reference slacken/Slacken.scala subcommands):
   *
-  *   build     -k 35 -m 31 -s 7 -p 32 --library lib.fna --labels l.tsv
-  *             --taxonomy dir --output idx
+  *   build     -k 35 -m 31 -s 7 -p 32 [--salt N] --library lib.fna
+  *             --labels l.tsv --taxonomy dir --output idx
   *   classify  --index idx --reads r.fastq [--reads2 r2.fastq]
   *             [-c 0.0 | -c 0.0,0.1,0.5] [--min-hit-groups 2]
   *             [--sample-regex re] --output out
@@ -123,10 +123,12 @@ object Main {
         val k = opts.getOrElse("k", "35").toInt
         val tax = loadTaxonomy(spark, opts("taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
+        // --salt N: two-stage LCA fold for skewed (low-complexity) libraries
+        val salt = opts.getOrElse("salt", "0").toInt
         if (m > 32) {
           // wide-minimizer path: two-long keys, no spaced seed
           val index = new WideMinimizerIndex(k, m, bcTax)
-          val records = index.makeRecords(loadLibrary(spark, opts))
+          val records = index.makeRecords(loadLibrary(spark, opts), salt)
           index.writeRecords(records, opts("output"), buckets)
           println(s"index written (wide m=$m): " +
             s"${index.loadRecords(spark, opts("output"), buckets).count()} records")
@@ -136,7 +138,7 @@ object Main {
           val index = new MinimizerIndex(params, bcTax)
           // build from the 2-bit packed library: same records, 1/4 the
           // payload bytes anywhere the library moves
-          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k))
+          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k), salt)
           index.writeRecords(records, opts("output"))
           println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
         }
@@ -206,8 +208,14 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val dyn = new DynamicClassifier(params, bcTax)
-        val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+        // the 2-step pipeline is width-generic: pick the index by stored m
+        val (idx: KeyedIndex, records) =
+          if (params.m > 32) {
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax)
+            (w, w.loadRecords(spark, idxPath, params.buckets))
+          } else
+            MinimizerIndex.open(spark, idxPath, bcTax)
+        val dyn = new DynamicClassifier(idx, bcTax)
         val (classified, selected) = dyn.classify2(
           loadReads(spark, opts), loadLibrary(spark, opts), records,
           rank = opts.getOrElse("rank", "species"),
@@ -223,8 +231,14 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
-        val bracken = new Bracken(params, bcTax)
+        // bracken weights are width-generic: pick the index by stored m
+        val (idx: KeyedIndex, records) =
+          if (params.m > 32) {
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax)
+            (w, w.loadRecords(spark, idxPath, params.buckets))
+          } else
+            MinimizerIndex.open(spark, idxPath, bcTax)
+        val bracken = new Bracken(idx, bcTax)
         val w = bracken.weights(loadLibrary(spark, opts), records,
           readLen = opts.getOrElse("read-len", "100").toInt)
         bracken.weightLines(w).write.option("sep", "\t").mode("overwrite")

@@ -66,14 +66,16 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     }.toDF("ts", "id1", "id2", "kmers")
   }
 
-  def makeRecords(library: Dataset[(Int, String)]): DataFrame = {
+  /** @param saltBuckets optional two-stage skew hardening, as in
+    *   [[MinimizerIndex.makeRecords]] (legal: LCA is associative+commutative). */
+  def makeRecords(library: Dataset[(Int, String)], saltBuckets: Int = 0): DataFrame = {
     val spark = library.sparkSession
     import spark.implicits._
     val sc = scanner
     val kk = k
     val tax = bcTax
     val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
-    library.flatMap { case (taxon, seq) =>
+    val pairs = library.flatMap { case (taxon, seq) =>
       // same validity gate as the narrow build: undefined label taxa
       // contribute no records (no silent ROOT lift)
       if (!tax.value.isDefined(taxon)) Iterator.empty
@@ -82,8 +84,13 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
         else sc.scan(run.seq).map(sm => (sm.minHi, sm.minLo, taxon))
       }
     }.toDF("id1", "id2", "taxon")
-      .groupBy($"id1", $"id2")
-      .agg(lcaAgg($"taxon").as("taxon"))
+    if (saltBuckets <= 0)
+      pairs.groupBy($"id1", $"id2").agg(lcaAgg($"taxon").as("taxon"))
+    else
+      pairs
+        .withColumn("salt", pmod(hash($"taxon"), lit(saltBuckets)))
+        .groupBy($"id1", $"id2", $"salt").agg(lcaAgg($"taxon").as("taxon"))
+        .groupBy($"id1", $"id2").agg(lcaAgg($"taxon").as("taxon"))
   }
 
   // ---------------- span extraction (executor-local kernel) ----------------

@@ -87,4 +87,66 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
     assert(cats.nonEmpty && cats.forall(_.endsWith("\tTP")))
   }
+
+  test("CLI: wide (m=33) salted build -> classify2 -> bracken") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-wide")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "33", "--p", "4", "--salt", "3",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    assert(graft.index.IndexParams.read(spark, idx).m == 33)
+
+    val fqSb = new StringBuilder
+    for (i <- 0 until 30) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      fqSb.append(s"@wr$i\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+
+    // 2-step dynamic classification over the wide index
+    val out2 = dir.resolve("out2").toString
+    Main.main(Array("classify2", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--threshold", "10",
+      "--output", out2))
+    assert(Files.list(java.nio.file.Paths.get(out2)).toArray.nonEmpty)
+
+    // bracken weights over the wide index
+    val outW = dir.resolve("weights").toString
+    Main.main(Array("bracken", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--read-len", "100",
+      "--output", outW))
+    val lines = Files.list(java.nio.file.Paths.get(outW)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(lines.nonEmpty)
+    for (l <- lines) assert(l.matches("-?[0-9]+\t[0-9]+:[0-9]+:[0-9.]+( .*)?"), l)
+  }
 }
