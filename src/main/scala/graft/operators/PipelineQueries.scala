@@ -85,7 +85,15 @@ object PipelineQueries {
         .map { case (id, text) => (id, TextAnalysis.tokenEstimate(text)) }
         .toDF("doc_id", "n_tokens_est")
         .orderBy($"doc_id")
-    }, None),
+    }, Some(
+      // mirrors TextAnalysis.tokenEstimate: regex token split, letter runs
+      // cost 1 + (len-1)/5 subword tokens (NB: DuckDB `~` is a FULL match —
+      // prefix tests need regexp_matches)
+      """SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+        |  t -> CASE WHEN regexp_matches(t, '^[A-Za-z]')
+        |    THEN 1 + (length(t)-1)//5 ELSE 1 END)), 0) AS BIGINT) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("t12_quality_metrics", (s, dir) => {
       import s.implicits._
