@@ -28,18 +28,19 @@ object Dedup {
     * corpus scale. Oversized buckets are dropped wholesale: genuine near-dup
     * pairs caught only by a mega-bucket are rare (they nearly always share
     * another, small bucket in a different band), and candidate generation
-    * must stay near-linear. The bucket-size scan is one aggregation on the
-    * already-shuffled key; the removal is an anti-join against the (tiny,
-    * <= n/maxBucket rows) oversized-bucket list, which AQE turns into a
-    * broadcast join at runtime. */
+    * must stay near-linear. Implemented as a count window partitioned on the
+    * bucket key: one shuffle, and since every caller follows with a self-join
+    * on the same key, the filtered output is already hash-partitioned for it
+    * (no second exchange — vs the groupBy + anti-join formulation, which
+    * costs two extra stages). */
   private[operators] def capBuckets(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
-    val keys = keyCols.map(col)
-    val big = banded.groupBy(keys: _*)
-      .agg(count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > maxBucket)
-      .select(keys: _*)
-    banded.join(big, keyCols, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    banded
+      .withColumn("__bucket_size", count(lit(1)).over(w))
+      .filter(col("__bucket_size") <= maxBucket)
+      .drop("__bucket_size")
   }
 
   // ---------------- MinHash ----------------
