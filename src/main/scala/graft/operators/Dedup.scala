@@ -102,10 +102,11 @@ object Dedup {
         (b, h, id)
       }
     }.toDF("band", "bucket", "id")
-      // materialize once: the bucket-size scan and both self-join sides read
-      // the cache instead of recomputing signatures for the whole corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist AFTER the cap: the window evaluates once at materialization and
+    // both self-join sides read the (already capped, already partitioned)
+    // cache instead of recomputing signatures for the whole corpus
     val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
@@ -182,10 +183,11 @@ object Dedup {
         (c, (sim >>> lo) & mask, id, sim)
       }
     }.toDF("chunk", "val", "id", "sim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // chunk-value mega-buckets (e.g. a zeroed chunk across boilerplate docs)
-    // pair quadratically — cap them like the MinHash bands
+    // pair quadratically — cap them like the MinHash bands; persist the
+    // capped result so the window runs once and both join sides share it
     val banded = capBuckets(banded0, Seq("chunk", "val"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.chunk = b.chunk AND a.val = b.val AND a.id < b.id"))

@@ -166,8 +166,9 @@ object Similarity {
     val banded0 = vectors.flatMap { case (id, v) =>
       probeBuckets(v, planes).iterator.map(b => (b, id, v))
     }.toDF("bucket", "id", "vec")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the capped result: window evaluated once, both sides share it
     val banded = Dedup.capBuckets(banded0, Seq("bucket"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.bucket = b.bucket AND a.id < b.id"))
