@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, format sniffing, partition-size-aware
   * batching, per-partition kernel invocation, frame sampling — is real and
   * tested. IMAGE decode/feature/resize run through the JDK's javax.imageio
-  * ([[ImageCodecs]] — PNG/JPEG/GIF/BMP, real pixels). Audio/video kernels
+  * ([[ImageCodecs]] — PNG/JPEG/GIF/BMP, real pixels); PCM AUDIO
+  * (WAV/AIFF/AU) through the JDK's javax.sound.sampled ([[AudioCodecs]] —
+  * real samples, RMS energy envelopes). Video and compressed-audio kernels
   * remain STUBBED with deterministic byte arithmetic ([[StubCodecs]])
-  * because no media libraries exist in this environment; swap them for real
+  * because no codec libraries exist in this environment; swap them for real
   * decoders (e.g. javacpp ffmpeg) in production — the dataflow does not
   * change.
   */
@@ -23,11 +25,16 @@ object Multimodal {
       bytes.length >= p.length && p.zipWithIndex.forall { case (b, i) =>
         (bytes(i) & 0xff) == b
       }
+    def tagAt(off: Int, tag: String): Boolean =
+      bytes.length >= off + 4 && new String(bytes, off, 4, "ASCII") == tag
     if (bytes == null || bytes.isEmpty) "empty"
     else if (hasPrefix(0x89, 0x50, 0x4e, 0x47)) "png"
     else if (hasPrefix(0xff, 0xd8, 0xff)) "jpeg"
     else if (hasPrefix(0x47, 0x49, 0x46, 0x38)) "gif"
-    else if (hasPrefix(0x52, 0x49, 0x46, 0x46)) "riff" // wav/avi/webp share RIFF
+    else if (hasPrefix(0x52, 0x49, 0x46, 0x46)) // RIFF container: wav/avi/webp
+      if (tagAt(8, "WAVE")) "wav" else "riff"
+    else if (hasPrefix(0x46, 0x4f, 0x52, 0x4d) && tagAt(8, "AIFF")) "aiff"
+    else if (hasPrefix(0x2e, 0x73, 0x6e, 0x64)) "au"
     else if (hasPrefix(0x49, 0x44, 0x33) || hasPrefix(0xff, 0xfb)) "mp3"
     else if (bytes.length >= 12 && new String(bytes, 4, 4, "ASCII") == "ftyp") "mp4"
     else "unknown"
@@ -94,10 +101,75 @@ object Multimodal {
       }
   }
 
-  /** STUB CODECS — deterministic stand-ins for the NON-IMAGE decoders
-    * (audio/video). The shapes (dimensions from header-ish bytes, fixed-size
-    * feature vectors) mirror what a real codec would produce so downstream
-    * plumbing is realistic. Images use the real [[ImageCodecs]]. */
+  /** REAL audio codecs via the JDK's javax.sound.sampled: WAV/AIFF/AU PCM
+    * decode with no external dependency. Anything the JRE's providers parse
+    * is converted to signed 16-bit PCM, downmixed to mono floats in [-1, 1]. */
+  object AudioCodecs {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** (sampleRate, channels, frameCount) from the audio header. */
+    def info(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try Some((in.getFormat.getSampleRate, in.getFormat.getChannels,
+          in.getFrameLength))
+        finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Decode to (sampleRate, mono samples in [-1, 1]), or None. */
+    def decode(bytes: Array[Byte]): Option[(Float, Array[Float])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val ch = fmt.getChannels
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, ch, 2 * ch, fmt.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          val raw = pcm.readAllBytes()
+          val n = raw.length / (2 * ch)
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0f
+            var c = 0
+            while (c < ch) {
+              val off = 2 * (i * ch + c)
+              acc += (((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort) / 32768f
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some((fmt.getSampleRate, out))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** RMS energy envelope over `dim` equal time windows — a real content
+      * descriptor (silence -> 0, full-scale sine -> ~0.707 everywhere). */
+    def features(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] =
+      decode(bytes).map { case (_, samples) =>
+        val sumSq = new Array[Double](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < samples.length) {
+          val w = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+          sumSq(w) += samples(i).toDouble * samples(i)
+          cnt(w) += 1
+          i += 1
+        }
+        Array.tabulate(dim)(w =>
+          if (cnt(w) == 0) 0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+      }
+  }
+
+  /** STUB CODECS — deterministic stand-ins for the remaining decoders
+    * (video, compressed audio the JRE has no provider for). The shapes
+    * (dimensions from header-ish bytes, fixed-size feature vectors) mirror
+    * what a real codec would produce so downstream plumbing is realistic.
+    * Images use the real [[ImageCodecs]]; PCM audio the real
+    * [[AudioCodecs]]. */
   object StubCodecs {
     /** ??? real impl: decode pixels; stub: dims derived from content hash. */
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
@@ -130,6 +202,7 @@ object Multimodal {
   }
 
   private val imageFormats = Set("png", "jpeg", "gif")
+  private val audioFormats = Set("wav", "aiff", "au")
 
   /** Media schema: (media_id, bytes, format, n_bytes, width, height).
     * Image formats get REAL dimensions from javax.imageio; non-image (or
@@ -165,18 +238,41 @@ object Multimodal {
     balanced.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition kernel: imageio for decodable images (grid pooling
-        // to `dim` floats needs a square-ish grid), byte-profile stub else
+        // to `dim` floats needs a square-ish grid), javax.sound energy
+        // envelopes for PCM audio, byte-profile stub for everything else
         val grid = math.max(1, math.sqrt(dim).toInt)
         it.map { case (id, bytes) =>
-          val viaImage =
-            if (imageFormats(sniffFormat(bytes)))
+          val fmt = sniffFormat(bytes)
+          val real =
+            if (imageFormats(fmt))
               ImageCodecs.features(bytes, grid, grid)
                 .map(f => java.util.Arrays.copyOf(f, dim))
+            else if (audioFormats(fmt)) AudioCodecs.features(bytes, dim)
             else None
-          (id, viaImage.getOrElse(StubCodecs.extractFeatures(bytes, dim)))
+          (id, real.getOrElse(StubCodecs.extractFeatures(bytes, dim)))
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** Audio schema: (media_id, format, n_bytes, sample_rate, channels,
+    * n_frames, duration_s) — real header metadata for PCM formats; rows the
+    * JRE cannot parse keep nulls in the audio columns (schema-stable, so a
+    * downstream filter can split decodable from not). */
+  def describeAudio(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val fmt = sniffFormat(bytes)
+        val info = if (audioFormats(fmt)) AudioCodecs.info(bytes) else None
+        (id, fmt, bytes.length.toLong,
+          info.map(_._1.toDouble), info.map(_._2), info.map(_._3),
+          info.map(i => i._3.toDouble / i._1))
+      }
+      .toDF("media_id", "format", "n_bytes", "sample_rate", "channels",
+        "n_frames", "duration_s")
   }
 
   /** Frame sampling for "video" blobs: fixed-offset chunk extraction —

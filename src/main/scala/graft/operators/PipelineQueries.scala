@@ -170,6 +170,33 @@ object PipelineQueries {
         .orderBy($"qid", $"sim".desc, $"nid")
     }, None, bench = true),
 
+    // multimodal plumbing end to end on driver data: deterministic 8x8 PNGs
+    // rendered from document text (real imageio encode), then the REAL
+    // decode path — sniff -> describe (true dims) -> grid-pooled features
+    Q("m01_media_features", (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).map { case (id, text) =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var h = graft.functions.TextAnalysis.mix64(text.hashCode.toLong)
+        for (p <- 0 until 64) {
+          h = graft.functions.TextAnalysis.mix64(h + p)
+          img.setRGB(p % 8, p / 8, (h & 0xffffff).toInt)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("id", "data")
+      val desc = graft.functions.Multimodal.describe(media, "id", "data")
+        .select($"media_id", $"format", $"width", $"height")
+      val feats = graft.functions.Multimodal.withFeatures(media, "id", "data",
+          dim = 4)
+        .select($"media_id", round(element_at($"features", 1), 4).as("f0"),
+          round(element_at($"features", 4), 4).as("f3"))
+      desc.join(feats, "media_id")
+        .orderBy($"media_id")
+    }, None),
+
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
       // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the

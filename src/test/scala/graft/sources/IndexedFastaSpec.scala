@@ -91,8 +91,70 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Multimodal.sniffFormat(Array(0x89.toByte, 0x50, 0x4e, 0x47, 0, 0)) == "png")
     assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 1)) == "jpeg")
     assert(Multimodal.sniffFormat("RIFFxxxx".getBytes) == "riff")
+    assert(Multimodal.sniffFormat("RIFFxxxxWAVEfmt ".getBytes) == "wav")
+    assert(Multimodal.sniffFormat("FORMxxxxAIFF".getBytes) == "aiff")
     assert(Multimodal.sniffFormat(Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'm', 'p', '4', '2')) == "mp4")
     assert(Multimodal.sniffFormat(Array[Byte](1, 2, 3)) == "unknown")
+  }
+
+  /** A real WAV: 16-bit mono PCM through javax.sound.sampled. */
+  def realWav(samples: Array[Float], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, 1, 2, sampleRate, false)
+    val raw = new Array[Byte](2 * samples.length)
+    for (i <- samples.indices) {
+      val s = math.max(-32768, math.min(32767, (samples(i) * 32767).round))
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: header info, samples, RMS energy envelope") {
+    // first half silence, second half a full-scale 440 Hz sine
+    val n = 8000
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) 0f
+      else math.sin(2 * math.Pi * 440 * i / 8000).toFloat)
+    val wav = realWav(samples)
+    assert(Multimodal.sniffFormat(wav) == "wav")
+
+    val (rate, decoded) = Multimodal.AudioCodecs.decode(wav).get
+    assert(rate == 8000f && decoded.length == n)
+    assert(math.abs(decoded(n / 4)) < 1e-3) // silent half round-trips
+    // envelope: silent windows ~0, sine windows ~1/sqrt(2)
+    val env = Multimodal.AudioCodecs.features(wav, dim = 8).get
+    assert(env.length == 8)
+    for (w <- 0 until 4) assert(env(w) < 0.01f, s"window $w")
+    for (w <- 4 until 8) assert(math.abs(env(w) - 0.7071f) < 0.02f, s"window $w")
+
+    val info = Multimodal.AudioCodecs.info(wav).get
+    assert(info == ((8000f, 1, n.toLong)))
+  }
+
+  test("audio dispatch: describeAudio metadata and withFeatures envelopes") {
+    import spark.implicits._
+    val wav = realWav(Array.fill(4000)(0.5f))
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    val df = spark.createDataset(Seq((1L, wav), (2L, junk))).toDF("id", "data")
+
+    val desc = Multimodal.describeAudio(df, "id", "data").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(desc(1L).getString(1) == "wav")
+    assert(desc(1L).getDouble(3) == 8000.0 && desc(1L).getInt(4) == 1)
+    assert(math.abs(desc(1L).getDouble(6) - 0.5) < 1e-9) // 4000 frames @ 8 kHz
+    assert(desc(2L).isNullAt(3) && desc(2L).isNullAt(6)) // schema-stable nulls
+
+    // withFeatures routes wav rows through the real audio kernel
+    val feats = Multimodal.withFeatures(df, "id", "data", dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).forall(v => math.abs(v - 0.5f) < 0.01f))
+    assert(feats(2L) == Multimodal.StubCodecs.extractFeatures(junk, 4).toSeq)
   }
 
   test("describe: schema + deterministic metadata over binary columns") {
