@@ -80,34 +80,66 @@ object TextAnalysis {
 
   // ---------------- language identification ----------------
 
-  /** Tiny stopword profiles (public common-word lists). A real deployment
-    * would plug a trained char-n-gram model; the operator shape (score map,
+  /** Stopword profiles (public common-word lists). A real deployment would
+    * plug a trained char-n-gram model; the operator shape (score map,
     * argmax) is what matters at 100 TB. */
   private val stopwords: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
-    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "que", "un", "une"),
-    "es" -> Set("el", "la", "los", "de", "que", "y", "es", "en", "un", "una"),
-    "de" -> Set("der", "die", "das", "und", "ist", "von", "zu", "den", "nicht", "ein"),
-    "zh" -> Set.empty)
+    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "on", "at", "by"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "que", "un",
+      "une", "dans", "pour", "pas", "sur", "avec"),
+    "es" -> Set("el", "la", "los", "de", "que", "y", "es", "en", "un", "una",
+      "del", "las", "por", "con", "para"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "zu", "den",
+      "nicht", "ein", "eine", "mit", "auf", "sich", "auch"),
+    "it" -> Set("il", "di", "che", "e", "la", "per", "non", "sono", "con",
+      "del", "una", "gli", "nel", "anche", "come"),
+    "pt" -> Set("o", "de", "a", "e", "do", "da", "em", "um", "para", "com",
+      "uma", "os", "no", "na", "por"),
+    "nl" -> Set("de", "het", "een", "van", "en", "in", "is", "dat", "op",
+      "te", "zijn", "met", "voor", "niet", "aan"))
 
-  /** CJK-aware heuristic language-ID: CJK codepoint ratio first, stopword
-    * vote otherwise; "und" when no evidence. */
+  /** Script-first heuristic language-ID: when one non-Latin Unicode script
+    * dominates the letters, the script decides (Kana ⇒ ja even among Han —
+    * Japanese mixes scripts); otherwise tokenized stopword vote over the
+    * Latin profiles, tie-broken deterministically; "und" when no evidence. */
   def detectLanguage(text: String): String = {
     if (text.isEmpty) return "und"
-    var cjk = 0
+    // codepoint counts per script bucket
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0
+    var deva = 0; var greek = 0; var hebrew = 0; var thai = 0; var letters = 0
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      val c = text.charAt(i).toInt
+      if (Character.isLetter(c)) {
+        letters += 1
+        if (c >= 0x4e00 && c <= 0x9fff) han += 1
+        else if (c >= 0x3040 && c <= 0x30ff) kana += 1
+        else if (c >= 0xac00 && c <= 0xd7af) hangul += 1
+        else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+        else if (c >= 0x0600 && c <= 0x06ff) arab += 1
+        else if (c >= 0x0900 && c <= 0x097f) deva += 1
+        else if (c >= 0x0370 && c <= 0x03ff) greek += 1
+        else if (c >= 0x0590 && c <= 0x05ff) hebrew += 1
+        else if (c >= 0x0e00 && c <= 0x0e7f) thai += 1
+      }
       i += 1
     }
-    if (cjk * 3 > text.length) return "zh"
+    if (letters > 0) {
+      // Japanese uses Han + Kana; any meaningful Kana presence decides ja
+      if (kana * 10 > letters) return "ja"
+      val dominant = Seq(han -> "zh", hangul -> "ko", cyr -> "ru",
+        arab -> "ar", deva -> "hi", greek -> "el", hebrew -> "he",
+        thai -> "th").maxBy(_._1)
+      if (dominant._1 * 3 > letters) return dominant._2
+    }
     val toks = tokenize(text.toLowerCase)
     if (toks.isEmpty) return "und"
     var best = "und"
     var bestScore = 0
-    for ((lang, words) <- stopwords if words.nonEmpty) {
-      val score = toks.count(words.contains)
+    // sorted iteration + strict > : deterministic lexicographic tie-break
+    for (lang <- stopwords.keys.toSeq.sorted) {
+      val score = toks.count(stopwords(lang).contains)
       if (score > bestScore) { best = lang; bestScore = score }
     }
     best

@@ -238,13 +238,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(winnowingFingerprints(a).toSeq == winnowingFingerprints(a).toSeq)
   }
 
-  test("language detection: stopword and CJK heuristics") {
+  test("language detection: stopword and script heuristics") {
     assert(detectLanguage("the cat sat on the mat and it was happy") == "en")
     assert(detectLanguage("le chat est sur la table et il est content") == "fr")
     assert(detectLanguage("el gato es feliz y la casa es grande") == "es")
     assert(detectLanguage("der Hund ist nicht zu Hause und die Katze") == "de")
-    assert(detectLanguage("你好世界这是中文") == "zh")
+    assert(detectLanguage("il gatto non sono con una casa per anche come") == "it")
+    assert(detectLanguage("o gato do jardim em um dia para com uma casa") == "pt")
+    assert(detectLanguage("het is een dat van de hond op te zijn") == "nl")
     assert(detectLanguage("") == "und")
+    // script-dominant cases
+    assert(detectLanguage("你好世界这是中文") == "zh")
+    assert(detectLanguage("これは日本語の文章です") == "ja") // kana decides ja
+    assert(detectLanguage("日本語テキストです") == "ja") // han + kana mix
+    assert(detectLanguage("안녕하세요 한국어 텍스트입니다") == "ko")
+    assert(detectLanguage("Это русский текст для проверки") == "ru")
+    assert(detectLanguage("هذا نص عربي للاختبار") == "ar")
+    assert(detectLanguage("यह हिंदी में पाठ है") == "hi")
+    assert(detectLanguage("Αυτό είναι ελληνικό κείμενο") == "el")
+    assert(detectLanguage("זהו טקסט בעברית") == "he")
+    assert(detectLanguage("นี่คือข้อความภาษาไทย") == "th")
+    // deterministic: ambiguous Latin text always yields the same answer
+    assert(detectLanguage("de la") == detectLanguage("de la"))
   }
 
   test("token estimate counts words, digit runs, punctuation") {
