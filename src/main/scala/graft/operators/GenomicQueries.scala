@@ -46,6 +46,14 @@ object GenomicQueries {
       .select((col("c_nationkey") + 10).cast("int").as("taxon"),
         dnaCol(col("c_name")).as("dna"), col("c_name"))
 
+  /** (c_custkey, c_nationkey, dna) with the 4-md5 genome derivation computed
+    * ONCE PER CUSTOMER before any fact join — Catalyst does not push partial
+    * expressions through joins, so deriving dna after orders ⋈ customer
+    * would recompute the hashes per ORDER row (10x the rows). */
+  private def customerDna(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), dnaCol(col("c_name")).as("dna"))
+
   val queries: Seq[Q] = Seq(
     // supermer/minimizer extraction over derived DNA
     Q("g01_supermer_spans", (s, dir) => {
@@ -84,11 +92,11 @@ object GenomicQueries {
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val staticRecords = dyn.index.buildRecords(lib)
       val reads = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         // only orders of even nations: half the taxa are absent from the sample
         .filter($"c_nationkey" % 2 === 0)
         .select($"o_orderkey",
-          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
@@ -136,9 +144,9 @@ object GenomicQueries {
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
       val reads = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey", $"o_orderpriority",
-          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String, String)]
         .map { case (ok, pri, read) =>
@@ -159,9 +167,9 @@ object GenomicQueries {
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
       val reads = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
-          substring(dnaCol($"c_name"), (($"o_orderkey" % 60) + 1).cast("int"),
+          substring($"dna", (($"o_orderkey" % 60) + 1).cast("int"),
             lit(56)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
@@ -179,9 +187,9 @@ object GenomicQueries {
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
       val reads = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
-          substring(dnaCol($"c_name"), (($"o_orderkey" % 80) + 1).cast("int"),
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
