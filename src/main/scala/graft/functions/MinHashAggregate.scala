@@ -22,9 +22,11 @@ case class MinHashAggregate(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  @transient private lazy val params: Array[(Long, Long)] =
-    Array.tabulate(numHashes)(i =>
-      (TextAnalysis.mix64(2 * i + 1) | 1L, TextAnalysis.mix64(2 * i + 2)))
+  // flat long arrays: the update loop runs per (row, hash) — no tuple boxing
+  @transient private lazy val paramsA: Array[Long] =
+    Array.tabulate(numHashes)(i => TextAnalysis.mix64(2 * i + 1) | 1L)
+  @transient private lazy val paramsB: Array[Long] =
+    Array.tabulate(numHashes)(i => TextAnalysis.mix64(2 * i + 2))
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -39,7 +41,7 @@ case class MinHashAggregate(
       val s = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        val h = TextAnalysis.mix64(params(i)._1 * s + params(i)._2)
+        val h = TextAnalysis.mix64(paramsA(i) * s + paramsB(i))
         if (h < buffer(i)) buffer(i) = h
         i += 1
       }

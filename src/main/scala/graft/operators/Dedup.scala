@@ -45,22 +45,23 @@ object Dedup {
 
   // ---------------- MinHash ----------------
 
-  /** Deterministic affine permutation parameters for minhashing. */
-  private def hashParams(numHashes: Int): Array[(Long, Long)] =
-    Array.tabulate(numHashes)(i => (mix64(2 * i + 1) | 1L, mix64(2 * i + 2)))
+  /** Deterministic affine permutation parameters for minhashing, as two flat
+    * long arrays (no tuple boxing in the signature hot loop). */
+  private def hashParams(numHashes: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(numHashes)(i => mix64(2 * i + 1) | 1L),
+      Array.tabulate(numHashes)(i => mix64(2 * i + 2)))
 
   /** MinHash signature of a shingle set: sig(i) = min over shingles of
     * mix64(a_i * s + b_i). */
   def minhashSignature(shingleHashes: Array[Long], numHashes: Int): Array[Long] = {
-    val params = hashParams(numHashes)
+    val (pa, pb) = hashParams(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var si = 0
     while (si < shingleHashes.length) {
       val s = shingleHashes(si)
       var i = 0
       while (i < numHashes) {
-        val (a, b) = params(i)
-        val h = mix64(a * s + b)
+        val h = mix64(pa(i) * s + pb(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }
