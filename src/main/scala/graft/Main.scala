@@ -14,7 +14,8 @@ import graft.taxa.Taxonomy
   *             [-c 0.0 | -c 0.0,0.1,0.5] [--min-hit-groups 2]
   *             [--sample-regex re] --output out
   *   classify2 --index idx --library lib.fna --labels l.tsv --reads r.fastq
-  *             [--rank species] [--threshold 100] --output out
+  *             [--rank species] [--threshold 100] [--bracken-read-len 100]
+  *             --output out
   *   bracken   --index idx --library lib.fna --labels l.tsv [--read-len 100]
   *             --output out
   *   compare   --taxonomy dir --classified out --truth mapping.tsv
@@ -216,13 +217,21 @@ object Main {
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
         val dyn = new DynamicClassifier(idx, bcTax)
-        val (classified, selected) = dyn.classify2(
+        val (classified, selected, subLib, dynRecords) = dyn.classify2Full(
           loadReads(spark, opts), loadLibrary(spark, opts), records,
           rank = opts.getOrElse("rank", "species"),
           threshold = opts.getOrElse("threshold", "100").toLong)
         println(s"selected ${selected.size} taxa")
         IndexOps.writePerSampleOutput(classified,
           opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
+        // optional bracken weights against the DYNAMIC sub-index (reference
+        // Dynamic.scala:339-344): tailored to the selected-taxa set
+        for (rl <- opts.get("bracken-read-len")) {
+          val bracken = new Bracken(idx, bcTax)
+          bracken.weightLines(dyn.dynamicWeights(subLib, dynRecords, rl.toInt))
+            .write.option("sep", "\t").mode("overwrite")
+            .csv(opts("output") + "_weights")
+        }
 
       case "bracken" =>
         val idxPath = opts("index")

@@ -98,33 +98,52 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None)
       : (Dataset[ClassifiedRead], collection.BitSet) = {
+    val (classified, taxa, _, _) = classify2Full(reads, library, staticRecords,
+      criterion, rank, threshold, confidence, minHitGroups, goldSet)
+    (classified, taxa)
+  }
+
+  /** [[classify2]] plus the sample-tailored artifacts: the selected
+    * sub-library and the dynamic records (cached), so callers can derive
+    * bracken weights or persist the dynamic index without rebuilding. */
+  def classify2Full(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
+      staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
+      rank: String = "species", threshold: Long = 100,
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      goldSet: Option[Set[Int]] = None)
+      : (Dataset[ClassifiedRead], collection.BitSet,
+        Dataset[(Int, String)], DataFrame) = {
     val spark = reads.sparkSession
     import spark.implicits._
 
     val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val taxa = goldSet match {
-        case Some(g) =>
-          collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
-        case None =>
-          val ev = evidence(spans, staticRecords, criterion)
-            .as[(Int, Long)].collect()
-          selectTaxa(ev, rank, threshold)
-      }
-      val bcTaxa = spark.sparkContext.broadcast(taxa)
-
-      // rebuild restricted to selected taxa: filter BEFORE extraction
-      val subLibrary = library.filter(g => bcTaxa.value.contains(g._1))
-      val dynRecords = index.buildRecords(subLibrary)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups)
-      (result, taxa)
-    } finally {
-      // spans stay cached until the returned dataset is consumed; caller-
-      // driven unpersist would need materialization here, so leave managed
-      // by Spark's LRU.
-      ()
+    val taxa = goldSet match {
+      case Some(g) =>
+        collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
+      case None =>
+        val ev = evidence(spans, staticRecords, criterion)
+          .as[(Int, Long)].collect()
+        selectTaxa(ev, rank, threshold)
     }
+    val bcTaxa = spark.sparkContext.broadcast(taxa)
+
+    // rebuild restricted to selected taxa: filter BEFORE extraction
+    val subLibrary = library.filter(g => bcTaxa.value.contains(g._1))
+    val dynRecords = index.buildRecords(subLibrary)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // spans stay cached until the returned dataset is consumed; caller-
+    // driven unpersist would need materialization here, so leave managed
+    // by Spark's LRU.
+    val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups)
+    (result, taxa, subLibrary, dynRecords)
   }
+
+  /** Bracken weights against the DYNAMIC sub-index (spec: reference
+    * Dynamic.scala:339-344 — weights regenerated per selected-taxa set, not
+    * against the static library): self-classify the sub-library's windows
+    * over the dynamic records. */
+  def dynamicWeights(subLibrary: Dataset[(Int, String)], dynRecords: DataFrame,
+      readLen: Int): DataFrame =
+    new Bracken(index, bcTax).weights(subLibrary, dynRecords, readLen)
 }

@@ -130,9 +130,12 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "--library", dir.resolve("lib.fasta").toString,
       "--labels", dir.resolve("labels.tsv").toString,
       "--reads", dir.resolve("reads.fastq").toString,
-      "--threshold", "10",
+      "--threshold", "10", "--bracken-read-len", "100",
       "--output", out2))
     assert(Files.list(java.nio.file.Paths.get(out2)).toArray.nonEmpty)
+    // dynamic-index bracken weights were written alongside
+    assert(Files.list(java.nio.file.Paths.get(out2 + "_weights")).toArray
+      .map(_.toString).exists(_.endsWith(".csv")))
 
     // bracken weights over the wide index
     val outW = dir.resolve("weights").toString

@@ -214,6 +214,25 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("dynamic bracken weights cover only the selected sub-library") {
+    import spark.implicits._
+    val staticRecords = dyn.index.buildRecords(lib)
+    val (_, selected, subLib, dynRecords) = dyn.classify2Full(
+      spark.createDataset(reads), lib, staticRecords,
+      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    val w = dyn.dynamicWeights(subLib, dynRecords, readLen = 100)
+      .as[(Int, Int, Long)].collect()
+    assert(w.nonEmpty)
+    // sources are exactly the selected genomes; windows tile them fully
+    assert(w.map(_._1).toSet == Set(4, 6))
+    val expectedWindows = Seq(4, 6).map(t => genomes(t).length - 100 + 1).sum
+    assert(w.map(_._3).sum == expectedWindows)
+    // destinations never leave the selected clades (plus NONE/ancestors)
+    for ((src, dest, _) <- w if dest != Taxonomy.NONE)
+      assert(tax.hasAncestor(src, dest) || tax.hasAncestor(dest, src))
+    assert(selected.contains(4) && selected.contains(6))
+  }
+
   test("2-step classification runs width-generically over a wide (m=33) index") {
     import spark.implicits._
     val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
