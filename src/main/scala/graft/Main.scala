@@ -292,8 +292,12 @@ object Main {
         var records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
         for (s <- opts.get("respace"))
           records = IndexOps.respace(records, params, s.toInt, bcTax)
-        IndexOps.minimizersPerTaxon(records)
-          .write.option("sep", "\t").mode("overwrite").csv(opts("output"))
+        // memoize per-taxon counts beside the index unless respaced (counts
+        // of a respaced view differ from the stored index's)
+        val perTaxon =
+          if (opts.contains("respace")) IndexOps.minimizersPerTaxon(records)
+          else IndexOps.minimizersPerTaxonMemo(records, idxPath)
+        perTaxon.write.option("sep", "\t").mode("overwrite").csv(opts("output"))
         IndexOps.depthHistogram(records, bcTax).show(50)
 
       case other =>

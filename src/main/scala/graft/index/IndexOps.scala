@@ -17,6 +17,20 @@ object IndexOps {
     records.groupBy(col("taxon"))
       .agg(count(lit(1)).cast("long").as("n_minimizers"))
 
+  /** [[minimizersPerTaxon]] with on-disk memoization beside the index
+    * (spec: reference KeyValueIndex.scala:220-234 — the counts scan over a
+    * multi-TB index is worth computing once): the first call writes
+    * `<indexPath>/_taxon_counts`, later calls read it back. */
+  def minimizersPerTaxonMemo(records: DataFrame, indexPath: String): DataFrame = {
+    val spark = records.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexPath, "_taxon_counts")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      minimizersPerTaxon(records).coalesce(1)
+        .write.mode("overwrite").parquet(path.toString)
+    spark.read.parquet(path.toString)
+  }
+
   /** Taxonomic-depth histogram of index records (spec: A10). The depth
     * lookup is a broadcast-array access wrapped as a UDF (2-3M entries —
     * far too big for a literal CASE, too small to justify a join). */

@@ -297,6 +297,23 @@ class IndexOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert((r.getLong(0) & ~mask) == 0L)
   }
 
+  test("per-taxon counts memoize to disk and read back unchanged") {
+    import spark.implicits._
+    val records = index.makeRecords(lib)
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    val direct = IndexOps.minimizersPerTaxon(records)
+      .as[(Int, Long)].collect().toMap
+    val first = IndexOps.minimizersPerTaxonMemo(records, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(first == direct)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_taxon_counts")))
+    // second call must serve the memo even if the records change underneath
+    val again = IndexOps.minimizersPerTaxonMemo(records.limit(1), dir)
+      .as[(Int, Long)].collect().toMap
+    assert(again == direct)
+  }
+
   test("missingGenomes is empty when every genome contributed") {
     val records = index.makeRecords(lib)
     assert(IndexOps.missingGenomes(index, lib, records).count() == 0)
