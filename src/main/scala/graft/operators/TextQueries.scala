@@ -115,6 +115,47 @@ object TextQueries {
     }, Some(
       """SELECT word, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin))
+        |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin)),
+
+    // ---- stable split assignment: deterministic id arithmetic gives every
+    // doc a reproducible train/val/test slot — the curation op behind
+    // leakage-free dataset splits (never random() at corpus scale) ----
+    Q("t16_stable_split", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("split",
+          when($"doc_id" % 10 === 0, "test")
+            .when($"doc_id" % 10 === 1, "val")
+            .otherwise("train"))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"))
+        .orderBy($"split", $"source")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 10 = 0 THEN 'test'
+        |            WHEN doc_id % 10 = 1 THEN 'val'
+        |            ELSE 'train' END AS split,
+        | source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- per-source quota: keep the k largest docs per source (domain
+    // balancing — a window rank, one shuffle on source, deterministic
+    // doc_id tiebreak) ----
+    Q("t17_source_quota", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
+        .orderBy($"source", $"rk")
+    }, Some(
+      """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
   )
 }
