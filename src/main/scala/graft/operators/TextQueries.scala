@@ -156,6 +156,29 @@ object TextQueries {
         |  SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents)
-        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // ---- benchmark decontamination: flag docs containing any probe n-gram
+    // (substring screen against a small eval-set sample — the blocklist
+    // broadcasts; the scan stays a narrow map over the corpus) ----
+    Q("t18_decontaminate", (s, dir) => {
+      import s.implicits._
+      val probes = Seq("order data column", "stream fast order",
+        "small line customer")
+      t(s, dir, "documents")
+        .select($"doc_id", explode(array(probes.map(lit): _*)).as("probe"),
+          $"text")
+        .filter($"text".contains($"probe"))
+        .groupBy($"probe")
+        .agg(count(lit(1)).cast("long").as("n_contaminated"),
+          min($"doc_id").cast("long").as("first_doc"))
+        .orderBy($"probe")
+    }, Some(
+      """SELECT p AS probe, CAST(count(*) AS BIGINT) AS n_contaminated,
+        | CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents, unnest(['order data column', 'stream fast order',
+        |  'small line customer']) AS t(p)
+        |WHERE contains(text, p)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
