@@ -57,6 +57,51 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("random paired-end reads: narrow and wide KeyedIndex paths agree") {
+    for (seed <- Seq(404, 505)) {
+      val rng = new Random(seed)
+      val tax = randomTaxonomy(rng, 12 + rng.nextInt(12))
+      val leaves = (2 until tax.size).filter(t => tax.children(t).isEmpty)
+      val genomeTaxa = rng.shuffle(leaves).take(math.min(4, leaves.size))
+      def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+      val genomes = genomeTaxa.map(t => t -> dna(2500)).toMap
+
+      import spark.implicits._
+      val bcTax = spark.sparkContext.broadcast(tax)
+      // spaces=0 so narrow and wide differ ONLY in minimizer width
+      val narrow: KeyedIndex = new MinimizerIndex(
+        IndexParams(k = 45, m = 31, spaces = 0, buckets = 4), bcTax)
+      val wide: KeyedIndex = new WideMinimizerIndex(k = 45, m = 33, bcTax)
+      val lib = spark.createDataset(genomes.toSeq)
+
+      // paired-end: two mates from the same genome (mate border protocol)
+      val reads = (0 until 60).map { i =>
+        val t = genomeTaxa(rng.nextInt(genomeTaxa.size))
+        val g = genomes(t)
+        val s1 = rng.nextInt(g.length - 150)
+        val s2 = rng.nextInt(g.length - 150)
+        InputFragment(s"pe$i|src=$t", 0L, g.substring(s1, s1 + 150),
+          Some(g.substring(s2, s2 + 150)))
+      }
+      val ds = spark.createDataset(reads)
+
+      val byWidth = Seq(narrow, wide).map { idx =>
+        val recs = idx.buildRecords(lib)
+        val cls = idx.classifyDF(idx.spansDF(ds), recs).collect()
+        assert(cls.length == 60, s"seed $seed")
+        for (c <- cls if c.classified) {
+          val src = c.title.split("src=")(1).toInt
+          assert(tax.hasAncestor(src, c.taxon), s"seed $seed ${c.title}")
+        }
+        assert(cls.count(_.classified) > 50, s"seed $seed")
+        cls.map(c => c.title -> c.taxon).toMap
+      }
+      // distinct random genomes: widths must agree on nearly every read
+      val agree = byWidth(0).count { case (t, x) => byWidth(1)(t) == x }
+      assert(agree >= 54, s"seed $seed: only $agree/60 agree across widths")
+    }
+  }
+
   test("respaced index + respaced spans classify consistently") {
     val rng = new Random(71)
     def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
