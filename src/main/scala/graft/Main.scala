@@ -127,9 +127,10 @@ object Main {
         // --salt N: two-stage LCA fold for skewed (low-complexity) libraries
         val salt = opts.getOrElse("salt", "0").toInt
         if (m > 32) {
-          // wide-minimizer path: two-long keys, no spaced seed
+          // wide-minimizer path: two-long keys, no spaced seed; built from
+          // the 2-bit packed library like the narrow path
           val index = new WideMinimizerIndex(k, m, bcTax)
-          val records = index.makeRecords(loadLibrary(spark, opts), salt)
+          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k), salt)
           index.writeRecords(records, opts("output"), buckets)
           println(s"index written (wide m=$m): " +
             s"${index.loadRecords(spark, opts("output"), buckets).count()} records")

@@ -74,7 +74,6 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     val sc = scanner
     val kk = k
     val tax = bcTax
-    val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
     val pairs = library.flatMap { case (taxon, seq) =>
       // same validity gate as the narrow build: undefined label taxa
       // contribute no records (no silent ROOT lift)
@@ -84,6 +83,32 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
         else sc.scan(run.seq).map(sm => (sm.minHi, sm.minLo, taxon))
       }
     }.toDF("id1", "id2", "taxon")
+    foldRecords(pairs, saltBuckets)
+  }
+
+  /** [[makeRecords]] over a 2-bit packed library (see
+    * [[MinimizerIndex.packLibrary]]): identical records, but the scan reads
+    * the packed bytes through a zero-copy view — genome payloads move at
+    * 2 bits/base wherever the library shuffles. */
+  def makeRecordsPacked(library: Dataset[(Int, Array[Byte], Int)],
+      saltBuckets: Int = 0): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val sc = scanner
+    val tax = bcTax
+    val pairs = library.flatMap { case (taxon, packed, len) =>
+      if (!tax.value.isDefined(taxon)) Iterator.empty
+      else sc.scan(new graft.kmers.Dna.Packed(packed, len))
+        .map(sm => (sm.minHi, sm.minLo, taxon))
+    }.toDF("id1", "id2", "taxon")
+    foldRecords(pairs, saltBuckets)
+  }
+
+  /** The two-long LCA fold, optionally two-stage salted. */
+  private def foldRecords(pairs: DataFrame, saltBuckets: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
     if (saltBuckets <= 0)
       pairs.groupBy($"id1", $"id2").agg(lcaAgg($"taxon").as("taxon"))
     else

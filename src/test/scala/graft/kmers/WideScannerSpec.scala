@@ -112,6 +112,28 @@ class WideIndexSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {
     assert(classified > 90)
   }
 
+  test("wide packed build equals the string build (salted too)") {
+    import spark.implicits._
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val index = new WideMinimizerIndex(k = 45, m = 36, bcTax)
+    val genomes = Map(4 -> dna(2000),
+      5 -> (dna(800) + "NNN" + dna(800))) // ambiguity split before packing
+    val lib = spark.createDataset(genomes.toSeq)
+    val packed = lib.flatMap { case (t, seq) =>
+      graft.kmers.SupermerScanner.splitByAmbiguity(seq).collect {
+        case run if run.valid && run.seq.length >= 45 =>
+          (t, graft.kmers.Dna.pack2bit(run.seq), run.seq.length)
+      }
+    }
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    val viaString = toSet(index.makeRecords(lib))
+    assert(toSet(index.makeRecordsPacked(packed)) == viaString)
+    assert(toSet(index.makeRecordsPacked(packed, saltBuckets = 5)) == viaString)
+  }
+
   test("wide per-read classify carries hit strings, ordinals and confidence") {
     import spark.implicits._
     val tax = Taxonomy.fromTuples(Seq(
