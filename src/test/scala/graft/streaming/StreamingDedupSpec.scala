@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSessionTestWrapper
+import java.sql.Timestamp
+
+class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  def ts(sec: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:00:${sec}%02d")
+
+  test("streaming exact dedup keeps first arrival within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dedupExact(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts",
+      watermark = "10 minutes")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(Seq(
+        (ts(0), 1L, "alpha beta"),
+        (ts(1), 2L, "alpha beta"), // dup in-batch
+        (ts(2), 3L, "gamma delta")))
+      query.processAllAvailable()
+      stream.addData(Seq(
+        (ts(3), 4L, "alpha beta"), // dup across batches, inside watermark
+        (ts(4), 5L, "epsilon")))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.contains(5L))
+      assert(ids.intersect(Set(2L, 4L)).isEmpty) // duplicates dropped
+      assert(ids.size == 3) // exactly one survivor of the alpha-beta trio
+    } finally query.stop()
+  }
+
+  test("streaming quality gate agrees with the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.qualityFilter(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", minTokens = 3)
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("quality_out").start()
+    try {
+      stream.addData(Seq(
+        (ts(0), 1L, "good document with several proper words"),
+        (ts(1), 2L, "no"), // too few tokens
+        (ts(2), 3L, "1 2 3 4 5 6 7 8 9 0 , . ! ?"))) // low alpha ratio
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM quality_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally query.stop()
+  }
+
+  test("windowed per-source ingest stats close with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val out = StreamingDedup.sourceWindowStats(
+      stream.toDS().toDF("ts", "source", "text"), "source", "text", "ts",
+      windowLen = "1 minute", watermark = "2 minutes")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("source_stats").start()
+    try {
+      stream.addData(Seq(
+        (ts(0), "srcA", "aaaa"), (ts(5), "srcA", "bb"), (ts(10), "srcB", "c")))
+      query.processAllAvailable()
+      // advance event time past watermark + window to emit the first window
+      stream.addData(Seq(
+        (Timestamp.valueOf("2026-01-01 10:05:00"), "srcA", "zz")))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT source, n_docs, n_chars FROM source_stats")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("srcA") == ((2L, 6L)))
+      assert(rows("srcB") == ((1L, 1L)))
+    } finally query.stop()
+  }
+}
