@@ -181,11 +181,18 @@ object Main {
           val wide = new WideMinimizerIndex(params.k, params.m, bcTax)
           val records = wide.loadRecords(spark, idxPath, params.buckets)
           val spans = wide.spans(loadReads(spark, opts))
-          for (conf <- confs) {
-            if (confs.length > 1) println(s"== confidence $conf ==")
-            emit(wide.classify(spans, records, conf, minHitGroups),
-              if (confs.length > 1) s"${opts("output")}/c$conf" else opts("output"))
-          }
+          if (confs.length > 1)
+            // one join+regroup for the whole sweep, same as the narrow path
+            wide.classifyMultiThresholdDF(spans.toDF(), records, confs,
+                minHitGroups) { results =>
+              for ((conf, ds) <- results) {
+                println(s"== confidence $conf ==")
+                emit(ds, s"${opts("output")}/c$conf")
+              }
+            }
+          else
+            emit(wide.classify(spans, records, confs.head, minHitGroups),
+              opts("output"))
         } else {
           val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
           val spans = index.spans(loadReads(spark, opts))

@@ -45,6 +45,22 @@ trait KeyedIndex extends Serializable {
   def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]
 
+  /** Classify at several confidence thresholds computing the expensive
+    * join+regroup ONCE (spec: R4 sweep, reference Classifier.scala:156-170).
+    * Loan pattern: the cached hit dataset is unpersisted on the way out.
+    * Width-generic — the join runs on [[keyCols]]. */
+  def classifyMultiThresholdDF[T](spans: DataFrame, records: DataFrame,
+      confidences: Seq[Double], minHitGroups: Int = 2)
+      (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
+    val grouped = ClassifyKernel.group(spans.join(records, keyCols, "left"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(confidences.map { conf =>
+      conf -> ClassifyKernel.resolve(grouped, taxonomyOf, conf, minHitGroups,
+        detail = false)
+    })
+    finally grouped.unpersist(blocking = false)
+  }
+
   /** (ts, key cols..., kmers) per span of time-stamped reads — the input of
     * watermarked streaming abundance windows. */
   def timedSpanMass(reads: Dataset[(java.sql.Timestamp, InputFragment)]): DataFrame

@@ -177,6 +177,33 @@ class WideIndexSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {
     assert(hard.count(_.classified) < loose.count(_.classified))
   }
 
+  test("wide multi-threshold sweep equals per-threshold classification") {
+    import spark.implicits._
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val index = new WideMinimizerIndex(k = 45, m = 33, bcTax)
+    val genomes = Map(4 -> dna(2500), 5 -> dna(2500))
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+    val reads = (0 until 40).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 140)
+      InputFragment(s"mt$i|src=$t", 0L, g.substring(s, s + 140), None)
+    }
+    val spans = index.spans(spark.createDataset(reads)).cache()
+    index.classifyMultiThresholdDF(spans.toDF(), records,
+        Seq(0.0, 0.9), minHitGroups = 1) { results =>
+      assert(results.map(_._1) == Seq(0.0, 0.9))
+      for ((conf, swept) <- results) {
+        val single = index.classify(spans, records, conf, minHitGroups = 1)
+          .collect().map(c => c.title -> c.taxon).toMap
+        assert(swept.collect().map(c => c.title -> c.taxon).toMap == single,
+          s"conf $conf")
+      }
+    }
+  }
+
   test("wide paired-end reads use the mate-pair border protocol") {
     import spark.implicits._
     val tax = Taxonomy.fromTuples(Seq(
