@@ -120,19 +120,21 @@ object IndexOps {
 
   /** Index-to-index comparison: how did each minimizer's LCA migrate between
     * two indexes (e.g. before/after a respace or a dynamic rebuild)?
-    * Null-safe full outer join on the key; counts per (depth delta) bucket
+    * Null-safe full outer join on the key (any width — pass the index's
+    * [[KeyedIndex.keyCols]]); counts per (depth delta) bucket
     * (spec: J7, analysis/MinimizerMigration.scala:44-71). */
   def compareIndexes(a: DataFrame, b: DataFrame,
-      bcTax: Broadcast[Taxonomy]): DataFrame = {
+      bcTax: Broadcast[Taxonomy], keyCols: Seq[String] = Seq("id1")): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val depthUdf = udf((t: Int) => {
       val tax = bcTax.value
       if (t > 0 && t < tax.size && tax.isDefined(t)) tax.depths(t) else -1
     })
-    val left = a.select(col("id1").as("id1"), col("taxon").as("taxon_a"))
-    val right = b.select(col("id1").as("id1"), col("taxon").as("taxon_b"))
-    left.join(right, left("id1") <=> right("id1"), "full_outer")
+    val left = a.select(keyCols.map(col) :+ col("taxon").as("taxon_a"): _*)
+    val right = b.select(keyCols.map(col) :+ col("taxon").as("taxon_b"): _*)
+    left.join(right,
+        keyCols.map(kc => left(kc) <=> right(kc)).reduce(_ && _), "full_outer")
       .select(
         coalesce(col("taxon_a"), lit(Taxonomy.NONE)).as("taxon_a"),
         coalesce(col("taxon_b"), lit(Taxonomy.NONE)).as("taxon_b"))

@@ -92,6 +92,18 @@ class IndexCompareSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {
     assert(got(3) == 1)
   }
 
+  test("index comparison runs on two-long wide keys") {
+    import spark.implicits._
+    val a = Seq((1L, 9L, 4), (2L, 0L, 4), (2L, 1L, 5)).toDF("id1", "id2", "taxon")
+    val b = Seq((1L, 9L, 4), (2L, 0L, 2), (9L, 9L, 5)).toDF("id1", "id2", "taxon")
+    val got = IndexOps.compareIndexes(a, b, bcTax, Seq("id1", "id2")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(0) == 1)  // (1,9) unchanged
+    assert(got(-1) == 1) // (2,0) lifted species -> genus
+    assert(got(-3) == 1) // (2,1) only in a
+    assert(got(3) == 1)  // (9,9) only in b
+  }
+
   test("coverage summary emits the standard statistics rows") {
     import spark.implicits._
     val recs = Seq((1L, 4), (2L, 4), (3L, 5)).toDF("id1", "taxon")
