@@ -297,9 +297,16 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        var records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
-        for (s <- opts.get("respace"))
+        // taxon-side statistics are width-agnostic; only respace is narrow
+        var records =
+          if (params.m > 32)
+            new WideMinimizerIndex(params.k, params.m, bcTax)
+              .loadRecords(spark, idxPath, params.buckets)
+          else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+        for (s <- opts.get("respace")) {
+          require(params.m <= 32, "respace applies to narrow (m<=32) indexes")
           records = IndexOps.respace(records, params, s.toInt, bcTax)
+        }
         // memoize per-taxon counts beside the index unless respaced (counts
         // of a respaced view differ from the stored index's)
         val perTaxon =

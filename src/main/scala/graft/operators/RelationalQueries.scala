@@ -589,6 +589,33 @@ object RelationalQueries {
         | CAST(sum(a.l_quantity * b.l_quantity) AS DOUBLE) AS sum_qq
         |FROM lineitem a JOIN lineitem b
         |ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber - 1""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- pivot: long->wide reshaping with a FIXED value list (a bounded
+    // pivot is a single pass of conditional aggregation — never pivot on an
+    // unbounded column at scale) ----
+    Q("q34_pivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(year($"o_orderdate").cast("long").as("yr"), $"o_orderpriority")
+        .groupBy($"yr")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "p_urgent")
+        .withColumnRenamed("2-HIGH", "p_high")
+        .withColumnRenamed("3-MEDIUM", "p_medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "p_notspec")
+        .withColumnRenamed("5-LOW", "p_low")
+        .orderBy($"yr")
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+        | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -137,6 +137,14 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Files.list(java.nio.file.Paths.get(out2 + "_weights")).toArray
       .map(_.toString).exists(_.endsWith(".csv")))
 
+    // width-agnostic stats over the wide index
+    val statsOut = dir.resolve("stats").toString
+    Main.main(Array("stats", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", statsOut))
+    assert(Files.list(java.nio.file.Paths.get(statsOut)).toArray
+      .map(_.toString).exists(_.endsWith(".csv")))
+
     // bracken weights over the wide index
     val outW = dir.resolve("weights").toString
     Main.main(Array("bracken", "--index", idx,
