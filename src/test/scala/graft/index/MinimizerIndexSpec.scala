@@ -225,6 +225,28 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classified.head.hits.contains("A:"))
   }
 
+  test("degenerate inputs: empty library, sub-k reads, N-only reads") {
+    import spark.implicits._
+    // empty library -> zero records, classification still runs (all U)
+    val emptyRecords = index.makeRecords(
+      spark.createDataset(Seq.empty[(Int, String)]))
+    assert(emptyRecords.count() == 0)
+    val reads = Seq(
+      InputFragment("short", 0L, "ACGT", None), // < k: no spans at all
+      InputFragment("ns", 0L, "N" * 80, None), // ambiguous-only
+      InputFragment("normal", 0L, genomes(4).substring(0, 120), None))
+    val ds = spark.createDataset(reads)
+    val vsEmpty = index.classify(index.spans(ds), emptyRecords).collect()
+    // sub-k fragments produce no spans -> absent from output; the rest are U
+    assert(vsEmpty.map(_.title).toSet == Set("ns", "normal"))
+    assert(vsEmpty.forall(!_.classified))
+    // against the real index, the N-only read stays unclassified, the
+    // normal read classifies, the short read still yields no row
+    val vsReal = index.classify(index.spans(ds), records).collect()
+      .map(c => c.title -> c.classified).toMap
+    assert(vsReal == Map("ns" -> false, "normal" -> true))
+  }
+
   test("bucketed write + DDL reload roundtrip preserves records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/index"
