@@ -182,9 +182,10 @@ object Main {
           val records = wide.loadRecords(spark, idxPath, params.buckets)
           val spans = wide.spans(loadReads(spark, opts))
           if (confs.length > 1)
-            // one join+regroup for the whole sweep, same as the narrow path
+            // one join+regroup for the whole sweep, same as the narrow path;
+            // detail=true: per-read output needs the hit strings
             wide.classifyMultiThresholdDF(spans.toDF(), records, confs,
-                minHitGroups) { results =>
+                minHitGroups, detail = true) { results =>
               for ((conf, ds) <- results) {
                 println(s"== confidence $conf ==")
                 emit(ds, s"${opts("output")}/c$conf")
@@ -197,8 +198,10 @@ object Main {
           val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
           val spans = index.spans(loadReads(spark, opts))
           if (confs.length > 1)
-            // one join+regroup for the whole sweep (cached hit dataset)
-            index.classifyMultiThreshold(spans, records, confs, minHitGroups) {
+            // one join+regroup for the whole sweep (cached hit dataset);
+            // detail=true: per-read output needs the hit strings
+            index.classifyMultiThreshold(spans, records, confs, minHitGroups,
+                detail = true) {
               results =>
                 for ((conf, ds) <- results) {
                   println(s"== confidence $conf ==")

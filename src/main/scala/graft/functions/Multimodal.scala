@@ -31,6 +31,7 @@ object Multimodal {
     else if (hasPrefix(0x89, 0x50, 0x4e, 0x47)) "png"
     else if (hasPrefix(0xff, 0xd8, 0xff)) "jpeg"
     else if (hasPrefix(0x47, 0x49, 0x46, 0x38)) "gif"
+    else if (hasPrefix(0x42, 0x4d)) "bmp"
     else if (hasPrefix(0x52, 0x49, 0x46, 0x46)) // RIFF container: wav/avi/webp
       if (tagAt(8, "WAVE")) "wav" else "riff"
     else if (hasPrefix(0x46, 0x4f, 0x52, 0x4d) && tagAt(8, "AIFF")) "aiff"
@@ -201,7 +202,7 @@ object Multimodal {
     }
   }
 
-  private val imageFormats = Set("png", "jpeg", "gif")
+  private val imageFormats = Set("png", "jpeg", "gif", "bmp")
   private val audioFormats = Set("wav", "aiff", "au")
 
   /** Media schema: (media_id, bytes, format, n_bytes, width, height).
@@ -237,15 +238,17 @@ object Multimodal {
       else base
     balanced.as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition kernel: imageio for decodable images (grid pooling
-        // to `dim` floats needs a square-ish grid), javax.sound energy
-        // envelopes for PCM audio, byte-profile stub for everything else
-        val grid = math.max(1, math.sqrt(dim).toInt)
+        // per-partition kernel: imageio for decodable images (grid pooling,
+        // grid chosen so gridW*gridH >= dim and copyOf TRUNCATES — every
+        // kept position is a real cell, never zero padding), javax.sound
+        // energy envelopes for PCM audio, byte-profile stub otherwise
+        val gridW = math.max(1, math.ceil(math.sqrt(dim)).toInt)
+        val gridH = math.max(1, math.ceil(dim.toDouble / gridW).toInt)
         it.map { case (id, bytes) =>
           val fmt = sniffFormat(bytes)
           val real =
             if (imageFormats(fmt))
-              ImageCodecs.features(bytes, grid, grid)
+              ImageCodecs.features(bytes, gridW, gridH)
                 .map(f => java.util.Arrays.copyOf(f, dim))
             else if (audioFormats(fmt)) AudioCodecs.features(bytes, dim)
             else None

@@ -126,8 +126,10 @@ object TextAnalysis {
       i += 1
     }
     if (letters > 0) {
-      // Japanese uses Han + Kana; any meaningful Kana presence decides ja
-      if (kana * 10 > letters) return "ja"
+      // Japanese uses Han + Kana; meaningful Kana presence decides ja — the
+      // absolute floor keeps one stray kana (an emoticon in Latin text)
+      // from hijacking the vote
+      if (kana >= 2 && kana * 10 > letters) return "ja"
       val dominant = Seq(han -> "zh", hangul -> "ko", cyr -> "ru",
         arab -> "ar", deva -> "hi", greek -> "el", hebrew -> "he",
         thai -> "th").maxBy(_._1)

@@ -25,7 +25,10 @@ object IndexOps {
     val spark = records.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexPath, "_taxon_counts")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
+    // a crashed first run leaves a directory without _SUCCESS — recompute
+    // (overwrite) rather than serving a truncated memo forever
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!complete)
       minimizersPerTaxon(records).coalesce(1)
         .write.mode("overwrite").parquet(path.toString)
     spark.read.parquet(path.toString)

@@ -50,13 +50,13 @@ trait KeyedIndex extends Serializable {
     * Loan pattern: the cached hit dataset is unpersisted on the way out.
     * Width-generic — the join runs on [[keyCols]]. */
   def classifyMultiThresholdDF[T](spans: DataFrame, records: DataFrame,
-      confidences: Seq[Double], minHitGroups: Int = 2)
+      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = false)
       (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
     val grouped = ClassifyKernel.group(spans.join(records, keyCols, "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try use(confidences.map { conf =>
       conf -> ClassifyKernel.resolve(grouped, taxonomyOf, conf, minHitGroups,
-        detail = false)
+        detail)
     })
     finally grouped.unpersist(blocking = false)
   }

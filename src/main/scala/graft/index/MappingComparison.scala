@@ -13,11 +13,18 @@ import graft.taxa.Taxonomy
 object MappingComparison {
 
   /** Read a Kraken-format output file back as (title, taxon)
-    * (spec: Classifier.scala:41-44 line format). */
-  def readKrakenOutput(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").csv(path)
+    * (spec: Classifier.scala:41-44 line format). Accepts both a single
+    * sample directory and the partitioned root that `classify` writes
+    * (partition discovery appends the `sample` column AFTER the five data
+    * columns — keep the first five). Malformed lines (non-numeric taxon)
+    * are dropped rather than poisoning downstream tree walks. */
+  def readKrakenOutput(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("sep", "\t").csv(path)
+    raw.select(raw.columns.take(5).map(col): _*)
       .toDF("flag", "title", "taxon", "length", "hits")
       .select(col("title"), col("taxon").cast("int"))
+      .filter(col("taxon").isNotNull)
+  }
 
   /** Per-read categories at a rank: TP (same rank ancestor), VP (ancestor
     * above rank — vague positive), FP (wrong), FN (unclassified but mapped). */
@@ -28,7 +35,11 @@ object MappingComparison {
     val rc = Taxonomy.rankCode(rank)
     val catUdf = udf((got: Int, expected: Int) => {
       val tax = bcTax.value
+      // ids come from user files and may reference a larger taxonomy than
+      // the one loaded (stale/foreign taxids) — gate before any array walk
+      def valid(t: Int) = t > 0 && t < tax.size && tax.isDefined(t)
       if (got == Taxonomy.NONE) "FN"
+      else if (!valid(got) || !valid(expected)) "NA"
       else {
         val gotAtRank = tax.ancestorAtRank(got, rc)
         val expAtRank = tax.ancestorAtRank(expected, rc)
@@ -74,7 +85,8 @@ object MappingComparison {
     val tax = bcTax.value
     val rc = Taxonomy.rankCode(rank)
     def atRank(ts: Seq[Int]): Set[Int] =
-      ts.map(t => tax.ancestorAtRank(t, rc)).filter(_ != Taxonomy.NONE).toSet
+      ts.filter(t => t > 0 && t < tax.size && tax.isDefined(t))
+        .map(t => tax.ancestorAtRank(t, rc)).filter(_ != Taxonomy.NONE).toSet
     val detectedCounts = classified.filter(_.classified)
       .groupBy($"taxon").agg(count(lit(1)).as("n"))
       .filter($"n" >= minReads)

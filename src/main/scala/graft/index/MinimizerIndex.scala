@@ -76,8 +76,12 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
 
   override def kOf: Int = params.k
 
+  // one scanner per deserialized index instance (per task), not per call:
+  // scanKeyed runs once per ambiguity run inside per-fragment hot loops
+  @transient private lazy val sharedScanner = params.scanner
+
   override def scanKeyed(segment: CharSequence): Iterator[KeyedSupermer] =
-    params.scanner.scan(segment)
+    sharedScanner.scan(segment)
       .map(sm => KeyedSupermer(sm.minimizer, 0L, sm.start, sm.kmers))
 
   override def spansDF(reads: Dataset[InputFragment]): DataFrame =
@@ -262,13 +266,12 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     * Loan pattern: the cached hit dataset lives exactly as long as `use`
     * runs — it is unpersisted on the way out, so sweeps cannot leak cache. */
   def classifyMultiThreshold[T](spans: Dataset[OrdinalSpan], records: DataFrame,
-      confidences: Seq[Double], minHitGroups: Int = 2)
+      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = false)
       (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
     val grouped = ClassifyKernel.group(spans.join(records, Seq("id1"), "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try use(confidences.map { conf =>
-      conf -> ClassifyKernel.resolve(grouped, bcTax, conf, minHitGroups,
-        detail = false)
+      conf -> ClassifyKernel.resolve(grouped, bcTax, conf, minHitGroups, detail)
     })
     finally grouped.unpersist(blocking = false)
   }

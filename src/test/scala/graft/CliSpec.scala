@@ -72,20 +72,36 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Files.exists(java.nio.file.Paths.get(s"$out/c0.0_reports",
       "S0.kreport.txt")))
 
-    // compare: read back one threshold's S0 output vs truth at species rank
+    // compare: read back one threshold's PARTITIONED output root (the
+    // documented flow — partition discovery appends a `sample` column that
+    // readKrakenOutput must ignore) vs truth at species rank
     Main.main(Array("compare",
       "--taxonomy", dir.resolve("tax").toString,
-      "--classified", s"$out/c0.0/sample=S0",
+      "--classified", s"$out/c0.0",
       "--truth", dir.resolve("truth.tsv").toString,
       "--rank", "species",
       "--output", dir.resolve("cmp").toString))
     val cmpFiles = Files.list(dir.resolve("cmp")).toArray.map(_.toString)
     assert(cmpFiles.exists(_.contains("part-")))
-    // clean reads from distinct random genomes: every S0 read classifies TP
+    // clean reads from distinct random genomes: every read classifies TP,
+    // and BOTH samples came through the partitioned read (40 reads total)
     val cats = cmpFiles.filter(_.endsWith(".csv"))
       .flatMap(f => scala.jdk.CollectionConverters
         .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
-    assert(cats.nonEmpty && cats.forall(_.endsWith("\tTP")))
+    assert(cats.length == 40)
+    assert(cats.forall(_.endsWith("\tTP")))
+    // the sweep wrote REAL hit-detail strings (column 5 non-empty), not the
+    // detail-free internal sweep representation
+    val krakenLines = Files.list(java.nio.file.Paths.get(s"$out/c0.0/sample=S0"))
+      .toArray.map(_.toString).filter(_.endsWith(".gz"))
+      .flatMap { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
+        try scala.io.Source.fromInputStream(in).getLines().toVector
+        finally in.close()
+      }
+    assert(krakenLines.nonEmpty)
+    assert(krakenLines.forall(_.split("\t", -1)(4).nonEmpty))
   }
 
   test("CLI: wide (m=33) salted build -> classify2 -> bracken") {

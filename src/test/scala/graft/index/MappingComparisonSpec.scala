@@ -35,6 +35,20 @@ class MappingComparisonSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cats("r5") == "FP") // sibling species
   }
 
+  test("foreign/stale taxon ids categorize as NA instead of crashing") {
+    // taxid 2000000 is outside this taxonomy's array; 3 is defined but a
+    // truth entry of 0 (NONE) is not a valid expectation
+    val c = classified(("r1", 2000000), ("r2", 4), ("r3", 4))
+    val t = truth(("r1", 4), ("r2", 2000000), ("r3", 4))
+    val cats = MappingComparison.categorize(c, t, bcTax, "species")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(cats("r1") == "NA" && cats("r2") == "NA" && cats("r3") == "TP")
+    // taxon metrics likewise skip foreign ids rather than walking off the array
+    val (_, _, det, tru) = MappingComparison.taxonMetrics(
+      c, t, bcTax, "species", minReads = 1)
+    assert(det == Set(4) && tru == Set(4))
+  }
+
   test("read metrics: ppv and sensitivity") {
     val c = classified(("r1", 4), ("r2", 4), ("r3", 5), ("r4", 0))
     val t = truth(("r1", 4), ("r2", 4), ("r3", 4), ("r4", 4))

@@ -260,6 +260,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(detectLanguage("นี่คือข้อความภาษาไทย") == "th")
     // deterministic: ambiguous Latin text always yields the same answer
     assert(detectLanguage("de la") == detectLanguage("de la"))
+    // one stray kana (emoticon) must not hijack Latin text
+    assert(detectLanguage("the cat sat on the mat ツ") == "en")
   }
 
   test("token estimate counts words, digit runs, punctuation") {

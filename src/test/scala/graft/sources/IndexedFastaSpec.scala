@@ -212,6 +212,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Multimodal.ImageCodecs.dims(small).contains((10, 6)))
   }
 
+  test("non-square feature dim keeps every position a real grid cell") {
+    import spark.implicits._
+    val png = realPng(32, 32) // gradient: no region is pure black
+    val df = spark.createDataset(Seq((1L, png))).toDF("id", "data")
+    val f = Multimodal.withFeatures(df, "id", "data", dim = 8)
+      .collect().head.getSeq[Float](1)
+    assert(f.length == 8)
+    // gridW=3, gridH=3 -> 9 real cells truncated to 8; a zero tail would
+    // mean padding (the gradient image has no fully-black cells)
+    assert(f.count(_ > 0f) == 8)
+  }
+
+  test("BMP sniffs as an image and decodes through imageio") {
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 3, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(Multimodal.sniffFormat(bmp) == "bmp")
+    assert(Multimodal.ImageCodecs.dims(bmp).contains((10, 6)))
+  }
+
   test("undecodable bytes with an image magic fall back to the stub") {
     val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
       Array.fill(64)(7.toByte)
