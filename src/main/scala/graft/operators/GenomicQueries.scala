@@ -177,7 +177,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None),
+    }, None, bench = true),
 
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {

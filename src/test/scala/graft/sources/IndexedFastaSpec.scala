@@ -137,6 +137,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(info == ((8000f, 1, n.toLong)))
   }
 
+  test("audio round-trip: random PCM survives WAV encode/decode within quantization") {
+    val rng = new scala.util.Random(97)
+    for (_ <- 0 until 5) {
+      val samples = Array.fill(1000)((rng.nextFloat() * 2 - 1) * 0.99f)
+      val (rate, back) = Multimodal.AudioCodecs.decode(realWav(samples)).get
+      assert(rate == 8000f && back.length == samples.length)
+      // 16-bit quantization: max error 1/32768 plus rounding
+      for (i <- samples.indices)
+        assert(math.abs(back(i) - samples(i)) < 1.5f / 32768f,
+          s"sample $i: ${samples(i)} -> ${back(i)}")
+    }
+  }
+
   test("audio dispatch: describeAudio metadata and withFeatures envelopes") {
     import spark.implicits._
     val wav = realWav(Array.fill(4000)(0.5f))
