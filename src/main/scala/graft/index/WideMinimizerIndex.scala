@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kmers.{SupermerScanner, WideRandomXorPriority, WideSupermerScanner}
 import graft.sources.InputFragment
-import graft.taxa.{Sentinels, TaxonLcaAggregator, Taxonomy}
+import graft.taxa.{Sentinels, Taxonomy}
 
 /** A wide classification-time span: same ordinal/flag/mate protocol as
   * [[OrdinalSpan]], with the minimizer as two longs (id1 = high word). */
@@ -104,11 +104,14 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
     foldRecords(pairs, saltBuckets)
   }
 
-  /** The two-long LCA fold, optionally two-stage salted. */
+  /** The two-long LCA fold, optionally two-stage salted. Uses the native
+    * TypedImperativeAggregate (Int buffer, map-side combine), same as the
+    * narrow build path. */
   private def foldRecords(pairs: DataFrame, saltBuckets: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val lcaAgg = udaf(TaxonLcaAggregator(bcTax))
+    graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
     if (saltBuckets <= 0)
       pairs.groupBy($"id1", $"id2").agg(lcaAgg($"taxon").as("taxon"))
     else
