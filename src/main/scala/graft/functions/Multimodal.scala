@@ -31,7 +31,13 @@ object Multimodal {
     else if (hasPrefix(0x89, 0x50, 0x4e, 0x47)) "png"
     else if (hasPrefix(0xff, 0xd8, 0xff)) "jpeg"
     else if (hasPrefix(0x47, 0x49, 0x46, 0x38)) "gif"
-    else if (hasPrefix(0x42, 0x4d)) "bmp"
+    else if (hasPrefix(0x42, 0x4d) && bytes.length >= 14 && {
+      // the 2-byte "BM" magic alone would match text like "BMW ..."; the
+      // little-endian file-size field must agree with the blob length
+      val sz = (bytes(2) & 0xffL) | ((bytes(3) & 0xffL) << 8) |
+        ((bytes(4) & 0xffL) << 16) | ((bytes(5) & 0xffL) << 24)
+      sz == bytes.length
+    }) "bmp"
     else if (hasPrefix(0x52, 0x49, 0x46, 0x46)) // RIFF container: wav/avi/webp
       if (tagAt(8, "WAVE")) "wav" else "riff"
     else if (hasPrefix(0x46, 0x4f, 0x52, 0x4d) && tagAt(8, "AIFF")) "aiff"

@@ -126,10 +126,12 @@ object TextAnalysis {
       i += 1
     }
     if (letters > 0) {
-      // Japanese uses Han + Kana; meaningful Kana presence decides ja — the
-      // absolute floor keeps one stray kana (an emoticon in Latin text)
-      // from hijacking the vote
-      if (kana >= 2 && kana * 10 > letters) return "ja"
+      // Japanese mixes Han with Kana: any kana alongside han decides ja
+      // (e.g. Han nouns joined by a single の), as does kana-dominant text
+      // with >= 2 kana — the floor keeps one stray kana (an emoticon in
+      // Latin text) from hijacking the vote
+      if ((kana >= 1 && han >= 1) || (kana >= 2 && kana * 10 > letters))
+        return "ja"
       val dominant = Seq(han -> "zh", hangul -> "ko", cyr -> "ru",
         arab -> "ar", deva -> "hi", greek -> "el", hebrew -> "he",
         thai -> "th").maxBy(_._1)

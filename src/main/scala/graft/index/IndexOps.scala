@@ -24,13 +24,16 @@ object IndexOps {
   def minimizersPerTaxonMemo(records: DataFrame, indexPath: String): DataFrame = {
     val spark = records.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexPath, "_taxon_counts")
+    val tmp = new org.apache.hadoop.fs.Path(indexPath, "_taxon_counts.tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crashed first run leaves a directory without _SUCCESS — recompute
-    // (overwrite) rather than serving a truncated memo forever
-    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
-    if (!complete)
+    if (!fs.exists(path)) {
+      // write-then-rename: a crashed run leaves only the tmp dir, so the
+      // memo directory, when present, is always complete — independent of
+      // whether the committer writes _SUCCESS markers
       minimizersPerTaxon(records).coalesce(1)
-        .write.mode("overwrite").parquet(path.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true) // lost a concurrent race
+    }
     spark.read.parquet(path.toString)
   }
 
@@ -40,7 +43,7 @@ object IndexOps {
   def depthHistogram(records: DataFrame, bcTax: Broadcast[Taxonomy]): DataFrame = {
     val depthUdf = udf((t: Int) => {
       val tax = bcTax.value
-      if (t >= 0 && t < tax.size && tax.isDefined(t)) tax.depths(t) else -1
+      if (tax.isDefined(t)) tax.depths(t) else -1
     })
     records.select(depthUdf(col("taxon")).as("depth"))
       .groupBy(col("depth")).agg(count(lit(1)).cast("long").as("n_minimizers"))
@@ -51,7 +54,7 @@ object IndexOps {
   def rankHistogram(records: DataFrame, bcTax: Broadcast[Taxonomy]): DataFrame = {
     val rankUdf = udf((t: Int) => {
       val tax = bcTax.value
-      if (t >= 0 && t < tax.size && tax.isDefined(t)) tax.rankName(t) else "invalid"
+      if (tax.isDefined(t)) tax.rankName(t) else "invalid"
     })
     records.select(rankUdf(col("taxon")).as("rank"))
       .groupBy(col("rank")).agg(count(lit(1)).cast("long").as("n_minimizers"))
@@ -132,7 +135,7 @@ object IndexOps {
     import spark.implicits._
     val depthUdf = udf((t: Int) => {
       val tax = bcTax.value
-      if (t > 0 && t < tax.size && tax.isDefined(t)) tax.depths(t) else -1
+      if (tax.isDefined(t)) tax.depths(t) else -1
     })
     val left = a.select(keyCols.map(col) :+ col("taxon").as("taxon_a"): _*)
     val right = b.select(keyCols.map(col) :+ col("taxon").as("taxon_b"): _*)

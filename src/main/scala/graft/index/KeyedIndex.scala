@@ -48,9 +48,11 @@ trait KeyedIndex extends Serializable {
   /** Classify at several confidence thresholds computing the expensive
     * join+regroup ONCE (spec: R4 sweep, reference Classifier.scala:156-170).
     * Loan pattern: the cached hit dataset is unpersisted on the way out.
-    * Width-generic — the join runs on [[keyCols]]. */
+    * Width-generic — the join runs on [[keyCols]]. `detail` defaults to
+    * true like every other classify API (per-read output needs the hit
+    * strings); pass false to skip the string build in report-only sweeps. */
   def classifyMultiThresholdDF[T](spans: DataFrame, records: DataFrame,
-      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = false)
+      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = true)
       (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
     val grouped = ClassifyKernel.group(spans.join(records, keyCols, "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -22,7 +22,7 @@ object MappingComparison {
     val raw = spark.read.option("sep", "\t").csv(path)
     raw.select(raw.columns.take(5).map(col): _*)
       .toDF("flag", "title", "taxon", "length", "hits")
-      .select(col("title"), col("taxon").cast("int"))
+      .select(col("title"), col("taxon").try_cast("int"))
       .filter(col("taxon").isNotNull)
   }
 
@@ -36,10 +36,13 @@ object MappingComparison {
     val catUdf = udf((got: Int, expected: Int) => {
       val tax = bcTax.value
       // ids come from user files and may reference a larger taxonomy than
-      // the one loaded (stale/foreign taxids) — gate before any array walk
-      def valid(t: Int) = t > 0 && t < tax.size && tax.isDefined(t)
-      if (got == Taxonomy.NONE) "FN"
-      else if (!valid(got) || !valid(expected)) "NA"
+      // the one loaded (stale/foreign taxids) — isDefined bounds-checks.
+      // An invalid EXPECTATION is NA regardless of the classification: the
+      // read carries no scorable truth, so it must not land in the FN
+      // denominator for some reads and outside the metrics for others.
+      if (!tax.isDefined(expected)) "NA"
+      else if (got == Taxonomy.NONE) "FN"
+      else if (!tax.isDefined(got)) "NA"
       else {
         val gotAtRank = tax.ancestorAtRank(got, rc)
         val expAtRank = tax.ancestorAtRank(expected, rc)
@@ -50,7 +53,9 @@ object MappingComparison {
       }
     })
     classified.toDF()
-      .join(truth.withColumnRenamed("taxon", "expected"), Seq("title"))
+      // try_cast: ANSI-safe — malformed truth lines become null and drop out
+      .join(truth.select($"title", $"taxon".try_cast("int").as("expected"))
+        .filter($"expected".isNotNull), Seq("title"))
       .select($"title", $"taxon", $"expected",
         catUdf($"taxon", $"expected").as("category"))
   }
@@ -84,14 +89,16 @@ object MappingComparison {
     import spark.implicits._
     val tax = bcTax.value
     val rc = Taxonomy.rankCode(rank)
+    // isDefined bounds-checks, so foreign ids are skipped, never walked
     def atRank(ts: Seq[Int]): Set[Int] =
-      ts.filter(t => t > 0 && t < tax.size && tax.isDefined(t))
+      ts.filter(tax.isDefined)
         .map(t => tax.ancestorAtRank(t, rc)).filter(_ != Taxonomy.NONE).toSet
     val detectedCounts = classified.filter(_.classified)
       .groupBy($"taxon").agg(count(lit(1)).as("n"))
       .filter($"n" >= minReads)
       .select($"taxon").as[Int].collect()
-    val truthTaxa = truth.select(col("taxon").cast("int")).as[Int].collect()
+    val truthTaxa = truth.select(col("taxon").try_cast("int"))
+      .filter(col("taxon").isNotNull).as[Int].collect()
     val det = atRank(detectedCounts.toSeq)
     val tru = atRank(truthTaxa.toSeq)
     val tp = det.intersect(tru).size.toDouble

@@ -176,8 +176,9 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     // native TypedImperativeAggregate: Int buffer, no Encoder roundtrip
     // (the Aggregator-based TaxonLcaAggregator remains as the documented
     // user-level API; both fold with the same broadcast LCA)
-    graft.taxa.LcaAggregate.register(spark, bcTax)
-    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
+    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) =>
+      graft.taxa.LcaAggregate.lcaAgg(lcaName, c)
     val tax = bcTax
     val pairs = library
       .flatMap { case (taxon, seq) =>
@@ -236,8 +237,9 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     val spark = library.sparkSession
     import spark.implicits._
     val scanner = params.scanner
-    graft.taxa.LcaAggregate.register(spark, bcTax)
-    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
+    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) =>
+      graft.taxa.LcaAggregate.lcaAgg(lcaName, c)
     val tax = bcTax
     val pairs = library
       .flatMap { case (taxon, packed, len) =>
@@ -266,7 +268,7 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     * Loan pattern: the cached hit dataset lives exactly as long as `use`
     * runs — it is unpersisted on the way out, so sweeps cannot leak cache. */
   def classifyMultiThreshold[T](spans: Dataset[OrdinalSpan], records: DataFrame,
-      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = false)
+      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = true)
       (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
     val grouped = ClassifyKernel.group(spans.join(records, Seq("id1"), "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -110,8 +110,9 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
   private def foldRecords(pairs: DataFrame, saltBuckets: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    graft.taxa.LcaAggregate.register(spark, bcTax)
-    val lcaAgg = (c: org.apache.spark.sql.Column) => graft.taxa.LcaAggregate.lcaAgg(c)
+    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
+    val lcaAgg = (c: org.apache.spark.sql.Column) =>
+      graft.taxa.LcaAggregate.lcaAgg(lcaName, c)
     if (saltBuckets <= 0)
       pairs.groupBy($"id1", $"id2").agg(lcaAgg($"taxon").as("taxon"))
     else

@@ -64,11 +64,17 @@ case class LcaAggregate(
 
 object LcaAggregate {
   /** Column-level entry: registers a per-session function bound to the
-    * broadcast taxonomy and returns a callable column. */
+    * broadcast taxonomy under a name UNIQUE to that broadcast (so two index
+    * builds over different taxonomies in one session never race on a shared
+    * binding) and returns the bound name. Re-registering the same broadcast
+    * is idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession,
-      bcTax: Broadcast[Taxonomy], name: String = "lca_agg"): Unit =
+      bcTax: Broadcast[Taxonomy]): String = {
+    val name = s"lca_agg_${bcTax.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => LcaAggregate(es.head, bcTax).toAggregateExpression(), "built-in")
+    name
+  }
 
-  def lcaAgg(c: Column): Column = call_function("lca_agg", c)
+  def lcaAgg(name: String, c: Column): Column = call_function(name, c)
 }

@@ -36,17 +36,33 @@ class MappingComparisonSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("foreign/stale taxon ids categorize as NA instead of crashing") {
-    // taxid 2000000 is outside this taxonomy's array; 3 is defined but a
-    // truth entry of 0 (NONE) is not a valid expectation
-    val c = classified(("r1", 2000000), ("r2", 4), ("r3", 4))
-    val t = truth(("r1", 4), ("r2", 2000000), ("r3", 4))
+    // taxid 2000000 is outside this taxonomy's array
+    val c = classified(("r1", 2000000), ("r2", 4), ("r3", 4), ("r4", 0))
+    val t = truth(("r1", 4), ("r2", 2000000), ("r3", 4), ("r4", 2000000))
     val cats = MappingComparison.categorize(c, t, bcTax, "species")
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(cats("r1") == "NA" && cats("r2") == "NA" && cats("r3") == "TP")
+    // an invalid EXPECTATION is NA even when the read is unclassified —
+    // never FN, which would bias the sensitivity denominator
+    assert(cats("r4") == "NA")
     // taxon metrics likewise skip foreign ids rather than walking off the array
     val (_, _, det, tru) = MappingComparison.taxonMetrics(
       c, t, bcTax, "species", minReads = 1)
     assert(det == Set(4) && tru == Set(4))
+  }
+
+  test("malformed truth lines (non-numeric taxon) are dropped, not fatal") {
+    import spark.implicits._
+    val c = classified(("r1", 4), ("r2", 5))
+    val t = Seq(("title", "taxon"), ("r1", "4")) // header line in the file
+      .toDF("title", "taxon")
+    val cats = MappingComparison.categorize(c, t, bcTax, "species")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(cats == Map("r1" -> "TP"))
+    val (precision, recall, det, tru) = MappingComparison.taxonMetrics(
+      c, t, bcTax, "species", minReads = 1)
+    assert(tru == Set(4) && det == Set(4, 5))
+    assert(recall == 1.0 && math.abs(precision - 0.5) < 1e-12)
   }
 
   test("read metrics: ppv and sensitivity") {

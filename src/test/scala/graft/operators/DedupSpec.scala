@@ -262,6 +262,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(detectLanguage("de la") == detectLanguage("de la"))
     // one stray kana (emoticon) must not hijack Latin text
     assert(detectLanguage("the cat sat on the mat ツ") == "en")
+    // ...but one kana among Han is the Japanese signature, not Chinese
+    assert(detectLanguage("東京の空") == "ja")
   }
 
   test("token estimate counts words, digit runs, punctuation") {
