@@ -130,14 +130,40 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(graft.index.IndexParams.read(spark, idx).m == 33)
 
     val fqSb = new StringBuilder
+    val fq2Sb = new StringBuilder
     for (i <- 0 until 30) {
       val t = if (i % 2 == 0) 4 else 5
       val g = genomes(t)
       val s = rng.nextInt(g.length - 150)
-      fqSb.append(s"@wr$i\n${g.substring(s, s + 150)}\n+\n")
+      val s2 = rng.nextInt(g.length - 150)
+      fqSb.append(s"@wr$i/1\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+      fq2Sb.append(s"@wr$i/2\n${g.substring(s2, s2 + 150)}\n+\n")
         .append("I" * 150).append('\n')
     }
     write(dir.resolve("reads.fastq"), fqSb.toString)
+    write(dir.resolve("reads2.fastq"), fq2Sb.toString)
+
+    // paired-end classify over the wide index (mate-border protocol via CLI)
+    val outP = dir.resolve("outp").toString
+    Main.main(Array("classify", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--reads2", dir.resolve("reads2.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outP))
+    val pairedLines = Files.list(java.nio.file.Paths.get(outP, "sample=wr0"))
+      .toArray.map(_.toString).filter(_.endsWith(".gz"))
+      .flatMap { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
+        try scala.io.Source.fromInputStream(in).getLines().toVector
+        finally in.close()
+      }
+    // the pair classifies as ONE record with a mate border in the hits
+    assert(pairedLines.length == 1)
+    assert(pairedLines.head.startsWith("C\t"))
+    assert(pairedLines.head.contains("|:|"))
 
     // 2-step dynamic classification over the wide index
     val out2 = dir.resolve("out2").toString
