@@ -27,25 +27,38 @@ object Bench {
       try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // Each query is timed REPS times and we report the median (headline) and
+    // min: a single-shot number has misled two rounds running (r2 recorded
+    // time-to-crash as a speedup; r3 recorded a loaded-machine outlier as a
+    // 2x regression). Median damps transient load; min approximates the
+    // noise-free cost. A failed query records -1 for every stat, never its
+    // time-to-crash.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.benchQueries.map { case (name, q) =>
-      val t0 = System.nanoTime()
-      // a failed query records -1, never its time-to-crash (round-2
-      // post-mortem: swallowing made a total outage look like a 2x speedup)
-      val elapsed =
-        try { run(q.fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+      val times =
+        try {
+          (0 until reps).map { _ =>
+            val t0 = System.nanoTime()
+            run(q.fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
-          -1.0
+          IndexedSeq.empty[Double]
         }
-      name -> elapsed
+      val median = if (times.isEmpty) -1.0 else times(times.length / 2)
+      val min = if (times.isEmpty) -1.0 else times.head
+      name -> (median, min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qsMin = results.map { case (k, (_, min)) => "\"" + k + f"\":$min%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val sf = sfDir.replaceAll(".*sf", "")
-    val failed = results.values.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sf"}""")
+    val failed = results.values.count(_._1 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -8,14 +8,16 @@ import graft.taxa.Taxonomy
 /** Standalone CLI with the reference tool's command surface
   * (spec: reference slacken/Slacken.scala subcommands):
   *
-  *   build     -k 35 -m 31 -s 7 -p 32 [--salt N] --library lib.fna
+  *   build     -k 35 -m 31 -s 7 -p 32 [--salt N] [-o xor|frequency]
+  *             [--freq-sample 0.2] [--freq-top 4096] --library lib.fna
   *             --labels l.tsv --taxonomy dir --output idx
+  *             (copies the taxonomy dumps to idx/taxonomy)
   *   classify  --index idx --reads r.fastq [--reads2 r2.fastq]
   *             [-c 0.0 | -c 0.0,0.1,0.5] [--min-hit-groups 2]
   *             [--sample-regex re] --output out
   *   classify2 --index idx --library lib.fna --labels l.tsv --reads r.fastq
   *             [--rank species] [--threshold 100] [--bracken-read-len 100]
-  *             --output out
+  *             [--gold taxa.txt] --output out
   *   bracken   --index idx --library lib.fna --labels l.tsv [--read-len 100]
   *             --output out
   *   compare   --taxonomy dir --classified out --truth mapping.tsv
@@ -102,14 +104,29 @@ object Main {
   }
 
   private def loadReads(spark: SparkSession, opts: Map[String, String]) = {
-    val path = opts("reads")
-    val r1 =
-      if (path.endsWith(".fastq") || path.endsWith(".fq") || path.contains("fastq"))
-        Sequences.fastq(spark, path)
-      else Sequences.fasta(spark, path)
+    // both mate files go through format dispatch (extension + .fai aware):
+    // a FASTA R2 is parsed as FASTA, not force-read as FASTQ
+    val r1 = Sequences.forFile(spark, opts("reads"))
     opts.get("reads2") match {
-      case Some(p2) => Sequences.paired(r1, Sequences.fastq(spark, p2))
+      case Some(p2) => Sequences.paired(r1, Sequences.forFile(spark, p2))
       case None => r1
+    }
+  }
+
+  /** Copy the taxonomy dump files beside a freshly built index, so
+    * `classify` works against the bare index path with no --taxonomy flag
+    * (spec: reference Slacken.scala:159-167). */
+  private def copyTaxonomy(spark: SparkSession, taxDir: String, outDir: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(outDir, "taxonomy")
+    val dstFs = dst.getFileSystem(conf)
+    dstFs.mkdirs(dst)
+    for (f <- Seq("nodes.dmp", "names.dmp", "merged.dmp")) {
+      val src = new Path(taxDir, f)
+      val srcFs = src.getFileSystem(conf)
+      if (srcFs.exists(src))
+        FileUtil.copy(srcFs, src, dstFs, new Path(dst, f), false, true, conf)
     }
   }
 
@@ -127,23 +144,44 @@ object Main {
         // --salt N: two-stage LCA fold for skewed (low-complexity) libraries
         val salt = opts.getOrElse("salt", "0").toInt
         if (m > 32) {
-          // wide-minimizer path: two-long keys, no spaced seed; built from
-          // the 2-bit packed library like the narrow path
-          val index = new WideMinimizerIndex(k, m, bcTax)
+          // wide-minimizer path: two-long keys, spaced seed honored across
+          // the word boundary; built from the 2-bit packed library like the
+          // narrow path. Default spacing 0 (the s=7 default is the narrow
+          // Kraken 2 convention; no published default exists for wide m).
+          val s = opts.getOrElse("s", "0").toInt
+          val index = new WideMinimizerIndex(k, m, bcTax, s)
           val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k), salt)
           index.writeRecords(records, opts("output"), buckets)
-          println(s"index written (wide m=$m): " +
+          println(s"index written (wide m=$m, s=$s): " +
             s"${index.loadRecords(spark, opts("output"), buckets).count()} records")
         } else {
+          val packedLib = loadPackedLibrary(spark, opts, k)
+          // -o frequency: sample the library, demote the most frequent
+          // canonical m-mers in the ordering (anti-skew; reference sampled
+          // frequency orderings). The demotion set persists beside the
+          // index so classification reproduces the identical ordering.
+          val demoted = opts.getOrElse("o", "xor") match {
+            case "frequency" =>
+              require(m <= 31, s"-o frequency needs m <= 31, got $m")
+              Some(FrequencyOrdering.topCanonicalMers(packedLib, m,
+                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
+                topN = opts.getOrElse("freq-top", "4096").toInt))
+            case "xor" => None
+            case other => sys.error(s"unknown ordering: $other (xor|frequency)")
+          }
           val params = IndexParams(k = k, m = m,
-            spaces = opts.getOrElse("s", "7").toInt, buckets = buckets)
+            spaces = opts.getOrElse("s", "7").toInt, buckets = buckets,
+            demoted = demoted)
           val index = new MinimizerIndex(params, bcTax)
           // build from the 2-bit packed library: same records, 1/4 the
           // payload bytes anywhere the library moves
-          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k), salt)
+          val records = index.makeRecordsPacked(packedLib, salt)
           index.writeRecords(records, opts("output"))
           println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
         }
+        // the index is self-contained: classify/stats/report default to
+        // <index>/taxonomy, so no --taxonomy flag is needed downstream
+        copyTaxonomy(spark, opts("taxonomy"), opts("output"))
 
       case "classify" =>
         val idxPath = opts("index")
@@ -178,7 +216,7 @@ object Main {
         if (params.m > 32) {
           // wide (m>32) and narrow share the span protocol and ClassifyKernel,
           // so per-read output, paired-end and confidence work at any m
-          val wide = new WideMinimizerIndex(params.k, params.m, bcTax)
+          val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
           val records = wide.loadRecords(spark, idxPath, params.buckets)
           val spans = wide.spans(loadReads(spark, opts))
           if (confs.length > 1)
@@ -223,15 +261,26 @@ object Main {
         // the 2-step pipeline is width-generic: pick the index by stored m
         val (idx: KeyedIndex, records) =
           if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax)
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
             (w, w.loadRecords(spark, idxPath, params.buckets))
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
         val dyn = new DynamicClassifier(idx, bcTax)
-        val (classified, selected, subLib, dynRecords) = dyn.classify2Full(
+        // --gold taxa.txt REPLACES the heuristic selection with the listed
+        // taxa (plus descendants) — the reference's gold-standard mode
+        // (Dynamic.scala:284-312)
+        val goldSet = opts.get("gold").map { p =>
+          val pp = new org.apache.hadoop.fs.Path(p)
+          val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val src = scala.io.Source.fromInputStream(fs.open(pp))
+          try src.getLines().map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+          finally src.close()
+        }
+        val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
           loadReads(spark, opts), loadLibrary(spark, opts), records,
           rank = opts.getOrElse("rank", "species"),
-          threshold = opts.getOrElse("threshold", "100").toLong)
+          threshold = opts.getOrElse("threshold", "100").toLong,
+          goldSet = goldSet)
         println(s"selected ${selected.size} taxa")
         IndexOps.writePerSampleOutput(classified,
           opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
@@ -243,6 +292,8 @@ object Main {
             .write.option("sep", "\t").mode("overwrite")
             .csv(opts("output") + "_weights")
         }
+        // all outputs are materialized: free the spans + dynRecords caches
+        cleanup()
 
       case "bracken" =>
         val idxPath = opts("index")
@@ -254,7 +305,7 @@ object Main {
         // bracken weights are width-generic: pick the index by stored m
         val (idx: KeyedIndex, records) =
           if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax)
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
             (w, w.loadRecords(spark, idxPath, params.buckets))
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
@@ -300,15 +351,16 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        // taxon-side statistics are width-agnostic; only respace is narrow
+        // taxon-side statistics and respace are width-agnostic
         var records =
           if (params.m > 32)
-            new WideMinimizerIndex(params.k, params.m, bcTax)
+            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
               .loadRecords(spark, idxPath, params.buckets)
           else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
         for (s <- opts.get("respace")) {
-          require(params.m <= 32, "respace applies to narrow (m<=32) indexes")
-          records = IndexOps.respace(records, params, s.toInt, bcTax)
+          records =
+            if (params.m > 32) IndexOps.respaceWide(records, params, s.toInt, bcTax)
+            else IndexOps.respace(records, params, s.toInt, bcTax)
         }
         // memoize per-taxon counts beside the index unless respaced (counts
         // of a respaced view differ from the stored index's)
@@ -317,6 +369,24 @@ object Main {
           else IndexOps.minimizersPerTaxonMemo(records, idxPath)
         perTaxon.write.option("sep", "\t").mode("overwrite").csv(opts("output"))
         IndexOps.depthHistogram(records, bcTax).show(50)
+
+      case "report" =>
+        // re-render a kreport from an existing classified output directory
+        // (no index scan needed — only the taxonomy and the per-read lines)
+        val spark = session(buckets)
+        import spark.implicits._
+        val taxDir = opts.get("taxonomy")
+          .orElse(opts.get("index").map(_ + "/taxonomy"))
+          .getOrElse(sys.error("report needs --taxonomy or --index"))
+        val tax = loadTaxonomy(spark, taxDir)
+        val counts = MappingComparison
+          .readKrakenOutput(spark, opts("classified"))
+          .groupBy("taxon")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .as[(Int, Long)]
+          .collect()
+        println(new KrakenReport(tax, counts).render)
 
       case other =>
         System.err.println(s"unknown command: $other")

@@ -98,21 +98,23 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None)
       : (Dataset[ClassifiedRead], collection.BitSet) = {
-    val (classified, taxa, _, _) = classify2Full(reads, library, staticRecords,
+    val (classified, taxa, _, _, _) = classify2Full(reads, library, staticRecords,
       criterion, rank, threshold, confidence, minHitGroups, goldSet)
     (classified, taxa)
   }
 
   /** [[classify2]] plus the sample-tailored artifacts: the selected
     * sub-library and the dynamic records (cached), so callers can derive
-    * bracken weights or persist the dynamic index without rebuilding. */
+    * bracken weights or persist the dynamic index without rebuilding.
+    * The last element releases the internal caches (spans + dynamic
+    * records) — call it once every derived output is materialized. */
   def classify2Full(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
       staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None)
       : (Dataset[ClassifiedRead], collection.BitSet,
-        Dataset[(Int, String)], DataFrame) = {
+        Dataset[(Int, String)], DataFrame, () => Unit) = {
     val spark = reads.sparkSession
     import spark.implicits._
 
@@ -132,11 +134,16 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     val dynRecords = index.buildRecords(subLibrary)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // spans stay cached until the returned dataset is consumed; caller-
-    // driven unpersist would need materialization here, so leave managed
-    // by Spark's LRU.
+    // spans must stay cached until the returned dataset is consumed (eager
+    // unpersist here would recompute the expensive span extraction), so the
+    // caller gets an explicit release handle to call after materializing.
     val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups)
-    (result, taxa, subLibrary, dynRecords)
+    val cleanup = () => {
+      spans.unpersist(blocking = false)
+      dynRecords.unpersist(blocking = false)
+      ()
+    }
+    (result, taxa, subLibrary, dynRecords, cleanup)
   }
 
   /** Bracken weights against the DYNAMIC sub-index (spec: reference

@@ -1,0 +1,77 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kmers.Dna
+
+/** Sampled frequency minimizer ordering: find the most frequent canonical
+  * m-mers of a library sample and demote them (see
+  * [[graft.kmers.FrequencyPriority]]), so over-represented (low-complexity)
+  * m-mers stop being chosen as minimizers and the giant index buckets they
+  * would produce never form (behavioral spec: reference sampled frequency
+  * orderings, kmers/minimizer/MinimizerPriorities.scala:93-280).
+  *
+  * Scale design: the counting pass is sample-fraction bounded, all-distributed
+  * (flatMap -> groupBy -> top-N via orderBy/limit = TakeOrdered — only topN
+  * rows ever reach the driver), and runs over the 2-bit packed library so no
+  * genome string materializes.
+  */
+object FrequencyOrdering {
+
+  /** Every canonical m-mer of a valid (ACGT-only) segment, rolling. */
+  def canonicalMers(seq: CharSequence, m: Int): Iterator[Long] = {
+    val mask = Dna.merMask(m)
+    var mer = 0L
+    Iterator.range(0, seq.length).flatMap { i =>
+      mer = ((mer << 2) | Dna.code(seq.charAt(i))) & mask
+      if (i >= m - 1) Iterator.single(Dna.canonical(mer, m)) else Iterator.empty
+    }
+  }
+
+  /** The topN most frequent canonical m-mers of a sampled packed library,
+    * sorted ascending (the demotion set). Counts every m-mer position, not
+    * just chosen minimizers — the ordering must know what WOULD be chosen. */
+  def topCanonicalMers(library: Dataset[(Int, Array[Byte], Int)], m: Int,
+      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val sampled =
+      if (fraction >= 1.0) library
+      else library.sample(withReplacement = false, fraction, seed)
+    sampled
+      .flatMap { case (_, packed, len) =>
+        canonicalMers(new Dna.Packed(packed, len), m)
+      }
+      .toDF("mer")
+      .groupBy($"mer").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"mer")
+      .limit(topN)
+      .select($"mer").as[Long]
+      .collect()
+      .sorted
+  }
+
+  private def sidecar(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering")
+
+  /** Persist the demotion set beside the index (8 bytes/mer, length-prefixed)
+    * so classify-time scans reproduce the identical ordering. */
+  def write(spark: SparkSession, indexPath: String, demoted: Array[Long]): Unit = {
+    val p = sidecar(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true)))
+    try {
+      out.writeInt(demoted.length)
+      demoted.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  def read(spark: SparkSession, indexPath: String): Array[Long] = {
+    val p = sidecar(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p)))
+    try Array.fill(in.readInt())(in.readLong()) finally in.close()
+  }
+}

@@ -82,6 +82,27 @@ object IndexOps {
       .agg(lcaAgg(col("taxon")).as("taxon"))
   }
 
+  /** [[respace]] for wide (m > 32) indexes: the spaced positions span the
+    * word boundary, so each key word ANDs with its own keep-mask
+    * (id1 = high word: positions >= 32; id2 = low word: positions < 32),
+    * then the LCA re-aggregation runs on the two-long key. */
+  def respaceWide(records: DataFrame, params: IndexParams, newSpaces: Int,
+      bcTax: Broadcast[Taxonomy]): DataFrame = {
+    require(params.m > 32, s"respaceWide needs m>32, got ${params.m}")
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    import graft.kmers.WideRandomXorPriority
+    val hiMask = graft.kmers.Dna.merMask(params.m - 32)
+    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces) & hiMask
+    val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
+    val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
+    records
+      .select(col("id1").bitwiseAND(lit(mHi)).as("id1"),
+        col("id2").bitwiseAND(lit(mLo)).as("id2"), col("taxon"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(lcaAgg(col("taxon")).as("taxon"))
+  }
+
   /** Widen span keys to match a respaced index: span priorities already have
     * the original spacing applied, so ANDing with the wider mask makes the
     * join keys consistent with [[respace]]d records — classification against
@@ -100,6 +121,21 @@ object IndexOps {
     import spark.implicits._
     val m = mask
     spans.map(s => s.copy(id1 = s.id1 & m))
+  }
+
+  /** [[respaceSpans]] for wide spans: both key words AND with their
+    * keep-masks, matching [[respaceWide]]d records. */
+  def respaceSpansWide(spans: Dataset[WideOrdinalSpan], params: IndexParams,
+      newSpaces: Int): Dataset[WideOrdinalSpan] = {
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    import graft.kmers.WideRandomXorPriority
+    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces) &
+      graft.kmers.Dna.merMask(params.m - 32)
+    val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
+    val spark = spans.sparkSession
+    import spark.implicits._
+    spans.map(s => s.copy(id1 = s.id1 & mHi, id2 = s.id2 & mLo))
   }
 
   /** Genomes that contributed no minimizers to the index (quality check;
@@ -186,10 +222,15 @@ object IndexOps {
         sum($"groups").cast("int").as("hitGroups"))
       .as[(String, Seq[(Int, Int)], Int)]
 
-    perRead.map { case (_, pairs, hitGroups) =>
+    perRead.mapPartitions { it =>
+      // one resolver (and its internal hash table) per task, not per read —
+      // mirrors the typed path (ClassifyKernel); per-row allocation here was
+      // the round-3 weak spot in the path marketed as the cheap plan
       val resolver = new LcaResolver(bc.value)
-      if (hitGroups < minHitGroups) Taxonomy.NONE
-      else resolver.classify(pairs, confidence)
+      it.map { case (_, pairs, hitGroups) =>
+        if (hitGroups < minHitGroups) Taxonomy.NONE
+        else resolver.classify(pairs, confidence)
+      }
     }.toDF("taxon")
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_reads"))
   }

@@ -15,11 +15,19 @@ final case class IndexParams(
     spaces: Int = 7,
     canonical: Boolean = true,
     xorMask: Long = RandomXorPriority.DEFAULT_MASK,
-    buckets: Int = 32) {
+    buckets: Int = 32,
+    demoted: Option[Array[Long]] = None) {
 
   def priority: MinimizerPriority = {
     val base = RandomXorPriority(m, xorMask, canonical)
-    if (spaces > 0) SpacedSeedPriority(spaces, base) else base
+    val spaced = if (spaces > 0) SpacedSeedPriority(spaces, base) else base
+    // frequency ordering: the sampled most-frequent m-mers sort after all
+    // others (see FrequencyPriority) — the demotion wraps the spaced/XOR
+    // ordering so within each class the base ordering breaks ties
+    demoted match {
+      case Some(d) => FrequencyPriority(d, spaced)
+      case None => spaced
+    }
   }
 
   def scanner: SupermerScanner = new SupermerScanner(k, priority)
@@ -344,10 +352,14 @@ object IndexParams {
     props.setProperty("canonical", p.canonical.toString)
     props.setProperty("xorMask", java.lang.Long.toHexString(p.xorMask))
     props.setProperty("buckets", p.buckets.toString)
+    props.setProperty("ordering", if (p.demoted.isDefined) "frequency" else "xor")
     val path = new Path(indexPath, "_index.properties")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try props.store(out, "graft index parameters") finally out.close()
+    // the demotion set travels with the index: classify-time scans must
+    // reproduce the exact build-time ordering or keys will not match
+    for (d <- p.demoted) FrequencyOrdering.write(spark, indexPath, d)
   }
 
   def read(spark: SparkSession, indexPath: String): IndexParams = {
@@ -356,13 +368,18 @@ object IndexParams {
     val in = fs.open(path)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
+    val demoted =
+      if (props.getProperty("ordering", "xor") == "frequency")
+        Some(FrequencyOrdering.read(spark, indexPath))
+      else None
     IndexParams(
       k = props.getProperty("k").toInt,
       m = props.getProperty("m").toInt,
       spaces = props.getProperty("spaces").toInt,
       canonical = props.getProperty("canonical").toBoolean,
       xorMask = java.lang.Long.parseUnsignedLong(props.getProperty("xorMask"), 16),
-      buckets = props.getProperty("buckets").toInt)
+      buckets = props.getProperty("buckets").toInt,
+      demoted = demoted)
   }
 }
 

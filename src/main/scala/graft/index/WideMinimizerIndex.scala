@@ -23,12 +23,13 @@ final case class WideOrdinalSpan(
   * Joins/groupBys run on primitive long column pairs so Tungsten hashing
   * stays allocation-free.
   */
-final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
-    extends KeyedIndex {
+final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
+    spaces: Int = 0) extends KeyedIndex {
 
   import Sentinels._
 
-  val scanner = new WideSupermerScanner(k, new WideRandomXorPriority(m))
+  val scanner = new WideSupermerScanner(k,
+    new WideRandomXorPriority(m, spaces = spaces))
 
   // ---------------- KeyedIndex (width-independent face) ----------------
 
@@ -204,7 +205,7 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy])
       .option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
-    IndexParams.write(spark, IndexParams(k = k, m = m, spaces = 0,
+    IndexParams.write(spark, IndexParams(k = k, m = m, spaces = spaces,
       buckets = buckets), path)
   }
 

@@ -60,6 +60,60 @@ final case class SpacedSeedPriority(s: Int, inner: MinimizerPriority) extends Mi
   override def merFor(priority: Long): Long = inner.merFor(priority)
 }
 
+/** Frequency-informed ordering: the `demoted` m-mers (canonical form; in
+  * practice the sampled most-frequent of the library) order AFTER every
+  * non-demoted m-mer, so they are only chosen as minimizers when a window
+  * holds no alternative — the skew killer behind the reference's sampled
+  * frequency orderings (MinimizerPriorities.scala:93-280 MinTable),
+  * re-expressed as a demotion set over the inner ordering so it works at
+  * any m <= 31 with no 4^m table. Within each class the inner ordering
+  * breaks ties, preserving its uniformity.
+  *
+  * The demotion test runs once per m-mer position in the scan hot loop: an
+  * open-addressing long set (built lazily per task, ~0.5 load factor), no
+  * boxing, no allocation per probe.
+  */
+final case class FrequencyPriority(demoted: Array[Long], inner: MinimizerPriority)
+    extends MinimizerPriority {
+  // the demote flag needs a bit above the inner priority's 2m bits
+  require(inner.width <= 31, s"frequency ordering needs m <= 31, got ${inner.width}")
+
+  val width: Int = inner.width
+
+  private val DEMOTE: Long = 1L << 63
+
+  // EMPTY = -1 is safe: canonical m-mers for m <= 31 occupy <= 62 bits
+  @transient private lazy val table: Array[Long] = {
+    val cap = Integer.highestOneBit(math.max(8, demoted.length * 2) * 2)
+    val t = Array.fill(cap)(-1L)
+    for (x <- demoted) {
+      var i = java.lang.Long.hashCode(x * 0x9e3779b97f4a7c15L) & (cap - 1)
+      while (t(i) != -1L && t(i) != x) i = (i + 1) & (cap - 1)
+      t(i) = x
+    }
+    t
+  }
+
+  @inline private def isDemoted(x: Long): Boolean = {
+    val cap = table.length
+    var i = java.lang.Long.hashCode(x * 0x9e3779b97f4a7c15L) & (cap - 1)
+    while (true) {
+      val v = table(i)
+      if (v == x) return true
+      if (v == -1L) return false
+      i = (i + 1) & (cap - 1)
+    }
+    false
+  }
+
+  override def priorityOf(mer: Long): Long = {
+    val p = inner.priorityOf(mer)
+    if (isDemoted(Dna.canonical(mer, width))) p | DEMOTE else p
+  }
+
+  override def merFor(priority: Long): Long = inner.merFor(priority & ~DEMOTE)
+}
+
 /** Explicit table ordering: rank of each m-mer given by position in
   * `byPriority` (for small m; supports arbitrary custom orderings). */
 final case class TablePriority(byPriority: Array[Int], width: Int) extends MinimizerPriority {

@@ -11,45 +11,89 @@ import scala.collection.mutable.ArrayBuffer
 final case class WideSupermer(minHi: Long, minLo: Long, start: Int, kmers: Int)
 
 /** Canonical XOR ordering over two-long m-mers (Kraken 2 mask replicated on
-  * both words, truncated to the populated bits of hi). */
+  * both words, truncated to the populated bits of hi), with optional spaced
+  * seed: `spaces` base positions cleared from the priority, one position
+  * apart starting from the second-from-last — the same scheme as the narrow
+  * [[SpacedSeedPriority]], extended across the word boundary (behavioral
+  * spec: reference kmers/minimizer/MinimizerPriorities.scala:282-321, which
+  * applies spacing at any width). */
 final class WideRandomXorPriority(val width: Int,
     xorMask: Long = RandomXorPriority.DEFAULT_MASK,
-    val canonical: Boolean = true) extends Serializable {
+    val canonical: Boolean = true,
+    val spaces: Int = 0) extends Serializable {
   require(width >= 33 && width <= 64, s"wide width must be in [33,64], got $width")
+  require(spaces >= 0 && spaces <= width / 2,
+    s"spaces=$spaces too large for width $width")
 
   val hiBases: Int = width - 32
   val hiMask: Long = Dna.merMask(hiBases)
   private val maskHi = xorMask & hiMask
   private val maskLo = xorMask
 
-  /** Priority of the m-mer (hi, lo): canonicalize then XOR. Returns via the
-    * 2-element out array to avoid allocation in the scan loop. */
+  /** Priority bits to KEEP after spacing: base position p (0 = rightmost)
+    * lives in lo for p < 32, in hi for p >= 32; position 2i+1 is cleared for
+    * each i in [0, spaces). */
+  private val spaceLo: Long = WideRandomXorPriority.spaceMaskLo(spaces)
+  private val spaceHi: Long = WideRandomXorPriority.spaceMaskHi(spaces) & hiMask
+
+  // shift between the (hiBases, 32) split and a 64+2*hiBases-bit value;
+  // used by the O(1) reverse complement below
+  private val hiShift = 2 * hiBases
+
+  /** Priority of the m-mer (hi, lo): canonicalize, XOR, space. Returns via
+    * the 2-element out array; the whole computation is allocation-free
+    * (the scan loop calls this once per base at 100 TB scale). */
   def priorityOf(hi: Long, lo: Long, out: Array[Long]): Unit = {
     var h = hi; var l = lo
     if (canonical) {
-      val (ch, cl) = WideRandomXorPriority.rc(h, l, hiBases)
+      // rc(mer) = rc(lo-word) ++ rc(hi-word) repacked into the (hiBases, 32)
+      // split: with rl/rh the per-word reverse complements, the concatenated
+      // value is rl * 2^(2*hiBases) + rh, so the new split is pure shifts —
+      // O(1) and no tuple, unlike a per-base repack
+      val rl = Dna.reverseComplement(lo, 32)
+      val rh = if (hiBases > 0) Dna.reverseComplement(hi, hiBases) else 0L
+      val ch = rl >>> (64 - hiShift)
+      val cl = (if (hiShift == 64) 0L else rl << hiShift) | rh
       if (WideRandomXorPriority.unsignedLess(ch, cl, h, l)) { h = ch; l = cl }
     }
-    out(0) = (h ^ maskHi) & hiMask
-    out(1) = l ^ maskLo
+    out(0) = ((h ^ maskHi) & hiMask) & spaceHi
+    out(1) = (l ^ maskLo) & spaceLo
   }
 }
 
 object WideRandomXorPriority {
-  /** Reverse complement of a two-long packed mer with hiBases bases in hi. */
+  /** Low-word KEEP mask for s spaced positions (base positions 2i+1 < 32). */
+  def spaceMaskLo(s: Int): Long = {
+    var m = -1L
+    var i = 0
+    while (i < s) {
+      val pos = 2 * i + 1
+      if (pos < 32) m &= ~(3L << (2 * pos))
+      i += 1
+    }
+    m
+  }
+
+  /** High-word KEEP mask for s spaced positions (base positions 2i+1 >= 32). */
+  def spaceMaskHi(s: Int): Long = {
+    var m = -1L
+    var i = 0
+    while (i < s) {
+      val pos = 2 * i + 1
+      if (pos >= 32) m &= ~(3L << (2 * (pos - 32)))
+      i += 1
+    }
+    m
+  }
+
+  /** Reverse complement of a two-long packed mer with hiBases bases in hi.
+    * O(1): per-word bit-reversal plus a shift repack (see priorityOf). */
   def rc(hi: Long, lo: Long, hiBases: Int): (Long, Long) = {
-    val loBases = 32
-    val rcLo = Dna.reverseComplement(lo, loBases) // becomes the leading part
-    val rcHi = if (hiBases > 0) Dna.reverseComplement(hi, hiBases) else 0L
-    // rc(mer) = rc(lo) ++ rc(hi): repack into (hiBases, 32) split
-    var nh = 0L; var nl = 0L
-    var idx = 0
-    val total = hiBases + 32
-    def baseAt(pos: Int): Long =
-      if (pos < loBases) (rcLo >>> (2 * (loBases - 1 - pos))) & 3L
-      else (rcHi >>> (2 * (hiBases - 1 - (pos - loBases)))) & 3L
-    while (idx < hiBases) { nh = (nh << 2) | baseAt(idx); idx += 1 }
-    while (idx < total) { nl = (nl << 2) | baseAt(idx); idx += 1 }
+    val s = 2 * hiBases
+    val rl = Dna.reverseComplement(lo, 32)
+    val rh = if (hiBases > 0) Dna.reverseComplement(hi, hiBases) else 0L
+    val nh = if (s == 0) 0L else rl >>> (64 - s)
+    val nl = (if (s == 64) 0L else rl << s) | rh
     (nh, nl)
   }
 

@@ -56,17 +56,21 @@ object Sequences {
     spark.createDataset(rdd)
   }
 
-  /** Pair R1/R2 mates by header (suffixes /1 /2 stripped)
+  /** Pair R1/R2 mates by header (suffixes /1 /2 stripped); the paired
+    * fragment keeps R1's byte location, so downstream provenance (which
+    * split/record produced a read) survives pairing
     * (spec: reference kmers/input/InputReader.scala:109-131). */
   def paired(r1: Dataset[InputFragment], r2: Dataset[InputFragment]): Dataset[InputFragment] = {
     val spark = r1.sparkSession
     import spark.implicits._
-    def clean(ds: Dataset[InputFragment]): Dataset[(String, String)] =
-      ds.map(f => (f.header.replaceAll("/[12]$", ""), f.nucleotides))
-    clean(r1).toDF("header", "nt1")
-      .join(clean(r2).toDF("header", "nt2"), "header")
-      .as[(String, String, String)]
-      .map { case (h, nt1, nt2) => InputFragment(h, 0L, nt1, Some(nt2)) }
+    val r1c = r1.map(f => (f.header.replaceAll("/[12]$", ""), f.nucleotides, f.location))
+      .toDF("header", "nt1", "location")
+    val r2c = r2.map(f => (f.header.replaceAll("/[12]$", ""), f.nucleotides))
+      .toDF("header", "nt2")
+    r1c.join(r2c, "header")
+      .select(col("header"), col("nt1"), col("location"), col("nt2"))
+      .as[(String, String, Long, String)]
+      .map { case (h, nt1, loc, nt2) => InputFragment(h, loc, nt1, Some(nt2)) }
   }
 
   /** Classify reads already held in a DataFrame (API mode): `header`,

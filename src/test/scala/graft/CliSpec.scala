@@ -122,12 +122,16 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
 
     val idx = dir.resolve("idx").toString
+    // -s 3: spaced seed across the two-long key words, honored end to end
+    // (classify below reopens the index and must reproduce the same spacing)
     Main.main(Array("build", "--k", "35", "--m", "33", "--p", "4", "--salt", "3",
+      "--s", "3",
       "--library", dir.resolve("lib.fasta").toString,
       "--labels", dir.resolve("labels.tsv").toString,
       "--taxonomy", dir.resolve("tax").toString,
       "--output", idx))
-    assert(graft.index.IndexParams.read(spark, idx).m == 33)
+    val wideParams = graft.index.IndexParams.read(spark, idx)
+    assert(wideParams.m == 33 && wideParams.spaces == 3)
 
     val fqSb = new StringBuilder
     val fq2Sb = new StringBuilder
@@ -201,5 +205,131 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
     assert(lines.nonEmpty)
     for (l <- lines) assert(l.matches("-?[0-9]+\t[0-9]+:[0-9]+:[0-9.]+( .*)?"), l)
+  }
+
+  test("CLI: self-contained index -> classify (no --taxonomy) -> report; " +
+      "FASTA R2; classify2 --gold releases its caches") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-self")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    // build copied the taxonomy beside the index (reference Slacken behavior)
+    assert(Files.exists(java.nio.file.Paths.get(idx, "taxonomy", "nodes.dmp")))
+    assert(Files.exists(java.nio.file.Paths.get(idx, "taxonomy", "names.dmp")))
+
+    // R1 FASTQ + R2 FASTA: mate files go through format dispatch
+    val fqSb = new StringBuilder
+    val faSb = new StringBuilder
+    for (i <- 0 until 30) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s1 = rng.nextInt(g.length - 150)
+      val s2 = rng.nextInt(g.length - 150)
+      fqSb.append(s"@fr$i/1 x\n${g.substring(s1, s1 + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+      faSb.append(s">fr$i/2 x\n${g.substring(s2, s2 + 150)}\n")
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    write(dir.resolve("reads2.fasta"), faSb.toString)
+
+    // no --taxonomy flag anywhere below: everything reads <idx>/taxonomy
+    val out = dir.resolve("out").toString
+    Main.main(Array("classify", "--index", idx,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--reads2", dir.resolve("reads2.fasta").toString,
+      "--min-hit-groups", "1",
+      "--output", out))
+    val pairedLines = Files.list(java.nio.file.Paths.get(out, "sample=fr0"))
+      .toArray.map(_.toString).filter(_.endsWith(".gz"))
+      .flatMap { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
+        try scala.io.Source.fromInputStream(in).getLines().toVector
+        finally in.close()
+      }
+    // the FASTA mate joined: one record, classified, with a mate border
+    assert(pairedLines.length == 1)
+    assert(pairedLines.head.startsWith("C\t"))
+    assert(pairedLines.head.contains("|:|"))
+    // both mates contribute to the length column (150 + 150)
+    assert(pairedLines.head.split("\t")(3) == "300")
+
+    // report: re-render the kreport from the classified dir + index taxonomy
+    val reportOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(reportOut)) {
+      Main.main(Array("report", "--index", idx, "--classified", out))
+    }
+    val reportLines = reportOut.toString("UTF-8").linesIterator.toVector
+    assert(reportLines.exists(_.contains("species four")))
+    assert(reportLines.exists(_.contains("species five")))
+    // clade counts: the root line accounts for all 30 classified-or-not reads
+    val rootLine = reportLines.find(_.contains("\troot")).get
+    assert(rootLine.split("\t")(1).toLong <= 30)
+
+    // classify2 --gold: the listed taxa REPLACE the heuristic selection
+    write(dir.resolve("gold.txt"), "4\n")
+    val out2 = dir.resolve("out2").toString
+    val goldStdout = new java.io.ByteArrayOutputStream()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Console.withOut(new java.io.PrintStream(goldStdout)) {
+      Main.main(Array("classify2", "--index", idx,
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--reads", dir.resolve("reads.fastq").toString,
+        "--gold", dir.resolve("gold.txt").toString,
+        "--output", out2))
+    }
+    assert(goldStdout.toString("UTF-8").contains("selected 1 taxa"))
+    // the CLI released the spans + dynamic-records caches (round-3 leak)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((persistedAfter -- persistedBefore).isEmpty,
+      s"classify2 leaked cached RDDs: ${persistedAfter -- persistedBefore}")
+    // only genome-4 reads can classify against the gold sub-index
+    val classified2 = index.MappingComparison.readKrakenOutput(spark, out2)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(classified2.length == 30)
+    for ((title, taxon) <- classified2 if taxon != 0)
+      assert(taxon == 4, s"$title classified to $taxon outside the gold clade")
+    assert(classified2.count(_._2 == 4) > 10)
+
+    // -o frequency: the demotion set persists beside the index and classify
+    // reproduces the identical ordering (keys match -> reads classify TP)
+    val idxF = dir.resolve("idxf").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "64",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idxF))
+    val pf = index.IndexParams.read(spark, idxF)
+    assert(pf.demoted.exists(_.length == 64))
+    val outF = dir.resolve("outf").toString
+    Main.main(Array("classify", "--index", idxF,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outF))
+    val classifiedF = index.MappingComparison.readKrakenOutput(spark, outF)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(classifiedF.length == 30)
+    assert(classifiedF.count(_._2 != 0) > 25,
+      "frequency-ordered index failed to classify the clean reads")
   }
 }

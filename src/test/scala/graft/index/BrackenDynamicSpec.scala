@@ -217,11 +217,12 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("dynamic bracken weights cover only the selected sub-library") {
     import spark.implicits._
     val staticRecords = dyn.index.buildRecords(lib)
-    val (_, selected, subLib, dynRecords) = dyn.classify2Full(
+    val (_, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
       spark.createDataset(reads), lib, staticRecords,
       criterion = DistinctMinimizers, rank = "species", threshold = 50)
     val w = dyn.dynamicWeights(subLib, dynRecords, readLen = 100)
       .as[(Int, Int, Long)].collect()
+    cleanup()
     assert(w.nonEmpty)
     // sources are exactly the selected genomes; windows tile them fully
     assert(w.map(_._1).toSet == Set(4, 6))

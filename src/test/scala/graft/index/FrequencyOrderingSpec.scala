@@ -1,0 +1,125 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.kmers.{Dna, FrequencyPriority, RandomXorPriority, SupermerScanner}
+import graft.sources.InputFragment
+import graft.taxa.Taxonomy
+import scala.util.Random
+
+class FrequencyOrderingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val rng = new Random(29)
+  def dna(n: Int): String = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+
+  test("demoted m-mers sort after all others; inner ordering breaks ties") {
+    val m = 15
+    val inner = RandomXorPriority(m)
+    val mers = Array.fill(40)(Dna.canonical(rng.nextLong() & Dna.merMask(m), m))
+    val demoted = mers.take(10).sorted
+    val p = FrequencyPriority(demoted, inner)
+    for (mer <- mers) {
+      val pri = p.priorityOf(mer)
+      val isDem = demoted.contains(Dna.canonical(mer, m))
+      assert((pri < 0) == isDem) // top bit set exactly for demoted
+      if (!isDem) assert(pri == inner.priorityOf(mer))
+      // every demoted priority compares unsigned-after every non-demoted
+      for (other <- mers if !demoted.contains(Dna.canonical(other, m)) && isDem)
+        assert(java.lang.Long.compareUnsigned(p.priorityOf(other), pri) < 0)
+    }
+  }
+
+  test("a demoted minimizer is only chosen when the window has no alternative") {
+    val m = 15
+    val k = 31
+    val inner = RandomXorPriority(m)
+    val seq = dna(600)
+    val base = new SupermerScanner(k, inner)
+    // demote exactly the minimizers the XOR ordering would choose
+    val chosen = base.scan(seq).map(sm => inner.merFor(sm.minimizer)).toArray
+      .map(Dna.canonical(_, m)).distinct.sorted
+    val freq = new SupermerScanner(k, FrequencyPriority(chosen, inner))
+    val rechosen = freq.scan(seq).map(_.minimizer).toSet
+    // every window (17 candidate m-mers) holds some non-demoted alternative
+    // with overwhelming probability, so no re-chosen minimizer is demoted
+    assert(rechosen.forall(_ >= 0L), "a demoted m-mer was chosen despite alternatives")
+    // counts still tile the sequence
+    assert(freq.scan(seq).map(_.kmers).sum == seq.length - k + 1)
+  }
+
+  test("topCanonicalMers finds a planted over-represented m-mer") {
+    import spark.implicits._
+    val m = 15
+    // plant a repeated motif so one canonical m-mer dominates the counts
+    val motif = dna(m)
+    val planted = (motif * 40) + dna(400)
+    val lib = spark.createDataset(Seq(
+      (4, Dna.pack2bit(planted), planted.length),
+      (5, Dna.pack2bit(dna(500)), 500)))
+    val top = FrequencyOrdering.topCanonicalMers(lib, m, fraction = 1.0, topN = 5)
+    assert(top.length == 5)
+    assert(top.contains(Dna.canonical(Dna.encode(motif), m)))
+    // sorted ascending, ready for binary search / set construction
+    assert(top.sameElements(top.sorted))
+  }
+
+  test("demotion set round-trips through the index sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq").toString
+    val demoted = Array.fill(100)(rng.nextLong() & Dna.merMask(31)).sorted
+    val params = IndexParams(k = 35, m = 31, demoted = Some(demoted))
+    IndexParams.write(spark, params, dir)
+    val back = IndexParams.read(spark, dir)
+    assert(back.demoted.isDefined)
+    assert(back.demoted.get.sameElements(demoted))
+    // and an xor index reads back with no demotion set
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-xor").toString
+    IndexParams.write(spark, IndexParams(k = 35, m = 31), dir2)
+    assert(IndexParams.read(spark, dir2).demoted.isEmpty)
+  }
+
+  test("frequency-ordered index classifies reads to the source taxon") {
+    import spark.implicits._
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    val bcTax = spark.sparkContext.broadcast(tax)
+    // low-complexity insert: the motif repeat is exactly what frequency
+    // ordering exists to de-prioritize
+    val genomes = Map(4 -> (dna(1200) + ("ACGTT" * 100) + dna(1200)),
+      5 -> dna(2500))
+    val lib = spark.createDataset(genomes.toSeq)
+    val packed = new MinimizerIndex(IndexParams(k = 35, m = 31), bcTax)
+      .packLibrary(lib)
+    val demoted = FrequencyOrdering.topCanonicalMers(packed, 31,
+      fraction = 1.0, topN = 256)
+    val params = IndexParams(k = 35, m = 31, demoted = Some(demoted))
+    val index = new MinimizerIndex(params, bcTax)
+    val records = index.makeRecords(lib).cache()
+    assert(records.count() > 0)
+
+    val reads = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      InputFragment(s"f$i|src=$t", 0L, g.substring(s, s + 150), None)
+    }
+    val out = index.classify(index.spans(spark.createDataset(reads)), records,
+      minHitGroups = 1).collect()
+    assert(out.length == 60)
+    for (c <- out if c.classified)
+      assert(tax.hasAncestor(c.title.split("src=")(1).toInt, c.taxon))
+    assert(out.count(_.classified) > 50)
+
+    // anti-skew: the demoted motif m-mers contribute no giant bucket — the
+    // largest per-key record group shrinks (or stays) vs the xor ordering
+    val xorIndex = new MinimizerIndex(
+      IndexParams(k = 35, m = 31), bcTax)
+    val xorRecords = xorIndex.makeRecords(lib)
+    def spansMax(idx: MinimizerIndex): Long = {
+      val sp = idx.spans(spark.createDataset(reads)).toDF()
+      sp.groupBy("id1").count().agg(org.apache.spark.sql.functions.max("count"))
+        .collect()(0).getLong(0)
+    }
+    assert(spansMax(index) <= spansMax(xorIndex),
+      "frequency ordering must not increase the worst span bucket")
+  }
+}

@@ -133,4 +133,48 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // wider spacing loses specificity but must stay ancestor-consistent
     assert(nC > 40, s"only $nC classified after respace")
   }
+
+  test("wide: spaced build classifies; respaced wide index + spans consistent") {
+    val rng = new Random(83)
+    def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    import spark.implicits._
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val genomes = Map(4 -> dna(2500), 5 -> dna(2500))
+    val lib = spark.createDataset(genomes.toSeq)
+    val reads = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 130)
+      InputFragment(s"ws$i|src=$t", 0L, g.substring(s, s + 130), None)
+    }
+    val ds = spark.createDataset(reads)
+
+    // (a) a directly spaced wide build classifies ancestor-consistently
+    val spaced = new WideMinimizerIndex(k = 45, m = 33, bcTax, spaces = 7)
+    val spacedRec = spaced.buildRecords(lib).cache()
+    val direct = spaced.classify(spaced.spans(ds), spacedRec).collect()
+    var nDirect = 0
+    for (c <- direct if c.classified) {
+      nDirect += 1
+      assert(tax.hasAncestor(c.title.split("src=")(1).toInt, c.taxon))
+    }
+    assert(nDirect > 40, s"only $nDirect classified with wide spaced build")
+
+    // (b) respacing an unspaced wide index + its spans stays consistent
+    val plain = new WideMinimizerIndex(k = 45, m = 33, bcTax)
+    val params = IndexParams(k = 45, m = 33, spaces = 0, buckets = 4)
+    val records = plain.buildRecords(lib).cache()
+    val respaced = IndexOps.respaceWide(records, params, 7, bcTax).cache()
+    val spans = plain.spans(ds)
+    val wideSpans = IndexOps.respaceSpansWide(spans, params, 7)
+    val classified = plain.classify(wideSpans, respaced).collect()
+    var nC = 0
+    for (c <- classified if c.classified) {
+      nC += 1
+      assert(tax.hasAncestor(c.title.split("src=")(1).toInt, c.taxon))
+    }
+    assert(nC > 40, s"only $nC classified after wide respace")
+  }
 }

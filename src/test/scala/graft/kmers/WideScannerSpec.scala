@@ -69,6 +69,66 @@ class WideScannerSpec extends AnyFunSuite with PropChecks {
       assert(fwd == rev)
     }
   }
+
+  test("wide space masks clear exactly the odd positions, across both words") {
+    for (m <- Seq(33, 40, 64); s <- 0 to m / 2) {
+      val lo = WideRandomXorPriority.spaceMaskLo(s)
+      val hi = WideRandomXorPriority.spaceMaskHi(s) & Dna.merMask(m - 32)
+      def kept(pos: Int): Boolean =
+        if (pos < 32) ((lo >>> (2 * pos)) & 3L) == 3L
+        else ((hi >>> (2 * (pos - 32))) & 3L) == 3L
+      for (pos <- 0 until m) {
+        val spaced = pos % 2 == 1 && pos < 2 * s
+        assert(kept(pos) != spaced, s"m=$m s=$s pos=$pos")
+      }
+    }
+  }
+
+  test("spaced wide priority ignores spaced positions, sees kept ones") {
+    val spacedCase = for {
+      m <- Gen.chooseNum(33, 64)
+      s <- Gen.chooseNum(1, m / 2)
+      mer <- dnaString(m, m)
+    } yield (m, s, mer)
+    forAll(spacedCase) { case (m, s, mer) =>
+      // canonical=false isolates the spacing semantics: canonicalization
+      // happens before spacing, so a mutation could otherwise flip strands
+      val p = new WideRandomXorPriority(m, canonical = false, spaces = s)
+      val out = new Array[Long](2)
+      def pri(str: String): (Long, Long) = {
+        p.priorityOf(Dna.encode(str.substring(0, m - 32)),
+          Dna.encode(str.substring(m - 32)), out)
+        (out(0), out(1))
+      }
+      val base = pri(mer)
+      def mutate(pos: Int): String = {
+        // position counted from the RIGHT end (bit position), not string index
+        val i = m - 1 - pos
+        val c = "ACGT"((("ACGT".indexOf(mer(i)) + 1) % 4))
+        mer.substring(0, i) + c + mer.substring(i + 1)
+      }
+      val spacedPos = 2 * (s - 1) + 1 // last spaced position
+      assert(pri(mutate(spacedPos)) == base, "spaced position must not matter")
+      val keptPos = 2 * (s - 1) // even positions are always kept
+      assert(pri(mutate(keptPos)) != base, "kept position must matter")
+    }
+  }
+
+  test("wide scanner with spacing: counts still tile, fewer distinct keys") {
+    forAll(wideCase) { case (s, m, k) =>
+      val sp = math.min(7, m / 2)
+      val spaced = new WideSupermerScanner(k, new WideRandomXorPriority(m, spaces = sp))
+      val sms = spaced.scan(s).toVector
+      assert(sms.map(_.kmers).sum == s.length - k + 1)
+      // spacing only masks priority bits: every key has the spaced bits zero
+      val loMask = WideRandomXorPriority.spaceMaskLo(sp)
+      val hiMask = WideRandomXorPriority.spaceMaskHi(sp) & Dna.merMask(m - 32)
+      for (sm <- sms) {
+        assert((sm.minLo & ~loMask) == 0L)
+        assert((sm.minHi & ~hiMask) == 0L)
+      }
+    }
+  }
 }
 
 class WideIndexSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {

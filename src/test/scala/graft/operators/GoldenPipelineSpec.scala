@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+
+/** Pinned goldens for the two deterministic rows-only harness queries:
+  * t09 (language-ID argmax counts) and t10 (winnowing fingerprint counts)
+  * at sf0.01. The golden files were derived by an INDEPENDENT Python
+  * reimplementation of the kernels (tools/golden_t09_t10.py — FNV-1a +
+  * splitmix64, winnowing <=-rightmost window rule, script-first langid),
+  * so these are cross-implementation checks, not self-snapshots. */
+class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def golden(name: String): Seq[(String, String)] = {
+    val url = getClass.getResource(s"/golden/$name")
+    assert(url != null, s"missing golden resource $name")
+    val src = scala.io.Source.fromURL(url)
+    try src.getLines().map { l =>
+      val Array(a, b) = l.split("\t"); (a, b)
+    }.toVector
+    finally src.close()
+  }
+
+  test("t09 langid counts match the independent golden at sf0.01") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val got = SparkEntrySpecAccess.run("t09_langid", spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1).toString)).toVector
+    assert(got == golden("t09_langid_sf001.tsv"))
+  }
+
+  test("t10 fingerprint counts match the independent golden at sf0.01") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val got = SparkEntrySpecAccess.run("t10_fingerprints", spark, sfDir)
+      .collect().map(r => (r.getLong(0).toString, r.getInt(1).toString)).toVector
+    assert(got == golden("t10_fingerprints_sf001.tsv"))
+  }
+}
+
+/** Indirection so the spec exercises exactly the registered harness query. */
+private object SparkEntrySpecAccess {
+  def run(name: String, spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+}

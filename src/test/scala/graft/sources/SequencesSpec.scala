@@ -117,8 +117,10 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Sequences.fastq(spark, r1), Sequences.fastq(spark, r2))
       .collect().sortBy(_.header)
     assert(pairs.length == 2)
+    // the paired fragment keeps R1's byte offset (provenance through pairing):
+    // p1 starts at byte 0 of r1.fastq, p2 at byte 18 (after p1's 4 lines)
     assert(pairs(0) == InputFragment("p1", 0L, "AAAA", Some("GGGG")))
-    assert(pairs(1) == InputFragment("p2", 0L, "CCCC", Some("TTTT")))
+    assert(pairs(1) == InputFragment("p2", 18L, "CCCC", Some("TTTT")))
   }
 
   test("direct DataFrame source with defaulted mate column") {
