@@ -179,6 +179,32 @@ object GenomicQueries {
         .orderBy($"taxon")
     }, None, bench = true),
 
+    // frequency-ordered index (sampled top-mer demotion) end to end: the
+    // demoted ordering must reproduce at classify time or no key matches —
+    // rows land on the same taxa as g03 (fraction=1.0 keeps the counting
+    // pass deterministic under any partitioning)
+    Q("g09_freq_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val base = new MinimizerIndex(params, bcTax)
+      val demoted = graft.index.FrequencyOrdering.topCanonicalMers(
+        base.packLibrary(lib), params.m, fraction = 1.0, topN = 512)
+      val index = new MinimizerIndex(params.copy(demoted = Some(demoted)), bcTax)
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classify(index.spans(reads), records, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None),
+
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {
       import s.implicits._

@@ -179,6 +179,72 @@ object TextQueries {
         |FROM documents, unnest(['order data column', 'stream fast order',
         |  'small line customer']) AS t(p)
         |WHERE contains(text, p)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- the composed curation pipeline in one plan: quality gate (token
+    // range) -> exact dedup (keep lowest doc_id per content hash, a window
+    // rank) -> stable split assignment -> per-(split, source) survivors.
+    // One shuffle for the dedup window, one for the final rollup ----
+    Q("t19_curation_pipeline", (s, dir) => {
+      import s.implicits._
+      val tr = trim($"text")
+      val toks = when(tr === "", 0L)
+        .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      t(s, dir, "documents")
+        .withColumn("n_toks", toks)
+        .filter($"n_toks".between(10, 500))
+        .withColumn("h", md5($"text".cast("binary")))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .withColumn("split",
+          when($"doc_id" % 10 === 0, "test")
+            .when($"doc_id" % 10 === 1, "val")
+            .otherwise("train"))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_toks").cast("long").as("sum_tokens"))
+        .orderBy($"split", $"source")
+    }, Some(
+      """WITH gated AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |      END AS n_toks
+        |  FROM documents
+        |), deduped AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM gated WHERE n_toks BETWEEN 10 AND 500
+        |)
+        |SELECT CASE WHEN doc_id % 10 = 0 THEN 'test'
+        |            WHEN doc_id % 10 = 1 THEN 'val'
+        |            ELSE 'train' END AS split,
+        | source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+        |FROM deduped WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- corpus bigram top-k: the n-gram statistics pass behind contamination
+    // screens and repetition analyses (generator + shifted-pair shape) ----
+    Q("t20_bigram_topk", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(split(trim($"text"), " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w)-1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+          .as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy($"cnt".desc, $"bigram".asc)
+        .limit(20)
+    }, Some(
+      """SELECT g AS bigram, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin))
   )
 }
