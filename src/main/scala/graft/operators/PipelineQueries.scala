@@ -161,6 +161,18 @@ object PipelineQueries {
         .orderBy($"source_a", $"source_b")
     }, None),
 
+    // PQ ANN: 8-byte codes scanned instead of 64-dim float vectors, bounded
+    // per-partition candidate heaps, exact re-rank of survivors only
+    Q("v07_pq_knn", (s, dir) => {
+      import s.implicits._
+      val v = vecs(s, dir)
+      Similarity.pqKnn(v.filter(_._1 < 20), v, k = 3, subspaces = 8,
+        centroids = 16, rerank = 24)
+        .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"qid", $"sim".desc, $"nid")
+    }, None),
+
     Q("v04_knn_lsh", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)

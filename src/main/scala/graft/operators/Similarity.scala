@@ -153,6 +153,175 @@ object Similarity {
       .drop("rn")
   }
 
+  // ---------------- product quantization (PQ) ----------------
+
+  /** PQ codebooks `[subspace][centroid][subDim]` (Jégou et al., TPAMI 2011:
+    * split d dims into S subspaces, k-means each independently; a vector is
+    * S small codes). Trained driver-side by Lloyd iterations on a
+    * DETERMINISTIC sample (sorted ids, first trainN) — codebooks are tiny
+    * (S*K*subDim floats, broadcast) and training cost is bounded by the
+    * sample, never the corpus. */
+  def trainPqCodebooks(base: Dataset[(Long, Array[Float])], subspaces: Int,
+      centroids: Int, trainN: Int = 2048, iters: Int = 8)
+      : Array[Array[Array[Float]]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // normalize column names: tuple datasets from source tables keep their
+    // original names (vec_id, embedding), so sort positionally
+    val sample = base.toDF("id", "vec").sort("id")
+      .limit(trainN).select("vec").as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty training sample")
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    Array.tabulate(subspaces) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      // deterministic spread init; empty clusters keep their previous centroid
+      var cents = Array.tabulate(centroids)(i => pts((i * pts.length) / centroids).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(centroids)(new Array[Double](sub))
+        val counts = new Array[Int](centroids)
+        for (p <- pts) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < centroids) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(centroids) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ code of one vector: per-subspace nearest centroid index (one byte
+    * each — centroids <= 256). */
+  def pqEncode(v: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val subspaces = codebooks.length
+    val sub = v.length / subspaces
+    val out = new Array[Byte](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      val cents = codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = v(s * sub + i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** PQ ANN top-k with exact re-ranking. The scale path for similarity
+    * search proper: the corpus is scanned as S-byte codes (32x smaller than
+    * 64-dim float vectors — at 100 TB of embeddings the scan becomes memory-
+    * bandwidth bound, which is exactly what PQ buys), approximate cosine is
+    * S table lookups per pair (asymmetric distance: query-to-centroid dot
+    * tables computed once per query), each partition keeps only a bounded
+    * per-query candidate heap (partitions x Q x rerank rows ever shuffle —
+    * never N x Q), and only the surviving candidates are re-ranked with
+    * exact cosine against their true vectors.
+    *
+    * The query set is collected and broadcast (bounded, as in every
+    * query-side ANN here); the corpus side stays a single narrow pass. */
+  def pqKnn(queries: Dataset[(Long, Array[Float])],
+      base: Dataset[(Long, Array[Float])], k: Int, subspaces: Int = 8,
+      centroids: Int = 16, rerank: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val books = trainPqCodebooks(base, subspaces, centroids)
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    // per-query lookup tables: dot(q_sub, centroid) and per-code norm
+    // contributions; approx cosine = sum(dots) / (|q| * sqrt(sum |c|^2))
+    val qArr = queries.collect().sortBy(_._1)
+    val sub = qArr(0)._2.length / subspaces
+    val qTables = qArr.map { case (qid, qv) =>
+      val table = Array.tabulate(subspaces, centroids) { (s, c) =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qv(s * sub + i) * books(s)(c)(i); i += 1 }
+        d
+      }
+      var qn = 0.0
+      qv.foreach(x => qn += x.toDouble * x)
+      (qid, table, math.sqrt(qn))
+    }
+    val centNorm2 = Array.tabulate(subspaces, centroids) { (s, c) =>
+      var d = 0.0; books(s)(c).foreach(x => d += x.toDouble * x); d
+    }
+    val bcQ = spark.sparkContext.broadcast(qTables)
+    val bcCN = spark.sparkContext.broadcast(centNorm2)
+    val rr = rerank.max(k)
+
+    // one narrow pass: encode + approximate + per-partition bounded top-rr
+    val candidates = base.mapPartitions { it =>
+      val books = bcBooks.value
+      val qs = bcQ.value
+      val cn = bcCN.value
+      // per query: (approx sims, ids) bounded min-heaps as sorted arrays
+      val heapSim = Array.fill(qs.length)(new Array[Double](rr))
+      val heapId = Array.fill(qs.length)(new Array[Long](rr))
+      val heapN = new Array[Int](qs.length)
+      for ((nid, nv) <- it) {
+        val code = pqEncode(nv, books)
+        var q = 0
+        while (q < qs.length) {
+          val (qid, table, qnorm) = qs(q)
+          if (qid != nid) {
+            var dot = 0.0; var n2 = 0.0; var s = 0
+            while (s < code.length) {
+              val c = code(s) & 0xff
+              dot += table(s)(c); n2 += cn(s)(c); s += 1
+            }
+            val sim = if (qnorm == 0.0 || n2 == 0.0) 0.0
+              else dot / (qnorm * math.sqrt(n2))
+            // bounded insertion (rr is small; linear shift is cache-friendly)
+            val n = heapN(q)
+            if (n < rr || sim > heapSim(q)(n - 1)) {
+              var pos = math.min(n, rr - 1)
+              while (pos > 0 && heapSim(q)(pos - 1) < sim) {
+                heapSim(q)(pos) = heapSim(q)(pos - 1)
+                heapId(q)(pos) = heapId(q)(pos - 1)
+                pos -= 1
+              }
+              heapSim(q)(pos) = sim; heapId(q)(pos) = nid
+              if (n < rr) heapN(q) = n + 1
+            }
+          }
+          q += 1
+        }
+      }
+      (0 until qs.length).iterator.flatMap { q =>
+        (0 until heapN(q)).iterator.map(i => (qs(q)._1, heapId(q)(i)))
+      }
+    }.toDF("qid", "nid").distinct()
+
+    // exact re-rank of the surviving candidates only
+    val qDf = queries.toDF("qid", "qv")
+    val bDf = base.toDF("nid", "nv")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    candidates.join(bDf, "nid").join(qDf, "qid")
+      .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** All pairs above a cosine threshold via LSH buckets (near-dup detection
     * for embeddings). Buckets larger than `maxBucket` are dropped
     * ([[Dedup.capBuckets]]): embedding mass concentrated on one side of all

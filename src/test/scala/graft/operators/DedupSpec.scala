@@ -218,6 +218,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val found = (0L until 10L).count(i => got.contains((i, i + 500L)))
     assert(found >= 8, s"found only $found of 10 planted pairs")
   }
+
+  test("PQ kNN finds the planted nearest neighbor and re-ranks exactly") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val res = Similarity.pqKnn(queries, ds, k = 1, subspaces = 8,
+      centroids = 16, rerank = 24).collect()
+    val got = res.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"PQ found only $hits of 10 planted neighbors")
+    // the reported sim is the EXACT cosine (re-ranked), not the PQ estimate
+    for (r <- res) {
+      val exact = cosine(base(r.getLong(0).toInt)._2,
+        base.find(_._1 == r.getLong(1)).get._2)
+      assert(math.abs(r.getDouble(2) - exact) < 1e-9)
+    }
+  }
+
+  test("PQ encoding is deterministic and codebooks reconstruct the sample") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val books1 = Similarity.trainPqCodebooks(ds, 8, 16)
+    val books2 = Similarity.trainPqCodebooks(ds, 8, 16)
+    for (s <- books1.indices; c <- books1(s).indices)
+      assert(books1(s)(c).sameElements(books2(s)(c)), "training not deterministic")
+    // reconstruction from codes approximates the vector (clustered data)
+    val v = base(3)._2
+    val code = Similarity.pqEncode(v, books1)
+    val recon = books1.indices.flatMap(s => books1(s)(code(s) & 0xff)).toArray
+    assert(cosine(v, recon) > 0.9, s"poor reconstruction: ${cosine(v, recon)}")
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
