@@ -24,6 +24,14 @@ import graft.taxa.Taxonomy
   *             [--rank species] [--output categories]
   *   stats     --index idx [--respace s] --output out
   *   report    --index idx --classified out  (kreport to stdout)
+  *   respace   --index idx --s 10[,12,...] --output base  (new index per s
+  *             at base_sN, taxonomy copied alongside)
+  *   inspect   --index idx [--labels l.tsv] --output out  (minimizer/genome/
+  *             missing kreports)
+  *   compareIndex --index idx --reference idx2 --output out  (LCA migration
+  *             depth histogram)
+  *   inputCheck --taxonomy dir --labels l.tsv  (label sanity: unknown taxa,
+  *             non-leaf genomes, implied tree size)
   */
 object Main {
 
@@ -369,6 +377,123 @@ object Main {
           else IndexOps.minimizersPerTaxonMemo(records, idxPath)
         perTaxon.write.option("sep", "\t").mode("overwrite").csv(opts("output"))
         IndexOps.depthHistogram(records, bcTax).show(50)
+
+      case "respace" =>
+        // new index per requested spacing, derived WITHOUT rescanning the
+        // library: mask + LCA re-fold of the stored records (spec: reference
+        // KeyValueIndex.respaceMultiple, Slacken respace subcommand)
+        val idxPath = opts("index")
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
+        val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val spacings = opts("s").split(",").map(_.trim.toInt).toSeq
+        for (s <- spacings) {
+          val outLoc = opts("output") + s"_s$s"
+          if (params.m > 32) {
+            val records = new WideMinimizerIndex(params.k, params.m, bcTax,
+              params.spaces).loadRecords(spark, idxPath, params.buckets)
+            val respaced = IndexOps.respaceWide(records, params, s, bcTax)
+            new WideMinimizerIndex(params.k, params.m, bcTax, s)
+              .writeRecords(respaced, outLoc, params.buckets)
+          } else {
+            val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+            val respaced = IndexOps.respace(records, params, s, bcTax)
+            new MinimizerIndex(params.copy(spaces = s), bcTax)
+              .writeRecords(respaced, outLoc)
+          }
+          copyTaxonomy(spark, idxPath + "/taxonomy", outLoc)
+          println(s"index written: $outLoc (s=$s): " +
+            s"${IndexParams.read(spark, outLoc).spaces} spaces")
+        }
+
+      case "inspect" =>
+        // index contents reports (spec: reference KeyValueIndex.report):
+        // minimizer-count kreport, genome-count kreport, and (with --labels)
+        // the taxa present in the label file but absent from the index
+        val idxPath = opts("index")
+        val spark = session(buckets)
+        import spark.implicits._
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
+        val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val records =
+          if (params.m > 32)
+            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+              .loadRecords(spark, idxPath, params.buckets)
+          else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+        val allTaxa = IndexOps.minimizersPerTaxon(records)
+          .as[(Int, Long)].collect()
+        def writeReport(suffix: String, counts: Array[(Int, Long)]): Unit = {
+          val p = new org.apache.hadoop.fs.Path(opts("output") + suffix)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, true)
+          try out.write((new KrakenReport(tax, counts).render + "\n")
+            .getBytes("UTF-8"))
+          finally out.close()
+        }
+        writeReport("_min_report.txt", allTaxa)
+        writeReport("_genome_report.txt", allTaxa.map(t => (t._1, 1L)))
+        for (l <- opts.get("labels")) {
+          val present = allTaxa.map(_._1).toSet
+          val labelled = Sequences.labels(spark, l)
+            .select($"taxon").distinct().as[Int].collect()
+          val missing = labelled.filterNot(present).sorted
+          // the kreport walks parent chains, so it can only render taxa the
+          // taxonomy defines; foreign ids are still counted and printed
+          writeReport("_missing_report.txt",
+            missing.filter(t => t > 0 && t < tax.size && tax.isDefined(t))
+              .map(t => (t, 1L)))
+          println(s"${missing.length} labelled taxa missing from the index")
+        }
+
+      case "compareIndex" =>
+        // LCA migration histogram between two indexes of the same width
+        // (spec: reference MinimizerMigration)
+        val idxPath = opts("index")
+        val spark = session(buckets)
+        val params = IndexParams.read(spark, idxPath)
+        spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
+        val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val refPath = opts("reference")
+        val refParams = IndexParams.read(spark, refPath)
+        require(refParams.m == params.m,
+          s"cannot compare indexes of different m (${params.m} vs ${refParams.m})")
+        def load(path: String, p: IndexParams) =
+          if (p.m > 32)
+            new WideMinimizerIndex(p.k, p.m, bcTax, p.spaces)
+              .loadRecords(spark, path, p.buckets)
+          else MinimizerIndex.loadRecords(spark, path, p.buckets)
+        val keyCols = if (params.m > 32) Seq("id1", "id2") else Seq("id1")
+        IndexOps.compareIndexes(load(idxPath, params), load(refPath, refParams),
+            bcTax, keyCols)
+          .write.option("sep", "\t").mode("overwrite").csv(opts("output"))
+
+      case "inputCheck" =>
+        // label-file sanity before a build (spec: reference
+        // GenomeLibrary.inputStats): unknown taxa, non-leaf genomes, the
+        // implied tree size of a build from these labels
+        val spark = session(buckets)
+        import spark.implicits._
+        val tax = loadTaxonomy(spark, opts("taxonomy"))
+        val labelled = Sequences.labels(spark, opts("labels"))
+          .select($"taxon").distinct().as[Int].collect()
+        val invalid = labelled.filterNot(t => t > 0 && t < tax.size && tax.isDefined(t))
+        if (invalid.nonEmpty) {
+          println(s"${invalid.length} unknown genomes (missing from the taxonomy):")
+          println(invalid.sorted.mkString(", "))
+        }
+        val valid = labelled.filter(t => t > 0 && t < tax.size && tax.isDefined(t))
+        val nonLeaf = valid.filter(t => tax.children(t).nonEmpty)
+        if (nonLeaf.nonEmpty)
+          println(s"${nonLeaf.length} non-leaf genomes")
+        val implied = tax.withAncestors(valid).size
+        println(s"${valid.length} valid taxa in input labels " +
+          s"(maximal implied tree size $implied)")
+        println(s"Max leaf nodes in resulting database: ${valid.length - nonLeaf.length}")
 
       case "report" =>
         // re-render a kreport from an existing classified output directory

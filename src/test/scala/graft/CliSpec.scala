@@ -332,4 +332,97 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classifiedF.count(_._2 != 0) > 25,
       "frequency-ordered index failed to classify the clean reads")
   }
+
+  test("CLI: respace / inspect / compareIndex / inputCheck") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-tools")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+
+    // respace: new self-contained indexes at base_s10 and base_s12
+    val base = dir.resolve("re").toString
+    Main.main(Array("respace", "--index", idx, "--s", "10,12",
+      "--output", base))
+    for (s <- Seq(10, 12)) {
+      val p = graft.index.IndexParams.read(spark, s"${base}_s$s")
+      assert(p.spaces == s && p.m == 31)
+      assert(Files.exists(java.nio.file.Paths.get(s"${base}_s$s",
+        "taxonomy", "nodes.dmp")))
+    }
+    // a respaced index classifies through the standard path (sidecar spacing
+    // drives span extraction, so keys match)
+    val fqSb = new StringBuilder
+    for (i <- 0 until 20) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      fqSb.append(s"@rr$i\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    val outR = dir.resolve("outr").toString
+    Main.main(Array("classify", "--index", s"${base}_s10",
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outR))
+    val classifiedR = index.MappingComparison.readKrakenOutput(spark, outR)
+      .collect().map(r => r.getInt(1))
+    assert(classifiedR.length == 20)
+    assert(classifiedR.count(_ != 0) > 15, "respaced index classifies")
+
+    // inspect: minimizer/genome/missing reports (labels with one foreign id)
+    write(dir.resolve("labels2.tsv"), "s4\t4\ns5\t5\nsX\t9\n")
+    val insp = dir.resolve("inspect").toString
+    Main.main(Array("inspect", "--index", idx,
+      "--labels", dir.resolve("labels2.tsv").toString,
+      "--output", insp))
+    val minRep = Files.readAllLines(
+      java.nio.file.Paths.get(insp + "_min_report.txt"))
+    assert(minRep.stream().anyMatch(_.contains("species four")))
+    val genomeRep = Files.readAllLines(
+      java.nio.file.Paths.get(insp + "_genome_report.txt"))
+    // genome report counts 1 per taxon: root clade = 2 genomes
+    assert(genomeRep.stream().anyMatch(l =>
+      l.contains("\troot") && l.split("\t")(1) == "2"))
+    assert(Files.exists(java.nio.file.Paths.get(insp + "_missing_report.txt")))
+
+    // compareIndex: self-comparison puts every minimizer at steps=0
+    val cmp = dir.resolve("idxcmp").toString
+    Main.main(Array("compareIndex", "--index", idx, "--reference", idx,
+      "--output", cmp))
+    val cmpLines = Files.list(java.nio.file.Paths.get(cmp)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(cmpLines.length == 1 && cmpLines.head.startsWith("0\t"))
+
+    // inputCheck: reports the foreign taxon and the implied tree size
+    val checkOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(checkOut)) {
+      Main.main(Array("inputCheck",
+        "--taxonomy", dir.resolve("tax").toString,
+        "--labels", dir.resolve("labels2.tsv").toString))
+    }
+    val checkStr = checkOut.toString("UTF-8")
+    assert(checkStr.contains("1 unknown genomes"))
+    assert(checkStr.contains("2 valid taxa"))
+    assert(checkStr.contains("maximal implied tree size 4")) // 4,5,2,1
+  }
 }
