@@ -171,7 +171,7 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None),
+    }, None, bench = true),
 
     Q("v04_knn_lsh", (s, dir) => {
       import s.implicits._

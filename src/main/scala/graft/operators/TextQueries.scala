@@ -223,7 +223,8 @@ object TextQueries {
         |            ELSE 'train' END AS split,
         | source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_toks) AS BIGINT) AS sum_tokens
-        |FROM deduped WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+        |FROM deduped WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // ---- corpus bigram top-k: the n-gram statistics pass behind contamination
     // screens and repetition analyses (generator + shifted-pair shape) ----
