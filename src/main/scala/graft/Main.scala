@@ -22,7 +22,8 @@ import graft.taxa.Taxonomy
   *             --output out
   *   compare   --taxonomy dir --classified out --truth mapping.tsv
   *             [--rank species] [--output categories]
-  *   stats     --index idx [--respace s] --output out
+  *   stats     --index idx [--respace s] [--library lib.fna --labels l.tsv]
+  *             --output out  (the library pair adds a coverage check)
   *   report    --index idx --classified out  (kreport to stdout)
   *   respace   --index idx --s 10[,12,...] --output base  (new index per s
   *             at base_sN, taxonomy copied alongside)
@@ -157,8 +158,21 @@ object Main {
           // narrow path. Default spacing 0 (the s=7 default is the narrow
           // Kraken 2 convention; no published default exists for wide m).
           val s = opts.getOrElse("s", "0").toInt
-          val index = new WideMinimizerIndex(k, m, bcTax, s)
-          val records = index.makeRecordsPacked(loadPackedLibrary(spark, opts, k), salt)
+          val packedLib = loadPackedLibrary(spark, opts, k)
+          // -o frequency at wide m: same sampled demotion as the narrow
+          // path, over canonical two-word m-mers (m <= 63: the demote bit
+          // needs a free hi-word bit)
+          val demoted = opts.getOrElse("o", "xor") match {
+            case "frequency" =>
+              require(m <= 63, s"-o frequency needs m <= 63, got $m")
+              FrequencyOrdering.topCanonicalWideMers(packedLib, m,
+                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
+                topN = opts.getOrElse("freq-top", "4096").toInt)
+            case "xor" => Array.emptyLongArray
+            case other => sys.error(s"unknown ordering: $other (xor|frequency)")
+          }
+          val index = new WideMinimizerIndex(k, m, bcTax, s, demoted)
+          val records = index.makeRecordsPacked(packedLib, salt)
           index.writeRecords(records, opts("output"), buckets)
           println(s"index written (wide m=$m, s=$s): " +
             s"${index.loadRecords(spark, opts("output"), buckets).count()} records")
@@ -224,7 +238,7 @@ object Main {
         if (params.m > 32) {
           // wide (m>32) and narrow share the span protocol and ClassifyKernel,
           // so per-read output, paired-end and confidence work at any m
-          val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+          val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
           val records = wide.loadRecords(spark, idxPath, params.buckets)
           val spans = wide.spans(loadReads(spark, opts))
           if (confs.length > 1)
@@ -269,7 +283,7 @@ object Main {
         // the 2-step pipeline is width-generic: pick the index by stored m
         val (idx: KeyedIndex, records) =
           if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
             (w, w.loadRecords(spark, idxPath, params.buckets))
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
@@ -313,7 +327,7 @@ object Main {
         // bracken weights are width-generic: pick the index by stored m
         val (idx: KeyedIndex, records) =
           if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
             (w, w.loadRecords(spark, idxPath, params.buckets))
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
@@ -362,7 +376,7 @@ object Main {
         // taxon-side statistics and respace are width-agnostic
         var records =
           if (params.m > 32)
-            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
               .loadRecords(spark, idxPath, params.buckets)
           else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
         for (s <- opts.get("respace")) {
@@ -377,6 +391,21 @@ object Main {
           else IndexOps.minimizersPerTaxonMemo(records, idxPath)
         perTaxon.write.option("sep", "\t").mode("overwrite").csv(opts("output"))
         IndexOps.depthHistogram(records, bcTax).show(50)
+        // optional library coverage check (reference stats --library): how
+        // many of each genome's minimizers are absent from the stored index
+        if (opts.contains("library") && opts.contains("labels")) {
+          val idx: KeyedIndex =
+            if (params.m > 32)
+              new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces,
+                params.demoted.getOrElse(Array.emptyLongArray))
+            else new MinimizerIndex(params, bcTax)
+          val stored =
+            if (params.m > 32) new WideMinimizerIndex(params.k, params.m,
+              bcTax, params.spaces).loadRecords(spark, idxPath, params.buckets)
+            else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+          println("genomes with minimizers missing from the index:")
+          IndexOps.missingGenomes(idx, loadLibrary(spark, opts), stored).show(50)
+        }
 
       case "respace" =>
         // new index per requested spacing, derived WITHOUT rescanning the
@@ -421,7 +450,7 @@ object Main {
         val bcTax = spark.sparkContext.broadcast(tax)
         val records =
           if (params.m > 32)
-            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces)
+            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
               .loadRecords(spark, idxPath, params.buckets)
           else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
         val allTaxa = IndexOps.minimizersPerTaxon(records)

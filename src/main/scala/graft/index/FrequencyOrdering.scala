@@ -51,6 +51,55 @@ object FrequencyOrdering {
       .sorted
   }
 
+  /** Every canonical wide m-mer (hi, lo) of a valid segment, rolling two-word
+    * scan with the O(1) canonicalization from [[graft.kmers.WideRandomXorPriority]]. */
+  def canonicalWideMers(seq: CharSequence, m: Int): Iterator[(Long, Long)] = {
+    val hiBases = m - 32
+    val hiMask = Dna.merMask(hiBases)
+    val s = 2 * hiBases
+    var merHi = 0L
+    var merLo = 0L
+    Iterator.range(0, seq.length).flatMap { i =>
+      merHi = ((merHi << 2) | (merLo >>> 62)) & hiMask
+      merLo = (merLo << 2) | Dna.code(seq.charAt(i))
+      if (i < m - 1) Iterator.empty
+      else {
+        val rl = Dna.reverseComplement(merLo, 32)
+        val rh = if (hiBases > 0) Dna.reverseComplement(merHi, hiBases) else 0L
+        val ch = if (s == 0) 0L else rl >>> (64 - s)
+        val cl = (if (s == 64) 0L else rl << s) | rh
+        if (graft.kmers.WideRandomXorPriority.unsignedLess(ch, cl, merHi, merLo))
+          Iterator.single((ch, cl))
+        else Iterator.single((merHi, merLo))
+      }
+    }
+  }
+
+  /** Wide (m in [33, 63]) variant of [[topCanonicalMers]]: the topN most
+    * frequent canonical two-word m-mers, returned as interleaved (hi, lo)
+    * pairs sorted by (hi, lo) — the demotion set of
+    * [[graft.kmers.WideRandomXorPriority]]. */
+  def topCanonicalWideMers(library: Dataset[(Int, Array[Byte], Int)], m: Int,
+      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val sampled =
+      if (fraction >= 1.0) library
+      else library.sample(withReplacement = false, fraction, seed)
+    sampled
+      .flatMap { case (_, packed, len) =>
+        canonicalWideMers(new Dna.Packed(packed, len), m)
+      }
+      .toDF("hi", "lo")
+      .groupBy($"hi", $"lo").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"hi", $"lo")
+      .limit(topN)
+      .select($"hi", $"lo").as[(Long, Long)]
+      .collect()
+      .sorted
+      .flatMap { case (h, l) => Array(h, l) }
+  }
+
   private def sidecar(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering")
 

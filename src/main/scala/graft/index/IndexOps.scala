@@ -140,23 +140,23 @@ object IndexOps {
 
   /** Genomes that contributed no minimizers to the index (quality check;
     * spec: A12/A13, KeyValueIndex.scala:56-76): distinct library minimizers
-    * anti-joined against records. */
-  def missingGenomes(index: MinimizerIndex, library: Dataset[(Int, String)],
+    * anti-joined against records. Width-generic over [[KeyedIndex]]. */
+  def missingGenomes(index: KeyedIndex, library: Dataset[(Int, String)],
       records: DataFrame): DataFrame = {
     val spark = library.sparkSession
     import spark.implicits._
-    val params = index.paramsOf
-    val scanner = params.scanner
-    val k = params.k
+    val keys = index.keyCols
+    val k = index.kOf
     val libMins = library.flatMap { case (taxon, seq) =>
-      val set = scala.collection.mutable.LongMap.empty[Unit]
+      val set = scala.collection.mutable.HashSet.empty[(Long, Long)]
       graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
         if (run.valid && run.seq.length >= k)
-          scanner.scan(run.seq).foreach(sm => set(sm.minimizer) = ())
+          index.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
       }
-      set.keysIterator.map(m => (taxon, m))
-    }.toDF("taxon", "id1")
-    libMins.join(records.select("id1"), Seq("id1"), "left_anti")
+      set.iterator.map { case (a, b) => (taxon, a, b) }
+    }.toDF("taxon", "id1", "id2")
+    val left = if (keys.size == 1) libMins.drop("id2") else libMins
+    left.join(records.select(keys.map(col): _*), keys, "left_anti")
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_missing"))
   }
 

@@ -24,12 +24,13 @@ final case class WideOrdinalSpan(
   * stays allocation-free.
   */
 final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
-    spaces: Int = 0) extends KeyedIndex {
+    spaces: Int = 0, demoted: Array[Long] = Array.emptyLongArray)
+    extends KeyedIndex {
 
   import Sentinels._
 
   val scanner = new WideSupermerScanner(k,
-    new WideRandomXorPriority(m, spaces = spaces))
+    new WideRandomXorPriority(m, spaces = spaces, demoted = demoted))
 
   // ---------------- KeyedIndex (width-independent face) ----------------
 
@@ -206,7 +207,8 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
     IndexParams.write(spark, IndexParams(k = k, m = m, spaces = spaces,
-      buckets = buckets), path)
+      buckets = buckets,
+      demoted = if (demoted.isEmpty) None else Some(demoted)), path)
   }
 
   def loadRecords(spark: SparkSession, path: String, buckets: Int): DataFrame = {

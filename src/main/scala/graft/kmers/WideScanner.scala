@@ -20,10 +20,15 @@ final case class WideSupermer(minHi: Long, minLo: Long, start: Int, kmers: Int)
 final class WideRandomXorPriority(val width: Int,
     xorMask: Long = RandomXorPriority.DEFAULT_MASK,
     val canonical: Boolean = true,
-    val spaces: Int = 0) extends Serializable {
+    val spaces: Int = 0,
+    demoted: Array[Long] = Array.emptyLongArray) extends Serializable {
   require(width >= 33 && width <= 64, s"wide width must be in [33,64], got $width")
   require(spaces >= 0 && spaces <= width / 2,
     s"spaces=$spaces too large for width $width")
+  // the demote flag needs a free bit above the hi word's 2*(width-32) bits
+  require(demoted.isEmpty || width <= 63,
+    s"frequency demotion needs m <= 63, got $width")
+  require(demoted.length % 2 == 0, "demoted pairs must be interleaved (hi, lo)")
 
   val hiBases: Int = width - 32
   val hiMask: Long = Dna.merMask(hiBases)
@@ -40,9 +45,45 @@ final class WideRandomXorPriority(val width: Int,
   // used by the O(1) reverse complement below
   private val hiShift = 2 * hiBases
 
-  /** Priority of the m-mer (hi, lo): canonicalize, XOR, space. Returns via
-    * the 2-element out array; the whole computation is allocation-free
-    * (the scan loop calls this once per base at 100 TB scale). */
+  private val DEMOTE: Long = 1L << 63
+
+  // open-addressing (hi, lo) set; EMPTY hi = -1 is safe (hi <= hiMask < 2^62)
+  @transient private lazy val table: (Array[Long], Array[Long]) = {
+    val n = demoted.length / 2
+    val cap = Integer.highestOneBit(math.max(8, n * 2) * 2)
+    val hiT = Array.fill(cap)(-1L)
+    val loT = new Array[Long](cap)
+    var p = 0
+    while (p < n) {
+      val h = demoted(2 * p); val l = demoted(2 * p + 1)
+      var i = java.lang.Long.hashCode(
+        (h * 0x9e3779b97f4a7c15L) ^ (l * 0xbf58476d1ce4e5b9L)) & (cap - 1)
+      while (hiT(i) != -1L && !(hiT(i) == h && loT(i) == l)) i = (i + 1) & (cap - 1)
+      hiT(i) = h; loT(i) = l
+      p += 1
+    }
+    (hiT, loT)
+  }
+
+  @inline private def isDemoted(h: Long, l: Long): Boolean = {
+    if (demoted.isEmpty) return false
+    val (hiT, loT) = table
+    val cap = hiT.length
+    var i = java.lang.Long.hashCode(
+      (h * 0x9e3779b97f4a7c15L) ^ (l * 0xbf58476d1ce4e5b9L)) & (cap - 1)
+    while (true) {
+      val v = hiT(i)
+      if (v == h && loT(i) == l) return true
+      if (v == -1L) return false
+      i = (i + 1) & (cap - 1)
+    }
+    false
+  }
+
+  /** Priority of the m-mer (hi, lo): canonicalize, XOR, space, demote.
+    * Returns via the 2-element out array; the whole computation is
+    * allocation-free (the scan loop calls this once per base at 100 TB
+    * scale). */
   def priorityOf(hi: Long, lo: Long, out: Array[Long]): Unit = {
     var h = hi; var l = lo
     if (canonical) {
@@ -56,7 +97,11 @@ final class WideRandomXorPriority(val width: Int,
       val cl = (if (hiShift == 64) 0L else rl << hiShift) | rh
       if (WideRandomXorPriority.unsignedLess(ch, cl, h, l)) { h = ch; l = cl }
     }
-    out(0) = ((h ^ maskHi) & hiMask) & spaceHi
+    // the sampled most-frequent m-mers sort after everything else: the
+    // demote bit sits above every populated hi-priority bit, so unsigned
+    // (hi, lo) comparison puts them last (chosen only with no alternative)
+    val dem = if (isDemoted(h, l)) DEMOTE else 0L
+    out(0) = (((h ^ maskHi) & hiMask) & spaceHi) | dem
     out(1) = (l ^ maskLo) & spaceLo
   }
 }

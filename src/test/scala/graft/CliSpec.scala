@@ -413,6 +413,38 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
     assert(cmpLines.length == 1 && cmpLines.head.startsWith("0\t"))
 
+    // wide frequency-ordered build: the two-word demotion set persists and
+    // classify reproduces the identical ordering end to end
+    val idxWF = dir.resolve("idxwf").toString
+    Main.main(Array("build", "--k", "45", "--m", "33", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "32",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idxWF))
+    val pwf = graft.index.IndexParams.read(spark, idxWF)
+    assert(pwf.m == 33 && pwf.demoted.exists(_.length == 64)) // 32 pairs
+    val outWF = dir.resolve("outwf").toString
+    Main.main(Array("classify", "--index", idxWF,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outWF))
+    val classifiedWF = index.MappingComparison.readKrakenOutput(spark, outWF)
+      .collect().map(r => r.getInt(1))
+    assert(classifiedWF.length == 20)
+    assert(classifiedWF.count(_ != 0) > 15, "wide frequency index classifies")
+
+    // stats --library coverage check: complete genomes report no missing rows
+    val statsCov = dir.resolve("statscov").toString
+    val covOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(covOut)) {
+      Main.main(Array("stats", "--index", idx,
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--output", statsCov))
+    }
+    assert(covOut.toString("UTF-8").contains("missing from the index"))
+
     // inputCheck: reports the foreign taxon and the implied tree size
     val checkOut = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(checkOut)) {

@@ -77,6 +77,51 @@ class FrequencyOrderingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(IndexParams.read(spark, dir2).demoted.isEmpty)
   }
 
+  test("wide demotion: a demoted (hi, lo) m-mer is only chosen without alternatives") {
+    import graft.kmers.{WideRandomXorPriority, WideSupermerScanner}
+    val m = 33
+    val k = 45
+    val base = new WideSupermerScanner(k, new WideRandomXorPriority(m))
+    val seq = dna(600)
+    // the scanner emits PRIORITIES; recover the demotable canonical mers by
+    // re-scanning every position (the chosen ones are a subset)
+    val chosen = FrequencyOrdering.canonicalWideMers(seq, m).toVector.distinct
+    // a value-scattered third of the mers: every (k-m+1)-window keeps
+    // non-demoted alternatives with overwhelming probability (a positional
+    // prefix would demote whole windows and legitimately force demoted picks)
+    val demoted = chosen.filter { case (h, l) => ((h ^ l) & 3L) == 0L }
+      .sorted.flatMap { case (h, l) => Seq(h, l) }.toArray
+    assert(demoted.nonEmpty)
+    val freq = new WideSupermerScanner(k,
+      new WideRandomXorPriority(m, spaces = 0, demoted = demoted))
+    val sms = freq.scan(seq).toVector
+    // counts still tile, and no chosen priority carries the demote bit
+    // unless a window held nothing else (600 random bases: never)
+    assert(sms.map(_.kmers).sum == seq.length - k + 1)
+    assert(sms.forall(_.minHi >= 0L), "a demoted wide m-mer was chosen")
+  }
+
+  test("wide frequency sampling finds a planted wide motif; sidecar round-trips") {
+    import spark.implicits._
+    val m = 33
+    val motif = dna(m)
+    val planted = (motif * 30) + dna(300)
+    val lib = spark.createDataset(Seq(
+      (4, Dna.pack2bit(planted), planted.length),
+      (5, Dna.pack2bit(dna(400)), 400)))
+    val top = FrequencyOrdering.topCanonicalWideMers(lib, m, fraction = 1.0,
+      topN = 4)
+    assert(top.length == 8) // interleaved (hi, lo) pairs
+    val pairs = top.grouped(2).map(a => (a(0), a(1))).toSet
+    val enc = FrequencyOrdering.canonicalWideMers(motif * 2, m).next()
+    assert(pairs.contains(enc), "planted wide motif not in the demotion set")
+    // round-trip through the wide index sidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft-widefreq").toString
+    IndexParams.write(spark,
+      IndexParams(k = 45, m = m, spaces = 0, demoted = Some(top)), dir)
+    assert(IndexParams.read(spark, dir).demoted.get.sameElements(top))
+  }
+
   test("frequency-ordered index classifies reads to the source taxon") {
     import spark.implicits._
     val tax = Taxonomy.fromTuples(Seq(
