@@ -112,12 +112,24 @@ object Main {
       .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
   }
 
+  /** Format dispatch for a reads file: extension + .fai aware (forFile),
+    * with a fallback for extensionless paths that name fastq in the path
+    * (e.g. /data/fastq/run1) — those would otherwise silently mis-parse as
+    * '>'-separated FASTA and yield zero fragments. */
+  private def readsFile(spark: SparkSession, path: String) = {
+    val stripped = path.replaceAll("\\.(gz|bz2)$", "")
+    val hasExt = stripped.matches(".*\\.[A-Za-z0-9]+$")
+    if (!hasExt && path.toLowerCase.contains("fastq"))
+      Sequences.fastq(spark, path)
+    else Sequences.forFile(spark, path)
+  }
+
   private def loadReads(spark: SparkSession, opts: Map[String, String]) = {
-    // both mate files go through format dispatch (extension + .fai aware):
-    // a FASTA R2 is parsed as FASTA, not force-read as FASTQ
-    val r1 = Sequences.forFile(spark, opts("reads"))
+    // both mate files go through format dispatch: a FASTA R2 is parsed as
+    // FASTA, not force-read as FASTQ
+    val r1 = readsFile(spark, opts("reads"))
     opts.get("reads2") match {
-      case Some(p2) => Sequences.paired(r1, Sequences.forFile(spark, p2))
+      case Some(p2) => Sequences.paired(r1, readsFile(spark, p2))
       case None => r1
     }
   }
@@ -424,7 +436,11 @@ object Main {
             val records = new WideMinimizerIndex(params.k, params.m, bcTax,
               params.spaces).loadRecords(spark, idxPath, params.buckets)
             val respaced = IndexOps.respaceWide(records, params, s, bcTax)
-            new WideMinimizerIndex(params.k, params.m, bcTax, s)
+            // carry the demotion set through: dropping it would rewrite the
+            // sidecar as ordering=xor and desync classify-time minimizer
+            // selection from the stored (still frequency-ordered) keys
+            new WideMinimizerIndex(params.k, params.m, bcTax, s,
+                params.demoted.getOrElse(Array.emptyLongArray))
               .writeRecords(respaced, outLoc, params.buckets)
           } else {
             val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
@@ -432,7 +448,11 @@ object Main {
             new MinimizerIndex(params.copy(spaces = s), bcTax)
               .writeRecords(respaced, outLoc)
           }
-          copyTaxonomy(spark, idxPath + "/taxonomy", outLoc)
+          // copy from the RESOLVED taxonomy dir: an index built without an
+          // embedded taxonomy (pre-self-containment, or external) would
+          // otherwise silently produce a non-self-contained output
+          copyTaxonomy(spark,
+            opts.getOrElse("taxonomy", idxPath + "/taxonomy"), outLoc)
           println(s"index written: $outLoc (s=$s): " +
             s"${IndexParams.read(spark, outLoc).spaces} spaces")
         }

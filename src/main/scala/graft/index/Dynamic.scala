@@ -89,7 +89,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       if (g.isEmpty) 0.0 else tp / g.size)
   }
 
-  /** Full 2-step pipeline. Returns (classified reads, selected taxa).
+  /** Full 2-step pipeline. Returns (classified reads, selected taxa,
+    * release). Call `release()` once the classified dataset is materialized
+    * — it frees the internal spans/records caches (dropping it leaks them
+    * to Spark's LRU, the round-3 defect).
     * @param goldSet when given, REPLACES the heuristic selection (with
     *   descendants) — the reference's gold-standard mode. */
   def classify2(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
@@ -97,10 +100,11 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None)
-      : (Dataset[ClassifiedRead], collection.BitSet) = {
-    val (classified, taxa, _, _, _) = classify2Full(reads, library, staticRecords,
-      criterion, rank, threshold, confidence, minHitGroups, goldSet)
-    (classified, taxa)
+      : (Dataset[ClassifiedRead], collection.BitSet, () => Unit) = {
+    val (classified, taxa, _, _, cleanup) = classify2Full(reads, library,
+      staticRecords, criterion, rank, threshold, confidence, minHitGroups,
+      goldSet)
+    (classified, taxa, cleanup)
   }
 
   /** [[classify2]] plus the sample-tailored artifacts: the selected

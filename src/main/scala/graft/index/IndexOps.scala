@@ -69,7 +69,11 @@ object IndexOps {
       bcTax: Broadcast[Taxonomy]): DataFrame = {
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    var mask = graft.kmers.Dna.merMask(params.m)
+    // start from all-ones, not merMask(m): bits above 2m are zero in plain
+    // keys but carry the FrequencyPriority DEMOTE flag in frequency-ordered
+    // indexes — clearing it here would desync the keys from classify-time
+    // span priorities
+    var mask = -1L
     var i = 0
     while (i < newSpaces) {
       mask &= ~(3L << (2 * (2 * i + 1)))
@@ -92,8 +96,9 @@ object IndexOps {
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
     import graft.kmers.WideRandomXorPriority
-    val hiMask = graft.kmers.Dna.merMask(params.m - 32)
-    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces) & hiMask
+    // no & hiMask: hi bits above the populated range are zero in plain keys
+    // but carry the wide DEMOTE flag in frequency-ordered indexes
+    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces)
     val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
     val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
     records
@@ -111,7 +116,9 @@ object IndexOps {
       newSpaces: Int): Dataset[OrdinalSpan] = {
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    var mask = graft.kmers.Dna.merMask(params.m)
+    // all-ones base mask for the same reason as [[respace]]: preserve the
+    // DEMOTE flag of frequency-ordered priorities
+    var mask = -1L
     var i = 0
     while (i < newSpaces) {
       mask &= ~(3L << (2 * (2 * i + 1)))
@@ -130,8 +137,8 @@ object IndexOps {
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
     import graft.kmers.WideRandomXorPriority
-    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces) &
-      graft.kmers.Dna.merMask(params.m - 32)
+    // all-ones base: preserve the wide DEMOTE flag (see respaceWide)
+    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces)
     val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
     val spark = spans.sparkSession
     import spark.implicits._
@@ -147,15 +154,27 @@ object IndexOps {
     import spark.implicits._
     val keys = index.keyCols
     val k = index.kOf
+    val narrow = keys.size == 1
     val libMins = library.flatMap { case (taxon, seq) =>
-      val set = scala.collection.mutable.HashSet.empty[(Long, Long)]
-      graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
-        if (run.valid && run.seq.length >= k)
-          index.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
+      // narrow path keeps the zero-boxing LongMap dedup (one entry per
+      // supermer over the whole library — a tuple per entry would box twice)
+      if (narrow) {
+        val set = scala.collection.mutable.LongMap.empty[Unit]
+        graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
+          if (run.valid && run.seq.length >= k)
+            index.scanKeyed(run.seq).foreach(sm => set(sm.k1) = ())
+        }
+        set.keysIterator.map(a => (taxon, a, 0L))
+      } else {
+        val set = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
+          if (run.valid && run.seq.length >= k)
+            index.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
+        }
+        set.iterator.map { case (a, b) => (taxon, a, b) }
       }
-      set.iterator.map { case (a, b) => (taxon, a, b) }
     }.toDF("taxon", "id1", "id2")
-    val left = if (keys.size == 1) libMins.drop("id2") else libMins
+    val left = if (narrow) libMins.drop("id2") else libMins
     left.join(records.select(keys.map(col): _*), keys, "left_anti")
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_missing"))
   }

@@ -100,7 +100,7 @@ object GenomicQueries {
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      val (classified, _) = dyn.classify2(reads, lib, staticRecords,
+      val (classified, _, _) = dyn.classify2(reads, lib, staticRecords,
         criterion = graft.index.DistinctMinimizers, rank = "species",
         threshold = 50, minHitGroups = 1)
       classified

@@ -244,12 +244,16 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
+    // collect queries BEFORE training: an empty query set must not pay a
+    // full training pass, and qArr(0) below needs at least one row
+    val qArr = queries.collect().sortBy(_._1)
+    if (qArr.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val books = trainPqCodebooks(base, subspaces, centroids)
     val bcBooks = spark.sparkContext.broadcast(books)
 
     // per-query lookup tables: dot(q_sub, centroid) and per-code norm
     // contributions; approx cosine = sum(dots) / (|q| * sqrt(sum |c|^2))
-    val qArr = queries.collect().sortBy(_._1)
     val sub = qArr(0)._2.length / subspaces
     val qTables = qArr.map { case (qid, qv) =>
       val table = Array.tabulate(subspaces, centroids) { (s, c) =>

@@ -457,4 +457,75 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(checkStr.contains("2 valid taxa"))
     assert(checkStr.contains("maximal implied tree size 4")) // 4,5,2,1
   }
+
+  test("CLI: respace of a frequency-ordered index keeps demoted keys joinable") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-freqre")
+    // genome 4 embeds a low-complexity repeat: its m-mers land in the
+    // demotion set AND are chosen as minimizers inside the repeat (no
+    // alternatives in-window), so the index stores DEMOTE-flagged keys —
+    // the composition that regressed (spacing mask clearing the flag)
+    val repeat = "ACGTT" * 150
+    val genomes = Map(4 -> (dna(1200) + repeat + dna(1200)), 5 -> dna(2500))
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idxF = dir.resolve("idxf").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "256",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idxF))
+    val baseF = dir.resolve("re").toString
+    Main.main(Array("respace", "--index", idxF, "--s", "10",
+      "--output", baseF))
+    // the respaced sidecar still records the frequency ordering
+    val pf = graft.index.IndexParams.read(spark, s"${baseF}_s10")
+    assert(pf.spaces == 10 && pf.demoted.isDefined)
+
+    // reads drawn INSIDE the repeat: every span minimizer is demoted, so
+    // the join only works if the respaced keys kept the demote flag
+    val fqSb = new StringBuilder
+    for (i <- 0 until 10) {
+      val s = 1210 + (i * 40) % 400
+      fqSb.append(s"@rep$i\n${genomes(4).substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    val outF = dir.resolve("outf").toString
+    Main.main(Array("classify", "--index", s"${baseF}_s10",
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outF))
+    val got = index.MappingComparison.readKrakenOutput(spark, outF)
+      .collect().map(r => r.getInt(1))
+    assert(got.length == 10)
+    assert(got.count(_ == 4) >= 8,
+      s"repeat-region reads lost their demoted keys after respace: ${got.toSeq}")
+
+    // wide composition: respace of a wide frequency index keeps the
+    // demotion set in the sidecar (it was silently dropped before)
+    val idxWF = dir.resolve("idxwf").toString
+    Main.main(Array("build", "--k", "45", "--m", "33", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "64",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idxWF))
+    Main.main(Array("respace", "--index", idxWF, "--s", "5",
+      "--output", dir.resolve("rew").toString))
+    val pwf = graft.index.IndexParams.read(spark,
+      dir.resolve("rew").toString + "_s5")
+    assert(pwf.spaces == 5 && pwf.demoted.exists(_.length == 128))
+  }
 }

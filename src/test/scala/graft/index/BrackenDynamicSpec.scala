@@ -173,13 +173,14 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("2-step classification selects only present taxa and stays correct") {
     import spark.implicits._
     val staticRecords = dyn.index.buildRecords(lib)
-    val (classified, selected) = dyn.classify2(
+    val (classified, selected, release) = dyn.classify2(
       spark.createDataset(reads), lib, staticRecords,
       criterion = DistinctMinimizers, rank = "species", threshold = 50)
     // only species 4 and 6 (plus no others) are selected
     assert(selected.contains(4) && selected.contains(6))
     assert(!selected.contains(5) && !selected.contains(7))
     val res = classified.collect()
+    release()
     assert(res.count(_.classified) > 100)
     for (c <- res if c.classified) {
       val src = c.title.split("src=")(1).toInt
@@ -190,12 +191,13 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("gold-set mode replaces heuristic selection; metrics score it") {
     import spark.implicits._
     val staticRecords = dyn.index.buildRecords(lib)
-    val (classified, selected) = dyn.classify2(
+    val (classified, selected, release) = dyn.classify2(
       spark.createDataset(reads), lib, staticRecords,
       goldSet = Some(Set(4, 6)))
     assert(selected.contains(4) && selected.contains(6))
     assert(!selected.contains(5) && !selected.contains(7))
     assert(classified.collect().count(_.classified) > 100)
+    release()
     // metrics against a gold set containing one extra taxon
     val (precision, recall) = dyn.goldSetMetrics(selected, Set(4, 6, 7), "species")
     assert(precision == 1.0) // everything selected is in gold
@@ -239,12 +241,13 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
     val dynW = new DynamicClassifier(wide, bcTax)
     val staticRecords = wide.buildRecords(lib)
-    val (classified, selected) = dynW.classify2(
+    val (classified, selected, releaseW) = dynW.classify2(
       spark.createDataset(reads), lib, staticRecords,
       criterion = DistinctMinimizers, rank = "species", threshold = 50)
     assert(selected.contains(4) && selected.contains(6))
     assert(!selected.contains(5) && !selected.contains(7))
     val res = classified.collect()
+    releaseW()
     assert(res.count(_.classified) > 100)
     for (c <- res if c.classified) {
       val src = c.title.split("src=")(1).toInt
