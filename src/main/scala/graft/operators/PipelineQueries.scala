@@ -161,6 +161,17 @@ object PipelineQueries {
         .orderBy($"source_a", $"source_b")
     }, None),
 
+    // int8-quantized exact kNN: the corpus scans as (scale, codes) at 1/4
+    // the bytes of float32; no re-rank needed (error ~ quantization noise)
+    Q("v08_int8_knn", (s, dir) => {
+      import s.implicits._
+      val v = vecs(s, dir)
+      Similarity.int8Knn(v.filter(_._1 < 20), v, k = 3)
+        .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"qid", $"sim".desc, $"nid")
+    }, None),
+
     // PQ ANN: 8-byte codes scanned instead of 64-dim float vectors, bounded
     // per-partition candidate heaps, exact re-rank of survivors only
     Q("v07_pq_knn", (s, dir) => {

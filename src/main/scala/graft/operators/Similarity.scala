@@ -153,6 +153,88 @@ object Similarity {
       .drop("rn")
   }
 
+  // ---------------- int8 scalar quantization ----------------
+
+  /** Symmetric per-vector int8 quantization: scale = maxAbs/127, codes are
+    * round(v/scale). 4x smaller storage/scan than float32 with ~0.5% cosine
+    * error — the standard first rung of the embedding-compression ladder
+    * (PQ below is the 32x rung). */
+  def quantizeInt8(v: Array[Float]): (Float, Array[Byte]) = {
+    var maxAbs = 0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = if (maxAbs == 0f) 1f else maxAbs / 127f
+    val q = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+    (scale, q)
+  }
+
+  /** Cosine between a float query and an int8-quantized vector: integer
+    * multiply-accumulate over the codes (the per-vector scale cancels in
+    * the normalization, so it never needs to be applied element-wise). */
+  def cosineInt8(q: Array[Float], codes: Array[Byte]): Double = {
+    var dot = 0.0; var qn = 0.0; var cn = 0.0
+    var i = 0
+    while (i < q.length) {
+      val c = codes(i).toDouble
+      dot += q(i) * c; qn += q(i).toDouble * q(i); cn += c * c
+      i += 1
+    }
+    if (qn == 0.0 || cn == 0.0) 0.0 else dot / math.sqrt(qn * cn)
+  }
+
+  /** Exact-over-quantized top-k: the corpus is scanned as int8 codes
+    * (id, scale, codes — the storage format at 100 TB), queries broadcast,
+    * per-partition bounded candidate lists as in [[pqKnn]]. No re-rank
+    * stage: int8 cosine is within quantization error of the true value
+    * (asserted in the spec), so the scan result IS the answer. */
+  def int8Knn(queries: Dataset[(Long, Array[Float])],
+      base: Dataset[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qArr = queries.collect().sortBy(_._1)
+    if (qArr.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val quantized = base.map { case (id, v) =>
+      val (scale, q) = quantizeInt8(v); (id, scale, q)
+    }
+    val topk = quantized.mapPartitions { it =>
+      val qs = bcQ.value
+      val heapSim = Array.fill(qs.length)(new Array[Double](k))
+      val heapId = Array.fill(qs.length)(new Array[Long](k))
+      val heapN = new Array[Int](qs.length)
+      for ((nid, _, codes) <- it) {
+        var q = 0
+        while (q < qs.length) {
+          val (qid, qv) = qs(q)
+          if (qid != nid) {
+            val sim = cosineInt8(qv, codes)
+            val n = heapN(q)
+            if (n < k || sim > heapSim(q)(n - 1)) {
+              var pos = math.min(n, k - 1)
+              while (pos > 0 && heapSim(q)(pos - 1) < sim) {
+                heapSim(q)(pos) = heapSim(q)(pos - 1)
+                heapId(q)(pos) = heapId(q)(pos - 1)
+                pos -= 1
+              }
+              heapSim(q)(pos) = sim; heapId(q)(pos) = nid
+              if (n < k) heapN(q) = n + 1
+            }
+          }
+          q += 1
+        }
+      }
+      (0 until qs.length).iterator.flatMap { q =>
+        (0 until heapN(q)).iterator
+          .map(i => (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
+      }
+    }.toDF("qid", "nid", "sim")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    topk.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   // ---------------- product quantization (PQ) ----------------
 
   /** PQ codebooks `[subspace][centroid][subDim]` (Jégou et al., TPAMI 2011:

@@ -236,6 +236,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("int8 kNN matches float brute force within quantization error") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = Similarity.int8Knn(queries, ds, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = got.map(r => r._1 -> r).toMap
+    // the planted twin (cosine ~0.999) must survive int8 quantization
+    val hits = (0L until 10L).count(q => byQ(q)._2 == q + 500L)
+    assert(hits >= 9, s"int8 found only $hits of 10 planted neighbors")
+    // int8 cosine is within ~1% of the exact float cosine
+    for ((qid, nid, sim) <- got) {
+      val exact = cosine(base(qid.toInt)._2, base.find(_._1 == nid).get._2)
+      assert(math.abs(sim - exact) < 0.01, s"q$qid: $sim vs $exact")
+    }
+    // quantize/cosineInt8 kernel: self-similarity is ~1
+    val (_, codes) = Similarity.quantizeInt8(base(0)._2)
+    assert(math.abs(Similarity.cosineInt8(base(0)._2, codes) - 1.0) < 0.01)
+  }
+
   test("PQ encoding is deterministic and codebooks reconstruct the sample") {
     import spark.implicits._
     val ds = spark.createDataset(base)
