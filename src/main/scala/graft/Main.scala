@@ -112,24 +112,13 @@ object Main {
       .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
   }
 
-  /** Format dispatch for a reads file: extension + .fai aware (forFile),
-    * with a fallback for extensionless paths that name fastq in the path
-    * (e.g. /data/fastq/run1) — those would otherwise silently mis-parse as
-    * '>'-separated FASTA and yield zero fragments. */
-  private def readsFile(spark: SparkSession, path: String) = {
-    val stripped = path.replaceAll("\\.(gz|bz2)$", "")
-    val hasExt = stripped.matches(".*\\.[A-Za-z0-9]+$")
-    if (!hasExt && path.toLowerCase.contains("fastq"))
-      Sequences.fastq(spark, path)
-    else Sequences.forFile(spark, path)
-  }
-
   private def loadReads(spark: SparkSession, opts: Map[String, String]) = {
-    // both mate files go through format dispatch: a FASTA R2 is parsed as
-    // FASTA, not force-read as FASTQ
-    val r1 = readsFile(spark, opts("reads"))
+    // both mate files go through the shared format dispatch (extension,
+    // chunked/extensionless fastq names, .fai aware): a FASTA R2 is parsed
+    // as FASTA, not force-read as FASTQ
+    val r1 = Sequences.forFile(spark, opts("reads"))
     opts.get("reads2") match {
-      case Some(p2) => Sequences.paired(r1, readsFile(spark, p2))
+      case Some(p2) => Sequences.paired(r1, Sequences.forFile(spark, p2))
       case None => r1
     }
   }

@@ -100,13 +100,19 @@ object GenomicQueries {
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      val (classified, _, _) = dyn.classify2(reads, lib, staticRecords,
+      val (classified, _, release) = dyn.classify2(reads, lib, staticRecords,
         criterion = graft.index.DistinctMinimizers, rank = "species",
         threshold = 50, minHitGroups = 1)
-      classified
+      // localCheckpoint materializes the (small) per-taxon counts so the
+      // internal spans/records caches can be released before returning —
+      // without it they would outlive this query for the whole harness run
+      val counts = classified
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
+        .localCheckpoint(true)
+      release()
+      counts
     }, None),
 
     // bracken-style abundance weights: self-classify genome windows

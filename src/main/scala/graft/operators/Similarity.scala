@@ -184,44 +184,62 @@ object Similarity {
     if (qn == 0.0 || cn == 0.0) 0.0 else dot / math.sqrt(qn * cn)
   }
 
+  /** Bounded insertion into a (sim desc, nid asc)-ordered candidate list.
+    * The tie-break on nid makes partition-local pruning agree with the
+    * global window ordering, so results are independent of partitioning
+    * even with duplicate vectors. Shared by [[int8Knn]] and [[pqKnn]]. */
+  private def boundedInsert(sims: Array[Double], ids: Array[Long], n: Int,
+      cap: Int, sim: Double, nid: Long): Int = {
+    val full = n == cap
+    if (full && (sim < sims(n - 1) || (sim == sims(n - 1) && nid > ids(n - 1))))
+      return n
+    var pos = math.min(n, cap - 1)
+    while (pos > 0 && (sims(pos - 1) < sim ||
+        (sims(pos - 1) == sim && ids(pos - 1) > nid))) {
+      sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1)
+      pos -= 1
+    }
+    sims(pos) = sim; ids(pos) = nid
+    if (full) n else n + 1
+  }
+
   /** Exact-over-quantized top-k: the corpus is scanned as int8 codes
-    * (id, scale, codes — the storage format at 100 TB), queries broadcast,
-    * per-partition bounded candidate lists as in [[pqKnn]]. No re-rank
-    * stage: int8 cosine is within quantization error of the true value
-    * (asserted in the spec), so the scan result IS the answer. */
+    * (id, codes + precomputed code norm — the storage format at 100 TB),
+    * queries broadcast with precomputed norms, per-partition bounded
+    * candidate lists as in [[pqKnn]] — only the dot product runs per pair.
+    * No re-rank stage: int8 cosine is within quantization error of the
+    * true value (asserted in the spec), so the scan result IS the answer. */
   def int8Knn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qArr = queries.collect().sortBy(_._1)
+    val qArr = queries.collect().sortBy(_._1).map { case (qid, qv) =>
+      var qn = 0.0; qv.foreach(x => qn += x.toDouble * x)
+      (qid, qv, math.sqrt(qn))
+    }
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val bcQ = spark.sparkContext.broadcast(qArr)
     val quantized = base.map { case (id, v) =>
-      val (scale, q) = quantizeInt8(v); (id, scale, q)
+      val (_, q) = quantizeInt8(v)
+      var cn = 0.0; q.foreach(c => cn += c.toDouble * c)
+      (id, math.sqrt(cn), q)
     }
     val topk = quantized.mapPartitions { it =>
       val qs = bcQ.value
       val heapSim = Array.fill(qs.length)(new Array[Double](k))
       val heapId = Array.fill(qs.length)(new Array[Long](k))
       val heapN = new Array[Int](qs.length)
-      for ((nid, _, codes) <- it) {
+      for ((nid, cnorm, codes) <- it) {
         var q = 0
         while (q < qs.length) {
-          val (qid, qv) = qs(q)
+          val (qid, qv, qnorm) = qs(q)
           if (qid != nid) {
-            val sim = cosineInt8(qv, codes)
-            val n = heapN(q)
-            if (n < k || sim > heapSim(q)(n - 1)) {
-              var pos = math.min(n, k - 1)
-              while (pos > 0 && heapSim(q)(pos - 1) < sim) {
-                heapSim(q)(pos) = heapSim(q)(pos - 1)
-                heapId(q)(pos) = heapId(q)(pos - 1)
-                pos -= 1
-              }
-              heapSim(q)(pos) = sim; heapId(q)(pos) = nid
-              if (n < k) heapN(q) = n + 1
-            }
+            var dot = 0.0
+            var i = 0
+            while (i < qv.length) { dot += qv(i) * codes(i); i += 1 }
+            val sim = if (qnorm == 0.0 || cnorm == 0.0) 0.0 else dot / (qnorm * cnorm)
+            heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), k, sim, nid)
           }
           q += 1
         }
@@ -376,18 +394,9 @@ object Similarity {
             }
             val sim = if (qnorm == 0.0 || n2 == 0.0) 0.0
               else dot / (qnorm * math.sqrt(n2))
-            // bounded insertion (rr is small; linear shift is cache-friendly)
-            val n = heapN(q)
-            if (n < rr || sim > heapSim(q)(n - 1)) {
-              var pos = math.min(n, rr - 1)
-              while (pos > 0 && heapSim(q)(pos - 1) < sim) {
-                heapSim(q)(pos) = heapSim(q)(pos - 1)
-                heapId(q)(pos) = heapId(q)(pos - 1)
-                pos -= 1
-              }
-              heapSim(q)(pos) = sim; heapId(q)(pos) = nid
-              if (n < rr) heapN(q) = n + 1
-            }
+            // (sim desc, nid asc)-ordered bounded insertion: partitioning-
+            // independent candidate sets even on tied approximate sims
+            heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), rr, sim, nid)
           }
           q += 1
         }

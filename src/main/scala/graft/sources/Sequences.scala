@@ -97,14 +97,20 @@ object Sequences {
     }
 
   /** Format dispatch by extension, .fai presence aware
-    * (spec: S5, FileInputs.scala:64-85). */
+    * (spec: S5, FileInputs.scala:64-85). FASTQ recognition also covers
+    * chunked names (reads.fastq.0001) and extensionless paths that name
+    * fastq (/data/fastq/run1) — those would otherwise silently mis-parse
+    * as '>'-separated FASTA and yield zero fragments. */
   def forFile(spark: SparkSession, path: String, k: Int = 35): Dataset[InputFragment] = {
-    val stripped = path.replaceAll("\\.(gz|bz2)$", "")
+    val stripped = path.toLowerCase.replaceAll("\\.(gz|bz2)$", "")
+    val isFastq =
+      stripped.matches(".*\\.(fastq|fq)(\\.[0-9]+)?$") ||
+        (!stripped.matches(".*\\.[a-z0-9]+$") && stripped.contains("fastq"))
     val hasFai = {
       val p = new org.apache.hadoop.fs.Path(path + ".fai")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    if (stripped.endsWith(".fastq") || stripped.endsWith(".fq")) fastq(spark, path)
+    if (isFastq) fastq(spark, path)
     else if (hasFai) IndexedFasta.fragments(spark, path, k)
     else fasta(spark, path)
   }

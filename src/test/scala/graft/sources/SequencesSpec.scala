@@ -108,6 +108,28 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Seq("gz1" -> "ACGTACGT", "gz2" -> "TTTTGGGG"))
   }
 
+  test("forFile dispatch: chunked and extensionless fastq names parse as FASTQ") {
+    val fq = "@c1\nACGTACGT\n+\nIIIIIIII\n@c2\nTTTTGGGG\n+\nIIIIIIII\n"
+    // chunked split naming: reads.fastq.0001
+    val chunk = tmpFile("reads.fastq.0001", fq)
+    val got1 = Sequences.forFile(spark, chunk).collect().sortBy(_.header)
+    assert(got1.map(f => f.header -> f.nucleotides).toSeq ==
+      Seq("c1" -> "ACGTACGT", "c2" -> "TTTTGGGG"))
+    // extensionless path that names fastq in a directory component
+    val dir = Files.createTempDirectory("graft-fastq-dir")
+    val sub = dir.resolve("fastq")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve("run1"), fq)
+    val got2 = Sequences.forFile(spark, sub.resolve("run1").toString)
+      .collect().sortBy(_.header)
+    assert(got2.map(_.header).toSeq == Seq("c1", "c2"))
+    // a FASTA that merely lives under a fastq-named dir stays FASTA
+    Files.writeString(sub.resolve("genome.fasta"), ">g1\nACGT\n")
+    val got3 = Sequences.forFile(spark, sub.resolve("genome.fasta").toString)
+      .collect()
+    assert(got3.map(_.header).toSeq == Seq("g1"))
+  }
+
   test("paired-end mates join on cleaned headers") {
     val r1 = tmpFile("r1.fastq",
       "@p1/1\nAAAA\n+\nIIII\n@p2/1\nCCCC\n+\nIIII\n")
