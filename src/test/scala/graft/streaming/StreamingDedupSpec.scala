@@ -36,6 +36,42 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming near-dup keeps exactly one representative per cluster") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val shared = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val distinct = "completely different content about spark physical plans " * 4
+    val survivors = collection.mutable.Set.empty[Long]
+    val writer = StreamingDedup.dedupNear(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      watermark = "1 minute", stateTtlMs = 60 * 1000L) { batch =>
+      survivors.synchronized {
+        survivors ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val query = writer.start()
+    try {
+      // a 3-doc near-dup cluster in one batch + one distinct doc: the naive
+      // per-row band dedup could split bucket ownership and drop the WHOLE
+      // cluster; the ownership design must keep exactly doc 1
+      stream.addData(Seq(
+        (ts(0), 1L, shared),
+        (ts(1), 2L, shared),
+        (ts(2), 3L, shared + " tail"),
+        (ts(3), 4L, distinct)))
+      query.processAllAvailable()
+      // cross-batch duplicate inside the watermark
+      stream.addData(Seq((ts(10), 5L, shared)))
+      query.processAllAvailable()
+      val ids = survivors.synchronized(survivors.toSet)
+      assert(ids.contains(1L), s"cluster representative lost: $ids")
+      assert(ids.contains(4L), s"distinct doc lost: $ids")
+      assert(ids.intersect(Set(2L, 3L, 5L)).isEmpty,
+        s"near-duplicates not suppressed: $ids")
+    } finally query.stop()
+  }
+
   test("streaming quality gate agrees with the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
