@@ -36,6 +36,30 @@ import graft.taxa.Taxonomy
   */
 object Main {
 
+  /** Known options per subcommand: a mistyped flag (--treshold) must fail
+    * loudly, not silently fall back to the default. */
+  private val knownOpts: Map[String, Set[String]] = {
+    val common = Set("p", "taxonomy")
+    Map(
+      "build" -> (common ++ Set("k", "m", "s", "salt", "o", "freq-sample",
+        "freq-top", "library", "library-fai", "labels", "output")),
+      "classify" -> (common ++ Set("index", "reads", "reads2", "c",
+        "min-hit-groups", "sample-regex", "output")),
+      "classify2" -> (common ++ Set("index", "library", "library-fai", "labels",
+        "reads", "reads2", "rank", "threshold", "bracken-read-len", "gold",
+        "sample-regex", "output", "k")),
+      "bracken" -> (common ++ Set("index", "library", "library-fai", "labels",
+        "read-len", "chunks", "checkpoint", "output", "k")),
+      "compare" -> (common ++ Set("classified", "truth", "rank", "output")),
+      "stats" -> (common ++ Set("index", "respace", "library", "library-fai",
+        "labels", "output", "k")),
+      "report" -> (common ++ Set("index", "classified")),
+      "respace" -> (common ++ Set("index", "s", "output")),
+      "inspect" -> (common ++ Set("index", "labels", "output")),
+      "compareIndex" -> (common ++ Set("index", "reference", "output")),
+      "inputCheck" -> (common ++ Set("labels")))
+  }
+
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
     require(args.nonEmpty, "usage: <command> [--opt value ...]")
     val cmd = args(0)
@@ -46,6 +70,12 @@ object Main {
       if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
         opts(key) = args(i + 1); i += 2
       } else { opts(key) = "true"; i += 1 }
+    }
+    for (allowed <- knownOpts.get(cmd)) {
+      val unknown = opts.keySet -- allowed
+      require(unknown.isEmpty,
+        s"unknown option(s) for $cmd: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${allowed.toSeq.sorted.mkString(", ")})")
     }
     (cmd, opts.toMap)
   }
@@ -333,8 +363,17 @@ object Main {
           } else
             MinimizerIndex.open(spark, idxPath, bcTax)
         val bracken = new Bracken(idx, bcTax)
-        val w = bracken.weights(loadLibrary(spark, opts), records,
-          readLen = opts.getOrElse("read-len", "100").toInt)
+        // --chunks N: fault-tolerant build through the parquet checkpoint —
+        // a lost driver resumes from the chunks already on disk
+        val w = opts.get("chunks") match {
+          case Some(n) => bracken.weightsGradually(loadLibrary(spark, opts),
+            records, readLen = opts.getOrElse("read-len", "100").toInt,
+            checkpointPath = opts.getOrElse("checkpoint",
+              opts("output") + "_ckpt"),
+            chunks = n.toInt)
+          case None => bracken.weights(loadLibrary(spark, opts), records,
+            readLen = opts.getOrElse("read-len", "100").toInt)
+        }
         bracken.weightLines(w).write.option("sep", "\t").mode("overwrite")
           .csv(opts("output"))
 

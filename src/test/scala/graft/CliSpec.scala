@@ -191,14 +191,18 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Files.list(java.nio.file.Paths.get(statsOut)).toArray
       .map(_.toString).exists(_.endsWith(".csv")))
 
-    // bracken weights over the wide index
+    // bracken weights over the wide index, through the chunked checkpoint
+    // path (--chunks: fault-tolerant resume via parquet appends)
     val outW = dir.resolve("weights").toString
     Main.main(Array("bracken", "--index", idx,
       "--taxonomy", dir.resolve("tax").toString,
       "--library", dir.resolve("lib.fasta").toString,
       "--labels", dir.resolve("labels.tsv").toString,
-      "--read-len", "100",
+      "--read-len", "100", "--chunks", "3",
       "--output", outW))
+    // all chunk markers exist -> a rerun would resume instantly
+    for (c <- 0 until 3)
+      assert(Files.exists(java.nio.file.Paths.get(s"${outW}_ckpt", s"_chunk$c")))
     val lines = Files.list(java.nio.file.Paths.get(outW)).toArray
       .map(_.toString).filter(_.endsWith(".csv"))
       .flatMap(f => scala.jdk.CollectionConverters
@@ -456,6 +460,15 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(checkStr.contains("1 unknown genomes"))
     assert(checkStr.contains("2 valid taxa"))
     assert(checkStr.contains("maximal implied tree size 4")) // 4,5,2,1
+  }
+
+  test("CLI: a mistyped option fails loudly instead of silently defaulting") {
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("classify2", "--index", "x", "--treshold", "10",
+        "--output", "y"))
+    }
+    assert(e.getMessage.contains("treshold"))
+    assert(e.getMessage.contains("threshold")) // the known list names the fix
   }
 
   test("CLI: respace of a frequency-ordered index keeps demoted keys joinable") {
