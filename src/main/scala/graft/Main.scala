@@ -57,7 +57,8 @@ object Main {
       "respace" -> (common ++ Set("index", "s", "output")),
       "inspect" -> (common ++ Set("index", "labels", "output")),
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
-      "inputCheck" -> (common ++ Set("labels")))
+      "inputCheck" -> (common ++ Set("labels")),
+      "camiReport" -> (common ++ Set("mapping", "rank", "output")))
   }
 
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
@@ -571,6 +572,48 @@ object Main {
         println(s"${valid.length} valid taxa in input labels " +
           s"(maximal implied tree size $implied)")
         println(s"Max leaf nodes in resulting database: ${valid.length - nonLeaf.length}")
+
+      case "camiReport" =>
+        // CAMI2 read mapping -> Kraken-style report + filtered read ids
+        // (spec: reference analysis/CAMIToKrakenReport.scala): keep reads
+        // whose taxon sits at or below the cutoff rank (= has an ancestor
+        // at that rank, itself included); paired mates count once
+        val spark = session(buckets)
+        import spark.implicits._
+        val tax = loadTaxonomy(spark, opts("taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val rankCode = opts.get("rank").map(Taxonomy.rankCode)
+        val mapping = spark.read.option("sep", "\t").option("header", "true")
+          .csv(opts("mapping"))
+        val filtered = mapping
+          .filter(row => row.getString(2).toIntOption.exists { t =>
+            val tx = bcTax.value
+            t > 0 && t < tx.size && tx.isDefined(t) &&
+              rankCode.forall(rc => tx.ancestorAtRank(t, rc) != Taxonomy.NONE)
+          })
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val outPrefix = opts("output")
+        val conf = spark.sparkContext.hadoopConfiguration
+        def writeText(path: String, content: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+        }
+        writeText(outPrefix + ".ids_filtered.txt",
+          filtered.map(_.getString(0)).collect().mkString("", "\n", "\n"))
+        // per-taxon read-pair counts (mates appear as two mapping rows)
+        val counts = filtered
+          .map(_.getString(2).toInt).toDF("taxon")
+          .groupBy($"taxon")
+          .agg(org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)) / 2).as("n"))
+          .as[(Int, Long)].collect()
+        filtered.unpersist()
+        writeText(outPrefix + ".kreport.txt",
+          new KrakenReport(tax, counts).render + "\n")
+        println(s"wrote $outPrefix.kreport.txt (${counts.length} taxa)")
 
       case "report" =>
         // re-render a kreport from an existing classified output directory

@@ -462,6 +462,43 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(checkStr.contains("maximal implied tree size 4")) // 4,5,2,1
   }
 
+  test("CLI: camiReport converts a CAMI mapping to a rank-filtered kreport") {
+    spark
+    val dir = Files.createTempDirectory("graft-cami")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+    // CAMI2 mapping: paired mates as two rows; one genus-level read pair
+    // (filtered at species rank) and one malformed line (dropped)
+    write(dir.resolve("mapping.tsv"),
+      "#anonymous_read_id\tgenome_id\ttax_id\tread_id\n" +
+        "S0R0/1\tG4\t4\tN1/1\nS0R0/2\tG4\t4\tN1/2\n" +
+        "S0R1/1\tG5\t5\tN2/1\nS0R1/2\tG5\t5\tN2/2\n" +
+        "S0R2/1\tG4\t4\tN3/1\nS0R2/2\tG4\t4\tN3/2\n" +
+        "S0R3/1\tGX\t2\tN4/1\nS0R3/2\tGX\t2\tN4/2\n" +
+        "S0R4/1\tGB\tbogus\tN5/1\n")
+    val out = dir.resolve("cami").toString
+    Main.main(Array("camiReport",
+      "--taxonomy", dir.resolve("tax").toString,
+      "--mapping", dir.resolve("mapping.tsv").toString,
+      "--rank", "species",
+      "--output", out))
+    val ids = Files.readAllLines(java.nio.file.Paths.get(out + ".ids_filtered.txt"))
+    // genus-level pair S0R3 and the malformed row are filtered out
+    assert(ids.size == 6 && !ids.contains("S0R3/1"))
+    val rep = Files.readAllLines(java.nio.file.Paths.get(out + ".kreport.txt"))
+    // counts are read PAIRS: s4 = 2 pairs, s5 = 1 pair
+    assert(rep.stream().anyMatch(l =>
+      l.contains("species four") && l.split("\t")(2) == "2"))
+    assert(rep.stream().anyMatch(l =>
+      l.contains("species five") && l.split("\t")(2) == "1"))
+  }
+
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("classify2", "--index", "x", "--treshold", "10",
