@@ -58,7 +58,17 @@ object Main {
       "inspect" -> (common ++ Set("index", "labels", "output")),
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
       "inputCheck" -> (common ++ Set("labels")),
-      "camiReport" -> (common ++ Set("mapping", "rank", "output")))
+      "camiReport" -> (common ++ Set("mapping", "rank", "output")),
+      "display" -> (common ++ Set("report", "rank", "min-percent", "clades")))
+  }
+
+  /** Kraken rank code -> rank depth in [[Taxonomy.rankNames]] order
+    * (sub-rank codes like G1/S2 inherit the base letter's depth). */
+  private def rankDepthForCode(code: String): Int = {
+    val base = code.replaceAll("[0-9]+", "")
+    val idx = Seq("R" -> 0, "D" -> 1, "K" -> 2, "P" -> 3, "C" -> 4,
+      "O" -> 5, "F" -> 6, "G" -> 7, "S" -> 8).toMap
+    idx.getOrElse(base, 0)
   }
 
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
@@ -572,6 +582,45 @@ object Main {
         println(s"${valid.length} valid taxa in input labels " +
           s"(maximal implied tree size $implied)")
         println(s"Max leaf nodes in resulting database: ${valid.length - nonLeaf.length}")
+
+      case "display" =>
+        // filter + colorize a kreport (spec: reference analysis/
+        // DisplayReport.scala): rank cutoff, minimum percentage, optional
+        // clade set (a filtered taxon admits its indented subtree)
+        val minPercent = opts.get("min-percent").map(_.toDouble)
+        val rankCut = opts.get("rank").map(r => Taxonomy.rankCode(r).toInt)
+        val clades = opts.get("clades").map { f =>
+          scala.io.Source.fromFile(f).getLines()
+            .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+        }
+        def colorFor(depth: Int): String = depth match {
+          case 0 => Console.BLUE
+          case 1 => Console.RED
+          case 2 => Console.GREEN
+          case 3 => Console.YELLOW
+          case _ => Console.WHITE
+        }
+        var lastIndent = Int.MaxValue
+        val src = scala.io.Source.fromFile(opts("report"))
+        try {
+          for {
+            l <- src.getLines()
+            if !l.startsWith("#")
+            spl = l.split("\t", -1)
+            if spl.length >= 6
+            if minPercent.forall(spl(0).toDouble >= _)
+            depth = rankDepthForCode(spl(3))
+            if rankCut.forall(depth <= _)
+            taxon = spl(4).toInt
+            indent = spl(5).takeWhile(_ == ' ').length
+          } {
+            val inClades = clades.forall(_.contains(taxon))
+            if (inClades && lastIndent > indent) lastIndent = indent
+            if (clades.isEmpty || inClades || indent > lastIndent)
+              println(colorFor(depth) + l + Console.RESET)
+            else lastIndent = Int.MaxValue
+          }
+        } finally src.close()
 
       case "camiReport" =>
         // CAMI2 read mapping -> Kraken-style report + filtered read ids

@@ -497,6 +497,16 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       l.contains("species four") && l.split("\t")(2) == "2"))
     assert(rep.stream().anyMatch(l =>
       l.contains("species five") && l.split("\t")(2) == "1"))
+
+    // display: min-percent + rank filters over the generated kreport
+    val dispOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(dispOut)) {
+      Main.main(Array("display", "--report", out + ".kreport.txt",
+        "--rank", "species", "--min-percent", "50"))
+    }
+    val shown = dispOut.toString("UTF-8")
+    assert(shown.contains("species four")) // 2/3 pairs = 66% >= 50
+    assert(!shown.contains("species five")) // 33% < 50
   }
 
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
