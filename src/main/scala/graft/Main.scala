@@ -58,8 +58,19 @@ object Main {
       "inspect" -> (common ++ Set("index", "labels", "output")),
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
       "inputCheck" -> (common ++ Set("labels")),
-      "camiReport" -> (common ++ Set("mapping", "rank", "output")),
+      "camiReport" -> (common ++ Set("mapping", "rank", "single-end", "output")),
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")))
+  }
+
+  /** Strict rank-name parse: Taxonomy.rankCode silently maps unknown names
+    * to "no rank" (code 0), which would silently disable or invert rank
+    * filtering — a mistyped --rank value must fail as loudly as a mistyped
+    * flag. */
+  private def parseRank(name: String): Byte = {
+    val i = Taxonomy.rankNames.indexOf(name)
+    require(i >= 0,
+      s"unknown rank: '$name' (known: ${Taxonomy.rankNames.mkString(", ")})")
+    i.toByte
   }
 
   /** Kraken rank code -> rank depth in [[Taxonomy.rankNames]] order
@@ -342,7 +353,7 @@ object Main {
         }
         val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
           loadReads(spark, opts), loadLibrary(spark, opts), records,
-          rank = opts.getOrElse("rank", "species"),
+          rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r },
           threshold = opts.getOrElse("threshold", "100").toLong,
           goldSet = goldSet)
         println(s"selected ${selected.size} taxa")
@@ -405,6 +416,7 @@ object Main {
         val truth = Sequences.labels(spark, opts("truth"))
           .toDF("title", "taxon")
         val rank = opts.getOrElse("rank", "species")
+        parseRank(rank) // fail loudly on a mistyped rank value
         val categories = MappingComparison
           .categorize(classified, truth, bcTax, rank)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -588,7 +600,7 @@ object Main {
         // DisplayReport.scala): rank cutoff, minimum percentage, optional
         // clade set (a filtered taxon admits its indented subtree)
         val minPercent = opts.get("min-percent").map(_.toDouble)
-        val rankCut = opts.get("rank").map(r => Taxonomy.rankCode(r).toInt)
+        val rankCut = opts.get("rank").map(r => parseRank(r).toInt)
         val clades = opts.get("clades").map { f =>
           scala.io.Source.fromFile(f).getLines()
             .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
@@ -631,37 +643,44 @@ object Main {
         import spark.implicits._
         val tax = loadTaxonomy(spark, opts("taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val rankCode = opts.get("rank").map(Taxonomy.rankCode)
+        val rankCode = opts.get("rank").map(parseRank)
         val mapping = spark.read.option("sep", "\t").option("header", "true")
           .csv(opts("mapping"))
+        // null-safe field access: the permissive CSV reader pads truncated
+        // lines with nulls — such rows are dropped, not crashed on
         val filtered = mapping
-          .filter(row => row.getString(2).toIntOption.exists { t =>
-            val tx = bcTax.value
-            t > 0 && t < tx.size && tx.isDefined(t) &&
-              rankCode.forall(rc => tx.ancestorAtRank(t, rc) != Taxonomy.NONE)
-          })
+          .filter(row => row.size > 2 && Option(row.getString(2))
+            .flatMap(_.toIntOption).exists { t =>
+              val tx = bcTax.value
+              t > 0 && t < tx.size && tx.isDefined(t) &&
+                rankCode.forall(rc => tx.ancestorAtRank(t, rc) != Taxonomy.NONE)
+            })
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val outPrefix = opts("output")
-        val conf = spark.sparkContext.hadoopConfiguration
-        def writeText(path: String, content: String): Unit = {
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(conf)
-          val out = fs.create(p, true)
-          try out.write(content.getBytes("UTF-8")) finally out.close()
-        }
-        writeText(outPrefix + ".ids_filtered.txt",
-          filtered.map(_.getString(0)).collect().mkString("", "\n", "\n"))
-        // per-taxon read-pair counts (mates appear as two mapping rows)
-        val counts = filtered
+        // surviving read ids: distributed text write (a realistic CAMI
+        // mapping has tens of millions of reads — never collect to driver)
+        filtered.map(_.getString(0))
+          .write.mode("overwrite").text(outPrefix + ".ids_filtered")
+        // per-taxon counts; paired mates appear as two mapping rows, so the
+        // default halves (reference parity) — --single-end counts raw rows
+        val singleEnd = opts.get("single-end").contains("true")
+        val rawCounts = filtered
           .map(_.getString(2).toInt).toDF("taxon")
           .groupBy($"taxon")
-          .agg(org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)) / 2).as("n"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
           .as[(Int, Long)].collect()
+        val counts =
+          if (singleEnd) rawCounts
+          else rawCounts.map { case (t, n) => (t, n / 2) }
         filtered.unpersist()
-        writeText(outPrefix + ".kreport.txt",
-          new KrakenReport(tax, counts).render + "\n")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val repPath = new org.apache.hadoop.fs.Path(outPrefix + ".kreport.txt")
+        val fs = repPath.getFileSystem(conf)
+        val out = fs.create(repPath, true)
+        try out.write((new KrakenReport(tax, counts).render + "\n")
+          .getBytes("UTF-8"))
+        finally out.close()
         println(s"wrote $outPrefix.kreport.txt (${counts.length} taxa)")
 
       case "report" =>

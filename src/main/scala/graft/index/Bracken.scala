@@ -201,17 +201,29 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(checkpointPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one parquet DIRECTORY per chunk, written with overwrite: a chunk is
+    // complete iff its own _SUCCESS marker exists, and re-running a chunk
+    // that crashed mid-write replaces it instead of double-appending (an
+    // append + separate marker has a window where committed data lacks the
+    // marker and gets appended twice on resume)
+    var reused = 0
     for (c <- 0 until chunks) {
-      val donePath = new org.apache.hadoop.fs.Path(s"$checkpointPath/_chunk$c")
-      if (!fs.exists(donePath)) {
+      val chunkDir = s"$checkpointPath/chunk$c"
+      val success = new org.apache.hadoop.fs.Path(chunkDir, "_SUCCESS")
+      if (fs.exists(success)) reused += 1
+      else {
         val part = library.filter(g => math.abs(g._1.hashCode % chunks) == c)
         weights(part, records, readLen)
-          .withColumn("chunk", lit(c))
-          .write.mode("append").parquet(checkpointPath)
-        fs.create(donePath, true).close()
+          .write.mode("overwrite").parquet(chunkDir)
       }
     }
-    spark.read.parquet(checkpointPath)
+    if (reused > 0)
+      // completed chunks are trusted blindly: a checkpoint from a DIFFERENT
+      // library/readLen would be served as-is — callers changing inputs must
+      // change (or clean) the checkpoint path
+      println(s"[bracken] resuming: $reused/$chunks chunks served from " +
+        s"$checkpointPath")
+    spark.read.parquet((0 until chunks).map(c => s"$checkpointPath/chunk$c"): _*)
       .groupBy($"source", $"dest")
       .agg(sum($"reads").cast("long").as("reads"))
   }

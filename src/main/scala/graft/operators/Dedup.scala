@@ -81,6 +81,24 @@ object Dedup {
     }
   }
 
+  /** Band bucket keys of a MinHash signature — THE candidate test, shared
+    * by the batch path ([[lshCandidates]]) and the streaming path
+    * ([[graft.streaming.StreamingDedup.dedupNear]]) so online and offline
+    * curation agree by construction. Docs with no shingles have the
+    * all-MaxValue signature; banding them would put every empty doc in one
+    * bucket (quadratic pair blowup at corpus scale) for pairs that can
+    * never verify — they get NO keys. */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    if (sig.forall(_ == Long.MaxValue)) return Array.emptyLongArray
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+      h
+    }
+  }
+
   /** LSH banding: docs sharing any band bucket become candidate pairs.
     * bands*rows must equal numHashes. Returns (idA, idB) with idA < idB,
     * deduplicated. Buckets larger than `maxBucket` are dropped (see
@@ -92,16 +110,8 @@ object Dedup {
     import spark.implicits._
     val banded0 = signatures.flatMap { case (id, sig) =>
       require(sig.length == bands * rows, s"bands*rows != ${sig.length}")
-      // docs with no shingles have the all-MaxValue signature; banding them
-      // would put every empty doc in one bucket (quadratic pair blowup at
-      // corpus scale) for pairs that can never verify — skip them
-      if (sig.forall(_ == Long.MaxValue)) Iterator.empty
-      else (0 until bands).iterator.map { b =>
-        var h = 0xcbf29ce484222325L ^ b
-        var r = 0
-        while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
-        (b, h, id)
-      }
+      bandKeys(sig, bands).iterator.zipWithIndex
+        .map { case (h, b) => (b, h, id) }
     }.toDF("band", "bucket", "id")
     // persist AFTER the cap: the window evaluates once at materialization and
     // both self-join sides read the (already capped, already partitioned)

@@ -28,29 +28,29 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
-  /** A doc's band row heading into the ownership state machine. */
+  /** A doc's band row heading into the ownership state machine; `text` is
+    * carried on ONE designated row per doc (null elsewhere), so payloads do
+    * not amplify by the band count through the stateful shuffle. */
   final case class BandRow(bandKey: Long, docId: Long, ts: java.sql.Timestamp,
       text: String)
-  /** Band row annotated with whether its doc owns the band bucket. */
-  final case class OwnedRow(docId: Long, ts: java.sql.Timestamp, text: String,
-      owned: Boolean)
+  /** Band row annotated with the bucket's owning doc. */
+  final case class OwnedRow(docId: Long, ts: java.sql.Timestamp, bandKey: Long,
+      ownerDocId: Long, text: String)
 
-  /** Streaming NEAR-dup suppression: a document is dropped when any of its
-    * MinHash LSH band buckets is already OWNED by an earlier document
-    * inside the watermark — the online analogue of
-    * [[graft.operators.Dedup.minhashDedup]]'s candidate blocking.
+  /** Streaming NEAR-dup suppression, phase 1: per band bucket, record the
+    * owning document (earliest (ts, docId) arrival, event-time expired) —
+    * the online analogue of [[graft.operators.Dedup.minhashDedup]]'s
+    * candidate blocking, using the SAME [[graft.operators.Dedup.bandKeys]]
+    * candidate test as the batch path.
     *
     * Scale/correctness design: one state entry per band bucket (the owner
-    * doc id), expired by event-time timeout — never pairwise state. The
-    * per-bucket owner is assigned deterministically to the earliest
-    * (ts, docId) arrival, so a cluster of mutual near-dups keeps exactly
-    * its first representative (a naive per-row dropDuplicates on band keys
-    * could split bucket wins across the cluster and drop ALL copies). Band
-    * matching is the LSH candidate test, so false-positive drops happen at
-    * the usual LSH rate for (numHashes, bands); exact verification would
-    * need a batch pass — streams cannot re-read earlier documents.
-    *
-    * Emits surviving docs (docId, text) after their window closes.
+    * doc id), never pairwise state. Docs with no shingles get a synthetic
+    * self-owned bucket (mirroring the batch rule that empty docs are never
+    * candidates), and null text/ts rows are dropped rather than crashing
+    * the query. Band matching is the LSH candidate test, so false-positive
+    * drops happen at the usual LSH rate for (numHashes, bands); exact
+    * verification would need a batch pass — streams cannot re-read earlier
+    * documents.
     */
   def dedupNearOwnership(docs: DataFrame, textCol: String, tsCol: String,
       idCol: String, watermark: String = "10 minutes", shingleN: Int = 3,
@@ -62,20 +62,6 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val rowsPerBand = numHashes / bands
-    val bandKeys = udf((text: String) => {
-      val sig = graft.operators.Dedup.minhashSignature(
-        graft.functions.TextAnalysis.shingleSet(text, shingleN), numHashes)
-      (0 until bands).map { b =>
-        var h = b.toLong
-        var r = 0
-        while (r < rowsPerBand) {
-          h = graft.functions.TextAnalysis.mix64(h ^ sig(b * rowsPerBand + r))
-          r += 1
-        }
-        h
-      }.toArray
-    })
 
     def assignOwner(bandKey: Long, rows: Iterator[BandRow],
         state: GroupState[Long]): Iterator[OwnedRow] = {
@@ -88,27 +74,51 @@ object StreamingDedup {
       // timeout must stay ahead of the current watermark or Spark rejects it)
       state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
         rs.map(_.ts.getTime).max + stateTtlMs))
-      rs.iterator.map(r => OwnedRow(r.docId, r.ts, r.text, r.docId == owner))
+      rs.iterator.map(r => OwnedRow(r.docId, r.ts, r.bandKey, owner, r.text))
     }
 
     docs
-      .withColumn("band_key", explode(bandKeys(col(textCol))))
-      .select(col("band_key").as("bandKey"), col(idCol).as("docId"),
-        col(tsCol).as("ts"), col(textCol).as("text"))
+      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
+        col(textCol).as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (docId, ts, text) =>
+        val sig = graft.operators.Dedup.minhashSignature(
+          graft.functions.TextAnalysis.shingleSet(text, shingleN), numHashes)
+        val keys = graft.operators.Dedup.bandKeys(sig, bands)
+        if (keys.isEmpty)
+          // no shingles: a synthetic per-doc bucket the doc trivially owns
+          // (batch parity: empty docs never become near-dup candidates)
+          Iterator.single(BandRow(
+            graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
+            ts, text))
+        else
+          keys.iterator.zipWithIndex.map { case (k, i) =>
+            BandRow(k, docId, ts, if (i == 0) text else null)
+          }
+      }
       .withWatermark("ts", watermark)
-      .as[BandRow]
       .groupByKey(_.bandKey)
       .flatMapGroupsWithState[Long, OwnedRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(assignOwner)
   }
 
   /** Run [[dedupNearOwnership]] and deliver each micro-batch's SURVIVING
-    * docs (docId, ts, text) to `sink`. The all-bands-owned fold runs
-    * batch-locally inside foreachBatch — correct because a doc's band rows
-    * are produced by an in-batch explode and therefore always co-batch;
-    * chaining a second stateful aggregation instead would trip Spark's
-    * global-watermark correctness check (flatMapGroupsWithState output is
-    * treated as potentially late for downstream stateful operators). */
+    * docs (docId, ts, text) to `sink`.
+    *
+    * Survival is a greedy fold in arrival order over the batch's band rows
+    * (sound batch-locally because a doc's band rows come from an in-batch
+    * flatMap and always co-batch; a chained stateful aggregation would trip
+    * Spark's global-watermark correctness check): buckets owned by earlier
+    * BATCHES are claimed unconditionally; within the batch, only docs that
+    * actually SURVIVE claim their buckets, so an LSH false positive killing
+    * one cluster member cannot cascade through the dead doc to kill the
+    * whole cluster. Cross-batch, a bucket whose recorded owner was itself
+    * dropped still suppresses later arrivals until the TTL expires — the
+    * documented residual false-positive window.
+    *
+    * The greedy fold runs on the driver over one micro-batch's band tuples
+    * (bounded by arrival rate x trigger interval, never corpus size). */
   def dedupNear(docs: DataFrame, textCol: String, tsCol: String, idCol: String,
       watermark: String = "10 minutes", shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
@@ -117,13 +127,25 @@ object StreamingDedup {
     val owned = dedupNearOwnership(docs, textCol, tsCol, idCol, watermark,
       shingleN, numHashes, bands, stateTtlMs)
     owned.writeStream.foreachBatch { (batch: Dataset[OwnedRow], _: Long) =>
-      val survivors = batch.toDF()
-        .groupBy(col("docId"), col("ts"), col("text"))
-        .agg(min(when(col("owned"), 1).otherwise(0)).as("allOwned"))
-        .filter(col("allOwned") === 1)
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val rows = batch.collect()
+      val inBatch = rows.map(_.docId).toSet
+      val claimed = collection.mutable.Set.empty[Long]
+      // prior-batch claims: buckets whose recorded owner is not in this batch
+      for (r <- rows if !inBatch.contains(r.ownerDocId)) claimed += r.bandKey
+      val survivors = collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, String)]
+      val byDoc = rows.groupBy(_.docId).toSeq
+        .sortBy { case (id, rs) => (rs.head.ts.getTime, id) }
+      for ((id, rs) <- byDoc) {
+        if (rs.forall(r => !claimed.contains(r.bandKey))) {
+          survivors += ((id, rs.head.ts, rs.iterator.map(_.text).find(_ != null).orNull))
+          rs.foreach(r => claimed += r.bandKey)
+        }
+      }
+      sink(survivors.toSeq.toDF("docId", "ts", "text")
         .select(col("docId").as(idCol), col("ts").as(tsCol),
-          col("text").as(textCol))
-      sink(survivors)
+          col("text").as(textCol)))
     }
   }
 

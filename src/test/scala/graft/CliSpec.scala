@@ -200,9 +200,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "--labels", dir.resolve("labels.tsv").toString,
       "--read-len", "100", "--chunks", "3",
       "--output", outW))
-    // all chunk markers exist -> a rerun would resume instantly
+    // all chunk dirs committed -> a rerun would resume instantly
     for (c <- 0 until 3)
-      assert(Files.exists(java.nio.file.Paths.get(s"${outW}_ckpt", s"_chunk$c")))
+      assert(Files.exists(java.nio.file.Paths.get(s"${outW}_ckpt",
+        s"chunk$c", "_SUCCESS")))
     val lines = Files.list(java.nio.file.Paths.get(outW)).toArray
       .map(_.toString).filter(_.endsWith(".csv"))
       .flatMap(f => scala.jdk.CollectionConverters
@@ -481,16 +482,22 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "S0R1/1\tG5\t5\tN2/1\nS0R1/2\tG5\t5\tN2/2\n" +
         "S0R2/1\tG4\t4\tN3/1\nS0R2/2\tG4\t4\tN3/2\n" +
         "S0R3/1\tGX\t2\tN4/1\nS0R3/2\tGX\t2\tN4/2\n" +
-        "S0R4/1\tGB\tbogus\tN5/1\n")
+        "S0R4/1\tGB\tbogus\tN5/1\n" +
+        "S0R5/1\tGT\n") // truncated line: padded with nulls, must not crash
     val out = dir.resolve("cami").toString
     Main.main(Array("camiReport",
       "--taxonomy", dir.resolve("tax").toString,
       "--mapping", dir.resolve("mapping.tsv").toString,
       "--rank", "species",
       "--output", out))
-    val ids = Files.readAllLines(java.nio.file.Paths.get(out + ".ids_filtered.txt"))
-    // genus-level pair S0R3 and the malformed row are filtered out
-    assert(ids.size == 6 && !ids.contains("S0R3/1"))
+    // ids are a distributed text write (a dir of part files)
+    val ids = Files.list(java.nio.file.Paths.get(out + ".ids_filtered"))
+      .toArray.map(_.toString)
+      .filter(f => f.contains("part-") && !f.endsWith(".crc"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    // genus-level pair S0R3 and the malformed rows are filtered out
+    assert(ids.length == 6 && !ids.contains("S0R3/1"))
     val rep = Files.readAllLines(java.nio.file.Paths.get(out + ".kreport.txt"))
     // counts are read PAIRS: s4 = 2 pairs, s5 = 1 pair
     assert(rep.stream().anyMatch(l =>
@@ -507,6 +514,16 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val shown = dispOut.toString("UTF-8")
     assert(shown.contains("species four")) // 2/3 pairs = 66% >= 50
     assert(!shown.contains("species five")) // 33% < 50
+
+    // a mistyped rank VALUE fails as loudly as a mistyped flag
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("camiReport",
+        "--taxonomy", dir.resolve("tax").toString,
+        "--mapping", dir.resolve("mapping.tsv").toString,
+        "--rank", "speices",
+        "--output", out))
+    }
+    assert(e.getMessage.contains("unknown rank"))
   }
 
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {

@@ -61,12 +61,18 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (ts(2), 3L, shared + " tail"),
         (ts(3), 4L, distinct)))
       query.processAllAvailable()
-      // cross-batch duplicate inside the watermark
-      stream.addData(Seq((ts(10), 5L, shared)))
+      // cross-batch duplicate inside the watermark; empty/whitespace docs
+      // are never near-dup candidates and must ALL pass (batch parity)
+      stream.addData(Seq(
+        (ts(10), 5L, shared),
+        (ts(11), 6L, "   "),
+        (ts(12), 7L, "")))
       query.processAllAvailable()
       val ids = survivors.synchronized(survivors.toSet)
       assert(ids.contains(1L), s"cluster representative lost: $ids")
       assert(ids.contains(4L), s"distinct doc lost: $ids")
+      assert(ids.contains(6L) && ids.contains(7L),
+        s"empty docs wrongly suppressed: $ids")
       assert(ids.intersect(Set(2L, 3L, 5L)).isEmpty,
         s"near-duplicates not suppressed: $ids")
     } finally query.stop()
