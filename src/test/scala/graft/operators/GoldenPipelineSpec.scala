@@ -36,6 +36,25 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0).toString, r.getInt(1).toString)).toVector
     assert(got == golden("t10_fingerprints_sf001.tsv"))
   }
+
+  test("g01 supermer spans match the independent kernel golden at sf0.01") {
+    // golden derived by tools/golden_g01.py: a from-scratch Python
+    // reimplementation of the md5 DNA derivation, canonical XOR priority,
+    // spaced-seed mask and brute-force window minimum — cross-implementation
+    // evidence for the core minimizer scanner on the driver's data
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/g01_spans_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("g01_supermer_spans", spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
