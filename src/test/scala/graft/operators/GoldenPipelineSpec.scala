@@ -55,6 +55,18 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .toVector
     assert(got == expected)
   }
+
+  test("g02 LCA index counts match the independent build golden at sf0.01") {
+    // golden from tools/golden_g02.py: the whole index build (taxonomy,
+    // genome derivation, minimizer extraction, LCA fold, per-taxon counts)
+    // re-implemented from scratch in Python
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g02_lca_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g02_lca_index", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
