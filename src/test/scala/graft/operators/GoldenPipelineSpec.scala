@@ -67,6 +67,18 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(got == expected)
   }
+
+  test("g03 classification counts match the independent resolver golden at sf0.01") {
+    // golden from tools/golden_g03.py — scanner, index AND the Kraken 2
+    // resolver (root-path scoring, LCA-folded ties) reimplemented from
+    // scratch: the whole flagship chain is cross-implementation verified
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g03_classify_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g03_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
