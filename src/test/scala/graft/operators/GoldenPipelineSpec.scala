@@ -79,6 +79,18 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(got == expected)
   }
+
+  test("g07 wide classification matches the independent two-word golden at sf0.01") {
+    // golden from tools/golden_g07.py: the wide (m=40) kernel re-done with
+    // Python big ints (canonicalization, per-word XOR, unsigned compare) —
+    // the two-long packing and wide scanner are cross-verified end to end
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g07_wide_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g07_wide_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Independent golden derivation for g07_wide_classify at sf0.01.
+
+The wide (m=40 > 32) minimizer kernel re-done from scratch: two-word packed
+m-mers are modeled as plain Python ints (2m bits), canonicalized against
+the reverse complement, XORed with the Kraken 2 toggle mask replicated on
+both words, compared unsigned — then the same independent index build and
+resolver as golden_g02/g03 at k=50, reads of 56 bp addressed by
+o_orderkey % 60. Run once; commit the output.
+"""
+import pyarrow.parquet as pq
+from golden_g01 import dna_of, CODE
+
+K, M = 50, 40
+XOR_MASK = 0xE37E28C4271B5A2D
+HI_BASES = M - 32
+
+
+def encode(s):
+    v = 0
+    for ch in s:
+        v = (v << 2) | CODE[ch]
+    return v
+
+
+def rc(mer, m):
+    out = 0
+    for _ in range(m):
+        out = (out << 2) | (3 - (mer & 3))
+        mer >>= 2
+    return out
+
+
+# the Scala priority XORs each WORD with the mask (hi word truncated to its
+# populated bits): as one 2m-bit int that is (mask_hi << 64) | mask_lo
+PRI_MASK = (((XOR_MASK & ((1 << (2 * HI_BASES)) - 1)) << 64) |
+            (XOR_MASK & ((1 << 64) - 1)))
+
+
+def priority(mer):
+    r = rc(mer, M)
+    canon = mer if mer <= r else r
+    return canon ^ PRI_MASK
+
+
+def minimizers(dna):
+    n = len(dna)
+    pris = [priority(encode(dna[j:j + M])) for j in range(n - M + 1)]
+    return {min(pris[i:i + K - M + 1]) for i in range(n - K + 1)}
+
+
+def main():
+    sf = "/root/testdata/sf0.01"
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region = pq.read_table(f"{sf}/region.parquet")
+    customer = pq.read_table(f"{sf}/customer.parquet")
+    orders = pq.read_table(f"{sf}/orders.parquet")
+
+    parents = {1: 0}
+    for r in region.column("r_regionkey").to_pylist():
+        parents[2 + r] = 1
+    for n, r in zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_regionkey").to_pylist()):
+        parents[10 + n] = 2 + r
+
+    def depth(t):
+        d = 0
+        while parents[t] != 0:
+            t = parents[t]
+            d += 1
+        return d
+
+    def lca(a, b):
+        if a == 0:
+            return b
+        if b == 0:
+            return a
+        while depth(a) > depth(b):
+            a = parents[a]
+        while depth(b) > depth(a):
+            b = parents[b]
+        while a != b:
+            a, b = parents[a], parents[b]
+        return a
+
+    records = {}
+    cust_dna = {}
+    for key, name, nat in zip(customer.column("c_custkey").to_pylist(),
+                              customer.column("c_name").to_pylist(),
+                              customer.column("c_nationkey").to_pylist()):
+        dna = dna_of(name)
+        cust_dna[key] = dna
+        for mnz in minimizers(dna):
+            records[mnz] = lca(records.get(mnz, 0), 10 + nat)
+
+    def classify(read):
+        n = len(read)
+        pris = [priority(encode(read[j:j + M])) for j in range(n - M + 1)]
+        counts = {}
+        for i in range(n - K + 1):
+            t = records.get(min(pris[i:i + K - M + 1]), 0)
+            if t > 0:
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return 0
+
+        def path_score(t):
+            s = 0
+            while t != 0:
+                s += counts.get(t, 0)
+                t = parents[t]
+            return s
+        best, best_score = 0, 0
+        for t in counts:
+            s = path_score(t)
+            if s > best_score:
+                best, best_score = t, s
+            elif s == best_score and s > 0:
+                best = lca(best, t)
+        return best
+
+    out = {}
+    for okey, ckey in zip(orders.column("o_orderkey").to_pylist(),
+                          orders.column("o_custkey").to_pylist()):
+        pos = (okey % 60) + 1
+        read = cust_dna[ckey][pos - 1:pos - 1 + 56]
+        t = classify(read)
+        out[t] = out.get(t, 0) + 1
+
+    with open("src/test/resources/golden/g07_wide_sf001.tsv", "w") as f:
+        for t in sorted(out):
+            f.write(f"{t}\t{out[t]}\n")
+    print("taxa:", len(out), "reads:", sum(out.values()))
+
+
+if __name__ == "__main__":
+    main()
