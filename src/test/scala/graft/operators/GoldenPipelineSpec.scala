@@ -91,6 +91,22 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(got == expected)
   }
+
+  test("g05 bracken weights match the independent window golden at sf0.01") {
+    // golden from tools/golden_g05.py: brute-force per-window classification
+    // with the hit-group gate — cross-verifies the O(1) run-length window
+    // slide, the last unpinned flagship kernel
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/g05_bracken_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toLong)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("g05_bracken", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
