@@ -107,6 +107,40 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
     assert(got == expected)
   }
+
+  test("g04 2-step classification matches the independent pipeline golden") {
+    // golden from tools/golden_g04_g06_g08.py: evidence counting, species
+    // clade selection, sub-library rebuild and re-classification re-done
+    // from scratch — the dynamic 2-step pipeline end to end
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g04_classify2_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g04_classify2", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
+  test("g06 respaced depth histogram matches the independent golden") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g06_stats_sf001.tsv")
+      .map { case (d, n) => (d.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g06_index_stats", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
+  test("g08 multisample classification matches the independent golden") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/g08_multisample_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0), f(1).toLong, f(2).toLong)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("g08_multisample", spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
