@@ -141,6 +141,22 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toVector
     assert(got == expected)
   }
+
+  test("t06 MinHash LSH pairs match the independent pipeline golden") {
+    // golden from tools/golden_t06.py: shingling, signed-min MinHash,
+    // banding and exact-Jaccard verification re-done from scratch — the
+    // flagship dedup pipeline is cross-implementation verified
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/t06_minhash_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toDouble)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("t06_minhash_lsh", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
