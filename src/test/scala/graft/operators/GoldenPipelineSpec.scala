@@ -157,6 +157,32 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
     assert(got == expected)
   }
+
+  test("t08 SimHash pairs match the independent golden") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/t08_simhash_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toLong)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("t08_simhash", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expected)
+  }
+
+  test("t13 dedup decisions match the independent union-find golden") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/t13_decisions_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toBoolean)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("t13_dedup_decisions", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
