@@ -167,7 +167,8 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2).toLong)
     }.toVector finally src.close()
     val got = SparkEntrySpecAccess.run("t08_simhash", spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toVector
     assert(got == expected)
   }
 
