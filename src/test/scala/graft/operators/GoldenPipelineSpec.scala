@@ -184,6 +184,23 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toVector
     assert(got == expected)
   }
+
+  test("t15 source-similarity estimates match the independent sketch golden") {
+    // golden from tools/golden_t15.py: per-source 128-hash MinHash sketches
+    // and matching-position estimates re-done from scratch — pins the
+    // native TypedImperativeAggregate and the distributed pairing
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/t15_source_sim_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0), f(1), f(2).toDouble)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("t15_source_similarity", spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toVector
+    assert(got == expected)
+  }
 }
 
 /** Indirection so the spec exercises exactly the registered harness query. */
