@@ -646,6 +646,11 @@ object Main {
         val rankCode = opts.get("rank").map(parseRank)
         val mapping = spark.read.option("sep", "\t").option("header", "true")
           .csv(opts("mapping"))
+        // a structurally non-TSV file parses as one wide column; dropping
+        // every row would silently emit an empty report — fail loudly
+        require(mapping.columns.length > 2,
+          s"mapping is not tab-separated with >= 3 columns: " +
+            s"${mapping.columns.length} column(s) parsed")
         // null-safe field access: the permissive CSV reader pads truncated
         // lines with nulls — such rows are dropped, not crashed on
         val filtered = mapping
@@ -663,7 +668,13 @@ object Main {
           .write.mode("overwrite").text(outPrefix + ".ids_filtered")
         // per-taxon counts; paired mates appear as two mapping rows, so the
         // default halves (reference parity) — --single-end counts raw rows
-        val singleEnd = opts.get("single-end").contains("true")
+        val singleEnd = opts.get("single-end") match {
+          case None => false
+          case Some("true") => true
+          case Some("false") => false
+          case Some(other) =>
+            sys.error(s"--single-end takes true/false, got '$other'")
+        }
         val rawCounts = filtered
           .map(_.getString(2).toInt).toDF("taxon")
           .groupBy($"taxon")

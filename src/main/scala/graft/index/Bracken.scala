@@ -192,8 +192,10 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
   }
 
   /** Fault-tolerant chunked weight build: the library is processed in
-    * `chunks` pieces, each appended to a parquet checkpoint before the next
-    * starts — a lost driver resumes from the chunks already on disk
+    * `chunks` pieces, each written to its OWN overwritten parquet directory
+    * (complete iff its _SUCCESS marker exists) — a lost driver resumes from
+    * the chunks already on disk and a chunk that crashed mid-write is
+    * replaced, never double-counted
     * (spec: S15 checkpoint-by-append, BrackenWeights.scala:359-374). */
   def weightsGradually(library: Dataset[(Int, String)], records: DataFrame,
       readLen: Int, checkpointPath: String, chunks: Int = 5): DataFrame = {

@@ -89,6 +89,8 @@ object Dedup {
     * bucket (quadratic pair blowup at corpus scale) for pairs that can
     * never verify — they get NO keys. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    require(sig.length % bands == 0,
+      s"bands=$bands must divide signature length ${sig.length}")
     val rows = sig.length / bands
     if (sig.forall(_ == Long.MaxValue)) return Array.emptyLongArray
     Array.tabulate(bands) { b =>

@@ -96,12 +96,11 @@ def main():
     opris = orders.column("o_orderpriority").to_pylist()
 
     # ---------------- g06: respace 7 -> 10 + depth histogram ----------------
+    # records are already folded; respace masks the RECORD keys and re-folds
     mask = -1 & ((1 << 64) - 1)
     for i in range(10):
         mask &= ~(3 << (2 * (2 * i + 1)))
     respaced = {}
-    for taxon, slots in genomes:
-        pass  # records already folded; respace folds the RECORD map
     for mnz, taxon in records.items():
         key = mnz & mask
         respaced[key] = lca(respaced.get(key, 0), taxon)

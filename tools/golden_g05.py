@@ -86,18 +86,21 @@ def main():
     out = {}
     kmers_per_window = READ_LEN - (K - 1)
     for (source, dna), slots in zip(genomes, slot_cache):
-        # spans: runs of equal minimizer; distinct = differs from previous
-        spans = []  # (first_slot, count, taxon, distinct)
+        # spans: runs of equal minimizer. In a single valid segment every
+        # new span's minimizer differs from the previous by construction, so
+        # the Scala 'distinct' flag is always true here — the hit-group gate
+        # below counts spans with taxon != 0 directly.
+        spans = []  # (first_slot, count, taxon)
         prev = None
         for i, mnz in enumerate(slots):
             if spans and mnz == prev:
                 s = spans[-1]
-                spans[-1] = (s[0], s[1] + 1, s[2], s[3])
+                spans[-1] = (s[0], s[1] + 1, s[2])
             else:
-                spans.append((i, 1, records.get(mnz, 0), mnz != prev or prev is None))
+                spans.append((i, 1, records.get(mnz, 0)))
             prev = mnz
         slot_span = []
-        for si, (start, cnt, _, _) in enumerate(spans):
+        for si, (start, cnt, _) in enumerate(spans):
             slot_span.extend([si] * cnt)
 
         for w in range(len(dna) - READ_LEN + 1):
@@ -108,7 +111,7 @@ def main():
                 si = slot_span[p]
                 t = spans[si][2]
                 counts[t] = counts.get(t, 0) + 1
-                if spans[si][3] and t != 0:
+                if t != 0:
                     groups.add(si)
             scoring = {t: c for t, c in counts.items() if t != 0}
             dest = 0 if (len(groups) < 2 or not scoring) else resolve(scoring)

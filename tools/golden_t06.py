@@ -9,6 +9,7 @@ bucket), and exact-Jaccard verification at threshold 0.5. Run once; commit
 the output.
 """
 import pyarrow.parquet as pq
+from decimal import Decimal, ROUND_HALF_UP
 from golden_t09_t10 import mix64, hash_string, M64
 
 NUM_HASHES, BANDS, SHINGLE_N, THRESHOLD = 64, 16, 3, 0.5
@@ -76,7 +77,11 @@ def main():
             uni = max(len(sa) + len(sb) - inter, 1)
             j = inter / uni
             if j >= THRESHOLD:
-                f.write(f"{a}\t{b}\t{round(j, 4)}\n")
+                # Spark round() is HALF_UP; Python round() is half-even and
+                # would diverge on dyadic ties like 17/32
+                jr = (Decimal(inter) / Decimal(uni)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                f.write(f"{a}\t{b}\t{jr.normalize()}\n")
                 kept += 1
     print("candidates:", len(pairs), "kept:", kept)
 

@@ -60,9 +60,6 @@ def main():
             f.write(f"{a}\t{b}\t{h}\n")
 
     # ---------------- t13 ----------------
-    verified = []
-    for d, _ in docs:
-        pass
     # rebuild the t06 verified pairs (threshold 0.5)
     band_buckets = {}
     for d, _ in docs:
