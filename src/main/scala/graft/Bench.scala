@@ -32,7 +32,18 @@ object Bench {
     // time-to-crash as a speedup; r3 recorded a loaded-machine outlier as a
     // 2x regression). Median damps transient load; min approximates the
     // noise-free cost. A failed query records -1 for every stat, never its
-    // time-to-crash.
+    // time-to-crash. The raw per-rep times (in run order) and the machine
+    // load average at start/end are emitted too, so a run on a busy machine
+    // is diagnosable from the artifact alone: high loadavg or a wide
+    // reps_sec spread flags the medians as load-poisoned.
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
+        finally src.close()
+      } catch { case _: Throwable => "[]" }
+
+    val loadStart = loadavg()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.benchQueries.map { case (name, q) =>
       val times =
@@ -41,24 +52,29 @@ object Bench {
             val t0 = System.nanoTime()
             run(q.fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
-          }.sorted
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
           IndexedSeq.empty[Double]
         }
-      val median = if (times.isEmpty) -1.0 else times(times.length / 2)
-      val min = if (times.isEmpty) -1.0 else times.head
-      name -> (median, min)
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.length / 2)
+      val min = if (sorted.isEmpty) -1.0 else sorted.head
+      name -> ((median, min, times))
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + f"\":$med%.3f" }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min)) => "\"" + k + f"\":$min%.3f" }
+    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + f"\":$min%.3f" }
       .mkString("{", ",", "}")
+    val qsReps = results.map { case (k, (_, _, ts)) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sf = sfDir.replaceAll(".*sf", "")
     val failed = results.values.count(_._1 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sf"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}""")
     spark.stop()
   }
 }

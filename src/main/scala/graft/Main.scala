@@ -62,6 +62,18 @@ object Main {
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")))
   }
 
+  /** Read a small driver-side text file through the Hadoop FileSystem API —
+    * works for local, HDFS and object-store paths alike, unlike
+    * scala.io.Source.fromFile (local FS only). */
+  private def readTextFile(path: String): Vector[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val src = scala.io.Source.fromInputStream(p.getFileSystem(conf).open(p))
+    try src.getLines().toVector finally src.close()
+  }
+
   /** Strict rank-name parse: Taxonomy.rankCode silently maps unknown names
     * to "no rank" (code 0), which would silently disable or invert rank
     * filtering — a mistyped --rank value must fail as loudly as a mistyped
@@ -345,11 +357,7 @@ object Main {
         // taxa (plus descendants) — the reference's gold-standard mode
         // (Dynamic.scala:284-312)
         val goldSet = opts.get("gold").map { p =>
-          val pp = new org.apache.hadoop.fs.Path(p)
-          val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val src = scala.io.Source.fromInputStream(fs.open(pp))
-          try src.getLines().map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-          finally src.close()
+          readTextFile(p).map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
         }
         val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
           loadReads(spark, opts), loadLibrary(spark, opts), records,
@@ -602,8 +610,7 @@ object Main {
         val minPercent = opts.get("min-percent").map(_.toDouble)
         val rankCut = opts.get("rank").map(r => parseRank(r).toInt)
         val clades = opts.get("clades").map { f =>
-          scala.io.Source.fromFile(f).getLines()
-            .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+          readTextFile(f).map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
         }
         def colorFor(depth: Int): String = depth match {
           case 0 => Console.BLUE
@@ -613,32 +620,30 @@ object Main {
           case _ => Console.WHITE
         }
         var lastIndent = Int.MaxValue
-        val src = scala.io.Source.fromFile(opts("report"))
-        try {
-          for {
-            l <- src.getLines()
-            if !l.startsWith("#")
-            spl = l.split("\t", -1)
-            if spl.length >= 6
-            if minPercent.forall(spl(0).toDouble >= _)
-            depth = rankDepthForCode(spl(3))
-            if rankCut.forall(depth <= _)
-            taxon = spl(4).toInt
-            indent = spl(5).takeWhile(_ == ' ').length
-          } {
-            val inClades = clades.forall(_.contains(taxon))
-            if (inClades && lastIndent > indent) lastIndent = indent
-            if (clades.isEmpty || inClades || indent > lastIndent)
-              println(colorFor(depth) + l + Console.RESET)
-            else lastIndent = Int.MaxValue
-          }
-        } finally src.close()
+        for {
+          l <- readTextFile(opts("report"))
+          if !l.startsWith("#")
+          spl = l.split("\t", -1)
+          if spl.length >= 6
+          if minPercent.forall(spl(0).toDouble >= _)
+          depth = rankDepthForCode(spl(3))
+          if rankCut.forall(depth <= _)
+          taxon = spl(4).toInt
+          indent = spl(5).takeWhile(_ == ' ').length
+        } {
+          val inClades = clades.forall(_.contains(taxon))
+          if (inClades && lastIndent > indent) lastIndent = indent
+          if (clades.isEmpty || inClades || indent > lastIndent)
+            println(colorFor(depth) + l + Console.RESET)
+          else lastIndent = Int.MaxValue
+        }
 
       case "camiReport" =>
         // CAMI2 read mapping -> Kraken-style report + filtered read ids
         // (spec: reference analysis/CAMIToKrakenReport.scala): keep reads
-        // whose taxon sits at or below the cutoff rank (= has an ancestor
-        // at that rank, itself included); paired mates count once
+        // whose nearest RANKED self/ancestor is at least as deep as the
+        // cutoff rank — a rank-skipping lineage (species with no genus
+        // node) survives a genus cutoff; paired mates count once
         val spark = session(buckets)
         import spark.implicits._
         val tax = loadTaxonomy(spark, opts("taxonomy"))
@@ -658,7 +663,7 @@ object Main {
             .flatMap(_.toIntOption).exists { t =>
               val tx = bcTax.value
               t > 0 && t < tx.size && tx.isDefined(t) &&
-                rankCode.forall(rc => tx.ancestorAtRank(t, rc) != Taxonomy.NONE)
+                rankCode.forall(rc => tx.rankDepth(t) >= rc)
             })
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val outPrefix = opts("output")

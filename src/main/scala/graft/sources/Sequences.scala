@@ -98,14 +98,17 @@ object Sequences {
 
   /** Format dispatch by extension, .fai presence aware
     * (spec: S5, FileInputs.scala:64-85). FASTQ recognition also covers
-    * chunked names (reads.fastq.0001) and extensionless paths that name
-    * fastq (/data/fastq/run1) — those would otherwise silently mis-parse
-    * as '>'-separated FASTA and yield zero fragments. */
+    * chunked names (reads.fastq.0001) and extensionless FILE NAMES that
+    * name fastq (run1_fastq) — those would otherwise silently mis-parse
+    * as '>'-separated FASTA and yield zero fragments. Only the basename is
+    * consulted: a directory named fastq/ holding an extensionless FASTA
+    * must not flip the whole path to FASTQ. */
   def forFile(spark: SparkSession, path: String, k: Int = 35): Dataset[InputFragment] = {
     val stripped = path.toLowerCase.replaceAll("\\.(gz|bz2)$", "")
+    val base = stripped.substring(stripped.lastIndexOf('/') + 1)
     val isFastq =
-      stripped.matches(".*\\.(fastq|fq)(\\.[0-9]+)?$") ||
-        (!stripped.matches(".*\\.[a-z0-9]+$") && stripped.contains("fastq"))
+      base.matches(".*\\.(fastq|fq)(\\.[0-9]+)?$") ||
+        (!base.matches(".*\\.[a-z0-9]+$") && base.contains("fastq"))
     val hasFai = {
       val p = new org.apache.hadoop.fs.Path(path + ".fai")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -99,6 +99,24 @@ final class Taxonomy(
     false
   }
 
+  /** Depth of the nearest standard-ranked self-or-ancestor of t. Rank codes
+    * are indexes into [[Taxonomy.rankNames]] in depth order (superkingdom=1
+    * … species=8), so the code of the first ranked node up the lineage IS
+    * its depth; a lineage with no ranked node reads as root depth 0; -1 for
+    * ids absent from the taxonomy. Mirrors the reference's Taxonomy.depth
+    * (Taxonomy.scala:222-228), which rank-cutoff filters compare with >= —
+    * unlike ancestorAtRank != NONE, this keeps rank-skipping lineages (e.g.
+    * a species with no genus node) under a genus cutoff. */
+  def rankDepth(t: Int): Int = {
+    if (!isDefined(t)) return -1
+    var cur = t
+    while (cur != NONE) {
+      if (ranks(cur) > 0) return ranks(cur)
+      cur = parents(cur)
+    }
+    0
+  }
+
   /** Ancestor of t at the given rank code, or NONE. */
   def ancestorAtRank(t: Int, rank: Byte): Int = {
     var cur = t

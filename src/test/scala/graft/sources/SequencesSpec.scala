@@ -115,19 +115,25 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got1 = Sequences.forFile(spark, chunk).collect().sortBy(_.header)
     assert(got1.map(f => f.header -> f.nucleotides).toSeq ==
       Seq("c1" -> "ACGTACGT", "c2" -> "TTTTGGGG"))
-    // extensionless path that names fastq in a directory component
+    // extensionless FILE NAME that names fastq
     val dir = Files.createTempDirectory("graft-fastq-dir")
     val sub = dir.resolve("fastq")
     Files.createDirectories(sub)
-    Files.writeString(sub.resolve("run1"), fq)
-    val got2 = Sequences.forFile(spark, sub.resolve("run1").toString)
+    Files.writeString(sub.resolve("run1_fastq"), fq)
+    val got2 = Sequences.forFile(spark, sub.resolve("run1_fastq").toString)
       .collect().sortBy(_.header)
     assert(got2.map(_.header).toSeq == Seq("c1", "c2"))
-    // a FASTA that merely lives under a fastq-named dir stays FASTA
+    // a FASTA that merely lives under a fastq-named dir stays FASTA —
+    // the directory component must not flip the format (advisor r4)
     Files.writeString(sub.resolve("genome.fasta"), ">g1\nACGT\n")
     val got3 = Sequences.forFile(spark, sub.resolve("genome.fasta").toString)
       .collect()
     assert(got3.map(_.header).toSeq == Seq("g1"))
+    // ...even when the FASTA is extensionless: basename-only sniffing
+    Files.writeString(sub.resolve("genomes"), ">g2\nTTTT\n")
+    val got4 = Sequences.forFile(spark, sub.resolve("genomes").toString)
+      .collect()
+    assert(got4.map(f => f.header -> f.nucleotides).toSeq == Seq("g2" -> "TTTT"))
   }
 
   test("paired-end mates join on cleaned headers") {

@@ -83,6 +83,27 @@ class TaxonomySpec extends AnyFunSuite with PropChecks {
     assert(t.depths(3) == 2)
   }
 
+  test("rankDepth keeps rank-skipping lineages under a rank cutoff") {
+    // 4 is a species whose lineage skips genus entirely: a genus cutoff
+    // (rankDepth >= genus code) must keep it, while ancestorAtRank(genus)
+    // would report NONE and drop it (the camiReport parity bug).
+    val t = Taxonomy.fromTuples(Seq(
+      (2, 1, "superkingdom", "sk"),
+      (3, 2, "no rank", "unranked-mid"),
+      (4, 3, "species", "skipper"),
+      (5, 2, "genus", "g"),
+      (6, 5, "no rank", "unranked-leaf")))
+    val genus = Taxonomy.rankCode("genus")
+    val species = Taxonomy.rankCode("species")
+    assert(t.rankDepth(4) == species)
+    assert(t.rankDepth(4) >= genus)                      // kept under genus cutoff
+    assert(t.ancestorAtRank(4, genus) == Taxonomy.NONE)  // the old check drops it
+    assert(t.rankDepth(6) == genus)   // unranked leaf inherits nearest ranked ancestor
+    assert(t.rankDepth(3) == Taxonomy.rankCode("superkingdom"))
+    assert(t.rankDepth(Taxonomy.ROOT) == 0)  // root lineage has no ranked node
+    assert(t.rankDepth(99) == -1 && t.rankDepth(0) == -1) // undefined ids
+  }
+
   test("dangling parent chain is severed, not ROOT-deep and not a hang") {
     // 5 -> 4 -> 99 (undefined, out of the id space reachable as a node)
     val t = Taxonomy.fromTuples(Seq(
