@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * `dropDuplicatesWithinWatermark`, so per-key state is dropped once the
   * event-time watermark passes it — state is bounded by (arrival rate x
   * watermark delay), never by corpus size. The quality filter is stateless.
+  * Near-dup suppression keeps one state entry per LSH band bucket, and the
+  * per-batch survivor fold is distributed: only the small residual class of
+  * in-batch-conflicting docs reaches the driver, as id/ts/bucket triples
+  * with no document text (see [[foldBatch]]).
   */
 object StreamingDedup {
 
@@ -28,20 +32,56 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
-  /** A doc's band row heading into the ownership state machine; `text` is
-    * carried on ONE designated row per doc (null elsewhere), so payloads do
-    * not amplify by the band count through the stateful shuffle. */
-  final case class BandRow(bandKey: Long, docId: Long, ts: java.sql.Timestamp,
-      text: String)
-  /** Band row annotated with the bucket's owning doc. */
+  /** Event heading into the per-band-bucket ownership state machine: either
+    * a document's band row (`kind=Data`; `text` rides on ONE designated row
+    * per doc, null elsewhere, so payloads do not amplify by the band count
+    * through the stateful shuffle) or an ownership correction fed back from
+    * a completed micro-batch fold (`kind=Reassign` with `docId` = the new
+    * owner, or `kind=Release`). */
+  final case class BandEvent(bandKey: Long, docId: Long,
+      ts: java.sql.Timestamp, text: String, kind: Int)
+  object BandEvent {
+    val Data = 0
+    val Reassign = 1
+    val Release = 2
+  }
+
+  /** Band row annotated with the bucket's owning doc. `priorOwner` is true
+    * when the owner was recorded in an EARLIER trigger — such an owner can
+    * never be part of the current micro-batch, which is what lets the
+    * survivor fold classify most docs distributively. */
   final case class OwnedRow(docId: Long, ts: java.sql.Timestamp, bandKey: Long,
-      ownerDocId: Long, text: String)
+      ownerDocId: Long, priorOwner: Boolean, text: String)
+
+  /** Ownership correction emitted by [[foldBatch]] for a bucket whose
+    * recorded in-batch owner did NOT survive the fold: `newOwner >= 0`
+    * reassigns the bucket to the doc that survived it, `newOwner ==
+    * ReleaseOwner` releases the bucket so the next arrival starts fresh.
+    * Routing these back into the query's feedback stream (a log/queue topic
+    * in production, a MemoryStream in tests — see [[dedupNearWithFeedback]])
+    * closes the residual suppression window after ONE trigger instead of
+    * leaving a dead doc's buckets suppressing look-alikes until the TTL. */
+  final case class Feedback(bandKey: Long, newOwner: Long,
+      ts: java.sql.Timestamp)
+  val ReleaseOwner: Long = -1L
+
+  /** The default near-dup candidate test: shingle → minhash → LSH band keys,
+    * the SAME kernel as the batch path
+    * ([[graft.operators.Dedup.minhashDedup]]), so online and offline
+    * suppression agree. */
+  def lshKeyer(shingleN: Int, numHashes: Int, bands: Int)
+      : String => Array[Long] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    text => graft.operators.Dedup.bandKeys(
+      graft.operators.Dedup.minhashSignature(
+        graft.functions.TextAnalysis.shingleSet(text, shingleN), numHashes),
+      bands)
+  }
 
   /** Streaming NEAR-dup suppression, phase 1: per band bucket, record the
     * owning document (earliest (ts, docId) arrival, event-time expired) —
     * the online analogue of [[graft.operators.Dedup.minhashDedup]]'s
-    * candidate blocking, using the SAME [[graft.operators.Dedup.bandKeys]]
-    * candidate test as the batch path.
+    * candidate blocking.
     *
     * Scale/correctness design: one state entry per band bucket (the owner
     * doc id), never pairwise state. Docs with no shingles get a synthetic
@@ -51,103 +91,212 @@ object StreamingDedup {
     * drops happen at the usual LSH rate for (numHashes, bands); exact
     * verification would need a batch pass — streams cannot re-read earlier
     * documents.
-    */
+    *
+    * `feedback`, when given, is a second streaming source of [[Feedback]]
+    * corrections (produced by [[foldBatch]] on the previous trigger) that is
+    * unioned into the state input; corrections apply BEFORE the same
+    * trigger's data rows, so a bucket freed by its dead owner stops
+    * suppressing after exactly one trigger. `keyer` overrides the LSH
+    * candidate test (None → [[lshKeyer]]). */
   def dedupNearOwnership(docs: DataFrame, textCol: String, tsCol: String,
       idCol: String, watermark: String = "10 minutes", shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      stateTtlMs: Long = 10 * 60 * 1000L)
+      stateTtlMs: Long = 10 * 60 * 1000L,
+      feedback: Option[Dataset[Feedback]] = None,
+      keyer: Option[String => Array[Long]] = None)
       : Dataset[OwnedRow] = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    def assignOwner(bandKey: Long, rows: Iterator[BandRow],
+    def assignOwner(bandKey: Long, rows: Iterator[BandEvent],
         state: GroupState[Long]): Iterator[OwnedRow] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val rs = rows.toVector.sortBy(r => (r.ts.getTime, r.docId))
-      if (rs.isEmpty) return Iterator.empty
-      val owner = state.getOption.getOrElse(rs.head.docId)
-      if (!state.exists) state.update(owner)
+      val rs = rows.toVector
+      // fold corrections from the PREVIOUS trigger first, so this trigger's
+      // data already sees the corrected ownership
+      for (f <- rs.filter(_.kind != BandEvent.Data).sortBy(_.ts.getTime))
+        f.kind match {
+          case BandEvent.Reassign => state.update(f.docId)
+          case _                  => if (state.exists) state.remove()
+        }
+      val data = rs.filter(_.kind == BandEvent.Data)
+        .sortBy(r => (r.ts.getTime, r.docId))
+      val out: Iterator[OwnedRow] =
+        if (data.isEmpty) Iterator.empty
+        else {
+          val prior = state.exists
+          val owner = state.getOption.getOrElse(data.head.docId)
+          if (!prior) state.update(owner)
+          data.iterator.map(r =>
+            OwnedRow(r.docId, r.ts, r.bandKey, owner, prior, r.text))
+        }
       // expire the bucket once the watermark passes arrival + TTL (the
       // timeout must stay ahead of the current watermark or Spark rejects it)
-      state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
-        rs.map(_.ts.getTime).max + stateTtlMs))
-      rs.iterator.map(r => OwnedRow(r.docId, r.ts, r.bandKey, owner, r.text))
+      if (state.exists)
+        state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+          rs.map(_.ts.getTime).max + stateTtlMs))
+      out
     }
 
-    docs
+    val keyFn = keyer.getOrElse(lshKeyer(shingleN, numHashes, bands))
+    val bandRows = docs
       .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
       .select(col(idCol).as("docId"), col(tsCol).as("ts"),
         col(textCol).as("text"))
       .as[(Long, java.sql.Timestamp, String)]
       .flatMap { case (docId, ts, text) =>
-        val sig = graft.operators.Dedup.minhashSignature(
-          graft.functions.TextAnalysis.shingleSet(text, shingleN), numHashes)
-        val keys = graft.operators.Dedup.bandKeys(sig, bands)
+        val keys = keyFn(text)
         if (keys.isEmpty)
           // no shingles: a synthetic per-doc bucket the doc trivially owns
           // (batch parity: empty docs never become near-dup candidates)
-          Iterator.single(BandRow(
+          Iterator.single(BandEvent(
             graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
-            ts, text))
+            ts, text, BandEvent.Data))
         else
           keys.iterator.zipWithIndex.map { case (k, i) =>
-            BandRow(k, docId, ts, if (i == 0) text else null)
+            BandEvent(k, docId, ts, if (i == 0) text else null, BandEvent.Data)
           }
       }
+    val events = feedback match {
+      case Some(fb) => bandRows.union(fb.map(f => BandEvent(f.bandKey,
+        f.newOwner, f.ts, null,
+        if (f.newOwner >= 0) BandEvent.Reassign else BandEvent.Release)))
+      case None => bandRows
+    }
+    events
       .withWatermark("ts", watermark)
       .groupByKey(_.bandKey)
       .flatMapGroupsWithState[Long, OwnedRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(assignOwner)
   }
 
+  /** One micro-batch's survivor fold. `survivors`/`feedback` are lazy
+    * distributed frames over the persisted batch — consume them, then call
+    * `cleanup()`. `residualDocs` of `totalDocs` reached the driver greedy. */
+  final case class BatchFold(survivors: DataFrame, feedback: Dataset[Feedback],
+      totalDocs: Long, residualDocs: Long, cleanup: () => Unit)
+
+  /** Distributed survivor fold over one micro-batch of [[OwnedRow]]s.
+    *
+    * The sequential greedy (process docs in arrival order; a doc survives
+    * iff none of its buckets is already claimed; survivors claim their
+    * buckets, buckets owned by earlier batches are claimed upfront)
+    * decomposes into three distributive classes plus a small residual:
+    *
+    *  1. DEAD: any bucket with `priorOwner` — claimed upfront, the doc can
+    *     never survive.
+    *  2. ALIVE: no prior bucket and every bucket self-owned — the doc is the
+    *     earliest arrival in all its buckets, so no earlier doc can have
+    *     claimed any of them.
+    *  3. DEAD: a bucket owned by a class-2 doc — class-2 docs always survive
+    *     and always claim, and (being bucket owners) arrive earlier.
+    *  4. RESIDUAL: everything else — docs whose conflicts are only with
+    *     other non-surviving or residual docs. Only these need the
+    *     order-sensitive greedy, and only their (docId, ts, bandKey) triples
+    *     are collected — NO document text reaches the driver, and in a
+    *     steady stream the class is a small fraction of the batch (unique
+    *     docs are class 2, duplicates of earlier batches are class 1).
+    *
+    * Survivor text is re-joined distributively from the batch's designated
+    * text rows. `feedback` holds the ownership corrections for buckets whose
+    * in-batch owner died (reassign to the surviving toucher, else release);
+    * route it back via [[dedupNearWithFeedback]] to close the residual
+    * suppression window after one trigger. */
+  def foldBatch(batch: Dataset[OwnedRow], idCol: String = "docId",
+      tsCol: String = "ts", textCol: String = "text"): BatchFold = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val rows = batch.persist()
+    val perDoc = rows.groupBy("docId").agg(
+      max(when(col("priorOwner"), 1).otherwise(0)).as("any_prior"),
+      min(when(col("ownerDocId") === col("docId"), 1).otherwise(0))
+        .as("all_self"))
+    val aliveB = perDoc
+      .filter(col("any_prior") === 0 && col("all_self") === 1).select("docId")
+    val residual0 = perDoc
+      .filter(col("any_prior") === 0 && col("all_self") === 0).select("docId")
+    val residualRows0 = rows.join(residual0, Seq("docId"), "left_semi")
+    val deadByAlive = residualRows0
+      .join(aliveB.withColumnRenamed("docId", "ownerDocId"),
+        Seq("ownerDocId"), "left_semi")
+      .select("docId").distinct()
+    // the residual class — the ONLY rows collected, and without text
+    val residual = residualRows0.join(deadByAlive, Seq("docId"), "left_anti")
+      .select(col("docId"), col("ts"), col("bandKey"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val claimed = collection.mutable.Set.empty[Long]
+    val greedyIds = collection.mutable.ArrayBuffer.empty[Long]
+    for ((id, rs) <- residual.groupBy(_._1).toSeq
+           .sortBy { case (id, rs) => (rs.head._2.getTime, id) })
+      if (rs.forall(r => !claimed.contains(r._3))) {
+        greedyIds += id
+        rs.foreach(r => claimed += r._3)
+      }
+    val survivorIds = aliveB
+      .union(spark.createDataset(greedyIds.toSeq).toDF("docId")).persist()
+    val survivors = rows.filter(col("text").isNotNull)
+      .join(survivorIds, Seq("docId"), "left_semi")
+      .select(col("docId").as(idCol), col("ts").as(tsCol),
+        col("text").as(textCol))
+    // corrections: in-batch-owned buckets whose owner did not survive get
+    // reassigned to the bucket's surviving doc (at most one — two survivors
+    // can never share a bucket) or released so later arrivals start fresh
+    val withSurv = rows
+      .join(survivorIds.withColumn("surv", lit(1)), Seq("docId"), "left")
+    val corrections = withSurv.filter(col("priorOwner") === false)
+      .groupBy("bandKey").agg(
+        max(when(col("surv") === 1 && col("docId") === col("ownerDocId"), 1)
+          .otherwise(0)).as("owner_survived"),
+        max(when(col("surv") === 1, col("docId"))).as("surv_toucher"),
+        max("ts").as("ts"))
+      .filter(col("owner_survived") === 0)
+      .select(col("bandKey"),
+        coalesce(col("surv_toucher"), lit(ReleaseOwner)).as("newOwner"),
+        col("ts"))
+      .as[Feedback]
+    BatchFold(survivors, corrections, perDoc.count(),
+      residual.iterator.map(_._1).toSet.size,
+      () => { survivorIds.unpersist(); rows.unpersist(); () })
+  }
+
+  /** Run [[dedupNearOwnership]] with a feedback loop and deliver each
+    * micro-batch's surviving docs plus the batch's ownership corrections to
+    * `sink`. The caller routes the corrections into the `feedback` stream
+    * (write them to the queue/log topic backing it; in tests, collect and
+    * `MemoryStream.addData`) — they apply before the NEXT trigger's data,
+    * so a dead doc's buckets suppress look-alikes for at most one trigger
+    * rather than until the state TTL. */
+  def dedupNearWithFeedback(docs: DataFrame, textCol: String, tsCol: String,
+      idCol: String, feedback: Option[Dataset[Feedback]],
+      watermark: String = "10 minutes", shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      stateTtlMs: Long = 10 * 60 * 1000L,
+      keyer: Option[String => Array[Long]] = None)
+      (sink: (DataFrame, Dataset[Feedback]) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[OwnedRow] = {
+    val owned = dedupNearOwnership(docs, textCol, tsCol, idCol, watermark,
+      shingleN, numHashes, bands, stateTtlMs, feedback, keyer)
+    owned.writeStream.foreachBatch { (batch: Dataset[OwnedRow], _: Long) =>
+      val fold = foldBatch(batch, idCol, tsCol, textCol)
+      try sink(fold.survivors, fold.feedback) finally fold.cleanup()
+    }
+  }
+
   /** Run [[dedupNearOwnership]] and deliver each micro-batch's SURVIVING
-    * docs (docId, ts, text) to `sink`.
-    *
-    * Survival is a greedy fold in arrival order over the batch's band rows
-    * (sound batch-locally because a doc's band rows come from an in-batch
-    * flatMap and always co-batch; a chained stateful aggregation would trip
-    * Spark's global-watermark correctness check): buckets owned by earlier
-    * BATCHES are claimed unconditionally; within the batch, only docs that
-    * actually SURVIVE claim their buckets, so an LSH false positive killing
-    * one cluster member cannot cascade through the dead doc to kill the
-    * whole cluster. Cross-batch, a bucket whose recorded owner was itself
-    * dropped still suppresses later arrivals until the TTL expires — the
-    * documented residual false-positive window.
-    *
-    * The greedy fold runs on the driver over one micro-batch's band tuples
-    * (bounded by arrival rate x trigger interval, never corpus size). */
+    * docs (docId, ts, text) to `sink`. Without a feedback stream a bucket
+    * whose recorded owner was itself dropped suppresses later arrivals until
+    * the TTL — use [[dedupNearWithFeedback]] to close that window. */
   def dedupNear(docs: DataFrame, textCol: String, tsCol: String, idCol: String,
       watermark: String = "10 minutes", shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       stateTtlMs: Long = 10 * 60 * 1000L)
-      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[OwnedRow] = {
-    val owned = dedupNearOwnership(docs, textCol, tsCol, idCol, watermark,
-      shingleN, numHashes, bands, stateTtlMs)
-    owned.writeStream.foreachBatch { (batch: Dataset[OwnedRow], _: Long) =>
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val rows = batch.collect()
-      val inBatch = rows.map(_.docId).toSet
-      val claimed = collection.mutable.Set.empty[Long]
-      // prior-batch claims: buckets whose recorded owner is not in this batch
-      for (r <- rows if !inBatch.contains(r.ownerDocId)) claimed += r.bandKey
-      val survivors = collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, String)]
-      val byDoc = rows.groupBy(_.docId).toSeq
-        .sortBy { case (id, rs) => (rs.head.ts.getTime, id) }
-      for ((id, rs) <- byDoc) {
-        if (rs.forall(r => !claimed.contains(r.bandKey))) {
-          survivors += ((id, rs.head.ts, rs.iterator.map(_.text).find(_ != null).orNull))
-          rs.foreach(r => claimed += r.bandKey)
-        }
-      }
-      sink(survivors.toSeq.toDF("docId", "ts", "text")
-        .select(col("docId").as(idCol), col("ts").as(tsCol),
-          col("text").as(textCol)))
-    }
-  }
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[OwnedRow] =
+    dedupNearWithFeedback(docs, textCol, tsCol, idCol, None, watermark,
+      shingleN, numHashes, bands, stateTtlMs)((survivors, _) =>
+      sink(survivors))
 
   /** Stateless streaming quality gate: attach the batch quality columns and
     * keep docs inside the given bounds (same kernel as the batch path, so

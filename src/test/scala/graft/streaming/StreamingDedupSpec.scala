@@ -78,6 +78,105 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("survivor fold is distributed: <10% of docs reach the driver greedy") {
+    import spark.implicits._
+    import StreamingDedup.OwnedRow
+    val rows = collection.mutable.ArrayBuffer.empty[OwnedRow]
+    // 90 unique docs: every bucket self-owned -> classified alive distributively
+    for (i <- 1 to 90) {
+      rows += OwnedRow(i, ts(i % 50), 1000L + i, i, false, s"text $i")
+      rows += OwnedRow(i, ts(i % 50), 2000L + i, i, false, null)
+    }
+    // 5 docs duplicating earlier batches: prior-owned bucket -> dead distributively
+    for (i <- 91 to 95)
+      rows += OwnedRow(i, ts(50), 3000L + i, 424200L + i, true, s"text $i")
+    // 5 (X, Y) pairs: X dead via a prior bucket but owns a fresh bucket that Y
+    // also touches -> Y is the genuine residual class needing the greedy
+    for (i <- 96 to 100) {
+      val x = 100L + i
+      rows += OwnedRow(x, ts(51), 5000L + i, 424242L, true, s"text x$i")
+      rows += OwnedRow(x, ts(51), 6000L + i, x, false, null)
+      rows += OwnedRow(i, ts(52), 6000L + i, x, false, s"text y$i")
+    }
+    val fold = StreamingDedup.foldBatch(spark.createDataset(rows.toSeq))
+    try {
+      assert(fold.totalDocs == 105)
+      assert(fold.residualDocs == 5, "only the 5 Y docs need the greedy")
+      assert(fold.residualDocs.toDouble / fold.totalDocs < 0.10)
+      val ids = fold.survivors.select("docId").collect().map(_.getLong(0)).toSet
+      assert(ids == ((1 to 90) ++ (96 to 100)).map(_.toLong).toSet)
+      // X's fresh buckets get reassigned to their surviving toucher Y
+      val fb = fold.feedback.collect().map(f => f.bandKey -> f.newOwner).toMap
+      assert(fb == (96 to 100).map(i => (6000L + i) -> i.toLong).toMap)
+    } finally fold.cleanup()
+  }
+
+  /** Deterministic per-token candidate test so bucket collisions are exact. */
+  private val tokenKeyer: String => Array[Long] = s =>
+    s.trim.split("\\s+").filter(_.nonEmpty)
+      .map(t => graft.functions.TextAnalysis.mix64(t.hashCode.toLong)).distinct
+
+  test("feedback releases a dead doc's buckets after one trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val fbStream = MemoryStream[StreamingDedup.Feedback]
+    val survivors = collection.mutable.Set.empty[Long]
+    val writer = StreamingDedup.dedupNearWithFeedback(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      Some(fbStream.toDS()), watermark = "1 minute",
+      stateTtlMs = 3600 * 1000L, keyer = Some(tokenKeyer)) { (surv, fb) =>
+      survivors.synchronized {
+        survivors ++= surv.select("doc_id").collect().map(_.getLong(0))
+      }
+      val f = fb.collect()
+      if (f.nonEmpty) fbStream.addData(f.toIndexedSeq)
+    }
+    val query = writer.start()
+    try {
+      stream.addData(Seq((ts(0), 1L, "alpha shared")))
+      query.processAllAvailable()
+      // doc 2 dies on bucket "shared" (owned by live doc 1) but is the first
+      // arrival in bucket "beta" — without feedback that bucket would keep
+      // suppressing beta-docs for the full 1 h TTL
+      stream.addData(Seq((ts(1), 2L, "shared beta")))
+      query.processAllAvailable()
+      stream.addData(Seq((ts(2), 3L, "beta")))
+      query.processAllAvailable()
+      val ids = survivors.synchronized(survivors.toSet)
+      assert(ids == Set(1L, 3L),
+        s"feedback must free the dead doc's bucket within one trigger: $ids")
+    } finally query.stop()
+  }
+
+  test("without feedback the dead doc's bucket suppresses until TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val survivors = collection.mutable.Set.empty[Long]
+    val writer = StreamingDedup.dedupNearWithFeedback(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      None, watermark = "1 minute", stateTtlMs = 3600 * 1000L,
+      keyer = Some(tokenKeyer)) { (surv, _) =>
+      survivors.synchronized {
+        survivors ++= surv.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val query = writer.start()
+    try {
+      stream.addData(Seq((ts(0), 1L, "alpha shared")))
+      query.processAllAvailable()
+      stream.addData(Seq((ts(1), 2L, "shared beta")))
+      query.processAllAvailable()
+      stream.addData(Seq((ts(2), 3L, "beta")))
+      query.processAllAvailable()
+      val ids = survivors.synchronized(survivors.toSet)
+      // documents the residual window this round's feedback loop closes
+      assert(ids == Set(1L),
+        s"doc 3 should still be suppressed by dead doc 2's bucket: $ids")
+    } finally query.stop()
+  }
+
   test("streaming quality gate agrees with the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
