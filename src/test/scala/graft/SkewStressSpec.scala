@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexParams, MinimizerIndex}
+import graft.taxa.Taxonomy
+
+/** Adversarial-skew stress for the two 100x-scale claims that are otherwise
+  * only design-argued: the (optionally salted) LCA index fold under a
+  * minimizer holding ~30% of all records, and MinHash-LSH candidate
+  * generation under a boilerplate block shared by 50% of the corpus (an
+  * uncapped bucket would pair quadratically: 16 bands x 2.5k^2 pairs).
+  * Both runs record real Spark task metrics through a listener and assert
+  * that no task dominates its stage — the empirical form of "this plan
+  * survives a skewed key at scale". Volumes match the sf0.1 driver bench
+  * (~2M library bases / 5k docs). */
+class SkewStressSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  /** Collects successful task durations per stage. */
+  private final class TaskStatsListener extends SparkListener {
+    private val byStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null && te.taskInfo.successful)
+        byStage.computeIfAbsent(te.stageId,
+          _ => new java.util.Vector[Long]()).add(te.taskInfo.duration)
+    def totalTasks: Int = {
+      var n = 0
+      byStage.forEach((_, v) => n += v.size)
+      n
+    }
+    def stageDurations: Map[Int, Seq[Long]] = {
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.map { case (k, v) => k -> v.asScala.toSeq.map(_.longValue) }
+        .toMap
+    }
+  }
+
+  /** The listener bus is async; wait until the task count stops moving. */
+  private def settled(l: TaskStatsListener): Map[Int, Seq[Long]] = {
+    var prev = -1
+    var cur = l.totalTasks
+    while (prev != cur) { Thread.sleep(250); prev = cur; cur = l.totalTasks }
+    l.stageDurations
+  }
+
+  /** No stage may have a task slower than factor x its median (stages with
+    * too few tasks for a meaningful median, or finishing entirely inside the
+    * absolute floor — scheduling/JIT noise at test scale — are skipped). */
+  private def assertNoDominantTask(stats: Map[Int, Seq[Long]], factor: Double,
+      floorMs: Long): Unit = {
+    val checked = stats.filter { case (_, ds) => ds.size >= 8 }
+    assert(checked.nonEmpty, "stress produced no stage with >= 8 tasks")
+    for ((stage, ds) <- checked) {
+      val sorted = ds.sorted
+      val med = sorted(ds.size / 2)
+      val max = sorted.last
+      assert(max <= math.max(factor * med, med + floorMs),
+        s"stage $stage dominated by one task: max ${max}ms vs median " +
+          s"${med}ms over ${ds.size} tasks")
+    }
+  }
+
+  private def withTaskStats[A](body: => A): (A, Map[Int, Seq[Long]]) = {
+    val l = new TaskStatsListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      (r, settled(l))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  import SkewStressSpec.{coldDna, hotDna, randDna}
+
+  test("salted LCA fold under a ~30% hot minimizer: no dominant task, " +
+    "salted == unsalted") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
+    import ss.implicits._
+    // m << k so one low-priority m-mer persists across a whole window run:
+    // each motif occurrence then contributes ONE supermer record keyed by
+    // the SAME minimizer, which is what concentrates the fold key
+    val params = IndexParams(k = 31, m = 11, spaces = 3, buckets = 32)
+    val tax = Taxonomy.fromTuples(
+      (0 until 10).map(i => (10 + i, 1, "species", s"sp$i")))
+    val bcTax = ss.sparkContext.broadcast(tax)
+    val index = new MinimizerIndex(params, bcTax)
+    // ~1.5M library bases (sf0.1's g02 volume). 60% of genomes are "hot": a
+    // fixed motif separated by short unique spacers, so ONE minimizer recurs
+    // across many SEPARATE supermers — a pure repeat would collapse into a
+    // single supermer record and not stress the fold at all. The remaining
+    // genomes are random, giving the long tail of singleton keys. Which
+    // m-mer wins inside a random motif (and how much its fixed flanks
+    // dilute it) depends on the scrambled priority, so the motif is chosen
+    // by a local driver-side search over candidate seeds: scans are pure.
+    val scanner = params.scanner
+    def sampleTopShare(motif: String): Double = {
+      val counts = collection.mutable.HashMap.empty[Long, Long]
+      def add(dna: String): Unit =
+        scanner.scan(dna).foreach(sm =>
+          counts.update(sm.minimizer, counts.getOrElse(sm.minimizer, 0L) + 1))
+      for (i <- 0 until 60) add(hotDna(motif, i))
+      for (i <- 0 until 40) add(coldDna(i))
+      counts.values.max.toDouble / counts.values.sum
+    }
+    val (motif, sampled) = (1 to 64).map(s => randDna(s, 24))
+      .map(m => (m, sampleTopShare(m))).maxBy(_._2)
+    assert(sampled >= 0.22,
+      f"no motif candidate concentrates the record stream (best $sampled%.3f)")
+    val nGenomes = 2000
+    val lib = ss.range(nGenomes).repartition(16).map { i =>
+      val taxon = 10 + (i % 10).toInt
+      val dna = if (i % 10 < 6) hotDna(motif, i) else coldDna(i)
+      (taxon, dna)
+    }
+    // fixture self-check: the motif really concentrates the record stream
+    val recordsRaw = lib.flatMap { case (_, dna) =>
+      params.scanner.scan(dna).map(_.minimizer)
+    }
+    val total = recordsRaw.count().toDouble
+    val topShare = recordsRaw.toDF("m").groupBy("m").count()
+      .orderBy(desc("count")).limit(1).collect()(0).getLong(1) / total
+    assert(topShare >= 0.18,
+      f"fixture lost its skew: top minimizer holds $topShare%.3f of records")
+    info(f"hot minimizer share: $topShare%.3f of ${total.toLong} records")
+
+    val (salted, stats) = withTaskStats {
+      index.makeRecords(lib, saltBuckets = 16)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assertNoDominantTask(stats, factor = 6.0, floorMs = 2000)
+    val unsalted = index.makeRecords(lib, saltBuckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(salted == unsalted, "salting changed the LCA fold result")
+  }
+
+  test("MinHash-LSH under 50% boilerplate docs: buckets capped, planted " +
+    "dups found, no dominant task") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
+    import ss.implicits._
+    // 5,000 docs (sf0.1 volume): half share a 300-char boilerplate block
+    // (unique 8-char tail), the rest are random prose; 10 planted near-dup
+    // pairs among the RANDOM docs must survive the bucket caps
+    val boiler = ("spark native analytics engine template header " * 7).trim
+    def prose(seed: Long, words: Int): String = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      (0 until words).map { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        "w" + java.lang.Long.toHexString(s & 0xffffffL)
+      }.mkString(" ")
+    }
+    val nDocs = 5000
+    val docs = ss.range(nDocs).repartition(16).map { id =>
+      val i = id.toLong
+      val text =
+        if (i % 2 == 0) boiler + " tail" + i
+        else if (i % 2 == 1 && i < 20)
+          // docs 1,3,..,19 duplicate docs 5001,5003,..,5019 (planted below)
+          prose(i / 2 * 31 + 5, 60)
+        else prose(i * 31 + 5, 60)
+      (i, text)
+    }
+    val planted = ss.range(nDocs, nDocs + 20).filter((i: java.lang.Long) => i % 2 == 1).map { id =>
+      val i = id.toLong
+      val j = i - nDocs
+      (i, prose(j / 2 * 31 + 5, 60) + " edited")
+    }
+    val corpus = docs.union(planted)
+
+    val (pairs, stats) = withTaskStats {
+      graft.operators.Dedup.minhashDedup(corpus, shingleN = 3,
+        numHashes = 32, bands = 8, threshold = 0.7, maxBucket = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assertNoDominantTask(stats, factor = 6.0, floorMs = 2000)
+    for (j <- 1 until 20 by 2)
+      assert(pairs.contains((j.toLong, (nDocs + j).toLong)),
+        s"planted near-dup pair ($j, ${nDocs + j}) lost under skew: " +
+          s"${pairs.size} pairs found")
+    // the capped mega-bucket must not flood the candidate set: without caps
+    // the boilerplate half alone would generate ~8 x 2500^2 candidates
+    // (~3M verified pairs); shared-tail trigram coincidences may legitimately
+    // verify a few boilerplate pairs, but never the quadratic blowup
+    assert(pairs.size < 100000,
+      s"boilerplate mega-bucket leaked through the cap: ${pairs.size} pairs")
+  }
+}
+
+object SkewStressSpec {
+  /** Hot genome: 25 copies of the motif with unique 6 bp spacers (~750 bp).
+    * The unit (motif+spacer, 30 bp) barely exceeds the k-m+1 = 21 window
+    * starts one minimizer can own, so most of each unit's records carry the
+    * motif's minimal m-mer. */
+  private def hotDna(motif: String, i: Long): String =
+    (0 until 25).map(j => motif + randDna(i * 100 + j, 6)).mkString
+
+  /** Cold genome: 300 bp of unique random sequence. */
+  private def coldDna(i: Long): String = randDna(i + 7777, 300)
+
+  /** Deterministic pseudo-random DNA (object-level: executor closures must
+    * not capture the spec instance). */
+  private def randDna(seed: Long, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len)
+    var s = graft.functions.TextAnalysis.mix64(seed)
+    var i = 0
+    while (i < len) {
+      s = graft.functions.TextAnalysis.mix64(s)
+      sb.append("ACGT".charAt((s & 3L).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
