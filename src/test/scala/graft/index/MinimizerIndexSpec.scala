@@ -295,6 +295,42 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucket alignment survives AQE at 64 buckets != default parallelism") {
+    // SURVEY §7.4 risk 1: AQE coalescing/re-planning must not insert an
+    // Exchange on the bucketed index side when the bucket count (64) differs
+    // from spark.sql.shuffle.partitions (10 here) — checked on the FINAL
+    // adaptive plan after execution, not the tentative initial one
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", "10")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import ss.implicits._
+    val params64 = params.copy(buckets = 64)
+    val index64 = new MinimizerIndex(params64, bcTax)
+    val lib = ss.createDataset(genomes.toSeq.map { case (t, g) => (t, g) })
+    val dir = java.nio.file.Files.createTempDirectory("graft-aqe").toString + "/index"
+    index64.writeRecords(index64.makeRecords(lib), dir)
+    val reloaded = index64.loadRecords(ss, dir)
+    val reads = (0 until 10).map { i =>
+      val g = genomes(4)
+      InputFragment(s"aq$i", 0L, g.substring(i * 37, i * 37 + 150), None)
+    }
+    val joined = index64.spans(ss.createDataset(reads))
+      .join(reloaded, Seq("id1"), "left")
+    // execute THIS Dataset (count() would spawn a sibling query execution
+    // and leave joined's own adaptive plan unfinalized)
+    assert(joined.collect().nonEmpty)
+    val full = joined.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), s"AQE did not finalize:\n$full")
+    // AdaptiveSparkPlan prints final + initial sections; grade the final one
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected 1 shuffle (span side only) under AQE, plan:\n$plan")
+  }
+
   test("kreport emits sub-rank codes for unranked taxa (G1, G2, ...)") {
     // genus 2 <- no-rank 3 <- no-rank 4 <- species 5
     val t = Taxonomy.fromTuples(Seq(
