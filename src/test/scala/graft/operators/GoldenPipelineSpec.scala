@@ -158,6 +158,25 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("m01 media features match the analytic pixel golden") {
+    // golden from tools/golden_m01.py: the 8x8 pixel grid is fully
+    // determined BEFORE the PNG round trip (java hashCode + mix64 chain),
+    // so pure-Python analytic pixels + float32 grid pooling independently
+    // verify the imageio encode -> sniff -> decode -> feature path
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/m01_media_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t")
+      (f(0).toLong, f(1), f(2).toInt, f(3).toInt, f(4).toFloat, f(5).toFloat)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("m01_media_features", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getFloat(4), r.getFloat(5))).toVector
+    assert(got == expected)
+  }
+
   test("t08 SimHash pairs match the independent golden") {
     assume(new java.io.File(sfDir).isDirectory)
     val url = getClass.getResource("/golden/t08_simhash_sf001.tsv")
