@@ -64,17 +64,31 @@ object Bench {
       name -> ((median, min, times))
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.3f" }
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // which under e.g. de_DE would emit comma decimals — invalid JSON.
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + f"\":$min%.3f" }
+    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
       .mkString("{", ",", "}")
     val qsReps = results.map { case (k, (_, _, ts)) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sf = sfDir.replaceAll(".*sf", "")
     val failed = results.values.count(_._1 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    println(json)
+    // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
+    // stdout through sbt can still parse the metric line.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

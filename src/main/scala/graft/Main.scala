@@ -67,10 +67,18 @@ object Main {
     * scala.io.Source.fromFile (local FS only). */
   private def readTextFile(path: String): Vector[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val src = scala.io.Source.fromInputStream(p.getFileSystem(conf).open(p))
+    val fs = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      case None =>
+        // Without a session there is no cluster context: a schemeless path
+        // must mean the local filesystem, not whatever fs.defaultFS a stray
+        // core-site.xml on the classpath declares.
+        val conf = new org.apache.hadoop.conf.Configuration()
+        if (p.toUri.getScheme == null)
+          org.apache.hadoop.fs.FileSystem.getLocal(conf)
+        else p.getFileSystem(conf)
+    }
+    val src = scala.io.Source.fromInputStream(fs.open(p))
     try src.getLines().toVector finally src.close()
   }
 
@@ -225,11 +233,11 @@ object Main {
           val s = opts.getOrElse("s", "0").toInt
           val packedLib = loadPackedLibrary(spark, opts, k)
           // -o frequency at wide m: same sampled demotion as the narrow
-          // path, over canonical two-word m-mers (m <= 63: the demote bit
-          // needs a free hi-word bit)
+          // path, over canonical two-word m-mers (at m <= 63 the demote flag
+          // rides in a spare hi-word bit; at m = 64 the scanner consults the
+          // demotion set at compare time instead — all wide widths work)
           val demoted = opts.getOrElse("o", "xor") match {
             case "frequency" =>
-              require(m <= 63, s"-o frequency needs m <= 63, got $m")
               FrequencyOrdering.topCanonicalWideMers(packedLib, m,
                 fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
                 topN = opts.getOrElse("freq-top", "4096").toInt)

@@ -75,7 +75,7 @@ object FrequencyOrdering {
     }
   }
 
-  /** Wide (m in [33, 63]) variant of [[topCanonicalMers]]: the topN most
+  /** Wide (m in [33, 64]) variant of [[topCanonicalMers]]: the topN most
     * frequent canonical two-word m-mers, returned as interleaved (hi, lo)
     * pairs sorted by (hi, lo) — the demotion set of
     * [[graft.kmers.WideRandomXorPriority]]. */

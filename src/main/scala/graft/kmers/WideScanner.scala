@@ -25,9 +25,6 @@ final class WideRandomXorPriority(val width: Int,
   require(width >= 33 && width <= 64, s"wide width must be in [33,64], got $width")
   require(spaces >= 0 && spaces <= width / 2,
     s"spaces=$spaces too large for width $width")
-  // the demote flag needs a free bit above the hi word's 2*(width-32) bits
-  require(demoted.isEmpty || width <= 63,
-    s"frequency demotion needs m <= 63, got $width")
   require(demoted.length % 2 == 0, "demoted pairs must be interleaved (hi, lo)")
 
   val hiBases: Int = width - 32
@@ -47,43 +44,53 @@ final class WideRandomXorPriority(val width: Int,
 
   private val DEMOTE: Long = 1L << 63
 
-  // open-addressing (hi, lo) set; EMPTY hi = -1 is safe (hi <= hiMask < 2^62)
-  @transient private lazy val table: (Array[Long], Array[Long]) = {
+  /** At width <= 63 the demote flag rides in bit 63 of the hi priority word
+    * (above every populated priority bit, so plain unsigned comparison sorts
+    * demoted m-mers last AND the flag survives into the stored index keys).
+    * At width 64 every hi bit is a priority bit, so the flag is reported
+    * out-of-band in out(2) instead and compared first via [[WideRandomXorPriority.priLess]]. */
+  private val demoteInBand: Boolean = width <= 63
+
+  // open-addressing (hi, lo) set with an explicit used[] — no Long sentinel
+  // is safe at width 64, where hi spans the full word and e.g. the
+  // self-reverse-complement mer T^32 A^32 has a legal canonical hi of -1L
+  @transient private lazy val table: (Array[Boolean], Array[Long], Array[Long]) = {
     val n = demoted.length / 2
     val cap = Integer.highestOneBit(math.max(8, n * 2) * 2)
-    val hiT = Array.fill(cap)(-1L)
+    val used = new Array[Boolean](cap)
+    val hiT = new Array[Long](cap)
     val loT = new Array[Long](cap)
     var p = 0
     while (p < n) {
       val h = demoted(2 * p); val l = demoted(2 * p + 1)
       var i = java.lang.Long.hashCode(
         (h * 0x9e3779b97f4a7c15L) ^ (l * 0xbf58476d1ce4e5b9L)) & (cap - 1)
-      while (hiT(i) != -1L && !(hiT(i) == h && loT(i) == l)) i = (i + 1) & (cap - 1)
-      hiT(i) = h; loT(i) = l
+      while (used(i) && !(hiT(i) == h && loT(i) == l)) i = (i + 1) & (cap - 1)
+      used(i) = true; hiT(i) = h; loT(i) = l
       p += 1
     }
-    (hiT, loT)
+    (used, hiT, loT)
   }
 
   @inline private def isDemoted(h: Long, l: Long): Boolean = {
     if (demoted.isEmpty) return false
-    val (hiT, loT) = table
+    val (used, hiT, loT) = table
     val cap = hiT.length
     var i = java.lang.Long.hashCode(
       (h * 0x9e3779b97f4a7c15L) ^ (l * 0xbf58476d1ce4e5b9L)) & (cap - 1)
     while (true) {
-      val v = hiT(i)
-      if (v == h && loT(i) == l) return true
-      if (v == -1L) return false
+      if (!used(i)) return false
+      if (hiT(i) == h && loT(i) == l) return true
       i = (i + 1) & (cap - 1)
     }
     false
   }
 
   /** Priority of the m-mer (hi, lo): canonicalize, XOR, space, demote.
-    * Returns via the 2-element out array; the whole computation is
-    * allocation-free (the scan loop calls this once per base at 100 TB
-    * scale). */
+    * Returns via the 3-element out array — (hi, lo, demotion rank); compare
+    * two priorities with [[WideRandomXorPriority.priLess]]. The whole
+    * computation is allocation-free (the scan loop calls this once per base
+    * at 100 TB scale). */
   def priorityOf(hi: Long, lo: Long, out: Array[Long]): Unit = {
     var h = hi; var l = lo
     if (canonical) {
@@ -97,12 +104,14 @@ final class WideRandomXorPriority(val width: Int,
       val cl = (if (hiShift == 64) 0L else rl << hiShift) | rh
       if (WideRandomXorPriority.unsignedLess(ch, cl, h, l)) { h = ch; l = cl }
     }
-    // the sampled most-frequent m-mers sort after everything else: the
-    // demote bit sits above every populated hi-priority bit, so unsigned
-    // (hi, lo) comparison puts them last (chosen only with no alternative)
-    val dem = if (isDemoted(h, l)) DEMOTE else 0L
-    out(0) = (((h ^ maskHi) & hiMask) & spaceHi) | dem
+    // the sampled most-frequent m-mers sort after everything else: in-band
+    // (width <= 63) via the demote bit above every populated hi-priority
+    // bit; at width 64 via the out-of-band rank in out(2)
+    val dem = isDemoted(h, l)
+    out(0) = (((h ^ maskHi) & hiMask) & spaceHi) |
+      (if (dem && demoteInBand) DEMOTE else 0L)
     out(1) = (l ^ maskLo) & spaceLo
+    out(2) = if (dem && !demoteInBand) 1L else 0L
   }
 }
 
@@ -146,6 +155,14 @@ object WideRandomXorPriority {
     val c = java.lang.Long.compareUnsigned(h1, h2)
     c < 0 || (c == 0 && java.lang.Long.compareUnsigned(l1, l2) < 0)
   }
+
+  /** Full priority order over (hi, lo, demotion rank) triples as produced by
+    * [[WideRandomXorPriority.priorityOf]]: demotion rank first (a width-64
+    * demoted m-mer sorts after every non-demoted one; at width <= 63 both
+    * ranks are 0 and the in-band demote bit decides), then unsigned (hi, lo). */
+  @inline def priLess(h1: Long, l1: Long, d1: Long,
+      h2: Long, l2: Long, d2: Long): Boolean =
+    d1 < d2 || (d1 == d2 && unsignedLess(h1, l1, h2, l2))
 }
 
 /** Super-mer extraction for wide minimizers: same rolling-scan + monotonic
@@ -168,12 +185,13 @@ final class WideSupermerScanner(val k: Int, val priority: WideRandomXorPriority)
     val posRing = new Array[Int](cap)
     val priHiRing = new Array[Long](cap)
     val priLoRing = new Array[Long](cap)
+    val priDemRing = new Array[Long](cap)
     var head = 0
     var tail = 0
 
     var merHi = 0L
     var merLo = 0L
-    val pri = new Array[Long](2)
+    val pri = new Array[Long](3)
     var curHi = 0L; var curLo = 0L
     var curStart = 0
     var curKmers = 0
@@ -186,10 +204,11 @@ final class WideSupermerScanner(val k: Int, val priority: WideRandomXorPriority)
         priority.priorityOf(merHi, merLo, pri)
         while (tail != head && {
           val prev = (tail + cap - 1) % cap
-          WideRandomXorPriority.unsignedLess(pri(0), pri(1),
-            priHiRing(prev), priLoRing(prev))
+          WideRandomXorPriority.priLess(pri(0), pri(1), pri(2),
+            priHiRing(prev), priLoRing(prev), priDemRing(prev))
         }) tail = (tail + cap - 1) % cap
         posRing(tail) = i; priHiRing(tail) = pri(0); priLoRing(tail) = pri(1)
+        priDemRing(tail) = pri(2)
         tail = (tail + 1) % cap
         if (i >= k - 1) {
           while (posRing(head) < i - (k - m)) head = (head + 1) % cap

@@ -439,6 +439,28 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classifiedWF.length == 20)
     assert(classifiedWF.count(_ != 0) > 15, "wide frequency index classifies")
 
+    // m=64 frequency-ordered build: the widest key has no spare bit for the
+    // demote flag, so the scanner consults the demotion set at compare time;
+    // the sidecar round-trip and classify must still reproduce the ordering
+    val idxW64 = dir.resolve("idxw64").toString
+    Main.main(Array("build", "--k", "70", "--m", "64", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "32",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idxW64))
+    val pw64 = graft.index.IndexParams.read(spark, idxW64)
+    assert(pw64.m == 64 && pw64.demoted.exists(_.length == 64)) // 32 pairs
+    val outW64 = dir.resolve("outw64").toString
+    Main.main(Array("classify", "--index", idxW64,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", outW64))
+    val classifiedW64 = index.MappingComparison.readKrakenOutput(spark, outW64)
+      .collect().map(r => r.getInt(1))
+    assert(classifiedW64.length == 20)
+    assert(classifiedW64.count(_ != 0) > 15, "m=64 frequency index classifies")
+
     // stats --library coverage check: complete genomes report no missing rows
     val statsCov = dir.resolve("statscov").toString
     val covOut = new java.io.ByteArrayOutputStream()

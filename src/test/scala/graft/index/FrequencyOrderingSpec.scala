@@ -101,6 +101,36 @@ class FrequencyOrderingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sms.forall(_.minHi >= 0L), "a demoted wide m-mer was chosen")
   }
 
+  test("wide demotion at m = 64: compare-time membership replaces the stolen bit") {
+    import graft.kmers.{RandomXorPriority, WideRandomXorPriority, WideSupermerScanner}
+    val m = 64
+    val k = 80
+    val base = new WideSupermerScanner(k, new WideRandomXorPriority(m))
+    val seq = dna(800)
+    val chosen = FrequencyOrdering.canonicalWideMers(seq, m).toVector.distinct
+    // a value-scattered quarter of the mers (see the m=33 test above)
+    val demotedPairs = chosen.filter { case (h, l) => ((h ^ l) & 3L) == 0L }
+    val demoted = demotedPairs.sorted.flatMap { case (h, l) => Seq(h, l) }.toArray
+    assert(demoted.nonEmpty)
+    val freq = new WideSupermerScanner(k,
+      new WideRandomXorPriority(m, spaces = 0, demoted = demoted))
+    val sms = freq.scan(seq).toVector
+    assert(sms.map(_.kmers).sum == seq.length - k + 1)
+    // at m=64 every hi bit is a priority bit — no demote flag in the value.
+    // With spaces=0 the priority is a bijection (pure XOR), so invert it to
+    // recover each chosen canonical mer and check set membership directly:
+    // 800 random bases leave every window a non-demoted alternative
+    val demSet = demotedPairs.toSet
+    val mask = RandomXorPriority.DEFAULT_MASK
+    for (sm <- sms)
+      assert(!demSet.contains((sm.minHi ^ mask, sm.minLo ^ mask)),
+        "a demoted m=64 m-mer was chosen despite alternatives")
+    // and demotion really changed selection: the plain xor ordering picks
+    // at least one mer from the demotion set on the same sequence
+    assert(base.scan(seq).exists(sm =>
+      demSet.contains((sm.minHi ^ mask, sm.minLo ^ mask))))
+  }
+
   test("wide frequency sampling finds a planted wide motif; sidecar round-trips") {
     import spark.implicits._
     val m = 33

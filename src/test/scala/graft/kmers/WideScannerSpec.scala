@@ -13,21 +13,21 @@ class WideScannerSpec extends AnyFunSuite with PropChecks {
   /** Brute-force wide minimizer of the k-mer at offset i. */
   def bruteMin(seq: String, i: Int, k: Int, p: WideRandomXorPriority): (Long, Long) = {
     val m = p.width
-    val out = new Array[Long](2)
-    var best: (Long, Long) = null
+    val out = new Array[Long](3)
+    var best: (Long, Long, Long) = null
     var j = i
     while (j + m <= i + k) {
       val mer = seq.substring(j, j + m)
       val hi = Dna.encode(mer.substring(0, m - 32))
       val lo = Dna.encode(mer.substring(m - 32))
       p.priorityOf(hi, lo, out)
-      val cand = (out(0), out(1))
-      if (best == null ||
-        WideRandomXorPriority.unsignedLess(cand._1, cand._2, best._1, best._2))
+      val cand = (out(0), out(1), out(2))
+      if (best == null || WideRandomXorPriority.priLess(
+        cand._1, cand._2, cand._3, best._1, best._2, best._3))
         best = cand
       j += 1
     }
-    best
+    (best._1, best._2)
   }
 
   val wideCase: Gen[(String, Int, Int)] = for {
@@ -94,7 +94,7 @@ class WideScannerSpec extends AnyFunSuite with PropChecks {
       // canonical=false isolates the spacing semantics: canonicalization
       // happens before spacing, so a mutation could otherwise flip strands
       val p = new WideRandomXorPriority(m, canonical = false, spaces = s)
-      val out = new Array[Long](2)
+      val out = new Array[Long](3)
       def pri(str: String): (Long, Long) = {
         p.priorityOf(Dna.encode(str.substring(0, m - 32)),
           Dna.encode(str.substring(m - 32)), out)
