@@ -58,6 +58,8 @@ object Main {
       "inspect" -> (common ++ Set("index", "labels", "output")),
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
       "inputCheck" -> (common ++ Set("labels")),
+      "scan" -> (common ++ Set("library", "library-fai", "k", "m", "s",
+        "output")),
       "camiReport" -> (common ++ Set("mapping", "rank", "single-end", "output")),
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")))
   }
@@ -610,6 +612,55 @@ object Main {
         println(s"${valid.length} valid taxa in input labels " +
           s"(maximal implied tree size $implied)")
         println(s"Max leaf nodes in resulting database: ${valid.length - nonLeaf.length}")
+
+      case "scan" =>
+        // kernel inspection surface: per-sequence super-mer statistics
+        // (span count, k-mer count, distinct minimizers) plus an order-free
+        // XOR checksum over the distinct minimizer values, at any (k, m, s).
+        // tools/test_golden_kernels.py drives this against the pure-Python
+        // golden kernels on random sequences — the fuzz that guards the
+        // guards (the pinned goldens are only as good as their kernels).
+        val spark = session(buckets)
+        import spark.implicits._
+        val k = opts.getOrElse("k", "35").toInt
+        val m = opts.getOrElse("m", "31").toInt
+        val s = opts.getOrElse("s", if (m > 32) "0" else "7").toInt
+        val rows: Seq[(String, Int, Int, Int, Long)] =
+          if (m > 32) {
+            val sc = new graft.kmers.WideSupermerScanner(k,
+              new graft.kmers.WideRandomXorPriority(m, spaces = s))
+            libraryFasta(spark, opts).flatMap { f =>
+              graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides)
+                .collect { case run if run.valid && run.seq.length >= k =>
+                  val sms = sc.scan(run.seq).toVector
+                  val distinct = sms.map(sm => (sm.minHi, sm.minLo)).distinct
+                  // two-word fold must match the Python side exactly:
+                  // lo ^ (hi * C) with wrapping 64-bit multiply
+                  val sum = distinct.foldLeft(0L) { case (a, (h, l)) =>
+                    a ^ (l ^ h * 0x9e3779b97f4a7c15L)
+                  }
+                  (f.header, sms.size, sms.map(_.kmers).sum, distinct.size, sum)
+                }
+            }.collect().toSeq
+          } else {
+            val sc = new graft.kmers.SupermerScanner(k,
+              graft.kmers.SpacedSeedPriority(s, graft.kmers.RandomXorPriority(m)))
+            libraryFasta(spark, opts).flatMap { f =>
+              graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides)
+                .collect { case run if run.valid && run.seq.length >= k =>
+                  val sms = sc.scan(run.seq).toVector
+                  val distinct = sms.map(_.minimizer).distinct
+                  (f.header, sms.size, sms.map(_.kmers).sum, distinct.size,
+                    distinct.foldLeft(0L)(_ ^ _))
+                }
+            }.collect().toSeq
+          }
+        val out = new java.io.PrintWriter(opts("output"), "UTF-8")
+        try rows.sortBy(_._1).foreach { case (id, spans, kmers, distinct, sum) =>
+          out.println(s"$id\t$spans\t$kmers\t$distinct\t" +
+            java.lang.Long.toUnsignedString(sum))
+        } finally out.close()
+        println(s"scanned ${rows.size} sequences (k=$k m=$m s=$s)")
 
       case "display" =>
         // filter + colorize a kreport (spec: reference analysis/

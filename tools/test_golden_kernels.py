@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Property-fuzz the golden kernels against the Scala scanner (guards the
+guards): the pinned goldens in src/test/resources/golden/ are only as
+trustworthy as the pure-Python kernels in golden_g01.py / golden_g07.py
+that produced them, so this harness cross-checks those kernels against the
+Scala CLI on ~100 random DNA sequences per configuration.
+
+Invocation (from the repo root; spins up two sbt JVMs, ~2 min):
+
+    python3 tools/test_golden_kernels.py
+
+For each configuration it
+  1. generates seeded random ACGT sequences with adversarial lengths
+     (exactly k, k+1, and well beyond) plus homopolymer/palindrome edges,
+  2. computes per-sequence (span count, k-mer count, distinct minimizers,
+     order-free XOR checksum of the distinct minimizer values) with the
+     UNMODIFIED golden kernel code (g01's priority/window-min at k=35 m=31
+     s=7; g07's two-word kernel at k=50 m=40),
+  3. runs `graft.Main scan` at the same parameters and diffs the TSVs.
+
+Any mismatch means a golden kernel and the Scala kernel disagree — i.e.
+either a pinned golden is untrustworthy or the engine is wrong. Exit 0 on
+full agreement, 1 otherwise.
+"""
+import random
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+import golden_g01
+import golden_g07
+
+M64 = (1 << 64) - 1
+MIX = 0x9E3779B97F4A7C15
+
+
+def g01_stats(dna):
+    """(spans, kmers, distinct, checksum) via golden_g01's own kernel —
+    g01_row verbatim for the counts, plus the checksum from the same
+    priority/window-min pipeline."""
+    K, M = golden_g01.K, golden_g01.M
+    spans, kmers, distinct = golden_g01.g01_row(dna)
+    pris = [golden_g01.priority(golden_g01.encode(dna[j:j + M]))
+            for j in range(len(dna) - M + 1)]
+    per_kmer = [min(pris[i:i + K - M + 1]) for i in range(len(dna) - K + 1)]
+    chk = 0
+    for v in set(per_kmer):  # narrow minimizers fit one word: fold = value
+        chk ^= v
+    return spans, kmers, distinct, chk
+
+
+def g07_stats(dna):
+    """(spans, kmers, distinct, checksum) via golden_g07's own kernel."""
+    K, M = golden_g07.K, golden_g07.M
+    pris = [golden_g07.priority(golden_g07.encode(dna[j:j + M]))
+            for j in range(len(dna) - M + 1)]
+    per_kmer = [min(pris[i:i + K - M + 1]) for i in range(len(dna) - K + 1)]
+    spans = 1 + sum(1 for a, b in zip(per_kmer, per_kmer[1:]) if a != b)
+    chk = 0
+    for v in set(per_kmer):  # two-word fold, matching the Scala side
+        hi, lo = v >> 64, v & M64
+        chk ^= lo ^ ((hi * MIX) & M64)
+    return spans, len(per_kmer), len(set(per_kmer)), chk
+
+
+def sequences(rng, k, n=100):
+    """Random ACGT sequences with edge-case lengths and structures."""
+    seqs = []
+    for i in range(n):
+        if i < 3:
+            length = k + i           # k, k+1, k+2: single/near-single window
+        elif i == 3:
+            length = 2 * k
+        else:
+            length = rng.randrange(k, 400)
+        seqs.append("".join(rng.choice("ACGT") for _ in range(length)))
+    # structured edges the uniform sampler essentially never hits:
+    seqs.append("A" * (3 * k))                    # homopolymer (rc = T run)
+    seqs.append("AT" * (2 * k))                   # alternating, rc-palindromic
+    seqs.append(("ACGT" * k)[:3 * k])             # period-4 repeat
+    half = "".join(rng.choice("ACGT") for _ in range(2 * k))
+    rc = half[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    seqs.append(half + rc)                        # exact reverse-complement hairpin
+    return seqs
+
+
+def run_config(name, k, m, s, stats_fn, seqs, tmp):
+    fasta = tmp / f"{name}.fasta"
+    out = tmp / f"{name}.tsv"
+    with open(fasta, "w") as f:
+        for i, seq in enumerate(seqs):
+            f.write(f">z{i:03d}\n{seq}\n")
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.Main scan --library {fasta} --k {k} --m {m} "
+         f"--s {s} --p 4 --output {out}"],
+        check=True, capture_output=True, text=True)
+    scala = {}
+    for line in open(out):
+        id_, spans, kmers, distinct, chk = line.rstrip("\n").split("\t")
+        scala[id_] = (int(spans), int(kmers), int(distinct), int(chk))
+    bad = 0
+    for i, seq in enumerate(seqs):
+        want = stats_fn(seq)
+        got = scala.get(f"z{i:03d}")
+        if got != want:
+            bad += 1
+            print(f"MISMATCH {name} z{i:03d} len={len(seq)}: "
+                  f"python={want} scala={got}")
+    print(f"{name}: {len(seqs) - bad}/{len(seqs)} sequences agree "
+          f"(k={k} m={m} s={s})")
+    return bad
+
+
+def main():
+    rng = random.Random(1729)
+    bad = 0
+    with tempfile.TemporaryDirectory(prefix="graft-fuzz-") as d:
+        tmp = Path(d)
+        # golden_g01's kernel: narrow spaced-seed configuration of the
+        # pinned g01 golden
+        bad += run_config("g01", golden_g01.K, golden_g01.M, golden_g01.S,
+                          g01_stats, sequences(rng, golden_g01.K), tmp)
+        # golden_g07's kernel: wide two-word configuration of the pinned
+        # g07 golden
+        bad += run_config("g07", golden_g07.K, golden_g07.M, 0,
+                          g07_stats, sequences(rng, golden_g07.K), tmp)
+    if bad:
+        print(f"FAIL: {bad} mismatching sequences")
+        return 1
+    print("OK: golden kernels and Scala scanner agree on every sequence")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
