@@ -33,6 +33,13 @@ import graft.taxa.Taxonomy
   *             depth histogram)
   *   inputCheck --taxonomy dir --labels l.tsv  (label sanity: unknown taxa,
   *             non-leaf genomes, implied tree size)
+  *   scan      --library lib.fna [-k 35 -m 31 -s 7] --output out.tsv
+  *             (per-sequence super-mer stats at any width; the surface
+  *             tools/test_golden_kernels.py fuzzes against)
+  *
+  * classify2 with --sample-regex (and no --gold/--bracken-read-len) runs
+  * PER-SAMPLE taxon selection: each sample is re-classified against its own
+  * tailored sub-index in one distributed pass.
   */
 object Main {
 
@@ -369,24 +376,42 @@ object Main {
         val goldSet = opts.get("gold").map { p =>
           readTextFile(p).map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
         }
-        val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
-          loadReads(spark, opts), loadLibrary(spark, opts), records,
-          rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r },
-          threshold = opts.getOrElse("threshold", "100").toLong,
-          goldSet = goldSet)
-        println(s"selected ${selected.size} taxa")
-        IndexOps.writePerSampleOutput(classified,
-          opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
-        // optional bracken weights against the DYNAMIC sub-index (reference
-        // Dynamic.scala:339-344): tailored to the selected-taxa set
-        for (rl <- opts.get("bracken-read-len")) {
-          val bracken = new Bracken(idx, bcTax)
-          bracken.weightLines(dyn.dynamicWeights(subLib, dynRecords, rl.toInt))
-            .write.option("sep", "\t").mode("overwrite")
-            .csv(opts("output") + "_weights")
+        val rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r }
+        val threshold = opts.getOrElse("threshold", "100").toLong
+        if (opts.contains("sample-regex") && goldSet.isEmpty &&
+            !opts.contains("bracken-read-len")) {
+          // per-sample two-step: every sample gets its own taxon selection
+          // and tailored sub-index, in one distributed pass (a contaminant
+          // below threshold in sample A classifies even if abundant in
+          // sample B). --gold or --bracken-read-len fall back to the
+          // single-selection path below, where one selection spans all reads.
+          val (classified, perSample, cleanup) = dyn.classify2MultiSample(
+            loadReads(spark, opts), opts("sample-regex"),
+            loadLibrary(spark, opts), records,
+            rank = rank, threshold = threshold)
+          for ((s, taxa) <- perSample.toSeq.sortBy(_._1))
+            println(s"sample $s: selected ${taxa.size} taxa")
+          IndexOps.writePerSampleOutput(classified, opts("sample-regex"),
+            opts("output"))
+          cleanup()
+        } else {
+          val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
+            loadReads(spark, opts), loadLibrary(spark, opts), records,
+            rank = rank, threshold = threshold, goldSet = goldSet)
+          println(s"selected ${selected.size} taxa")
+          IndexOps.writePerSampleOutput(classified,
+            opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
+          // optional bracken weights against the DYNAMIC sub-index (reference
+          // Dynamic.scala:339-344): tailored to the selected-taxa set
+          for (rl <- opts.get("bracken-read-len")) {
+            val bracken = new Bracken(idx, bcTax)
+            bracken.weightLines(dyn.dynamicWeights(subLib, dynRecords, rl.toInt))
+              .write.option("sep", "\t").mode("overwrite")
+              .csv(opts("output") + "_weights")
+          }
+          // all outputs are materialized: free the spans + dynRecords caches
+          cleanup()
         }
-        // all outputs are materialized: free the spans + dynRecords caches
-        cleanup()
 
       case "bracken" =>
         val idxPath = opts("index")

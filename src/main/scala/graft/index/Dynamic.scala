@@ -150,6 +150,102 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     (result, taxa, subLibrary, dynRecords, cleanup)
   }
 
+  /** Per-sample two-step classification over MANY samples in one
+    * distributed pass (beyond the reference, which treats the whole input
+    * as one sample): sample ids come from `sampleRegex` applied to read
+    * titles; evidence, taxon selection and the tailored sub-index are all
+    * per sample. Returns (classified reads, per-sample selections, release).
+    *
+    * Scale design — nothing here is per-sample work:
+    *  - span extraction runs ONCE and is cached;
+    *  - evidence is ONE aggregation keyed by (sample, taxon); only
+    *    samples x present-taxa rows reach the driver;
+    *  - samples with identical selections share a selection GROUP, so the
+    *    library minimizer extraction runs ONCE over the union of all
+    *    selections as distinct (key, leaf-taxon) pairs, and each group's
+    *    LCA records derive from those pairs by a broadcast tag-join +
+    *    re-fold (legal: a subset's record LCA depends only on the subset's
+    *    leaf pairs);
+    *  - classification is ONE left join on (grp, key...) — each read meets
+    *    exactly its own sample's records. No per-sample scans, joins or
+    *    driver loops anywhere in the distributed path. */
+  def classify2MultiSample(reads: Dataset[InputFragment], sampleRegex: String,
+      library: Dataset[(Int, String)], staticRecords: DataFrame,
+      criterion: TaxonCriterion = DistinctMinimizers,
+      rank: String = "species", threshold: Long = 100,
+      confidence: Double = 0.0, minHitGroups: Int = 2)
+      : (Dataset[ClassifiedRead], Map[String, collection.BitSet], () => Unit) = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val keys = index.keyCols
+    def sampleOf = regexp_extract(col("title"), sampleRegex, 1)
+
+    val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one evidence aggregation for every sample at once
+    val ev: Array[(String, Int, Long)] = (criterion match {
+      case TotalMinimizers =>
+        spans.join(staticRecords, keys)
+          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .agg(sum($"kmers").cast("long").as("count"))
+      case DistinctMinimizers =>
+        spans.join(staticRecords, keys)
+          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
+            .cast("long").as("count"))
+      case ClassifiedReads =>
+        index.classifyDF(spans, staticRecords, confidence)
+          .filter(_.classified).toDF()
+          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .agg(count(lit(1)).cast("long").as("count"))
+    }).as[(String, Int, Long)].collect()
+
+    // driver-side per-sample selection on the collected evidence (small);
+    // samples enumerate from the spans, not the evidence — a sample whose
+    // reads hit nothing still gets an (empty) selection and a result
+    val samples = spans.select(sampleOf.as("sample")).distinct()
+      .as[String].collect()
+    val bySample = ev.groupBy(_._1)
+    val perSample: Map[String, collection.BitSet] = samples.map { s =>
+      s -> selectTaxa(bySample.getOrElse(s, Array.empty).map(e => (e._2, e._3)),
+        rank, threshold)
+    }.toMap
+
+    // distinct selections -> group ids; samples sharing a selection share
+    // the sub-index build and the records themselves
+    val groups: Seq[(collection.BitSet, Int)] =
+      perSample.values.toSeq.distinct.zipWithIndex
+    val grpOfSet = groups.toMap
+    val sampleGrp = perSample.toSeq.map { case (s, t) => (s, grpOfSet(t)) }
+
+    // ONE extraction over the union of all selections, then per-group LCA
+    // records via broadcast taxon->grp tagging (a taxon selected by several
+    // groups duplicates only its small (key, taxon) pairs, never the library)
+    val union = perSample.values
+      .foldLeft(collection.immutable.BitSet.empty: collection.BitSet)(_ | _)
+    val bcUnion = spark.sparkContext.broadcast(union)
+    val subLibrary = library.filter(g => bcUnion.value.contains(g._1))
+    val taxonGrp = groups.flatMap { case (set, g) => set.toSeq.map(t => (t, g)) }
+      .toDF("taxon", "grp")
+    val dynRecords = index.foldLeafPairs(
+        index.buildLeafPairs(subLibrary).join(broadcast(taxonGrp), "taxon"),
+        extraCols = Seq("grp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one classification join on (grp, key...)
+    val taggedSpans = spans.withColumn("sample", sampleOf)
+      .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
+    val result = ClassifyKernel.resolve(
+      ClassifyKernel.group(taggedSpans.join(dynRecords, "grp" +: keys, "left")),
+      bcTax, confidence, minHitGroups)
+    val cleanup = () => {
+      spans.unpersist(blocking = false)
+      dynRecords.unpersist(blocking = false)
+      ()
+    }
+    (result, perSample, cleanup)
+  }
+
   /** Bracken weights against the DYNAMIC sub-index (spec: reference
     * Dynamic.scala:339-344 — weights regenerated per selected-taxa set, not
     * against the static library): self-classify the sub-library's windows

@@ -41,6 +41,17 @@ trait KeyedIndex extends Serializable {
   /** Build key -> LCA-taxon records from a labeled library. */
   def buildRecords(library: Dataset[(Int, String)]): DataFrame
 
+  /** Distinct (key..., taxon) leaf pairs of a labeled library — the pre-LCA
+    * form of [[buildRecords]]. The expensive minimizer extraction runs once;
+    * [[foldLeafPairs]] then derives the LCA records of any taxon subset from
+    * these pairs with a cheap filter + re-fold (legal because a subset's
+    * record LCA depends only on the subset's leaf pairs). */
+  def buildLeafPairs(library: Dataset[(Int, String)]): DataFrame
+
+  /** LCA-fold leaf pairs (shape of [[buildLeafPairs]], optionally carrying
+    * extra tag columns) into records grouped by (extraCols ++ keyCols). */
+  def foldLeafPairs(pairs: DataFrame, extraCols: Seq[String] = Nil): DataFrame
+
   /** Per-read classification of a span DataFrame (shape of [[spansDF]]). */
   def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]

@@ -50,6 +50,29 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
   override def buildRecords(library: Dataset[(Int, String)]): DataFrame =
     makeRecords(library)
 
+  override def buildLeafPairs(library: Dataset[(Int, String)]): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val sc = scanner
+    val kk = k
+    val tax = bcTax
+    library.flatMap { case (taxon, seq) =>
+      if (!tax.value.isDefined(taxon)) Iterator.empty
+      else SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
+        if (!run.valid || run.seq.length < kk) Iterator.empty
+        else sc.scan(run.seq).map(sm => (sm.minHi, sm.minLo, taxon))
+      }
+    }.toDF("id1", "id2", "taxon").distinct()
+  }
+
+  override def foldLeafPairs(pairs: DataFrame, extraCols: Seq[String] = Nil)
+      : DataFrame = {
+    val spark = pairs.sparkSession
+    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
+    pairs.groupBy((extraCols ++ keyCols).map(col): _*)
+      .agg(graft.taxa.LcaAggregate.lcaAgg(lcaName, col("taxon")).as("taxon"))
+  }
+
   override def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
     ClassifyKernel.resolve(

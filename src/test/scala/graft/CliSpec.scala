@@ -336,6 +336,50 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classifiedF.length == 30)
     assert(classifiedF.count(_._2 != 0) > 25,
       "frequency-ordered index failed to classify the clean reads")
+
+    // multi-sample classify2: --sample-regex switches taxon selection to
+    // per-sample — sample ma is species 4 plus ONE species-5 contaminant
+    // read (below threshold), sample mb is pure species 5; the contaminant
+    // must stay unclassified in ma even though species 5 dominates mb
+    val msSb = new StringBuilder
+    for (i <- 0 until 20) {
+      val s4 = rng.nextInt(genomes(4).length - 150)
+      msSb.append(s"@ma_r$i\n${genomes(4).substring(s4, s4 + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+      val s5 = rng.nextInt(genomes(5).length - 150)
+      msSb.append(s"@mb_r$i\n${genomes(5).substring(s5, s5 + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    val sCont = rng.nextInt(genomes(5).length - 150)
+    msSb.append(s"@ma_cont\n${genomes(5).substring(sCont, sCont + 150)}\n+\n")
+      .append("I" * 150).append('\n')
+    write(dir.resolve("msreads.fastq"), msSb.toString)
+    val outMS = dir.resolve("outms").toString
+    val msStdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(msStdout)) {
+      Main.main(Array("classify2", "--index", idx,
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--reads", dir.resolve("msreads.fastq").toString,
+        "--sample-regex", "^([^_]+)_",
+        "--threshold", "70",
+        "--output", outMS))
+    }
+    val msOut = msStdout.toString("UTF-8")
+    assert(msOut.contains("sample ma: selected"))
+    assert(msOut.contains("sample mb: selected"))
+    val msRows = index.MappingComparison.readKrakenOutput(spark, outMS)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(msRows.size == 41)
+    // per-sample partitions exist (writePerSampleOutput keyed by the regex)
+    assert(Files.exists(java.nio.file.Paths.get(outMS, "sample=ma")))
+    assert(Files.exists(java.nio.file.Paths.get(outMS, "sample=mb")))
+    // ma's own reads classify inside species 4's clade; mb's inside 5's
+    assert(msRows.count { case (t, x) => t.startsWith("ma_r") && x == 4 } > 15)
+    assert(msRows.count { case (t, x) => t.startsWith("mb_r") && x == 5 } > 15)
+    // the contaminant read is NOT in ma's tailored index -> unclassified
+    assert(msRows("ma_cont") == 0,
+      "per-sample selection leaked species 5 into sample ma")
   }
 
   test("CLI: respace / inspect / compareIndex / inputCheck") {

@@ -236,6 +236,85 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(selected.contains(4) && selected.contains(6))
   }
 
+  test("multi-sample classify2 equals per-sample classify2, sample by sample") {
+    import spark.implicits._
+    // three samples with different compositions: sa is dominated by species
+    // 4 with ONE species-6 contaminant read (below threshold), sb holds only
+    // species 6, sc holds both above threshold
+    def sampleReads(sample: String, counts: Map[Int, Int]): Seq[InputFragment] =
+      counts.toSeq.sortBy(_._1).flatMap { case (t, n) =>
+        (0 until n).map { i =>
+          val g = genomes(t)
+          val s = rng.nextInt(g.length - 150)
+          InputFragment(s"${sample}_r$t-$i|src=$t", 0L,
+            g.substring(s, s + 150), None)
+        }
+      }
+    val bySampleReads = Map(
+      "sa" -> sampleReads("sa", Map(4 -> 25, 6 -> 1)),
+      "sb" -> sampleReads("sb", Map(6 -> 25)),
+      "sc" -> sampleReads("sc", Map(4 -> 20, 6 -> 20)))
+    val all = bySampleReads.values.flatten.toSeq
+    val staticRecords = dyn.index.buildRecords(lib).cache()
+
+    val (classified, perSample, cleanup) = dyn.classify2MultiSample(
+      spark.createDataset(all), "^([^_]+)_", lib, staticRecords,
+      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    val multi = classified.collect().map(c => c.title -> c.taxon).toMap
+    cleanup()
+    assert(multi.size == all.size)
+
+    // per-sample selections: the single contaminant read stays below the
+    // threshold, so species 6 is NOT in sa's tailored index
+    assert(perSample.keySet == Set("sa", "sb", "sc"))
+    assert(perSample("sa").contains(4) && !perSample("sa").contains(6))
+    assert(perSample("sb").contains(6) && !perSample("sb").contains(4))
+    assert(perSample("sc").contains(4) && perSample("sc").contains(6))
+    // the contaminant is unclassified in sa — a global selection (species 6
+    // is abundant in sb/sc) would have classified it
+    val contaminant = multi.filter(_._1.startsWith("sa_r6"))
+    assert(contaminant.size == 1 && contaminant.values.head == Taxonomy.NONE)
+
+    // exact per-read agreement with the single-sample pipeline run
+    // independently on each sample's reads
+    for ((s, rs) <- bySampleReads) {
+      val (single, selected, release) = dyn.classify2(
+        spark.createDataset(rs), lib, staticRecords,
+        criterion = DistinctMinimizers, rank = "species", threshold = 50)
+      val want = single.collect().map(c => c.title -> c.taxon).toMap
+      release()
+      assert(selected == perSample(s), s"selection mismatch for $s")
+      for ((title, taxon) <- want)
+        assert(multi(title) == taxon, s"$title: multi=${multi(title)} single=$taxon")
+    }
+    staticRecords.unpersist()
+  }
+
+  test("multi-sample classify2 runs width-generically (wide m=33 keys)") {
+    import spark.implicits._
+    val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
+    val dynW = new DynamicClassifier(wide, bcTax)
+    val staticRecords = wide.buildRecords(lib)
+    val reads46 = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) 4 else 6
+      val sample = if (i % 4 < 2) "wa" else "wb"
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      InputFragment(s"${sample}_w$i|src=$t", 0L, g.substring(s, s + 150), None)
+    }
+    val (classified, perSample, cleanup) = dynW.classify2MultiSample(
+      spark.createDataset(reads46), "^([^_]+)_", lib, staticRecords,
+      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    val res = classified.collect()
+    cleanup()
+    assert(perSample.keySet == Set("wa", "wb"))
+    assert(res.length == 60 && res.count(_.classified) > 50)
+    for (c <- res if c.classified) {
+      val src = c.title.split("src=")(1).toInt
+      assert(tax.hasAncestor(src, c.taxon))
+    }
+  }
+
   test("2-step classification runs width-generically over a wide (m=33) index") {
     import spark.implicits._
     val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
