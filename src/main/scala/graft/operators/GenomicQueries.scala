@@ -164,6 +164,40 @@ object GenomicQueries {
         .orderBy($"sample", $"taxon")
     }, None),
 
+    // per-sample two-step classification: sample = order priority class,
+    // each sample's reads drawn from a DIFFERENT nation slice (nation % 5 =
+    // priority digit - 1) so every sample earns its own taxon selection and
+    // tailored sub-index — all in one distributed pass
+    Q("g10_multisample_classify2", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val dyn = new graft.index.DynamicClassifier(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val staticRecords = dyn.index.buildRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .filter(($"c_nationkey" % 5) ===
+          substring($"o_orderpriority", 1, 1).cast("int") - 1)
+        .select($"o_orderkey", $"o_orderpriority",
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String, String)]
+        .map { case (ok, pri, read) =>
+          InputFragment(s"S${pri.take(1)}R$ok", 0L, read, None)
+        }
+      val (classified, _, release) = dyn.classify2MultiSample(reads, "(S\\d)R",
+        lib, staticRecords, criterion = graft.index.DistinctMinimizers,
+        rank = "species", threshold = 50, minHitGroups = 1)
+      val counts = classified
+        .groupBy(regexp_extract($"title", "(S\\d)R", 1).as("sample"),
+          $"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"sample", $"taxon")
+        .localCheckpoint(true)
+      release()
+      counts
+    }, None),
+
     // wide-minimizer path (m=40 > 32: two-long keys) end to end, through the
     // unified per-read protocol (ordinals, flags, paired-end mate border)
     Q("g07_wide_classify", (s, dir) => {

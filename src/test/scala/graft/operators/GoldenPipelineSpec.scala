@@ -142,6 +142,23 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("g10 per-sample 2-step classification matches the independent golden") {
+    // golden from tools/golden_g04_g06_g08.py: the g04 pipeline (evidence,
+    // species selection, sub-library rebuild, re-classification) run
+    // independently per sample in Python — the engine must reproduce it in
+    // its one-pass grouped (leaf-pair re-fold) form
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/g10_multisample2_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0), f(1).toLong, f(2).toLong)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("g10_multisample_classify2", spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expected)
+  }
+
   test("t06 MinHash LSH pairs match the independent pipeline golden") {
     // golden from tools/golden_t06.py: shingling, signed-min MinHash,
     // banding and exact-Jaccard verification re-done from scratch — the

@@ -162,8 +162,46 @@ def main():
         for t in sorted(out4):
             f.write(f"{t}\t{out4[t]}\n")
 
+    # -------- g10: PER-SAMPLE 2-step classification --------
+    # sample = 'S' + priority digit; each sample's reads come only from
+    # nations with nation % 5 == digit - 1, so selections differ per sample.
+    # The whole g04 pipeline (evidence -> species selection at threshold 50
+    # -> sub-library rebuild -> re-classification) runs independently per
+    # sample — the engine must reproduce it in its one-pass grouped form.
+    reads10 = {}
+    for okey, ckey, pri in zip(okeys, ockeys, opris):
+        nat, dna = cust[ckey]
+        if nat % 5 == int(pri[0]) - 1:
+            pos = (okey % 80) + 1
+            reads10.setdefault("S" + pri[0], []).append(dna[pos - 1:pos - 1 + 44])
+    out10 = {}
+    for sample, rds in sorted(reads10.items()):
+        per_taxon10 = {}
+        for read in rds:
+            pris = [priority(encode(read[j:j + M]))
+                    for j in range(len(read) - M + 1)]
+            for i in range(len(read) - K + 1):
+                mnz = min(pris[i:i + K - M + 1])
+                rt = records.get(mnz)
+                if rt is not None:
+                    per_taxon10.setdefault(rt, set()).add(mnz)
+        sel = {rt for rt, mins in per_taxon10.items()
+               if rt >= 10 and len(mins) >= 50}
+        dyn10 = {}
+        for taxon, slots in genomes:
+            if taxon in sel:
+                for mnz in set(slots):
+                    dyn10[mnz] = lca(dyn10.get(mnz, 0), taxon)
+        for read in rds:
+            rt = classify(read, dyn10)
+            out10[(sample, rt)] = out10.get((sample, rt), 0) + 1
+    with open("src/test/resources/golden/g10_multisample2_sf001.tsv", "w") as f:
+        for (sm, rt) in sorted(out10):
+            f.write(f"{sm}\t{rt}\t{out10[(sm, rt)]}\n")
+
     print("g06 depths:", hist, "| g08 cells:", len(out8),
-          "| g04 selected:", len(selected), "taxa:", len(out4))
+          "| g04 selected:", len(selected), "taxa:", len(out4),
+          "| g10 cells:", len(out10))
 
 
 if __name__ == "__main__":
