@@ -51,7 +51,7 @@ object Main {
       "build" -> (common ++ Set("k", "m", "s", "salt", "o", "freq-sample",
         "freq-top", "library", "library-fai", "labels", "output")),
       "classify" -> (common ++ Set("index", "reads", "reads2", "c",
-        "min-hit-groups", "sample-regex", "output")),
+        "min-hit-groups", "sample-regex", "in-memory", "output")),
       "classify2" -> (common ++ Set("index", "library", "library-fai", "labels",
         "reads", "reads2", "rank", "threshold", "bracken-read-len", "gold",
         "sample-regex", "output", "k")),
@@ -317,42 +317,59 @@ object Main {
           cached.unpersist()
         }
 
+        // --in-memory: zero-shuffle classification with a broadcast index
+        // table (use when the index fits memory; single confidence only —
+        // the sweep's cached-join reuse does not apply to a pure map)
+        val inMemory = opts.get("in-memory").contains("true")
+        require(!inMemory || confs.length == 1,
+          "--in-memory supports a single -c confidence")
+
         if (params.m > 32) {
           // wide (m>32) and narrow share the span protocol and ClassifyKernel,
           // so per-read output, paired-end and confidence work at any m
           val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
           val records = wide.loadRecords(spark, idxPath, params.buckets)
-          val spans = wide.spans(loadReads(spark, opts))
-          if (confs.length > 1)
-            // one join+regroup for the whole sweep, same as the narrow path;
-            // detail=true: per-read output needs the hit strings
-            wide.classifyMultiThresholdDF(spans.toDF(), records, confs,
-                minHitGroups, detail = true) { results =>
-              for ((conf, ds) <- results) {
-                println(s"== confidence $conf ==")
-                emit(ds, s"${opts("output")}/c$conf")
-              }
-            }
-          else
-            emit(wide.classify(spans, records, confs.head, minHitGroups),
-              opts("output"))
-        } else {
-          val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
-          val spans = index.spans(loadReads(spark, opts))
-          if (confs.length > 1)
-            // one join+regroup for the whole sweep (cached hit dataset);
-            // detail=true: per-read output needs the hit strings
-            index.classifyMultiThreshold(spans, records, confs, minHitGroups,
-                detail = true) {
-              results =>
+          if (inMemory)
+            emit(wide.classifyInMemory(loadReads(spark, opts), records,
+              confs.head, minHitGroups), opts("output"))
+          else {
+            val spans = wide.spans(loadReads(spark, opts))
+            if (confs.length > 1)
+              // one join+regroup for the whole sweep, same as the narrow
+              // path; detail=true: per-read output needs the hit strings
+              wide.classifyMultiThresholdDF(spans.toDF(), records, confs,
+                  minHitGroups, detail = true) { results =>
                 for ((conf, ds) <- results) {
                   println(s"== confidence $conf ==")
                   emit(ds, s"${opts("output")}/c$conf")
                 }
-            }
-          else
-            emit(index.classify(spans, records, confs.head, minHitGroups),
-              opts("output"))
+              }
+            else
+              emit(wide.classify(spans, records, confs.head, minHitGroups),
+                opts("output"))
+          }
+        } else {
+          val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
+          if (inMemory)
+            emit(index.classifyInMemory(loadReads(spark, opts), records,
+              confs.head, minHitGroups), opts("output"))
+          else {
+            val spans = index.spans(loadReads(spark, opts))
+            if (confs.length > 1)
+              // one join+regroup for the whole sweep (cached hit dataset);
+              // detail=true: per-read output needs the hit strings
+              index.classifyMultiThreshold(spans, records, confs, minHitGroups,
+                  detail = true) {
+                results =>
+                  for ((conf, ds) <- results) {
+                    println(s"== confidence $conf ==")
+                    emit(ds, s"${opts("output")}/c$conf")
+                  }
+              }
+            else
+              emit(index.classify(spans, records, confs.head, minHitGroups),
+                opts("output"))
+          }
         }
 
       case "classify2" =>

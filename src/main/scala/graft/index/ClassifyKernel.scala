@@ -64,6 +64,23 @@ object ClassifyKernel {
     }
   }
 
+  /** Resolve ONE read's ordered hits executor-locally — the core of the
+    * zero-shuffle in-memory classification path
+    * ([[MinimizerIndex.classifyInMemory]]). Semantically identical to
+    * [[group]] + [[resolve]]: hitGroups counts distinct positive-taxon hits,
+    * the min-hit-groups gate precedes LCA resolution, and `detail` renders
+    * the same Kraken hit string. */
+  def resolveLocal(title: String, ordered: Seq[TaxonHit], seqLen: Int,
+      resolver: LcaResolver, confidence: Double, minHitGroups: Int,
+      detail: Boolean): ClassifiedRead = {
+    val hitGroups = ordered.count(h => h.distinct && h.taxon > 0)
+    val taxon =
+      if (hitGroups < minHitGroups) Taxonomy.NONE
+      else resolver.classify(ordered.map(h => (h.taxon, h.kmers)), confidence)
+    ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen,
+      if (detail) hitString(ordered) else "")
+  }
+
   /** Kraken 2 hit-detail string: "taxon:count taxon:count |:| ...",
     * run-length merging consecutive equal taxa, A for ambiguous. */
   def hitString(ordered: Seq[TaxonHit]): String = {

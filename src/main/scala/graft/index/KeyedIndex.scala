@@ -56,6 +56,16 @@ trait KeyedIndex extends Serializable {
   def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]
 
+  /** Zero-shuffle classification: records collected into a broadcast
+    * open-addressing table, scan + lookup + resolve fused in one
+    * mapPartitions over the reads. Row-identical to [[classifyDF]] over
+    * [[spansDF]]. Use when the index fits driver/executor memory (the
+    * reference tool family's resident-hash-table execution model); the
+    * one-sided bucketed join stays the scale path when it does not. */
+  def classifyInMemory(reads: Dataset[InputFragment], records: DataFrame,
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      detail: Boolean = true): Dataset[ClassifiedRead]
+
   /** Classify at several confidence thresholds computing the expensive
     * join+regroup ONCE (spec: R4 sweep, reference Classifier.scala:156-170).
     * Loan pattern: the cached hit dataset is unpersisted on the way out.

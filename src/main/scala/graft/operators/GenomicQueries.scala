@@ -245,6 +245,52 @@ object GenomicQueries {
         .orderBy($"taxon")
     }, None),
 
+    // g03's classification through the zero-shuffle in-memory path: the
+    // records collect into a broadcast open-addressing table and scan +
+    // lookup + resolve fuse into ONE mapPartitions (the resident-hash-table
+    // execution model for indexes that fit memory; the g03 join remains the
+    // measured scale path). Row-identical to g03 — the golden spec pins
+    // this query against g03's own golden file.
+    Q("g11_mem_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
+            lit(44)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classifyInMemory(reads, records, confidence = 0.0, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None, bench = true),
+
+    // the wide (m=40) pipeline through the same in-memory path, pinned to
+    // g07's golden
+    Q("g12_mem_wide_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % 60) + 1).cast("int"),
+            lit(56)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classifyInMemory(reads, records, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None, bench = true),
+
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {
       import s.implicits._

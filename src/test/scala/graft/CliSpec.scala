@@ -277,6 +277,18 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // both mates contribute to the length column (150 + 150)
     assert(pairedLines.head.split("\t")(3) == "300")
 
+    // --in-memory: the zero-shuffle broadcast-table path emits identical
+    // per-read classifications (paired-end included)
+    val outIM = dir.resolve("outim").toString
+    Main.main(Array("classify", "--index", idx,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--reads2", dir.resolve("reads2.fasta").toString,
+      "--min-hit-groups", "1", "--in-memory",
+      "--output", outIM))
+    def taxaOf(p: String) = index.MappingComparison.readKrakenOutput(spark, p)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(taxaOf(outIM) == taxaOf(out))
+
     // report: re-render the kreport from the classified dir + index taxonomy
     val reportOut = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(reportOut)) {

@@ -142,6 +142,26 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("g11 in-memory classification matches g03's independent golden") {
+    // the zero-shuffle path must reproduce the join path's golden-pinned
+    // output bit for bit — same golden file as g03
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g03_classify_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g11_mem_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
+  test("g12 wide in-memory classification matches g07's independent golden") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g07_wide_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g12_mem_wide_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
   test("g10 per-sample 2-step classification matches the independent golden") {
     // golden from tools/golden_g04_g06_g08.py: the g04 pipeline (evidence,
     // species selection, sub-library rebuild, re-classification) run
