@@ -19,6 +19,14 @@ import graft.taxa.Taxonomy
   * (k1 = id1; k2 = id2 for wide keys, 0 for narrow). */
 final case class KeyedSupermer(k1: Long, k2: Long, start: Int, kmers: Int)
 
+/** A broadcast-table classifier built by [[KeyedIndex.inMemoryClassifier]]:
+  * the records were collected and broadcast at construction; every
+  * [[classify]] call is a pure map over the reads. */
+trait InMemoryClassifier extends Serializable {
+  def classify(reads: Dataset[InputFragment], confidence: Double = 0.0,
+      minHitGroups: Int = 2, detail: Boolean = true): Dataset[ClassifiedRead]
+}
+
 trait KeyedIndex extends Serializable {
 
   /** Join key columns: Seq("id1") narrow, Seq("id1", "id2") wide. */
@@ -56,15 +64,20 @@ trait KeyedIndex extends Serializable {
   def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]
 
-  /** Zero-shuffle classification: records collected into a broadcast
-    * open-addressing table, scan + lookup + resolve fused in one
-    * mapPartitions over the reads. Row-identical to [[classifyDF]] over
-    * [[spansDF]]. Use when the index fits driver/executor memory (the
-    * reference tool family's resident-hash-table execution model); the
-    * one-sided bucketed join stays the scale path when it does not. */
+  /** Collect the records into a broadcast open-addressing table ONCE and
+    * return a reusable zero-shuffle classifier over it — scan + lookup +
+    * resolve fused in one mapPartitions per classify call, row-identical to
+    * [[classifyDF]] over [[spansDF]]. Use when the index fits
+    * driver/executor memory (the reference tool family's resident-hash-table
+    * execution model); the one-sided bucketed join stays the scale path when
+    * it does not. Streaming reuses the same instance across micro-batches. */
+  def inMemoryClassifier(records: DataFrame): InMemoryClassifier
+
+  /** One-shot convenience for [[inMemoryClassifier]]. */
   def classifyInMemory(reads: Dataset[InputFragment], records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2,
-      detail: Boolean = true): Dataset[ClassifiedRead]
+      detail: Boolean = true): Dataset[ClassifiedRead] =
+    inMemoryClassifier(records).classify(reads, confidence, minHitGroups, detail)
 
   /** Classify at several confidence thresholds computing the expensive
     * join+regroup ONCE (spec: R4 sweep, reference Classifier.scala:156-170).

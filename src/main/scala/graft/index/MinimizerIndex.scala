@@ -304,36 +304,42 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     * driver/executor memory — [[classify]]'s one-sided bucketed join remains
     * the scale path when it does not. Output is row-identical to
     * [[classify]] (shared [[ClassifyKernel]] semantics). */
-  def classifyInMemory(reads: Dataset[InputFragment], records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2,
-      detail: Boolean = true): Dataset[ClassifiedRead] = {
-    val spark = reads.sparkSession
+  override def inMemoryClassifier(records: DataFrame): InMemoryClassifier = {
+    val spark = records.sparkSession
     import spark.implicits._
     val table = LongTaxonMap(
       records.select(col("id1"), col("taxon")).as[(Long, Int)].collect())
     val bc = spark.sparkContext.broadcast(table)
     val p = params
     val tax = bcTax
-    reads.mapPartitions { it =>
-      val scanner = p.scanner
-      val resolver = new graft.taxa.LcaResolver(tax.value)
-      val tbl = bc.value
-      it.flatMap { f =>
-        val hits = fragmentSpans(f, scanner).map { s =>
-          val t = s.flag match {
-            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-            case _ => tbl.get(s.id1)
+    val outer = this
+    new InMemoryClassifier {
+      def classify(reads: Dataset[InputFragment], confidence: Double,
+          minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
+        val session = reads.sparkSession
+        import session.implicits._
+        reads.mapPartitions { it =>
+          val scanner = p.scanner
+          val resolver = new graft.taxa.LcaResolver(tax.value)
+          val tbl = bc.value
+          it.flatMap { f =>
+            val hits = outer.fragmentSpans(f, scanner).map { s =>
+              val t = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => tbl.get(s.id1)
+              }
+              TaxonHit(s.ordinal, t, s.kmers, s.distinct)
+            }.toVector
+            // a read with no spans has no group row in the join path either
+            if (hits.isEmpty) None
+            else {
+              val seqLen = f.nucleotides.length +
+                f.nucleotides2.map(_.length).getOrElse(0)
+              Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen,
+                resolver, confidence, minHitGroups, detail))
+            }
           }
-          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-        }.toVector
-        // a read with no spans has no group row in the join path either
-        if (hits.isEmpty) None
-        else {
-          val seqLen = f.nucleotides.length +
-            f.nucleotides2.map(_.length).getOrElse(0)
-          Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen, resolver,
-            confidence, minHitGroups, detail))
         }
       }
     }

@@ -205,36 +205,42 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
       ClassifyKernel.group(spans.join(records, Seq("id1", "id2"), "left")),
       bcTax, confidence, minHitGroups)
 
-  /** Zero-shuffle classification with a broadcast two-long-key table — see
-    * [[MinimizerIndex.classifyInMemory]]; identical design at wide width. */
-  def classifyInMemory(reads: Dataset[InputFragment], records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2,
-      detail: Boolean = true): Dataset[ClassifiedRead] = {
-    val spark = reads.sparkSession
+  /** Zero-shuffle classifier with a broadcast two-long-key table — see
+    * [[MinimizerIndex.inMemoryClassifier]]; identical design at wide width. */
+  override def inMemoryClassifier(records: DataFrame): InMemoryClassifier = {
+    val spark = records.sparkSession
     import spark.implicits._
     val table = WideTaxonMap(records.select(col("id1"), col("id2"), col("taxon"))
       .as[(Long, Long, Int)].collect())
     val bc = spark.sparkContext.broadcast(table)
     val sc = scanner
     val tax = bcTax
-    reads.mapPartitions { it =>
-      val resolver = new graft.taxa.LcaResolver(tax.value)
-      val tbl = bc.value
-      it.flatMap { f =>
-        val hits = fragmentSpans(f, sc).map { s =>
-          val t = s.flag match {
-            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-            case _ => tbl.get(s.id1, s.id2)
+    val outer = this
+    new InMemoryClassifier {
+      def classify(reads: Dataset[InputFragment], confidence: Double,
+          minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
+        val session = reads.sparkSession
+        import session.implicits._
+        reads.mapPartitions { it =>
+          val resolver = new graft.taxa.LcaResolver(tax.value)
+          val tbl = bc.value
+          it.flatMap { f =>
+            val hits = outer.fragmentSpans(f, sc).map { s =>
+              val t = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => tbl.get(s.id1, s.id2)
+              }
+              TaxonHit(s.ordinal, t, s.kmers, s.distinct)
+            }.toVector
+            if (hits.isEmpty) None
+            else {
+              val seqLen = f.nucleotides.length +
+                f.nucleotides2.map(_.length).getOrElse(0)
+              Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen,
+                resolver, confidence, minHitGroups, detail))
+            }
           }
-          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-        }.toVector
-        if (hits.isEmpty) None
-        else {
-          val seqLen = f.nucleotides.length +
-            f.nucleotides2.map(_.length).getOrElse(0)
-          Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen, resolver,
-            confidence, minHitGroups, detail))
         }
       }
     }

@@ -37,6 +37,25 @@ object StreamingClassifier {
       }
   }
 
+  /** [[classifyStream]] through the zero-shuffle in-memory path: the index
+    * table is collected and broadcast ONCE before the stream starts
+    * ([[KeyedIndex.inMemoryClassifier]]), and each micro-batch is then one
+    * mapPartitions — no stream-static join, no per-batch shuffle, and no
+    * re-planning of the index scan per trigger. The right topology whenever
+    * the index fits executor memory (the common online-classification
+    * deployment: one resident index, an unbounded read stream). */
+  def classifyStreamInMemory(index: KeyedIndex, reads: Dataset[InputFragment],
+      records: DataFrame, confidence: Double = 0.0, minHitGroups: Int = 2)(
+      sink: (Long, Dataset[ClassifiedRead]) => Unit): DataStreamWriter[InputFragment] = {
+    require(reads.isStreaming, "reads must be a streaming Dataset")
+    val mem = index.inMemoryClassifier(records)
+    reads.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[InputFragment], batchId: Long) =>
+        sink(batchId, mem.classify(batch, confidence, minHitGroups))
+      }
+  }
+
   /** Running per-taxon read counts as a native streaming aggregation:
     * spans -> stream-static join -> per-read resolution inside the batch is
     * replaced by a coarser span-level abundance signal (taxon k-mer mass),

@@ -69,6 +69,44 @@ class StreamingClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("in-memory streaming classification matches the join-path stream") {
+    import spark.implicits._
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+    records.count()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[InputFragment]
+    val results = scala.collection.mutable.Map.empty[Long, Array[ClassifiedRead]]
+
+    // the broadcast table is built ONCE here, before the stream starts
+    val query = StreamingClassifier.classifyStreamInMemory(index,
+        stream.toDS(), records) { (batchId, classified) =>
+      results.synchronized { results(batchId) = classified.collect() }
+    }.start()
+
+    try {
+      val batch1 = reads(30, offset = 200)
+      val batch2 = reads(30, offset = 300)
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+
+      assert(results.size == 2)
+      // per batch, the zero-shuffle stream equals the batch join path
+      // (full rows: taxa, lengths and hit strings)
+      for ((batchId, batch) <- Seq(0L -> batch1, 1L -> batch2)) {
+        val expect = index.classify(
+          index.spans(spark.createDataset(batch)), records)
+          .collect().map(c => c.title -> ((c.taxon, c.length, c.hits))).toMap
+        val got = results(batchId)
+          .map(c => c.title -> ((c.taxon, c.length, c.hits))).toMap
+        assert(got == expect, s"batch $batchId")
+      }
+    } finally query.stop()
+    records.unpersist()
+  }
+
   test("native streaming aggregation: running taxon k-mer mass in update mode") {
     import spark.implicits._
     val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
