@@ -65,6 +65,30 @@ def g07_stats(dna):
     return spans, len(per_kmer), len(set(per_kmer)), chk
 
 
+def wide_stats_at(k, m):
+    """From-scratch wide kernel at arbitrary (k, m) — an independent check
+    of widths the pinned goldens don't cover (notably m=64, where the hi
+    word is fully populated and canonicalization crosses the word split)."""
+    hi_bases = m - 32
+    pri_mask = (((golden_g07.XOR_MASK & ((1 << (2 * hi_bases)) - 1)) << 64) |
+                (golden_g07.XOR_MASK & M64))
+
+    def stats(dna):
+        def pri(j):
+            mer = golden_g07.encode(dna[j:j + m])
+            r = golden_g07.rc(mer, m)
+            return (mer if mer <= r else r) ^ pri_mask
+        pris = [pri(j) for j in range(len(dna) - m + 1)]
+        per_kmer = [min(pris[i:i + k - m + 1]) for i in range(len(dna) - k + 1)]
+        spans = 1 + sum(1 for a, b in zip(per_kmer, per_kmer[1:]) if a != b)
+        chk = 0
+        for v in set(per_kmer):
+            hi, lo = v >> 64, v & M64
+            chk ^= lo ^ ((hi * MIX) & M64)
+        return spans, len(per_kmer), len(set(per_kmer)), chk
+    return stats
+
+
 def sequences(rng, k, n=100):
     """Random ACGT sequences with edge-case lengths and structures."""
     seqs = []
@@ -127,6 +151,10 @@ def main():
         # g07 golden
         bad += run_config("g07", golden_g07.K, golden_g07.M, 0,
                           g07_stats, sequences(rng, golden_g07.K), tmp)
+        # the widest key (m=64): hi word fully populated, canonicalization
+        # spans the whole two-word split — no pinned golden covers it
+        bad += run_config("wide64", 80, 64, 0, wide_stats_at(80, 64),
+                          sequences(rng, 80), tmp)
     if bad:
         print(f"FAIL: {bad} mismatching sequences")
         return 1
