@@ -256,8 +256,14 @@ object Main {
           val index = new WideMinimizerIndex(k, m, bcTax, s, demoted)
           val records = index.makeRecordsPacked(packedLib, salt)
           index.writeRecords(records, opts("output"), buckets)
-          println(s"index written (wide m=$m, s=$s): " +
-            s"${index.loadRecords(spark, opts("output"), buckets).count()} records")
+          val n = index.loadRecords(spark, opts("output"), buckets).count()
+          // stamp the (already computed) record count into the sidecar so
+          // classify can auto-pick the in-memory path with no extra job
+          IndexParams.write(spark, IndexParams(k = k, m = m, spaces = s,
+            buckets = buckets,
+            demoted = if (demoted.isEmpty) None else Some(demoted),
+            records = Some(n)), opts("output"))
+          println(s"index written (wide m=$m, s=$s): $n records")
         } else {
           val packedLib = loadPackedLibrary(spark, opts, k)
           // -o frequency: sample the library, demote the most frequent
@@ -281,7 +287,11 @@ object Main {
           // payload bytes anywhere the library moves
           val records = index.makeRecordsPacked(packedLib, salt)
           index.writeRecords(records, opts("output"))
-          println(s"index written: ${index.loadRecords(spark, opts("output")).count()} records")
+          val n = index.loadRecords(spark, opts("output")).count()
+          // stamp the (already computed) record count into the sidecar so
+          // classify can auto-pick the in-memory path with no extra job
+          IndexParams.write(spark, params.copy(records = Some(n)), opts("output"))
+          println(s"index written: $n records")
         }
         // the index is self-contained: classify/stats/report default to
         // <index>/taxonomy, so no --taxonomy flag is needed downstream
@@ -318,11 +328,21 @@ object Main {
         }
 
         // --in-memory: zero-shuffle classification with a broadcast index
-        // table (use when the index fits memory; single confidence only —
-        // the sweep's cached-join reuse does not apply to a pure map)
-        val inMemory = opts.get("in-memory").contains("true")
+        // table (single confidence only — the sweep's cached-join reuse does
+        // not apply to a pure map). Without the flag, auto-pick it when the
+        // build-time record count in the sidecar says the table comfortably
+        // fits memory (~13-21 bytes/record); --in-memory false forces the
+        // bucketed join, e.g. for memory-tight drivers.
+        val memAutoMax = 10L * 1000 * 1000
+        val inMemory = opts.get("in-memory") match {
+          case Some(v) => v == "true"
+          case None => confs.length == 1 && params.records.exists(_ <= memAutoMax)
+        }
         require(!inMemory || confs.length == 1,
           "--in-memory supports a single -c confidence")
+        if (inMemory && !opts.contains("in-memory"))
+          println(s"auto in-memory classification " +
+            s"(${params.records.getOrElse(0L)} records)")
 
         if (params.m > 32) {
           // wide (m>32) and narrow share the span protocol and ClassifyKernel,
@@ -556,7 +576,9 @@ object Main {
           } else {
             val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
             val respaced = IndexOps.respace(records, params, s, bcTax)
-            new MinimizerIndex(params.copy(spaces = s), bcTax)
+            // records = None: respacing re-folds to FEWER records; the stale
+            // count is not re-measured here
+            new MinimizerIndex(params.copy(spaces = s, records = None), bcTax)
               .writeRecords(respaced, outLoc)
           }
           // copy from the RESOLVED taxonomy dir: an index built without an

@@ -16,7 +16,12 @@ final case class IndexParams(
     canonical: Boolean = true,
     xorMask: Long = RandomXorPriority.DEFAULT_MASK,
     buckets: Int = 32,
-    demoted: Option[Array[Long]] = None) {
+    demoted: Option[Array[Long]] = None,
+    /** Record count, stamped by the CLI build (which counts anyway to report
+      * it): lets classify pick the in-memory zero-shuffle path with no extra
+      * job. None for indexes written before the field existed, or derived
+      * ones whose count was not re-measured. */
+    records: Option[Long] = None) {
 
   def priority: MinimizerPriority = {
     val base = RandomXorPriority(m, xorMask, canonical)
@@ -428,6 +433,7 @@ object IndexParams {
     props.setProperty("xorMask", java.lang.Long.toHexString(p.xorMask))
     props.setProperty("buckets", p.buckets.toString)
     props.setProperty("ordering", if (p.demoted.isDefined) "frequency" else "xor")
+    for (n <- p.records) props.setProperty("records", n.toString)
     val path = new Path(indexPath, "_index.properties")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -454,7 +460,8 @@ object IndexParams {
       canonical = props.getProperty("canonical").toBoolean,
       xorMask = java.lang.Long.parseUnsignedLong(props.getProperty("xorMask"), 16),
       buckets = props.getProperty("buckets").toInt,
-      demoted = demoted)
+      demoted = demoted,
+      records = Option(props.getProperty("records")).map(_.toLong))
   }
 }
 

@@ -257,10 +257,12 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
     // no --taxonomy flag anywhere below: everything reads <idx>/taxonomy
     val out = dir.resolve("out").toString
+    // --in-memory false: force the bucketed-join path so the comparison
+    // against the in-memory run below stays join-vs-broadcast
     Main.main(Array("classify", "--index", idx,
       "--reads", dir.resolve("reads.fastq").toString,
       "--reads2", dir.resolve("reads2.fasta").toString,
-      "--min-hit-groups", "1",
+      "--min-hit-groups", "1", "--in-memory", "false",
       "--output", out))
     val pairedLines = Files.list(java.nio.file.Paths.get(out, "sample=fr0"))
       .toArray.map(_.toString).filter(_.endsWith(".gz"))
@@ -486,9 +488,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val pwf = graft.index.IndexParams.read(spark, idxWF)
     assert(pwf.m == 33 && pwf.demoted.exists(_.length == 64)) // 32 pairs
     val outWF = dir.resolve("outwf").toString
+    // join path forced: this block is the wide bucketed-join e2e
     Main.main(Array("classify", "--index", idxWF,
       "--reads", dir.resolve("reads.fastq").toString,
-      "--min-hit-groups", "1",
+      "--min-hit-groups", "1", "--in-memory", "false",
       "--output", outWF))
     val classifiedWF = index.MappingComparison.readKrakenOutput(spark, outWF)
       .collect().map(r => r.getInt(1))
