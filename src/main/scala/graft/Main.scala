@@ -37,9 +37,11 @@ import graft.taxa.Taxonomy
   *             (per-sequence super-mer stats at any width; the surface
   *             tools/test_golden_kernels.py fuzzes against)
   *
-  * classify2 with --sample-regex (and no --gold/--bracken-read-len) runs
-  * PER-SAMPLE taxon selection: each sample is re-classified against its own
-  * tailored sub-index in one distributed pass.
+  * classify2 with --per-sample (requires --sample-regex; excludes --gold /
+  * --bracken-read-len) runs PER-SAMPLE taxon selection: each sample is
+  * re-classified against its own tailored sub-index in one distributed
+  * pass. Without --per-sample, --sample-regex keeps its original meaning:
+  * one global selection, per-sample output partitioning.
   */
 object Main {
 
@@ -54,7 +56,7 @@ object Main {
         "min-hit-groups", "sample-regex", "in-memory", "output")),
       "classify2" -> (common ++ Set("index", "library", "library-fai", "labels",
         "reads", "reads2", "rank", "threshold", "bracken-read-len", "gold",
-        "sample-regex", "output", "k")),
+        "sample-regex", "per-sample", "output", "k")),
       "bracken" -> (common ++ Set("index", "library", "library-fai", "labels",
         "read-len", "chunks", "checkpoint", "output", "k")),
       "compare" -> (common ++ Set("classified", "truth", "rank", "output")),
@@ -262,7 +264,7 @@ object Main {
           IndexParams.write(spark, IndexParams(k = k, m = m, spaces = s,
             buckets = buckets,
             demoted = if (demoted.isEmpty) None else Some(demoted),
-            records = Some(n)), opts("output"))
+            records = Some(n)), opts("output"), writeDemotionSidecar = false)
           println(s"index written (wide m=$m, s=$s): $n records")
         } else {
           val packedLib = loadPackedLibrary(spark, opts, k)
@@ -290,7 +292,8 @@ object Main {
           val n = index.loadRecords(spark, opts("output")).count()
           // stamp the (already computed) record count into the sidecar so
           // classify can auto-pick the in-memory path with no extra job
-          IndexParams.write(spark, params.copy(records = Some(n)), opts("output"))
+          IndexParams.write(spark, params.copy(records = Some(n)),
+            opts("output"), writeDemotionSidecar = false)
           println(s"index written: $n records")
         }
         // the index is self-contained: classify/stats/report default to
@@ -330,10 +333,13 @@ object Main {
         // --in-memory: zero-shuffle classification with a broadcast index
         // table (single confidence only — the sweep's cached-join reuse does
         // not apply to a pure map). Without the flag, auto-pick it when the
-        // build-time record count in the sidecar says the table comfortably
-        // fits memory (~13-21 bytes/record); --in-memory false forces the
-        // bucketed join, e.g. for memory-tight drivers.
-        val memAutoMax = 10L * 1000 * 1000
+        // build-time record count in the sidecar says the table fits even a
+        // minimally-sized driver: 2M records -> 4.2M slots after power-of-2
+        // rounding, ~55MB narrow / ~90MB wide plus a transient collect —
+        // safe on a default 1g driver. Larger indexes that still fit YOUR
+        // driver are one explicit `--in-memory true` away; --in-memory
+        // false always forces the bucketed join.
+        val memAutoMax = 2L * 1000 * 1000
         val inMemory = opts.get("in-memory") match {
           case Some(v) => v == "true"
           case None => confs.length == 1 && params.records.exists(_ <= memAutoMax)
@@ -415,13 +421,17 @@ object Main {
         }
         val rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r }
         val threshold = opts.getOrElse("threshold", "100").toLong
-        if (opts.contains("sample-regex") && goldSet.isEmpty &&
-            !opts.contains("bracken-read-len")) {
-          // per-sample two-step: every sample gets its own taxon selection
-          // and tailored sub-index, in one distributed pass (a contaminant
-          // below threshold in sample A classifies even if abundant in
-          // sample B). --gold or --bracken-read-len fall back to the
-          // single-selection path below, where one selection spans all reads.
+        if (opts.get("per-sample").contains("true")) {
+          // --per-sample (opt-in, needs --sample-regex): every sample gets
+          // its own taxon selection and tailored sub-index, in one
+          // distributed pass (a contaminant below threshold in sample A
+          // stays unclassified even if abundant in sample B). Without the
+          // flag, --sample-regex keeps its original meaning — ONE global
+          // selection, per-sample output partitioning.
+          require(opts.contains("sample-regex"),
+            "--per-sample needs --sample-regex to identify samples")
+          require(goldSet.isEmpty && !opts.contains("bracken-read-len"),
+            "--per-sample does not combine with --gold or --bracken-read-len")
           val (classified, perSample, cleanup) = dyn.classify2MultiSample(
             loadReads(spark, opts), opts("sample-regex"),
             loadLibrary(spark, opts), records,

@@ -127,7 +127,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       case Some(g) =>
         collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
       case None =>
-        val ev = evidence(spans, staticRecords, criterion)
+        // forward the caller's confidence so the ClassifiedReads criterion
+        // counts first-pass reads at the same threshold the final pass uses
+        // (and classify2MultiSample on one sample stays equivalent)
+        val ev = evidence(spans, staticRecords, criterion, confidence)
           .as[(Int, Long)].collect()
         selectTaxa(ev, rank, threshold)
     }
@@ -205,6 +208,13 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // reads hit nothing still gets an (empty) selection and a result
     val samples = spans.select(sampleOf.as("sample")).distinct()
       .as[String].collect()
+    // guard the driver: a too-broad regex (e.g. the "^(.*)$" output default)
+    // would make every read its own sample and degenerate per-sample
+    // selection into per-read driver state — fail loudly instead
+    require(samples.length <= 100000,
+      s"sample regex '$sampleRegex' yields ${samples.length} distinct " +
+        "samples — per-sample selection needs a regex that groups reads " +
+        "into samples, not one per read")
     val bySample = ev.groupBy(_._1)
     val perSample: Map[String, collection.BitSet] = samples.map { s =>
       s -> selectTaxa(bySample.getOrElse(s, Array.empty).map(e => (e._2, e._3)),

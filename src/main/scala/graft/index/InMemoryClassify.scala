@@ -26,8 +26,18 @@ final class LongTaxonMap private (used: Array[Boolean], keys: Array[Long],
 }
 
 object LongTaxonMap {
+  /** Power-of-2 capacity >= 2n, computed in Long then bounded: beyond 2^28
+    * records the table alone is multiple GB and the arithmetic would
+    * overflow Int — fail loudly toward the join path instead. */
+  private[index] def capacityFor(n: Int): Int = {
+    require(n <= (1 << 28),
+      s"in-memory classification table too large ($n records) — " +
+        "use the bucketed-join classify path for indexes this size")
+    java.lang.Long.highestOneBit(math.max(16L, n.toLong * 2) * 2).toInt
+  }
+
   def apply(kv: Array[(Long, Int)]): LongTaxonMap = {
-    val cap = Integer.highestOneBit(math.max(16, kv.length * 2) * 2)
+    val cap = capacityFor(kv.length)
     val used = new Array[Boolean](cap)
     val keys = new Array[Long](cap)
     val vals = new Array[Int](cap)
@@ -58,7 +68,7 @@ final class WideTaxonMap private (used: Array[Boolean], keysHi: Array[Long],
 
 object WideTaxonMap {
   def apply(kv: Array[(Long, Long, Int)]): WideTaxonMap = {
-    val cap = Integer.highestOneBit(math.max(16, kv.length * 2) * 2)
+    val cap = LongTaxonMap.capacityFor(kv.length)
     val used = new Array[Boolean](cap)
     val keysHi = new Array[Long](cap)
     val keysLo = new Array[Long](cap)

@@ -424,7 +424,11 @@ object MinimizerIndex {
 object IndexParams {
   import org.apache.hadoop.fs.Path
 
-  def write(spark: SparkSession, p: IndexParams, indexPath: String): Unit = {
+  /** @param writeDemotionSidecar false when re-stamping properties for an
+    *   index whose demotion sidecar is already on disk (skips the redundant
+    *   second write of the demoted array). */
+  def write(spark: SparkSession, p: IndexParams, indexPath: String,
+      writeDemotionSidecar: Boolean = true): Unit = {
     val props = new java.util.Properties()
     props.setProperty("k", p.k.toString)
     props.setProperty("m", p.m.toString)
@@ -440,7 +444,8 @@ object IndexParams {
     try props.store(out, "graft index parameters") finally out.close()
     // the demotion set travels with the index: classify-time scans must
     // reproduce the exact build-time ordering or keys will not match
-    for (d <- p.demoted) FrequencyOrdering.write(spark, indexPath, d)
+    if (writeDemotionSidecar)
+      for (d <- p.demoted) FrequencyOrdering.write(spark, indexPath, d)
   }
 
   def read(spark: SparkSession, indexPath: String): IndexParams = {

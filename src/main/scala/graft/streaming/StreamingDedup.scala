@@ -267,7 +267,19 @@ object StreamingDedup {
     * (write them to the queue/log topic backing it; in tests, collect and
     * `MemoryStream.addData`) — they apply before the NEXT trigger's data,
     * so a dead doc's buckets suppress look-alikes for at most one trigger
-    * rather than until the state TTL. */
+    * rather than until the state TTL.
+    *
+    * Contract: the frames passed to `sink` are views over the persisted
+    * micro-batch and are unpersisted as soon as `sink` returns — consume
+    * them synchronously inside the callback (the standard foreachBatch
+    * rule), never stash them for later.
+    *
+    * Degradation: feedback events carry the originating batch's event time
+    * and pass through the same watermark; in a catch-up run where event
+    * time jumps more than the watermark delay between triggers, a
+    * correction can be dropped as late data — the affected bucket then
+    * falls back to the TTL-bounded window (the no-feedback behavior), never
+    * to unbounded suppression. */
   def dedupNearWithFeedback(docs: DataFrame, textCol: String, tsCol: String,
       idCol: String, feedback: Option[Dataset[Feedback]],
       watermark: String = "10 minutes", shingleN: Int = 3,

@@ -351,7 +351,7 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classifiedF.count(_._2 != 0) > 25,
       "frequency-ordered index failed to classify the clean reads")
 
-    // multi-sample classify2: --sample-regex switches taxon selection to
+    // multi-sample classify2: --per-sample switches taxon selection to
     // per-sample — sample ma is species 4 plus ONE species-5 contaminant
     // read (below threshold), sample mb is pure species 5; the contaminant
     // must stay unclassified in ma even though species 5 dominates mb
@@ -375,7 +375,7 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "--library", dir.resolve("lib.fasta").toString,
         "--labels", dir.resolve("labels.tsv").toString,
         "--reads", dir.resolve("msreads.fastq").toString,
-        "--sample-regex", "^([^_]+)_",
+        "--sample-regex", "^([^_]+)_", "--per-sample",
         "--threshold", "70",
         "--output", outMS))
     }
