@@ -438,8 +438,14 @@ object Main {
             rank = rank, threshold = threshold)
           for ((s, taxa) <- perSample.toSeq.sortBy(_._1))
             println(s"sample $s: selected ${taxa.size} taxa")
-          IndexOps.writePerSampleOutput(classified, opts("sample-regex"),
+          val cached = classified
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          IndexOps.writePerSampleOutput(cached, opts("sample-regex"),
             opts("output"))
+          // per-sample kreports, same as classify --sample-regex
+          IndexOps.writePerSampleReports(cached, opts("sample-regex"),
+            opts("output") + "_reports", bcTax)
+          cached.unpersist()
           cleanup()
         } else {
           val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(

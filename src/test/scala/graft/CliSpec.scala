@@ -388,6 +388,12 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // per-sample partitions exist (writePerSampleOutput keyed by the regex)
     assert(Files.exists(java.nio.file.Paths.get(outMS, "sample=ma")))
     assert(Files.exists(java.nio.file.Paths.get(outMS, "sample=mb")))
+    // and per-sample kreports, like classify --sample-regex
+    val maReport = Files.readAllLines(
+      java.nio.file.Paths.get(outMS + "_reports", "ma.kreport.txt"))
+    assert(maReport.stream().anyMatch(_.contains("species four")))
+    assert(Files.exists(
+      java.nio.file.Paths.get(outMS + "_reports", "mb.kreport.txt")))
     // ma's own reads classify inside species 4's clade; mb's inside 5's
     assert(msRows.count { case (t, x) => t.startsWith("ma_r") && x == 4 } > 15)
     assert(msRows.count { case (t, x) => t.startsWith("mb_r") && x == 5 } > 15)
