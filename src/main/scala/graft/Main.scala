@@ -331,8 +331,8 @@ object Main {
         }
 
         // --in-memory: zero-shuffle classification with a broadcast index
-        // table (single confidence only — the sweep's cached-join reuse does
-        // not apply to a pure map). Without the flag, auto-pick it when the
+        // table; -c sweeps build hits once per read and resolve per
+        // threshold. Without the flag, auto-pick it when the
         // build-time record count in the sidecar says the table fits even a
         // minimally-sized driver: 2M records -> 4.2M slots after power-of-2
         // rounding, ~55MB narrow / ~90MB wide plus a transient collect —
@@ -342,13 +342,32 @@ object Main {
         val memAutoMax = 2L * 1000 * 1000
         val inMemory = opts.get("in-memory") match {
           case Some(v) => v == "true"
-          case None => confs.length == 1 && params.records.exists(_ <= memAutoMax)
+          case None => params.records.exists(_ <= memAutoMax)
         }
-        require(!inMemory || confs.length == 1,
-          "--in-memory supports a single -c confidence")
         if (inMemory && !opts.contains("in-memory"))
           println(s"auto in-memory classification " +
             s"(${params.records.getOrElse(0L)} records)")
+
+        // in-memory emit: single confidence is one pure map; a sweep builds
+        // hits once per read and resolves per threshold (persisted so the
+        // per-threshold filters read the cache, not re-scan the reads)
+        def emitInMemory(mem: InMemoryClassifier): Unit = {
+          import spark.implicits._
+          if (confs.length == 1)
+            emit(mem.classify(loadReads(spark, opts), confs.head, minHitGroups),
+              opts("output"))
+          else {
+            val swept = mem.classifySweep(loadReads(spark, opts), confs,
+                minHitGroups)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            for (conf <- confs) {
+              println(s"== confidence $conf ==")
+              emit(swept.filter(_._1 == conf).map(_._2),
+                s"${opts("output")}/c$conf")
+            }
+            swept.unpersist()
+          }
+        }
 
         if (params.m > 32) {
           // wide (m>32) and narrow share the span protocol and ClassifyKernel,
@@ -356,8 +375,7 @@ object Main {
           val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
           val records = wide.loadRecords(spark, idxPath, params.buckets)
           if (inMemory)
-            emit(wide.classifyInMemory(loadReads(spark, opts), records,
-              confs.head, minHitGroups), opts("output"))
+            emitInMemory(wide.inMemoryClassifier(records))
           else {
             val spans = wide.spans(loadReads(spark, opts))
             if (confs.length > 1)
@@ -377,8 +395,7 @@ object Main {
         } else {
           val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
           if (inMemory)
-            emit(index.classifyInMemory(loadReads(spark, opts), records,
-              confs.head, minHitGroups), opts("output"))
+            emitInMemory(index.inMemoryClassifier(records))
           else {
             val spans = index.spans(loadReads(spark, opts))
             if (confs.length > 1)

@@ -25,6 +25,15 @@ final case class KeyedSupermer(k1: Long, k2: Long, start: Int, kmers: Int)
 trait InMemoryClassifier extends Serializable {
   def classify(reads: Dataset[InputFragment], confidence: Double = 0.0,
       minHitGroups: Int = 2, detail: Boolean = true): Dataset[ClassifiedRead]
+
+  /** Sweep several confidence thresholds with ONE scan+lookup per read —
+    * the zero-shuffle analogue of the join path's cached-join sweep
+    * ([[KeyedIndex.classifyMultiThresholdDF]]): hits build once, resolution
+    * runs per threshold. Returns (confidence, read) rows; persist before
+    * filtering per threshold or each filter re-scans the reads. */
+  def classifySweep(reads: Dataset[InputFragment], confidences: Seq[Double],
+      minHitGroups: Int = 2, detail: Boolean = true)
+      : Dataset[(Double, ClassifiedRead)]
 }
 
 trait KeyedIndex extends Serializable {

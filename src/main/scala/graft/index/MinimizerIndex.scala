@@ -319,6 +319,17 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     val tax = bcTax
     val outer = this
     new InMemoryClassifier {
+      private def fragHits(f: InputFragment,
+          scanner: SupermerScanner, tbl: LongTaxonMap): Vector[TaxonHit] =
+        outer.fragmentSpans(f, scanner).map { s =>
+          val t = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => tbl.get(s.id1)
+          }
+          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
+        }.toVector
+
       def classify(reads: Dataset[InputFragment], confidence: Double,
           minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
         val session = reads.sparkSession
@@ -328,14 +339,7 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
           val resolver = new graft.taxa.LcaResolver(tax.value)
           val tbl = bc.value
           it.flatMap { f =>
-            val hits = outer.fragmentSpans(f, scanner).map { s =>
-              val t = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => tbl.get(s.id1)
-              }
-              TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-            }.toVector
+            val hits = fragHits(f, scanner, tbl)
             // a read with no spans has no group row in the join path either
             if (hits.isEmpty) None
             else {
@@ -343,6 +347,28 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
                 f.nucleotides2.map(_.length).getOrElse(0)
               Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen,
                 resolver, confidence, minHitGroups, detail))
+            }
+          }
+        }
+      }
+
+      def classifySweep(reads: Dataset[InputFragment],
+          confidences: Seq[Double], minHitGroups: Int, detail: Boolean)
+          : Dataset[(Double, ClassifiedRead)] = {
+        val session = reads.sparkSession
+        import session.implicits._
+        reads.mapPartitions { it =>
+          val scanner = p.scanner
+          val resolver = new graft.taxa.LcaResolver(tax.value)
+          val tbl = bc.value
+          it.flatMap { f =>
+            val hits = fragHits(f, scanner, tbl)
+            if (hits.isEmpty) Iterator.empty
+            else {
+              val seqLen = f.nucleotides.length +
+                f.nucleotides2.map(_.length).getOrElse(0)
+              confidences.iterator.map(c => c -> ClassifyKernel.resolveLocal(
+                f.header, hits, seqLen, resolver, c, minHitGroups, detail))
             }
           }
         }

@@ -217,6 +217,16 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
     val tax = bcTax
     val outer = this
     new InMemoryClassifier {
+      private def fragHits(f: InputFragment, tbl: WideTaxonMap): Vector[TaxonHit] =
+        outer.fragmentSpans(f, sc).map { s =>
+          val t = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => tbl.get(s.id1, s.id2)
+          }
+          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
+        }.toVector
+
       def classify(reads: Dataset[InputFragment], confidence: Double,
           minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
         val session = reads.sparkSession
@@ -225,20 +235,34 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
           val resolver = new graft.taxa.LcaResolver(tax.value)
           val tbl = bc.value
           it.flatMap { f =>
-            val hits = outer.fragmentSpans(f, sc).map { s =>
-              val t = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => tbl.get(s.id1, s.id2)
-              }
-              TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-            }.toVector
+            val hits = fragHits(f, tbl)
             if (hits.isEmpty) None
             else {
               val seqLen = f.nucleotides.length +
                 f.nucleotides2.map(_.length).getOrElse(0)
               Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen,
                 resolver, confidence, minHitGroups, detail))
+            }
+          }
+        }
+      }
+
+      def classifySweep(reads: Dataset[InputFragment],
+          confidences: Seq[Double], minHitGroups: Int, detail: Boolean)
+          : Dataset[(Double, ClassifiedRead)] = {
+        val session = reads.sparkSession
+        import session.implicits._
+        reads.mapPartitions { it =>
+          val resolver = new graft.taxa.LcaResolver(tax.value)
+          val tbl = bc.value
+          it.flatMap { f =>
+            val hits = fragHits(f, tbl)
+            if (hits.isEmpty) Iterator.empty
+            else {
+              val seqLen = f.nucleotides.length +
+                f.nucleotides2.map(_.length).getOrElse(0)
+              confidences.iterator.map(c => c -> ClassifyKernel.resolveLocal(
+                f.header, hits, seqLen, resolver, c, minHitGroups, detail))
             }
           }
         }

@@ -102,6 +102,22 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       }
     assert(krakenLines.nonEmpty)
     assert(krakenLines.forall(_.split("\t", -1)(4).nonEmpty))
+
+    // the sweep above auto-selected the in-memory path (small stamped
+    // index); re-run with the bucketed join forced and pin per-read
+    // equality of both thresholds' outputs
+    val outJ = dir.resolve("outj").toString
+    Main.main(Array("classify", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--c", "0.0,0.9", "--min-hit-groups", "1",
+      "--sample-regex", "(S\\d)R", "--in-memory", "false",
+      "--output", outJ))
+    for (c <- Seq("0.0", "0.9")) {
+      def taxa(p: String) = index.MappingComparison.readKrakenOutput(spark, p)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(taxa(s"$out/c$c") == taxa(s"$outJ/c$c"), s"c=$c")
+    }
   }
 
   test("CLI: wide (m=33) salted build -> classify2 -> bracken") {

@@ -75,6 +75,26 @@ class InMemoryClassifySpec extends AnyFunSuite with SparkSessionTestWrapper {
     records.unpersist()
   }
 
+  test("in-memory sweep equals per-threshold classification at both widths") {
+    import spark.implicits._
+    val confs = Seq(0.0, 0.35, 0.9)
+    val narrow = new MinimizerIndex(IndexParams(k = 35, m = 31, buckets = 4), bcTax)
+    val wide = new WideMinimizerIndex(k = 50, m = 40, bcTax)
+    val lib = spark.createDataset(genomes.toSeq)
+    val ds = spark.createDataset(reads)
+    for (index <- Seq(narrow: KeyedIndex, wide: KeyedIndex)) {
+      val records = index.buildRecords(lib).cache()
+      val mem = index.inMemoryClassifier(records)
+      val swept = mem.classifySweep(ds, confs).collect()
+        .groupBy(_._1).view.mapValues(v => asMap(v.map(_._2))).toMap
+      assert(swept.keySet == confs.toSet)
+      for (conf <- confs)
+        assert(swept(conf) == asMap(mem.classify(ds, conf).collect()),
+          s"conf=$conf width=${index.keyCols.size}")
+      records.unpersist()
+    }
+  }
+
   test("in-memory classification runs zero shuffles") {
     import spark.implicits._
     val index = new MinimizerIndex(IndexParams(k = 35, m = 31, buckets = 4), bcTax)
