@@ -290,6 +290,34 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     staticRecords.unpersist()
   }
 
+  test("leaf-pair re-fold equals a direct sub-library build for random subsets") {
+    // the multi-sample pipeline derives each group's records from shared
+    // distinct (key, taxon) pairs instead of re-scanning the library; that
+    // is only legal if filter+re-fold reproduces buildRecords on the
+    // filtered library EXACTLY, for any subset, at both key widths
+    import spark.implicits._
+    val narrow = new MinimizerIndex(IndexParams(k = 35, m = 31, buckets = 4), bcTax)
+    val wide = new WideMinimizerIndex(k = 40, m = 33, bcTax)
+    val lib = spark.createDataset(genomes.toSeq)
+    val taxa = genomes.keySet.toSeq
+    val localRng = new Random(7)
+    for (index <- Seq(narrow: KeyedIndex, wide: KeyedIndex)) {
+      val pairs = index.buildLeafPairs(lib).cache()
+      for (_ <- 0 until 5) {
+        val subset = taxa.filter(_ => localRng.nextBoolean()).toSet
+        val bcSub = spark.sparkContext.broadcast(subset)
+        val refolded = index.foldLeafPairs(
+            pairs.filter(r => bcSub.value.contains(
+              r.getInt(r.fieldIndex("taxon")))))
+          .collect().map(_.toSeq).toSet
+        val direct = index.buildRecords(lib.filter(g => bcSub.value.contains(g._1)))
+          .collect().map(_.toSeq).toSet
+        assert(refolded == direct, s"subset $subset width ${index.keyCols.size}")
+      }
+      pairs.unpersist()
+    }
+  }
+
   test("multi-sample classify2 runs width-generically (wide m=33 keys)") {
     import spark.implicits._
     val wide = new WideMinimizerIndex(k = 35, m = 33, bcTax)
