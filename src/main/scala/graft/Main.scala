@@ -619,8 +619,20 @@ object Main {
           // otherwise silently produce a non-self-contained output
           copyTaxonomy(spark,
             opts.getOrElse("taxonomy", idxPath + "/taxonomy"), outLoc)
+          // re-stamp the record count (respacing re-folds to fewer records)
+          // so downstream classify can still auto-pick the in-memory path
+          val outParams = IndexParams.read(spark, outLoc)
+          val n =
+            if (outParams.m > 32)
+              new WideMinimizerIndex(outParams.k, outParams.m, bcTax,
+                outParams.spaces)
+                .loadRecords(spark, outLoc, outParams.buckets).count()
+            else MinimizerIndex.loadRecords(spark, outLoc, outParams.buckets)
+              .count()
+          IndexParams.write(spark, outParams.copy(records = Some(n)), outLoc,
+            writeDemotionSidecar = false)
           println(s"index written: $outLoc (s=$s): " +
-            s"${IndexParams.read(spark, outLoc).spaces} spaces")
+            s"${outParams.spaces} spaces, $n records")
         }
 
       case "inspect" =>
