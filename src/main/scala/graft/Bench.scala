@@ -76,9 +76,18 @@ object Bench {
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    // queries ADDED to the bench set in round 6: the headline total grew by
+    // their cost, so the artifact also carries the subtotal comparable to
+    // earlier rounds' totals (same 13-query set)
+    val added = Set("g11_mem_classify", "g12_mem_wide_classify")
+    val comparable = results.collect {
+      case (k, (med, _, _)) if !added(k) && med >= 0 => med
+    }.sum
+    val addedJson = added.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val sf = sfDir.replaceAll(".*sf", "")
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
