@@ -416,6 +416,26 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the contaminant read is NOT in ma's tailored index -> unclassified
     assert(msRows("ma_cont") == 0,
       "per-sample selection leaked species 5 into sample ma")
+
+    // scan: per-sequence super-mer stats agree with the scanner directly
+    // (the same surface tools/test_golden_kernels.py fuzzes from Python)
+    val scanOut = dir.resolve("scan.tsv").toString
+    Main.main(Array("scan", "--library", dir.resolve("lib.fasta").toString,
+      "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--output", scanOut))
+    val scanRows = Files.readAllLines(java.nio.file.Paths.get(scanOut))
+    assert(scanRows.size == 2)
+    val sc = graft.index.IndexParams(k = 35, m = 31, spaces = 7).scanner
+    for ((name, t) <- Seq("s4" -> 4, "s5" -> 5)) {
+      val sms = sc.scan(genomes(t)).toVector
+      val distinct = sms.map(_.minimizer).distinct
+      val want = Seq(name, sms.size.toString, sms.map(_.kmers).sum.toString,
+        distinct.size.toString,
+        java.lang.Long.toUnsignedString(distinct.foldLeft(0L)(_ ^ _)))
+      val got = scanRows.stream().filter(_.startsWith(name + "\t"))
+        .findFirst().get().split("\t").toSeq
+      assert(got == want, s"scan row for $name")
+    }
   }
 
   test("CLI: respace / inspect / compareIndex / inputCheck") {
