@@ -113,6 +113,17 @@ object Main {
     idx.getOrElse(base, 0)
   }
 
+  /** Strict boolean flag parse: "true"/"false" case-insensitively; anything
+    * else ("1", a typo) fails loudly instead of silently acting as false. */
+  private def boolOpt(opts: Map[String, String], name: String): Option[Boolean] =
+    opts.get(name).map { v =>
+      v.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => sys.error(s"--$name takes true/false, got '$other'")
+      }
+    }
+
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
     require(args.nonEmpty, "usage: <command> [--opt value ...]")
     val cmd = args(0)
@@ -340,10 +351,8 @@ object Main {
         // driver are one explicit `--in-memory true` away; --in-memory
         // false always forces the bucketed join.
         val memAutoMax = 2L * 1000 * 1000
-        val inMemory = opts.get("in-memory") match {
-          case Some(v) => v == "true"
-          case None => params.records.exists(_ <= memAutoMax)
-        }
+        val inMemory = boolOpt(opts, "in-memory")
+          .getOrElse(params.records.exists(_ <= memAutoMax))
         if (inMemory && !opts.contains("in-memory"))
           println(s"auto in-memory classification " +
             s"(${params.records.getOrElse(0L)} records)")
@@ -438,7 +447,7 @@ object Main {
         }
         val rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r }
         val threshold = opts.getOrElse("threshold", "100").toLong
-        if (opts.get("per-sample").contains("true")) {
+        if (boolOpt(opts, "per-sample").getOrElse(false)) {
           // --per-sample (opt-in, needs --sample-regex): every sample gets
           // its own taxon selection and tailored sub-index, in one
           // distributed pass (a contaminant below threshold in sample A
@@ -841,13 +850,7 @@ object Main {
           .write.mode("overwrite").text(outPrefix + ".ids_filtered")
         // per-taxon counts; paired mates appear as two mapping rows, so the
         // default halves (reference parity) — --single-end counts raw rows
-        val singleEnd = opts.get("single-end") match {
-          case None => false
-          case Some("true") => true
-          case Some("false") => false
-          case Some(other) =>
-            sys.error(s"--single-end takes true/false, got '$other'")
-        }
+        val singleEnd = boolOpt(opts, "single-end").getOrElse(false)
         val rawCounts = filtered
           .map(_.getString(2).toInt).toDF("taxon")
           .groupBy($"taxon")

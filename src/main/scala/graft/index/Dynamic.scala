@@ -35,9 +35,14 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
   def this(params: IndexParams, bcTax: Broadcast[Taxonomy]) =
     this(new MinimizerIndex(params, bcTax), bcTax)
 
-  /** Per-taxon evidence counts from the first pass. */
+  /** Per-taxon evidence counts from the first pass. The ClassifiedReads
+    * criterion reuses the caller's classify parameters (confidence AND
+    * minHitGroups) so the first pass counts reads at exactly the thresholds
+    * the final pass will use (spec: reference Dynamic.scala
+    * classifiedReadsPerTaxon reuses the same classify params). */
   def evidence(spans: DataFrame, records: DataFrame,
-      criterion: TaxonCriterion, confidence: Double = 0.0): DataFrame = {
+      criterion: TaxonCriterion, confidence: Double = 0.0,
+      minHitGroups: Int = 2): DataFrame = {
     val spark = spans.sparkSession
     import spark.implicits._
     val keys = index.keyCols
@@ -51,7 +56,7 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
       case ClassifiedReads =>
-        index.classifyDF(spans, records, confidence)
+        index.classifyDF(spans, records, confidence, minHitGroups)
           .filter(_.classified)
           .groupBy($"taxon").agg(count(lit(1)).cast("long").as("count"))
     }
@@ -127,11 +132,11 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       case Some(g) =>
         collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
       case None =>
-        // forward the caller's confidence so the ClassifiedReads criterion
-        // counts first-pass reads at the same threshold the final pass uses
-        // (and classify2MultiSample on one sample stays equivalent)
-        val ev = evidence(spans, staticRecords, criterion, confidence)
-          .as[(Int, Long)].collect()
+        // forward the caller's classify params so the ClassifiedReads
+        // criterion counts first-pass reads at the same thresholds the final
+        // pass uses (and classify2MultiSample on one sample stays equivalent)
+        val ev = evidence(spans, staticRecords, criterion, confidence,
+          minHitGroups).as[(Int, Long)].collect()
         selectTaxa(ev, rank, threshold)
     }
     val bcTaxa = spark.sparkContext.broadcast(taxa)
@@ -185,6 +190,19 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
 
     val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // guard the driver BEFORE collecting any per-(sample, taxon) evidence:
+    // a too-broad regex (e.g. the "^(.*)$" output default) would make every
+    // read its own sample, and the evidence collect itself — not just the
+    // later selection — would degenerate into per-read driver state. Samples
+    // enumerate from the spans, not the evidence, so a sample whose reads
+    // hit nothing still gets an (empty) selection and a result.
+    val samples = spans.select(sampleOf.as("sample")).distinct()
+      .as[String].collect()
+    require(samples.length <= 100000,
+      s"sample regex '$sampleRegex' yields ${samples.length} distinct " +
+        "samples — per-sample selection needs a regex that groups reads " +
+        "into samples, not one per read")
+
     // one evidence aggregation for every sample at once
     val ev: Array[(String, Int, Long)] = (criterion match {
       case TotalMinimizers =>
@@ -197,24 +215,13 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
       case ClassifiedReads =>
-        index.classifyDF(spans, staticRecords, confidence)
+        index.classifyDF(spans, staticRecords, confidence, minHitGroups)
           .filter(_.classified).toDF()
           .groupBy(sampleOf.as("sample"), col("taxon"))
           .agg(count(lit(1)).cast("long").as("count"))
     }).as[(String, Int, Long)].collect()
 
-    // driver-side per-sample selection on the collected evidence (small);
-    // samples enumerate from the spans, not the evidence — a sample whose
-    // reads hit nothing still gets an (empty) selection and a result
-    val samples = spans.select(sampleOf.as("sample")).distinct()
-      .as[String].collect()
-    // guard the driver: a too-broad regex (e.g. the "^(.*)$" output default)
-    // would make every read its own sample and degenerate per-sample
-    // selection into per-read driver state — fail loudly instead
-    require(samples.length <= 100000,
-      s"sample regex '$sampleRegex' yields ${samples.length} distinct " +
-        "samples — per-sample selection needs a regex that groups reads " +
-        "into samples, not one per read")
+    // driver-side per-sample selection on the collected evidence (small)
     val bySample = ev.groupBy(_._1)
     val perSample: Map[String, collection.BitSet] = samples.map { s =>
       s -> selectTaxa(bySample.getOrElse(s, Array.empty).map(e => (e._2, e._3)),

@@ -649,6 +649,56 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("unknown rank"))
   }
 
+  test("CLI: build --salt N is bit-identical to the unsalted build; " +
+      "non-boolean flag values fail loudly") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-salt")
+    // a low-complexity repeat concentrates records under few minimizers —
+    // exactly the library shape --salt exists for
+    val repeat = "ACGTT" * 120
+    val genomes = Map(4 -> (dna(1500) + repeat + dna(1500)), 5 -> dna(3000))
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    def build(out: String, extra: String*): Unit =
+      Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4") ++ extra ++
+        Array("--library", dir.resolve("lib.fasta").toString,
+          "--labels", dir.resolve("labels.tsv").toString,
+          "--taxonomy", dir.resolve("tax").toString,
+          "--output", out))
+    val idxU = dir.resolve("idxu").toString
+    val idxS = dir.resolve("idxs").toString
+    build(idxU)
+    build(idxS, "--salt", "4")
+
+    // the two-stage salted fold must produce the IDENTICAL index
+    def rows(p: String) = graft.index.MinimizerIndex.loadRecords(spark, p, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (ru, rs) = (rows(idxU), rows(idxS))
+    assert(ru.nonEmpty && ru == rs, "salted CLI build diverged from unsalted")
+    // the records sidecar stamp survives the salted path (classify auto-pick)
+    val pu = graft.index.IndexParams.read(spark, idxU)
+    val ps = graft.index.IndexParams.read(spark, idxS)
+    assert(ps.records == pu.records && ps.records.exists(_ == ru.size))
+
+    // a typo'd boolean value must error, not silently mean false
+    val e = intercept[RuntimeException] {
+      Main.main(Array("classify", "--index", idxS,
+        "--reads", dir.resolve("none.fastq").toString,
+        "--in-memory", "1", "--output", dir.resolve("x").toString))
+    }
+    assert(e.getMessage.contains("--in-memory takes true/false"))
+  }
+
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("classify2", "--index", "x", "--treshold", "10",
