@@ -16,6 +16,11 @@ import Q.t
   */
 object GenomicQueries {
 
+  /** Prepared state for one staged bench entry: [[classify]] builds a FRESH
+    * classify-stage DataFrame per invocation (reps re-run the stage, never a
+    * cached result); [[cleanup]] drops the prepared caches. */
+  final case class StagedRun(classify: () => DataFrame, cleanup: () => Unit)
+
   private val HEX2DNA: (String, String) = ("0123456789abcdef", "AAAACCCCGGGGTTTT")
 
   /** 128 bp of deterministic DNA from a string column (4 chained md5s). */
@@ -53,6 +58,90 @@ object GenomicQueries {
   private def customerDna(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), dnaCol(col("c_name")).as("dna"))
+
+  /** Staged variants of the genomic bench entries (r6 verdict): the headline
+    * g-numbers time index construction + classification together, and the
+    * build dominates — the in-memory path's zero-shuffle classify stage was
+    * invisible in them (g11 read ≈ g03 within noise). Here each entry's
+    * `prepare` thunk builds and MATERIALIZES everything the classify stage
+    * consumes — the LCA records (persisted + counted), the derived reads
+    * (persisted post-derivation, so the md5 synthesis is excluded), and for
+    * the in-memory entries the broadcast open-addressing table — and its
+    * wall time is reported as the build stage; the classify thunk is then
+    * timed alone per rep. The headline totals keep the combined semantics
+    * for round-over-round continuity. */
+  def stagedBench(s: SparkSession, dir: String): Seq[(String, () => StagedRun)] = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    import graft.index.ClassifiedRead
+    import org.apache.spark.sql.Dataset
+
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+    }
+    def readsDs(mod: Int, len: Int): Dataset[InputFragment] = {
+      val ds = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % mod) + 1).cast("int"),
+            lit(len)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count(); ds
+    }
+    def agg(ds: Dataset[ClassifiedRead]): DataFrame = ds
+      .groupBy($"taxon".cast("long").as("taxon"))
+      .agg(count(lit(1)).cast("long").as("n_reads"))
+      .orderBy($"taxon")
+    def lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+
+    Seq(
+      // the bucketed-join scale path, narrow keys: classify stage = span
+      // extraction + one-sided join + per-read resolve + count
+      "g03_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new MinimizerIndex(params, bcTax)
+        val records = materialize(index.makeRecords(lib))
+        val reads = readsDs(80, 44)
+        StagedRun(
+          () => agg(index.classify(index.spans(reads), records,
+            confidence = 0.0, minHitGroups = 1)),
+          () => { records.unpersist(false); reads.unpersist(false); () })
+      }),
+      // the same reads through the zero-shuffle broadcast-table path: the
+      // table build (collect + open addressing + broadcast) is build stage
+      "g11_mem_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new MinimizerIndex(params, bcTax)
+        val mem = index.inMemoryClassifier(index.makeRecords(lib))
+        val reads = readsDs(80, 44)
+        StagedRun(
+          () => agg(mem.classify(reads, confidence = 0.0, minHitGroups = 1)),
+          () => { reads.unpersist(false); () })
+      }),
+      // wide (m=40, two-long keys) join path
+      "g07_wide_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
+        val records = materialize(index.makeRecords(lib))
+        val reads = readsDs(60, 56)
+        StagedRun(
+          () => agg(index.classify(index.spans(reads), records,
+            minHitGroups = 1)),
+          () => { records.unpersist(false); reads.unpersist(false); () })
+      }),
+      // wide in-memory path
+      "g12_mem_wide_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
+        val mem = index.inMemoryClassifier(index.makeRecords(lib))
+        val reads = readsDs(60, 56)
+        StagedRun(
+          () => agg(mem.classify(reads, minHitGroups = 1)),
+          () => { reads.unpersist(false); () })
+      }))
+  }
 
   val queries: Seq[Q] = Seq(
     // supermer/minimizer extraction over derived DNA
