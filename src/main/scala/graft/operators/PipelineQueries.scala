@@ -11,6 +11,76 @@ import Q.t
   */
 object PipelineQueries {
 
+  // ---- DuckDB SQL fragments reproducing the Scala hash kernels ----
+  //
+  // The dedup/minhash oracles (t08, t15) need TextAnalysis.hashString
+  // (FNV-1a + mix64 avalanche) and the MinHash affine family inside plain
+  // SQL. The corpus is ASCII, so FNV over UTF-16 code units equals FNV over
+  // codepoints (DuckDB unicode()). All arithmetic runs in the unsigned
+  // [0, 2^64) domain as HUGEINT with explicit wrap — DuckDB BIGINT ERRORS
+  // on overflow instead of wrapping — and 64x64 multiplies split into
+  // 32-bit halves so no intermediate exceeds the signed-128-bit HUGEINT
+  // range. list_transform over a one-element list acts as a let-binding for
+  // each intermediate, keeping expression size linear in the step count.
+
+  /** 2^64 as a HUGEINT literal (the wrap modulus). */
+  private val M64 = "18446744073709551616::HUGEINT"
+
+  /** (u * c) mod 2^64 for u < 2^64 and a constant c < 2^64: split u into
+    * 32-bit halves; only the low 32 bits of the high product survive. */
+  private def mul64(u: String, c: String): String =
+    s"((($u) % 4294967296) * $c::HUGEINT" +
+      s" + (((($u) // 4294967296) * $c::HUGEINT) % 4294967296)" +
+      s" * 4294967296::HUGEINT) % $M64"
+
+  /** (a * b) mod 2^64 for two full-width operands (the MinHash pa*s). */
+  private def mul64Full(a: String, b: String): String =
+    s"((($a) % 4294967296) * (($b) % 4294967296)" +
+      s" + (((($a) // 4294967296) * (($b) % 4294967296)" +
+      s"     + (($a) % 4294967296) * (($b) // 4294967296)) % 4294967296)" +
+      s"   * 4294967296::HUGEINT) % $M64"
+
+  /** TextAnalysis.mix64 on an unsigned HUGEINT expression (>>> n becomes
+    * // 2^n on the non-negative domain; xor is native on HUGEINT). */
+  private def mix64Sql(z: String): String =
+    s"""list_transform([(($z) + 11400714819323198485::HUGEINT) % $M64], z1 ->
+       |  list_transform([xor(z1, z1 // 1073741824)], x1 ->
+       |    list_transform([${mul64("x1", "13787848793156543929")}], z2 ->
+       |      list_transform([xor(z2, z2 // 134217728)], x2 ->
+       |        list_transform([${mul64("x2", "10723151780598845931")}], z3 ->
+       |          xor(z3, z3 // 2147483648)
+       |        )[1])[1])[1])[1])[1]""".stripMargin
+
+  /** TextAnalysis.hashString's FNV-1a loop over the characters of column
+    * `g` (list_reduce with the offset basis prepended as the seed). */
+  private val fnvSql: String =
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT," +
+      " list_transform(string_split(g, ''), c -> unicode(c)::HUGEINT))," +
+      s" (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % $M64)"
+
+  /** Unsigned HUGEINT in [0, 2^64) -> the same 64 bits as signed BIGINT
+    * (Scala Long semantics, needed wherever the Scala side compares). */
+  private def s64(u: String): String =
+    s"CASE WHEN ($u) >= 9223372036854775808::HUGEINT" +
+      s" THEN (($u) - $M64)::BIGINT ELSE ($u)::BIGINT END"
+
+  /** Shared shingle derivation mirroring TextAnalysis.shingles(text, 3):
+    * whitespace tokens (empties dropped), 3-gram join by single space, and
+    * the under-3-token fallback to one whole-text shingle. `key` names the
+    * grouping column carried through (doc_id / source). */
+  private def shingleCtes(key: String): String =
+    s"""toks AS (
+       |  SELECT $key, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    t -> t <> '') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT $key, unnest(CASE WHEN len(w) = 0 THEN []
+       |      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |      ELSE list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+       |  FROM toks
+       |)""".stripMargin
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -21,44 +91,75 @@ object PipelineQueries {
     t(s, dir, "embeddings").select($"vec_id", $"embedding").as[(Long, Array[Float])]
   }
 
+  /** Brute-force 3-gram Jaccard pairs at threshold 0.5 — the oracle for
+    * t07 (inverted-index Jaccard) AND for t06 (MinHash-LSH + exact
+    * verification): the verified pair VALUES are exact Jaccard by
+    * construction, and at the gate's scale the banded candidate generation
+    * has full recall (t06 == t07 row-for-row, asserted by both oracles),
+    * so the brute-force join is an exact oracle for both. */
+  private val bruteJaccardSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM words
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      | round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("t06_minhash_lsh", (s, dir) => {
       import s.implicits._
       Dedup.minhashDedup(docs(s, dir), shingleN = 3, numHashes = 64,
         bands = 16, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
-    }, None, bench = true),
+    }, Some(bruteJaccardSql), bench = true),
 
     Q("t07_ngram_jaccard", (s, dir) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
-    }, Some(
-      """WITH words AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-        |), grams AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM words
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-        | round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
-        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)),
+    }, Some(bruteJaccardSql)),
 
+    // Oracle: the FULL simhash computation in SQL (shingles -> hashString
+    // -> per-bit votes -> 64-bit signature -> pairwise popcount), brute
+    // force over all pairs. EXACT by the pigeonhole principle, not just
+    // empirically: any pair within Hamming distance 6 shares one of the 7
+    // chunks verbatim, so the banded candidate generation cannot miss —
+    // the Spark output IS the brute-force set.
     Q("t08_simhash", (s, dir) => {
       import s.implicits._
       Dedup.simhashDedup(docs(s, dir), shingleN = 3, maxDist = 6)
         .orderBy($"id_a", $"id_b")
-    }, None),
+    }, Some(
+      s"""WITH ${shingleCtes("doc_id")}, hashes AS (
+         |  SELECT DISTINCT doc_id, ${mix64Sql(fnvSql)} AS h FROM sh
+         |), votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashes, range(64) r(b) GROUP BY doc_id, b
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS sig
+         |  FROM votes GROUP BY doc_id
+         |)
+         |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+         | CAST(b.doc_id AS BIGINT) AS id_b,
+         | CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIT)) AS INTEGER) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIT)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("t09_langid", (s, dir) => {
       import s.implicits._
@@ -116,13 +217,44 @@ object PipelineQueries {
         |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
         |FROM documents ORDER BY 1""".stripMargin)),
 
+    // Oracle: the verified pair set is the brute-force Jaccard >= 0.5 set
+    // (same argument as t06), and connected components + min-id-keeps is
+    // re-derived independently via a recursive transitive closure — dup
+    // clusters are tiny, so the closure is cheap at gate scale.
     Q("t13_dedup_decisions", (s, dir) => {
       import s.implicits._
       Dedup.dedupDecisions(docs(s, dir), threshold = 0.5)
         .select($"id".cast("long").as("id"), $"cluster".cast("long").as("cluster"),
           $"keep")
         .orderBy($"id")
-    }, None),
+    }, Some(
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM words
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1
+        |), cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM cand JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), walk AS (
+        |  SELECT src AS id, src AS reach FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(reach) AS BIGINT) AS cluster,
+        |  min(reach) = id AS keep
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin)),
 
     Q("v06_ivf_knn", (s, dir) => {
       import s.implicits._
@@ -159,7 +291,30 @@ object PipelineQueries {
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(round(count(lit(1)) / numHashes.toDouble, 4).as("est_jaccard"))
         .orderBy($"source_a", $"source_b")
-    }, None),
+    }, Some(
+      // the full MinHash sketch re-derived in SQL: per-source distinct
+      // shingle hashes x 128 affine permutations (pa|1, pb from mix64 of
+      // the slot index), slot value = min SIGNED hash (Scala Long order),
+      // estimate = matching slots / 128. Deterministic integer arithmetic
+      // end to end — an exact oracle, not an approximation bound.
+      s"""WITH ${shingleCtes("source")}, hashes AS (
+         |  SELECT DISTINCT source, ${mix64Sql(fnvSql)} AS h FROM sh
+         |), params AS (
+         |  SELECT i,
+         |    list_transform([${mix64Sql("(2 * i + 1)::HUGEINT")}],
+         |      p -> p - p % 2 + 1)[1] AS pa,
+         |    ${mix64Sql("(2 * i + 2)::HUGEINT")} AS pb
+         |  FROM range(128) r(i)
+         |), sigs AS (
+         |  SELECT source, i,
+         |    min(${s64(mix64Sql(s"(${mul64Full("pa", "h")} + pb) % $M64"))}) AS sig
+         |  FROM hashes, params GROUP BY source, i
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | round(count(*) / 128.0, 4) AS est_jaccard
+         |FROM sigs a JOIN sigs b
+         |  ON a.i = b.i AND a.sig = b.sig AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // int8-quantized exact kNN: the corpus scans as (scale, codes) at 1/4
     // the bytes of float32; no re-rank needed (error ~ quantization noise)
@@ -223,11 +378,49 @@ object PipelineQueries {
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
       // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the
-      // check non-vacuous while still exercising the bucketed-pairs path
+      // check non-vacuous while still exercising the bucketed-pairs path.
+      // No SQL oracle BY DESIGN: the pair set is the LSH candidate set
+      // (recall < 1 is the semantics, as for v04/v06/v07) — the exact
+      // counterpart v09 below carries the DuckDB oracle for the verified
+      // cosine-pair semantics, and the planted-pair specs pin v05's recall.
       Similarity.cosineDedup(vecs(s, dir), threshold = 0.25, planes = 10)
         .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b"),
           round($"sim", 6).as("sim"))
         .orderBy($"id_a", $"id_b")
-    }, None)
+    }, None),
+
+    // exact cosine near-dup pairs over a bounded probe set: the brute-force
+    // counterpart of v05, DuckDB-oracled end to end through the native
+    // codegen'd cosine Expression. The probe bound keeps the join linear in
+    // corpus size (probe x corpus, never corpus x corpus) — the same shape
+    // a decontamination "is any of THESE documents near anything?" scan has
+    // at 100 TB; id_a < id_b dedups the in-probe pairs.
+    Q("v09_cosine_pairs_exact", (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+        .filter($"id_a" < 100)
+      val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a".cast("long").as("id_a"),
+          $"id_b".cast("long").as("id_b"),
+          Similarity.cosineCol($"va", $"vb").as("sim"))
+        .filter($"sim" >= 0.25)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }, Some(
+      """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+        | round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |     p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 100 AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |     p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }
