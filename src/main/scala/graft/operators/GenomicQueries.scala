@@ -309,16 +309,20 @@ object GenomicQueries {
     }, None, bench = true),
 
     // frequency-ordered index (sampled top-mer demotion) end to end: the
-    // demoted ordering must reproduce at classify time or no key matches —
-    // rows land on the same taxa as g03 (fraction=1.0 keeps the counting
-    // pass deterministic under any partitioning)
+    // demoted ordering must reproduce at classify time or keys stop
+    // matching. topN=65536 (~45% of the library's distinct mers) is chosen
+    // so the stored index genuinely carries DEMOTE-flagged keys (~2.2k of
+    // 47k records at sf0.01) — at the old topN=512 NO demoted mer ever won
+    // a window, so a classify-time ordering desync was invisible; now it
+    // unclassifies hundreds of reads (probed: delta 534). fraction=1.0
+    // keeps the counting pass deterministic under any partitioning.
     Q("g09_freq_classify", (s, dir) => {
       import s.implicits._
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val base = new MinimizerIndex(params, bcTax)
       val demoted = graft.index.FrequencyOrdering.topCanonicalMers(
-        base.packLibrary(lib), params.m, fraction = 1.0, topN = 512)
+        base.packLibrary(lib), params.m, fraction = 1.0, topN = 65536)
       val index = new MinimizerIndex(params.copy(demoted = Some(demoted)), bcTax)
       val records = index.makeRecords(lib)
       val reads = t(s, dir, "orders")

@@ -142,6 +142,20 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("g09 frequency-ordered classification matches the independent golden") {
+    // golden from tools/golden_g09.py: demotion-set derivation (per-position
+    // canonical m-mer counts, count-desc/mer-asc top-N) and the demoted
+    // UNSIGNED priority re-done from scratch. The index stores ~2.2k
+    // DEMOTE-flagged keys at this topN, so a build/classify ordering desync
+    // unclassifies hundreds of reads and fails this golden loudly.
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g09_freq_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g09_freq_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
   test("g11 in-memory classification matches g03's independent golden") {
     // the zero-shuffle path must reproduce the join path's golden-pinned
     // output bit for bit — same golden file as g03
