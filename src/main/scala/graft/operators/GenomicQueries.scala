@@ -338,6 +338,40 @@ object GenomicQueries {
         .orderBy($"taxon")
     }, None),
 
+    // m=64 frequency-demoted classification: the widest key has no spare
+    // bit for the demote flag, so the scanner consults the demotion set at
+    // COMPARE time (the out-of-band rank lane, WideScanner.priorityOf /
+    // priLess) — the one ordering path no other gate query exercises end to
+    // end. topN=65536 demotes ~2/3 of the library's distinct wide mers, so
+    // demotion genuinely changes which m-mers win windows: a build/classify
+    // ordering desync changes the selected keys and fails the golden.
+    Q("g13_wide64_freq_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      // genomes are ambiguity-free 128 bp: pack2bit directly (the CLI path
+      // goes through packLibrary's ambiguity split for real FASTA)
+      val packed = lib.map { case (t, dna) =>
+        (t, graft.kmers.Dna.pack2bit(dna), dna.length)
+      }
+      val demoted = graft.index.FrequencyOrdering.topCanonicalWideMers(
+        packed, 64, fraction = 1.0, topN = 65536)
+      val index = new graft.index.WideMinimizerIndex(k = 66, m = 64, bcTax,
+        0, demoted)
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % 40) + 1).cast("int"),
+            lit(72)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classify(index.spans(reads), records, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, None),
+
     // g03's classification through the zero-shuffle in-memory path: the
     // records collect into a broadcast open-addressing table and scan +
     // lookup + resolve fuse into ONE mapPartitions (the resident-hash-table

@@ -176,6 +176,21 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("g13 m=64 frequency-demoted classification matches the independent golden") {
+    // golden from tools/golden_g13.py: at full width the demote flag cannot
+    // ride in the key, so the scanner's out-of-band comparison lane decides
+    // window minima — modeled independently as (demoted?, priority) tuple
+    // minima whose key is the priority alone. ~19k of 47k index keys come
+    // from demoted mers here, so any divergence in the compare-time lane
+    // (or a build/classify demotion desync) fails loudly.
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = golden("g13_wide64_freq_sf001.tsv")
+      .map { case (t, n) => (t.toLong, n.toLong) }
+    val got = SparkEntrySpecAccess.run("g13_wide64_freq_classify", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(got == expected)
+  }
+
   test("g10 per-sample 2-step classification matches the independent golden") {
     // golden from tools/golden_g04_g06_g08.py: the g04 pipeline (evidence,
     // species selection, sub-library rebuild, re-classification) run
