@@ -353,15 +353,22 @@ object Main {
         val memAutoMax = 2L * 1000 * 1000
         val inMemory = boolOpt(opts, "in-memory")
           .getOrElse(params.records.exists(_ <= memAutoMax))
-        if (inMemory && !opts.contains("in-memory"))
-          println(s"auto in-memory classification " +
-            s"(${params.records.getOrElse(0L)} records)")
+        if (inMemory && !opts.contains("in-memory")) {
+          // predicted from the build-stamped count with the real capacity
+          // rule, so the auto-pick line carries memory accounting, not just
+          // the record heuristic; the measured size prints after the build
+          val n = params.records.getOrElse(0L)
+          val predicted = LongTaxonMap.estimatedBytes(n, wide = params.m > 32)
+            .map(b => f", ~${b / 1048576.0}%.1f MB table").getOrElse("")
+          println(s"auto in-memory classification ($n records$predicted)")
+        }
 
         // in-memory emit: single confidence is one pure map; a sweep builds
         // hits once per read and resolves per threshold (persisted so the
         // per-threshold filters read the cache, not re-scan the reads)
         def emitInMemory(mem: InMemoryClassifier): Unit = {
           import spark.implicits._
+          println(f"in-memory table built: ${mem.tableBytes / 1048576.0}%.1f MB")
           if (confs.length == 1)
             emit(mem.classify(loadReads(spark, opts), confs.head, minHitGroups),
               opts("output"))

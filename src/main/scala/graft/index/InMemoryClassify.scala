@@ -23,6 +23,11 @@ final class LongTaxonMap private (used: Array[Boolean], keys: Array[Long],
     Taxonomy.NONE
   }
   def size: Int = used.count(identity)
+
+  /** Measured table footprint: the three backing arrays (1 + 8 + 4
+    * bytes/slot) plus array headers — the number the CLI reports so the
+    * record-count auto-pick heuristic is observable memory accounting. */
+  def byteSize: Long = 13L * keys.length + 3 * 16
 }
 
 object LongTaxonMap {
@@ -35,6 +40,17 @@ object LongTaxonMap {
         "use the bucketed-join classify path for indexes this size")
     java.lang.Long.highestOneBit(math.max(16L, n.toLong * 2) * 2).toInt
   }
+
+  /** Predicted table bytes for a record count (the same capacity rule as
+    * the real build), BEFORE anything is collected — lets the CLI auto-pick
+    * log a memory figure from the build-stamped record count alone.
+    * Returns None when the count exceeds the hard table bound. */
+  def estimatedBytes(records: Long, wide: Boolean): Option[Long] =
+    if (records > (1 << 28)) None
+    else {
+      val cap = java.lang.Long.highestOneBit(math.max(16L, records * 2) * 2)
+      Some(cap * (if (wide) 21L else 13L) + (if (wide) 4 else 3) * 16L)
+    }
 
   def apply(kv: Array[(Long, Int)]): LongTaxonMap = {
     val cap = capacityFor(kv.length)
@@ -64,6 +80,10 @@ final class WideTaxonMap private (used: Array[Boolean], keysHi: Array[Long],
     }
     Taxonomy.NONE
   }
+
+  /** Measured footprint: four backing arrays (1 + 8 + 8 + 4 bytes/slot)
+    * plus headers — see [[LongTaxonMap.byteSize]]. */
+  def byteSize: Long = 21L * keysHi.length + 4 * 16
 }
 
 object WideTaxonMap {

@@ -26,6 +26,11 @@ trait InMemoryClassifier extends Serializable {
   def classify(reads: Dataset[InputFragment], confidence: Double = 0.0,
       minHitGroups: Int = 2, detail: Boolean = true): Dataset[ClassifiedRead]
 
+  /** Measured byte size of the broadcast lookup table — memory accounting
+    * for the fits-in-memory decision (the CLI logs it beside the
+    * record-count heuristic that auto-picked this path). */
+  def tableBytes: Long
+
   /** Sweep several confidence thresholds with ONE scan+lookup per read —
     * the zero-shuffle analogue of the join path's cached-join sweep
     * ([[KeyedIndex.classifyMultiThresholdDF]]): hits build once, resolution

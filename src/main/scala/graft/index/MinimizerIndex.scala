@@ -319,6 +319,8 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     val tax = bcTax
     val outer = this
     new InMemoryClassifier {
+      override def tableBytes: Long = table.byteSize
+
       private def fragHits(f: InputFragment,
           scanner: SupermerScanner, tbl: LongTaxonMap): Vector[TaxonHit] =
         outer.fragmentSpans(f, scanner).map { s =>

@@ -217,6 +217,8 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
     val tax = bcTax
     val outer = this
     new InMemoryClassifier {
+      override def tableBytes: Long = table.byteSize
+
       private def fragHits(f: InputFragment, tbl: WideTaxonMap): Vector[TaxonHit] =
         outer.fragmentSpans(f, sc).map { s =>
           val t = s.flag match {

@@ -95,6 +95,35 @@ class InMemoryClassifySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("table byte-size accounting tracks the real JVM footprint") {
+    import spark.implicits._
+    // measured size: within 2x of Spark's SizeEstimator on the live table
+    // (the backing arrays dominate; headers and object padding are noise)
+    val narrow = LongTaxonMap(Array.tabulate(10000)(i => (i.toLong * 7919, i)))
+    val estN = org.apache.spark.util.SizeEstimator.estimate(narrow)
+    assert(narrow.byteSize <= 2 * estN && estN <= 2 * narrow.byteSize,
+      s"narrow byteSize ${narrow.byteSize} vs SizeEstimator $estN")
+    val wide = WideTaxonMap(
+      Array.tabulate(10000)(i => (i.toLong * 7919, i.toLong * 104729, i)))
+    val estW = org.apache.spark.util.SizeEstimator.estimate(wide)
+    assert(wide.byteSize <= 2 * estW && estW <= 2 * wide.byteSize,
+      s"wide byteSize ${wide.byteSize} vs SizeEstimator $estW")
+    // the pre-collect prediction from a record count matches the real build
+    assert(LongTaxonMap.estimatedBytes(10000, wide = false)
+      .contains(narrow.byteSize))
+    assert(LongTaxonMap.estimatedBytes(10000, wide = true)
+      .contains(wide.byteSize))
+    // beyond the hard table bound the prediction declines, like the build
+    assert(LongTaxonMap.estimatedBytes((1L << 28) + 1, wide = false).isEmpty)
+    // and the classifier exposes the measured size for the CLI log line
+    val index = new MinimizerIndex(IndexParams(k = 35, m = 31, buckets = 4), bcTax)
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq))
+    val mem = index.inMemoryClassifier(records)
+    val n = records.count()
+    assert(LongTaxonMap.estimatedBytes(n, wide = false).contains(mem.tableBytes),
+      s"prediction from $n records must equal the measured build")
+  }
+
   test("in-memory classification runs zero shuffles") {
     import spark.implicits._
     val index = new MinimizerIndex(IndexParams(k = 35, m = 31, buckets = 4), bcTax)
