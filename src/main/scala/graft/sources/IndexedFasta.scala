@@ -91,22 +91,20 @@ object IndexedFasta {
 
   /** Full source: fragments of at most maxFragment bases, k-1 overlap,
     * location = base offset within the sequence (mirrors the reference
-    * InputFragment contract). */
+    * InputFragment contract). Routed through the [[IndexedFastaSource]]
+    * DataSource V2 connector, so every consumer (CLI --library-fai
+    * included) gets scan metrics and required-column pruning for free —
+    * the split planning and the seek kernel above are shared with it. */
   def fragments(spark: SparkSession, faPath: String, k: Int,
       maxFragment: Int = 1000000): Dataset[InputFragment] = {
     import spark.implicits._
+    // eager check: the V2 scan would also raise, but only at action time
     require(!faPath.endsWith(".gz") && !faPath.endsWith(".bz2"),
       "indexed FASTA requires an uncompressed file (byte-range seeks); " +
         "use Sequences.fasta for compressed inputs")
-    val entries = readFai(spark, faPath + ".fai")
-    val splits = planSplits(faPath, entries, k, maxFragment)
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(splits)
-      .repartition(math.min(splits.size, spark.sparkContext.defaultParallelism))
-      .map { s =>
-        InputFragment(s.name, s.baseStart, readSplit(s, confBc.value.value), None)
-      }
+    spark.read.format("indexed-fasta")
+      .option("k", k).option("maxFragment", maxFragment)
+      .load(faPath)
+      .as[InputFragment]
   }
 }

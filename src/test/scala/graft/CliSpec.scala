@@ -699,6 +699,57 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("--in-memory takes true/false"))
   }
 
+  test("CLI: build --library-fai reads the genome through the V2 connector") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-fai")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    // fixed-width FASTA + a hand-computed .fai (offsets independent of the
+    // reader under test); maxFragment default splits nothing at 3 kb
+    val fa = new StringBuilder
+    val fai = new StringBuilder
+    for ((name, seq) <- Seq("s4" -> genomes(4), "s5" -> genomes(5))) {
+      fa.append('>').append(name).append('\n')
+      val offset = fa.length
+      for (chunk <- seq.grouped(60)) fa.append(chunk).append('\n')
+      fai.append(s"$name\t${seq.length}\t$offset\t60\t61\n")
+    }
+    write(dir.resolve("lib.fna"), fa.toString)
+    write(dir.resolve("lib.fna.fai"), fai.toString)
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+      "--library-fai", dir.resolve("lib.fna").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    val fqSb = new StringBuilder
+    for (i <- 0 until 20) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      fqSb.append(s"@fr$i\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("classify", "--index", idx,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1",
+      "--output", out))
+    val got = index.MappingComparison.readKrakenOutput(spark, out)
+      .collect().map(r => r.getInt(1))
+    assert(got.length == 20)
+    assert(got.count(_ != 0) > 15, "fai-built index classifies its own reads")
+  }
+
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("classify2", "--index", "x", "--treshold", "10",

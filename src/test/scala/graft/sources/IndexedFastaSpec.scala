@@ -28,6 +28,54 @@ class IndexedFastaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     faPath.toString
   }
 
+  test("V2 connector: short name loads, schema matches InputFragment, " +
+      "splits bin-pack round-robin") {
+    import spark.implicits._
+    val seqs = Seq("c1" -> randomDna(1200), "c2" -> randomDna(800))
+    val fa = writeFasta(seqs, lineBases = 60)
+    val df = spark.read.format("indexed-fasta")
+      .option("k", 35).option("maxFragment", 500).load(fa)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("header", "location", "nucleotides", "nucleotides2"))
+    // typed round trip straight off the connector
+    val frags = df.as[InputFragment].collect().sortBy(f => (f.header, f.location))
+    assert(frags.length > 2)
+    for (f <- frags) {
+      val src = seqs.toMap.apply(f.header)
+      assert(src.substring(f.location.toInt,
+        f.location.toInt + f.nucleotides.length) == f.nucleotides)
+    }
+    // the scan reports itself with its pruned column set in the plan
+    val pruned = df.select("header", "location")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, "expected a BatchScanExec (DataSource V2 path)")
+    assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("header", "location"))
+  }
+
+  test("V2 connector: column pruning skips the genome byte reads entirely") {
+    import spark.implicits._
+    // a .fai with NO backing fasta: metadata-only queries must still run —
+    // proof the pruned reader never opens the genome file
+    val dir = Files.createTempDirectory("graft-fai-only")
+    val faPath = dir.resolve("ghost.fna")
+    Files.writeString(dir.resolve("ghost.fna.fai"),
+      "chrG\t5000\t6\t60\t61\n")
+    val df = spark.read.format("indexed-fasta")
+      .option("k", 35).option("maxFragment", 1000).load(faPath.toString)
+    val got = df.select($"header", $"location").as[(String, Long)]
+      .collect().sortBy(_._2)
+    assert(got.length > 1 && got.forall(_._1 == "chrG"))
+    // k-1 overlap in the PLANNED locations: each next fragment starts
+    // maxFragment - (k-1) after the previous
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => b - a == 966 })
+    // the same query WITH nucleotides must fail — the file truly is absent
+    intercept[org.apache.spark.SparkException] {
+      df.as[InputFragment].collect()
+    }
+  }
+
   test("ranged reads reconstruct sequences exactly (multi-line, multi-seq)") {
     val seqs = Seq("chr1" -> randomDna(3023), "chr2" -> randomDna(517),
       "chr3" -> randomDna(70))
