@@ -36,6 +36,12 @@ import graft.taxa.Taxonomy
   *   scan      --library lib.fna [-k 35 -m 31 -s 7] --output out.tsv
   *             (per-sequence super-mer stats at any width; the surface
   *             tools/test_golden_kernels.py fuzzes against)
+  *   streamDedup --input dir --output dir [--feedback dir]
+  *             [--watermark "10 minutes"] [--ttl-ms N] [--bands 16]
+  *             (streaming near-dup suppression over JSON files; --feedback
+  *             names a directory used as a file-backed correction queue —
+  *             written by each micro-batch's survivor fold AND tailed as a
+  *             second source by the same query)
   *
   * classify2 with --per-sample (requires --sample-regex; excludes --gold /
   * --bracken-read-len) runs PER-SAMPLE taxon selection: each sample is
@@ -70,7 +76,10 @@ object Main {
       "scan" -> (common ++ Set("library", "library-fai", "k", "m", "s",
         "output")),
       "camiReport" -> (common ++ Set("mapping", "rank", "single-end", "output")),
-      "display" -> (common ++ Set("report", "rank", "min-percent", "clades")))
+      "display" -> (common ++ Set("report", "rank", "min-percent", "clades")),
+      "streamDedup" -> (common ++ Set("input", "output", "feedback",
+        "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
+        "max-files-per-trigger", "checkpoint")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -894,6 +903,66 @@ object Main {
           .as[(Int, Long)]
           .collect()
         println(new KrakenReport(tax, counts).render)
+
+      case "streamDedup" =>
+        // Streaming near-dup suppression over a FILE topology — the
+        // executable example of the production wiring (spec-proven on
+        // MemoryStream in StreamingDedupSpec): documents stream in from
+        // JSON files, each micro-batch's survivors append to the output
+        // sink, and the ownership corrections from the survivor fold are
+        // appended to the --feedback directory, which the SAME query also
+        // tails as a second streaming source — a file-backed stand-in for
+        // the queue/log topic that closes a dead doc's suppression window
+        // after one trigger. Drains everything available (feedback
+        // cascades included), then stops.
+        val spark = session(buckets)
+        import org.apache.spark.sql.types._
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("ts", TimestampType),
+          StructField("text", StringType)))
+        val docs = spark.readStream.schema(docSchema)
+          // one file per trigger by default: deterministic trigger
+          // sequencing, so cross-file suppression exercises the state
+          .option("maxFilesPerTrigger",
+            opts.getOrElse("max-files-per-trigger", "1"))
+          .json(opts("input"))
+        val fbDir = opts.get("feedback")
+        val feedback = fbDir.map { d =>
+          import spark.implicits._
+          // seed the queue dir so the source starts on an empty queue
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+          spark.readStream.schema(StructType(Seq(
+              StructField("bandKey", LongType),
+              StructField("newOwner", LongType),
+              StructField("ts", TimestampType)))).json(d)
+            .as[graft.streaming.StreamingDedup.Feedback]
+        }
+        val outDir = opts("output")
+        val writer = graft.streaming.StreamingDedup.dedupNearWithFeedback(
+          docs, "text", "ts", "doc_id", feedback,
+          watermark = opts.getOrElse("watermark", "10 minutes"),
+          shingleN = opts.getOrElse("shingle-n", "3").toInt,
+          numHashes = opts.getOrElse("num-hashes", "64").toInt,
+          bands = opts.getOrElse("bands", "16").toInt,
+          stateTtlMs = opts.getOrElse("ttl-ms", "600000").toLong) { (surv, fb) =>
+          surv.write.mode("append").json(outDir)
+          // append ONLY non-empty correction sets: an empty append still
+          // creates files, which the same query's feedback source would
+          // see as new data — an infinite empty-trigger loop
+          for (d <- fbDir) {
+            val f = fb.persist()
+            try if (f.count() > 0) f.write.mode("append").json(d)
+            finally f.unpersist()
+          }
+        }
+        val query = writer
+          .option("checkpointLocation",
+            opts.getOrElse("checkpoint", outDir + "_ckpt"))
+          .start()
+        try query.processAllAvailable() finally query.stop()
+        println(s"stream drained: survivors in $outDir" +
+          fbDir.map(d => s", corrections in $d").getOrElse(""))
 
       case other =>
         System.err.println(s"unknown command: $other")

@@ -750,6 +750,43 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.count(_ != 0) > 15, "fai-built index classifies its own reads")
   }
 
+  test("CLI: streamDedup runs the file-source -> fold -> file-sink topology " +
+      "with a file-backed feedback queue") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-stream")
+    val in = dir.resolve("in"); Files.createDirectories(in)
+    val shared = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val other = "completely different content about spark physical plans " * 4
+    def doc(id: Long, sec: Int, text: String): String =
+      s"""{"doc_id":$id,"ts":"2026-01-01T10:00:${"%02d".format(sec)}","text":"$text"}"""
+    // one file per trigger (maxFilesPerTrigger=1): trigger 1 seeds owners,
+    // trigger 2 brings a near-dup (suppressed via state across triggers)
+    // whose changed-tail bands it OWNS — dying while owning fresh buckets
+    // is what produces ownership corrections into the feedback queue
+    write(in.resolve("f1.json"), doc(1, 0, shared) + "\n" + doc(4, 1, other) + "\n")
+    write(in.resolve("f2.json"),
+      doc(2, 10, shared + "with a changed tail here ") + "\n" +
+        doc(5, 11, "yet another unrelated document entirely " * 4) + "\n")
+    val out = dir.resolve("out").toString
+    val fb = dir.resolve("fbqueue").toString
+    Main.main(Array("streamDedup",
+      "--input", in.toString, "--output", out, "--feedback", fb,
+      "--watermark", "10 minutes", "--ttl-ms", "3600000"))
+    val survivors = spark.read.json(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L),
+      s"near-dup must be suppressed across file triggers: $survivors")
+    // the dead near-dup owned its changed-tail buckets: corrections were
+    // appended to the queue dir (and re-read by the same query's feedback
+    // source without error before it drained)
+    val corrections = spark.read.json(fb)
+    assert(corrections.count() > 0, "expected ownership corrections in the queue")
+    assert(corrections.columns.toSet == Set("bandKey", "newOwner", "ts"))
+    // every correction here is a release (no surviving toucher of the
+    // dead doc's fresh buckets in that batch)
+    assert(corrections.select("newOwner").collect().forall(_.getLong(0) == -1L))
+  }
+
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("classify2", "--index", "x", "--treshold", "10",
