@@ -402,7 +402,11 @@ object PipelineQueries {
       val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
         .filter($"id_a" < 100)
       val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
-      a.join(b, $"id_a" < $"id_b")
+      // broadcast the BOUNDED probe side explicitly: left to stats, Spark
+      // happily builds on the corpus side at toy scale — which would be a
+      // corpus-wide broadcast (or a cartesian) at 100 TB. BuildLeft streams
+      // the corpus exactly once.
+      broadcast(a).join(b, $"id_a" < $"id_b")
         .select($"id_a".cast("long").as("id_a"),
           $"id_b".cast("long").as("id_b"),
           Similarity.cosineCol($"va", $"vb").as("sim"))
