@@ -74,7 +74,7 @@ object Main {
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
       "inputCheck" -> (common ++ Set("labels")),
       "scan" -> (common ++ Set("library", "library-fai", "k", "m", "s",
-        "output")),
+        "o", "freq-sample", "freq-top", "output")),
       "camiReport" -> (common ++ Set("mapping", "rank", "single-end", "output")),
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")),
       "streamDedup" -> (common ++ Set("input", "output", "feedback",
@@ -759,10 +759,32 @@ object Main {
         val k = opts.getOrElse("k", "35").toInt
         val m = opts.getOrElse("m", "31").toInt
         val s = opts.getOrElse("s", if (m > 32) "0" else "7").toInt
+        // -o frequency: demote the library's own most frequent canonical
+        // m-mers, exactly as build does — exposes every ordering lane
+        // (narrow flag bit, wide in-band bit, m=64 out-of-band compare) to
+        // the Python fuzz harness on arbitrary sequences
+        def packedLib = libraryFasta(spark, opts).flatMap { f =>
+          graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides).collect {
+            case run if run.valid && run.seq.length >= k =>
+              (0, graft.kmers.Dna.pack2bit(run.seq), run.seq.length)
+          }
+        }
+        val frequency = opts.getOrElse("o", "xor") match {
+          case "frequency" => true
+          case "xor" => false
+          case other => sys.error(s"unknown ordering: $other (xor|frequency)")
+        }
+        def freqArgs = (opts.getOrElse("freq-sample", "1.0").toDouble,
+          opts.getOrElse("freq-top", "4096").toInt)
         val rows: Seq[(String, Int, Int, Int, Long)] =
           if (m > 32) {
+            val demoted =
+              if (!frequency) Array.emptyLongArray
+              else { val (fr, top) = freqArgs
+                FrequencyOrdering.topCanonicalWideMers(packedLib, m, fr, top) }
             val sc = new graft.kmers.WideSupermerScanner(k,
-              new graft.kmers.WideRandomXorPriority(m, spaces = s))
+              new graft.kmers.WideRandomXorPriority(m, spaces = s,
+                demoted = demoted))
             libraryFasta(spark, opts).flatMap { f =>
               graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides)
                 .collect { case run if run.valid && run.seq.length >= k =>
@@ -777,8 +799,15 @@ object Main {
                 }
             }.collect().toSeq
           } else {
-            val sc = new graft.kmers.SupermerScanner(k,
-              graft.kmers.SpacedSeedPriority(s, graft.kmers.RandomXorPriority(m)))
+            val spaced =
+              graft.kmers.SpacedSeedPriority(s, graft.kmers.RandomXorPriority(m))
+            val pri =
+              if (!frequency) spaced
+              else { val (fr, top) = freqArgs
+                graft.kmers.FrequencyPriority(
+                  FrequencyOrdering.topCanonicalMers(packedLib, m, fr, top),
+                  spaced) }
+            val sc = new graft.kmers.SupermerScanner(k, pri)
             libraryFasta(spark, opts).flatMap { f =>
               graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides)
                 .collect { case run if run.valid && run.seq.length >= k =>

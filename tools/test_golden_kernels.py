@@ -89,6 +89,91 @@ def wide_stats_at(k, m):
     return stats
 
 
+def canonical_counts(seqs, m, encode, rc):
+    """Per-position canonical m-mer counts over a library (ACGT only, every
+    sequence one valid run) — mirrors FrequencyOrdering.topCanonicalMers'
+    counting pass."""
+    from collections import Counter
+    cnt = Counter()
+    for dna in seqs:
+        for j in range(len(dna) - m + 1):
+            mer = encode(dna[j:j + m])
+            r = rc(mer, m)
+            cnt[mer if mer <= r else r] += 1
+    return cnt
+
+
+def narrow_freq_stats(seqs, top_n):
+    """g01's kernel plus frequency demotion: the top_n canonical mers by
+    (count desc, mer asc) get priority | 1<<63, compared unsigned — the
+    FrequencyPriority in-band flag lane."""
+    K, M = golden_g01.K, golden_g01.M
+    cnt = canonical_counts(seqs, M, golden_g01.encode, golden_g01.rc)
+    demoted = set(m for m, _ in
+                  sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n])
+
+    def stats(dna):
+        def pri(j):
+            mer = golden_g01.encode(dna[j:j + M])
+            p = golden_g01.priority(mer)
+            r = golden_g01.rc(mer, M)
+            canon = mer if mer <= r else r
+            return p | (1 << 63) if canon in demoted else p
+        pris = [pri(j) for j in range(len(dna) - M + 1)]
+        per_kmer = [min(pris[i:i + K - M + 1]) for i in range(len(dna) - K + 1)]
+        spans = 1 + sum(1 for a, b in zip(per_kmer, per_kmer[1:]) if a != b)
+        chk = 0
+        for v in set(per_kmer):
+            chk ^= v
+        return spans, len(per_kmer), len(set(per_kmer)), chk
+    return stats
+
+
+def wide_freq_stats(seqs, k, m, top_n):
+    """Wide kernel plus frequency demotion. At m <= 63 the demote flag is
+    IN-BAND: bit 63 of the hi priority word (bit 64+63 of the 2m-bit model
+    int), so it survives into keys and the checksum. At m = 64 it is
+    OUT-OF-BAND: window minima compare (demoted?, priority) tuples but the
+    KEY stays the priority words alone. Tie order of the demotion top-N is
+    Spark's (count desc, SIGNED hi, SIGNED lo)."""
+    hi_bases = m - 32
+    pri_mask = (((golden_g07.XOR_MASK & ((1 << (2 * hi_bases)) - 1)) << 64) |
+                (golden_g07.XOR_MASK & M64))
+    in_band = m <= 63
+    cnt = canonical_counts(seqs, m, golden_g07.encode, golden_g07.rc)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    ranked = sorted(cnt.items(),
+                    key=lambda kv: (-kv[1], signed(kv[0] >> 64),
+                                    signed(kv[0] & M64)))
+    demoted = set(mm for mm, _ in ranked[:top_n])
+
+    def stats(dna):
+        def pri(j):
+            mer = golden_g07.encode(dna[j:j + m])
+            r = golden_g07.rc(mer, m)
+            canon = mer if mer <= r else r
+            p = canon ^ pri_mask
+            dem = canon in demoted
+            if in_band:
+                return (0, p | (1 << 127) if dem else p)
+            return (1 if dem else 0, p)
+        pris = [pri(j) for j in range(len(dna) - m + 1)]
+        # per-kmer minimum over the (rank, priority) tuples; the KEY is the
+        # priority element only (identical to it at in-band widths)
+        per_kmer = [min(pris[i:i + k - m + 1])[1]
+                    for i in range(len(dna) - k + 1)]
+        spans = 1 + sum(1 for a, b in zip(per_kmer, per_kmer[1:]) if a != b)
+        chk = 0
+        for v in set(per_kmer):
+            hi, lo = v >> 64, v & M64
+            chk ^= lo ^ ((hi * MIX) & M64)
+        return spans, len(per_kmer), len(set(per_kmer)), chk
+    return stats
+
+
 def sequences(rng, k, n=100):
     """Random ACGT sequences with edge-case lengths and structures."""
     seqs = []
@@ -110,16 +195,18 @@ def sequences(rng, k, n=100):
     return seqs
 
 
-def run_config(name, k, m, s, stats_fn, seqs, tmp):
+def run_config(name, k, m, s, stats_fn, seqs, tmp, freq_top=None):
     fasta = tmp / f"{name}.fasta"
     out = tmp / f"{name}.tsv"
     with open(fasta, "w") as f:
         for i, seq in enumerate(seqs):
             f.write(f">z{i:03d}\n{seq}\n")
+    freq = (f" --o frequency --freq-sample 1.0 --freq-top {freq_top}"
+            if freq_top else "")
     subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.Main scan --library {fasta} --k {k} --m {m} "
-         f"--s {s} --p 4 --output {out}"],
+         f"--s {s} --p 4{freq} --output {out}"],
         check=True, capture_output=True, text=True)
     scala = {}
     for line in open(out):
@@ -155,6 +242,25 @@ def main():
         # spans the whole two-word split — no pinned golden covers it
         bad += run_config("wide64", 80, 64, 0, wide_stats_at(80, 64),
                           sequences(rng, 80), tmp)
+        # frequency-demoted orderings on random sequences, one config per
+        # lane: the narrow FrequencyPriority flag bit, the wide in-band
+        # hi-word bit (m=40), and the m=64 OUT-OF-BAND compare rank (keys
+        # never carry the flag; only selection changes). The demotion set
+        # derives from the fuzz library itself (fraction 1.0), so both
+        # sides recompute it independently — derivation, tie order and
+        # compare lane are all under test.
+        fs = sequences(rng, golden_g01.K)
+        bad += run_config("g01_freq", golden_g01.K, golden_g01.M,
+                          golden_g01.S, narrow_freq_stats(fs, 4096), fs, tmp,
+                          freq_top=4096)
+        fw = sequences(rng, golden_g07.K)
+        bad += run_config("g07_freq", golden_g07.K, golden_g07.M, 0,
+                          wide_freq_stats(fw, golden_g07.K, golden_g07.M,
+                                          4096), fw, tmp, freq_top=4096)
+        f64 = sequences(rng, 80)
+        bad += run_config("wide64_freq", 80, 64, 0,
+                          wide_freq_stats(f64, 80, 64, 4096), f64, tmp,
+                          freq_top=4096)
     if bad:
         print(f"FAIL: {bad} mismatching sequences")
         return 1
