@@ -436,6 +436,35 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .findFirst().get().split("\t").toSeq
       assert(got == want, s"scan row for $name")
     }
+
+    // scan --o frequency: the demotion-set derivation + demoted ordering
+    // agree with FrequencyPriority driven directly (the surface the fuzz
+    // harness's three *_freq configs drive from Python)
+    val scanFOut = dir.resolve("scanf.tsv").toString
+    Main.main(Array("scan", "--library", dir.resolve("lib.fasta").toString,
+      "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "256",
+      "--output", scanFOut))
+    val scanFRows = Files.readAllLines(java.nio.file.Paths.get(scanFOut))
+    assert(scanFRows.size == 2)
+    val packed = { import spark.implicits._
+      spark.createDataset(genomes.toSeq.map { case (t, g) =>
+        (t, graft.kmers.Dna.pack2bit(g), g.length) }) }
+    val demoted = graft.index.FrequencyOrdering.topCanonicalMers(
+      packed, 31, fraction = 1.0, topN = 256)
+    val scF = new graft.kmers.SupermerScanner(35,
+      graft.kmers.FrequencyPriority(demoted,
+        graft.kmers.SpacedSeedPriority(7, graft.kmers.RandomXorPriority(31))))
+    for ((name, t) <- Seq("s4" -> 4, "s5" -> 5)) {
+      val sms = scF.scan(genomes(t)).toVector
+      val distinct = sms.map(_.minimizer).distinct
+      val want = Seq(name, sms.size.toString, sms.map(_.kmers).sum.toString,
+        distinct.size.toString,
+        java.lang.Long.toUnsignedString(distinct.foldLeft(0L)(_ ^ _)))
+      val got = scanFRows.stream().filter(_.startsWith(name + "\t"))
+        .findFirst().get().split("\t").toSeq
+      assert(got == want, s"frequency scan row for $name")
+    }
   }
 
   test("CLI: respace / inspect / compareIndex / inputCheck") {
