@@ -75,12 +75,16 @@ object Bench {
           val b0 = System.nanoTime()
           val staged = prepare()
           val buildSec = (System.nanoTime() - b0) / 1e9
-          val times = (0 until reps).map { _ =>
-            val t0 = System.nanoTime()
-            run(staged.classify())
-            (System.nanoTime() - t0) / 1e9
-          }
-          staged.cleanup()
+          // cleanup in finally: a failing rep must not leak this entry's
+          // persisted records/reads (and broadcasts) into the next entries'
+          // timings — the isolation is the whole point of the staged bench
+          val times =
+            try (0 until reps).map { _ =>
+              val t0 = System.nanoTime()
+              run(staged.classify())
+              (System.nanoTime() - t0) / 1e9
+            }
+            finally staged.cleanup()
           val sorted = times.sorted
           name -> ((buildSec, sorted(sorted.length / 2), sorted.head))
         } catch { case e: Throwable =>
@@ -89,6 +93,7 @@ object Bench {
           name -> ((-1.0, -1.0, -1.0))
         }
     }
+    val stagesFailed = stages.count(_._2._1 < 0)
 
     val loadEnd = loadavg()
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
@@ -117,8 +122,11 @@ object Bench {
         ",\"classify_min\":" + num(mn) + "}"
     }.mkString("{", ",", "}")
     val sf = sfDir.replaceAll(".*sf", "")
+    // `failed` keeps its round-over-round meaning (headline queries only);
+    // staged failures get their own count so a broken staged entry cannot
+    // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"reps_sec":$qsReps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.

@@ -760,9 +760,13 @@ object Main {
         val m = opts.getOrElse("m", "31").toInt
         val s = opts.getOrElse("s", if (m > 32) "0" else "7").toInt
         // -o frequency: demote the library's own most frequent canonical
-        // m-mers, exactly as build does — exposes every ordering lane
+        // m-mers with build's derivation — exposing every ordering lane
         // (narrow flag bit, wide in-band bit, m=64 out-of-band compare) to
-        // the Python fuzz harness on arbitrary sequences
+        // the Python fuzz harness on arbitrary sequences. NB: unlike
+        // build's 0.2, --freq-sample defaults to 1.0 here — sampled
+        // counting is partitioning-dependent, and this is a verification
+        // surface that must reproduce bit-for-bit across runners; pass
+        // build's fraction explicitly to mirror a sampled build.
         def packedLib = libraryFasta(spark, opts).flatMap { f =>
           graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides).collect {
             case run if run.valid && run.seq.length >= k =>
@@ -961,10 +965,12 @@ object Main {
           // seed the queue dir so the source starts on an empty queue
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
-          spark.readStream.schema(StructType(Seq(
-              StructField("bandKey", LongType),
-              StructField("newOwner", LongType),
-              StructField("ts", TimestampType)))).json(d)
+          // schema derived from the Feedback encoder: a field added to the
+          // case class cannot silently desync the file round trip
+          spark.readStream
+            .schema(org.apache.spark.sql.Encoders
+              .product[graft.streaming.StreamingDedup.Feedback].schema)
+            .json(d)
             .as[graft.streaming.StreamingDedup.Feedback]
         }
         val outDir = opts("output")

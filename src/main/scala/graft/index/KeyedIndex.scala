@@ -31,6 +31,13 @@ trait InMemoryClassifier extends Serializable {
     * record-count heuristic that auto-picked this path). */
   def tableBytes: Long
 
+  /** Release the broadcast table. A classifier is reusable across many
+    * classify calls (that is the point — streaming reuses one instance per
+    * micro-batch), so nothing auto-destroys it; long-lived processes that
+    * build several classifiers (benchmarks, sweeps over indexes) call this
+    * when done or the tables pin executor memory for the process lifetime. */
+  def close(): Unit = ()
+
   /** Sweep several confidence thresholds with ONE scan+lookup per read —
     * the zero-shuffle analogue of the join path's cached-join sweep
     * ([[KeyedIndex.classifyMultiThresholdDF]]): hits build once, resolution

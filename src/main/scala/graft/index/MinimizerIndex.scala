@@ -320,6 +320,7 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     val outer = this
     new InMemoryClassifier {
       override def tableBytes: Long = table.byteSize
+      override def close(): Unit = bc.destroy()
 
       private def fragHits(f: InputFragment,
           scanner: SupermerScanner, tbl: LongTaxonMap): Vector[TaxonHit] =

@@ -218,6 +218,7 @@ final class WideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
     val outer = this
     new InMemoryClassifier {
       override def tableBytes: Long = table.byteSize
+      override def close(): Unit = bc.destroy()
 
       private def fragHits(f: InputFragment, tbl: WideTaxonMap): Vector[TaxonHit] =
         outer.fragmentSpans(f, sc).map { s =>

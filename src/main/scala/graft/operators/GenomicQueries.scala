@@ -33,7 +33,7 @@ object GenomicQueries {
       HEX2DNA._1, HEX2DNA._2)
 
   /** Taxonomy over the star dims: root <- regions (2..6) <- nations (10..34). */
-  private def starTaxonomy(s: SparkSession, dir: String): Taxonomy = {
+  private[operators] def starTaxonomy(s: SparkSession, dir: String): Taxonomy = {
     val nations = t(s, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey").collect()
     val regions = t(s, dir, "region").select("r_regionkey", "r_name").collect()
@@ -46,7 +46,7 @@ object GenomicQueries {
   private val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 32)
 
   /** Customer genomes: (taxon = 10 + nationkey, 128 bp dna from c_name). */
-  private def customerGenomes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def customerGenomes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select((col("c_nationkey") + 10).cast("int").as("taxon"),
         dnaCol(col("c_name")).as("dna"), col("c_name"))
@@ -107,7 +107,8 @@ object GenomicQueries {
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             confidence = 0.0, minHitGroups = 1)),
-          () => { records.unpersist(false); reads.unpersist(false); () })
+          () => { records.unpersist(false); reads.unpersist(false)
+            bcTax.destroy(); () })
       }),
       // the same reads through the zero-shuffle broadcast-table path: the
       // table build (collect + open addressing + broadcast) is build stage
@@ -118,7 +119,9 @@ object GenomicQueries {
         val reads = readsDs(80, 44)
         StagedRun(
           () => agg(mem.classify(reads, confidence = 0.0, minHitGroups = 1)),
-          () => { reads.unpersist(false); () })
+          // close(): the broadcast open-addressing table would otherwise
+          // stay pinned for the rest of the bench process
+          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () })
       }),
       // wide (m=40, two-long keys) join path
       "g07_wide_classify" -> (() => {
@@ -129,7 +132,8 @@ object GenomicQueries {
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             minHitGroups = 1)),
-          () => { records.unpersist(false); reads.unpersist(false); () })
+          () => { records.unpersist(false); reads.unpersist(false)
+            bcTax.destroy(); () })
       }),
       // wide in-memory path
       "g12_mem_wide_classify" -> (() => {
@@ -139,7 +143,7 @@ object GenomicQueries {
         val reads = readsDs(60, 56)
         StagedRun(
           () => agg(mem.classify(reads, minHitGroups = 1)),
-          () => { reads.unpersist(false); () })
+          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () })
       }))
   }
 

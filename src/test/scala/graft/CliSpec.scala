@@ -796,6 +796,14 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     write(in.resolve("f2.json"),
       doc(2, 10, shared + "with a changed tail here ") + "\n" +
         doc(5, 11, "yet another unrelated document entirely " * 4) + "\n")
+    // the file source orders files by modification time: two back-to-back
+    // writes can land in the same timestamp tick, so pin the order the
+    // scenario depends on (f1's owners must precede f2's near-dup)
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(in.resolve("f1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 10000))
+    Files.setLastModifiedTime(in.resolve("f2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(now))
     val out = dir.resolve("out").toString
     val fb = dir.resolve("fbqueue").toString
     Main.main(Array("streamDedup",

@@ -154,6 +154,31 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got = SparkEntrySpecAccess.run("g09_freq_classify", spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(got == expected)
+    // guard the golden's blind spot: reads are exact genome substrings, so
+    // per-taxon COUNTS equal the undemoted g03's even when demotion works —
+    // a regression that silently disables demotion on BOTH build and
+    // classify sides would keep this golden green. Assert the demotion is
+    // ACTIVE: the built index must store DEMOTE-flagged keys.
+    locally {
+      import spark.implicits._
+      // the REAL star taxonomy: a dummy one would fail the build-time
+      // taxon-validity filter and silently empty the index under test
+      val bcTax = spark.sparkContext.broadcast(
+        GenomicQueries.starTaxonomy(spark, sfDir))
+      val lib = SparkEntrySpecAccess.customerLib(spark, sfDir)
+      val base = new graft.index.MinimizerIndex(
+        graft.index.IndexParams(k = 35, m = 31, spaces = 7, buckets = 32), bcTax)
+      val demoted = graft.index.FrequencyOrdering.topCanonicalMers(
+        base.packLibrary(lib), 31, fraction = 1.0, topN = 65536)
+      assert(demoted.length == 65536, "demotion derivation returned a short set")
+      val index = new graft.index.MinimizerIndex(graft.index.IndexParams(
+        k = 35, m = 31, spaces = 7, buckets = 32,
+        demoted = Some(demoted)), bcTax)
+      val flagged = index.makeRecords(lib)
+        .filter($"id1" < 0L).count() // DEMOTE = bit 63 -> negative keys
+      assert(flagged > 1000L,
+        s"expected thousands of demote-flagged index keys, got $flagged")
+    }
   }
 
   test("g11 in-memory classification matches g03's independent golden") {
@@ -189,6 +214,32 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got = SparkEntrySpecAccess.run("g13_wide64_freq_classify", spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(got == expected)
+    // guard the golden's blind spot (see g09): at m=64 the flag never
+    // reaches the keys at all — demotion changes SELECTION. Assert the
+    // demoted and undemoted index KEY SETS genuinely differ, so a
+    // regression that disables demotion on both sides cannot stay green.
+    locally {
+      import spark.implicits._
+      // the REAL star taxonomy: a dummy one would fail the build-time
+      // taxon-validity filter and silently empty the index under test
+      val bcTax = spark.sparkContext.broadcast(
+        GenomicQueries.starTaxonomy(spark, sfDir))
+      val lib = SparkEntrySpecAccess.customerLib(spark, sfDir)
+      val packed = lib.map { case (t, dna) =>
+        (t, graft.kmers.Dna.pack2bit(dna), dna.length) }
+      val demoted = graft.index.FrequencyOrdering.topCanonicalWideMers(
+        packed, 64, fraction = 1.0, topN = 65536)
+      assert(demoted.length == 2 * 65536)
+      def keys(dem: Array[Long]) =
+        new graft.index.WideMinimizerIndex(k = 66, m = 64, bcTax, 0, dem)
+          .makeRecords(lib).select($"id1", $"id2")
+          .as[(Long, Long)].collect().toSet
+      val withDem = keys(demoted)
+      val without = keys(Array.emptyLongArray)
+      val moved = (withDem diff without).size
+      assert(moved > 1000,
+        s"demotion must change thousands of selected keys, moved only $moved")
+    }
   }
 
   test("g10 per-sample 2-step classification matches the independent golden") {
@@ -292,4 +343,13 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 private object SparkEntrySpecAccess {
   def run(name: String, spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.SparkEntry.queries(name)(spark, dir)
+
+  /** The harness queries' customer-genome library, for demotion-activity
+    * guards that rebuild indexes outside the registered queries. */
+  def customerLib(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Int, String)] = {
+    import spark.implicits._
+    GenomicQueries.customerGenomes(spark, dir)
+      .select($"taxon", $"dna").as[(Int, String)]
+  }
 }
