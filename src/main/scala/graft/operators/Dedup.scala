@@ -282,6 +282,50 @@ object Dedup {
       .as[(Long, String)]
   }
 
+  // ---------------- exact substring-span dedup ----------------
+
+  /** Maximal duplicated word-n-gram spans — the span-level exact dedup pass
+    * of LLM corpus curation (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): every n-word gram occurring more
+    * than once in the corpus (across documents, or repeated within one)
+    * marks its positions, and adjacent duplicated positions per document
+    * merge into maximal spans `[span_start, span_end]` (1-based word
+    * indices, inclusive).
+    *
+    * Scale shape: one groupBy on the gram digest (map-side partial agg
+    * collapses every gram to one count row before the exchange), one join
+    * back on the digest (AQE skew-split can divide a boilerplate gram's
+    * positions across tasks — a window-count formulation could not), one
+    * per-document island aggregation. No pairwise blowup anywhere: unlike
+    * LSH candidate pairing, a gram repeated 10^6 times contributes 10^6
+    * rows, never 10^12 pairs, so no bucket cap is needed. Grams travel as
+    * md5 digests, not text: the shuffle stays narrow no matter how long
+    * the n-gram is. */
+  def duplicateSpans(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
+    val grams = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1})," +
+          s" i -> md5(array_join(slice(w, i, $n), ' ')))")))
+      .toDF("doc_id", "p", "h")
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
+    val dupGrams = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"))
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupGrams, "h")
+      .withColumn("grp", col("pos") - row_number().over(perDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
   // ---------------- exact n-gram Jaccard (no LSH, for modest candidate sets) ----------------
 
   /** Inverted-index Jaccard: explode shingles, self-join on shingle (the

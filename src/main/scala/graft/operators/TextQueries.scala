@@ -246,6 +246,72 @@ object TextQueries {
         |    i -> w[i] || ' ' || w[i+1])) AS g
         |  FROM (SELECT string_split(trim(text), ' ') AS w FROM documents)
         |  WHERE len(w) >= 2)
-        |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin))
+        |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // ---- exact substring-span dedup (Lee et al. 2022): maximal duplicated
+    // word-8-gram spans per document — the span-level pass that removes
+    // repeated boilerplate WITHIN otherwise-unique documents, which
+    // document-level dedup (t01/t06) cannot see ----
+    Q("t21_span_dedup", (s, dir) => {
+      import s.implicits._
+      Dedup.duplicateSpans(
+          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          n = 8)
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"span_start".cast("long").as("span_start"),
+          $"span_end".cast("long").as("span_end"),
+          $"n_dup_grams".cast("long").as("n_dup_grams"))
+        .orderBy($"doc_id", $"span_start")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
+        |  FROM words WHERE len(w) >= 8
+        |), grams AS (
+        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h
+        |  FROM pos
+        |), cnt AS (
+        |  SELECT h, count(*) AS c FROM grams GROUP BY 1
+        |), dup AS (
+        |  SELECT doc_id, pos FROM grams JOIN cnt USING (h) WHERE c > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- unigram Shannon entropy per document: the distributional quality
+    // signal behind gibberish/boilerplate filters (low entropy = repetitive
+    // or templated text). entropy = log2(T) - sum(c*log2(c))/T needs only
+    // per-(doc, word) counts — two partial-aggregated shuffles, no
+    // full-vocabulary state per document ----
+    Q("t22_entropy", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("wd"))
+        .filter($"wd" =!= "")
+        .groupBy($"doc_id", $"wd").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id".cast("long").as("doc_id"))
+        .agg(sum($"c").cast("long").as("n_tokens"),
+          round(log2(sum($"c")) -
+            sum($"c" * log2($"c")) / sum($"c"), 4).as("entropy"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

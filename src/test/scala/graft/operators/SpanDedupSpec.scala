@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import scala.util.Random
+
+/** Exact substring-span dedup ([[Dedup.duplicateSpans]]): planted duplicated
+  * blocks must surface as exactly the maximal spans covering them, and the
+  * operator must agree with a from-scratch brute-force reimplementation on a
+  * random corpus.
+  */
+class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val n = 8
+  val rng = new Random(21)
+  val vocab: IndexedSeq[String] = (0 until 500).map(i => s"w$i")
+
+  def randomWords(k: Int): Seq[String] =
+    Seq.fill(k)(vocab(rng.nextInt(vocab.length)))
+
+  def ds(corpus: Seq[(Long, String)]) = {
+    import spark.implicits._
+    spark.createDataset(corpus)
+  }
+
+  /** From-scratch oracle: global gram counts -> duplicated positions ->
+    * consecutive runs merged into (start, end, nGrams) per doc. */
+  def bruteSpans(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val grams = corpus.flatMap { case (id, text) =>
+      val w = text.trim.split(" ")
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(i => (id, i + 1L, w.slice(i, i + n).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, occ) => (g, occ.size) }
+    val dup = grams.filter { case (_, _, g) => counts(g) > 1 }
+    dup.groupBy(_._1).flatMap { case (id, occ) =>
+      val ps = occ.map(_._2).sorted
+      // split sorted positions into consecutive runs
+      val runs = ps.foldLeft(List.empty[List[Long]]) {
+        case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      runs.map(r => (id, r.last, r.head + (n - 1), r.size.toLong))
+    }.toSet
+  }
+
+  def run(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] =
+    Dedup.duplicateSpans(ds(corpus), n).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+
+  test("planted cross-document block becomes one maximal span per document") {
+    val block = randomWords(20)
+    val a = randomWords(30) ++ block ++ randomWords(25) // block at words 31..50
+    val b = randomWords(10) ++ block ++ randomWords(40) // block at words 11..30
+    val corpus = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, randomWords(60).mkString(" ")))
+    // 20-word block -> 13 duplicated 8-gram starts; span covers the block
+    assert(run(corpus) === Set(
+      (1L, 31L, 50L, 13L),
+      (2L, 11L, 30L, 13L)))
+  }
+
+  test("a block repeated within one document yields two separated spans") {
+    val block = randomWords(12)
+    val doc = randomWords(15) ++ block ++ randomWords(20) ++ block ++ randomWords(9)
+    val corpus = Seq((7L, doc.mkString(" ")), (8L, randomWords(50).mkString(" ")))
+    // starts 16..20 (5 grams) and 48..52: separated by 20 unique words
+    assert(run(corpus) === Set(
+      (7L, 16L, 27L, 5L),
+      (7L, 48L, 59L, 5L)))
+  }
+
+  test("documents shorter than the gram width and unique corpora yield nothing") {
+    val corpus = Seq(
+      (1L, randomWords(n - 1).mkString(" ")), // too short for any gram
+      (2L, randomWords(40).mkString(" ")),
+      (3L, randomWords(40).mkString(" ")))
+    assert(run(corpus) === Set.empty)
+  }
+
+  test("operator agrees with the brute-force oracle on a random dirty corpus") {
+    // unique docs + shared prefixes + a boilerplate block injected into many
+    val boiler = randomWords(15)
+    val prefix = randomWords(10)
+    val corpus: Seq[(Long, String)] = (0L until 40L).map { i =>
+      val words =
+        (if (i % 5 == 0) prefix else randomWords(10)) ++
+          randomWords(20) ++
+          (if (i % 3 == 0) boiler else randomWords(15)) ++
+          randomWords(rng.nextInt(20))
+      (i, words.mkString(" "))
+    }
+    val expected = bruteSpans(corpus)
+    assert(expected.nonEmpty, "fixture must contain duplicated spans")
+    assert(run(corpus) === expected)
+  }
+}
