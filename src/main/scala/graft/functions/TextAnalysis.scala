@@ -83,7 +83,7 @@ object TextAnalysis {
   /** Stopword profiles (public common-word lists). A real deployment would
     * plug a trained char-n-gram model; the operator shape (score map,
     * argmax) is what matters at 100 TB. */
-  private val stopwords: Map[String, Set[String]] = Map(
+  private[graft] val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it", "was",
       "for", "with", "as", "on", "at", "by"),
     "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "que", "un",

@@ -161,6 +161,12 @@ object PipelineQueries {
          |WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIT)) <= 6
          |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Oracle: the corpus is ASCII (no non-Latin codepoints — same premise
+    // the t08/t15 hash oracles rest on), so detectLanguage's script-dominance
+    // path never fires and the semantics reduce to the stopword-occurrence
+    // vote with the strict-> lexicographic tie-break. The VALUES list is
+    // generated from the live TextAnalysis.stopwords map, so the oracle
+    // cannot drift from the Scala profiles.
     Q("t09_langid", (s, dir) => {
       import s.implicits._
       docs(s, dir)
@@ -168,8 +174,40 @@ object PipelineQueries {
         .toDF("doc_id", "lang_detected")
         .groupBy($"lang_detected").agg(count(lit(1)).as("cnt"))
         .orderBy($"lang_detected")
-    }, None),
+    }, Some {
+      val values = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (lang, ws) => ws.toSeq.sorted.map(w => s"('$lang', '$w')") }
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |), sw(lang, w) AS (
+         |  SELECT * FROM (VALUES $values)
+         |), scores AS (
+         |  SELECT t.doc_id, s.lang, count(*) AS score
+         |  FROM toks t JOIN sw s ON s.w = t.w
+         |  GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+         |  FROM scores
+         |), lab AS (
+         |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_detected
+         |  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+         |)
+         |SELECT lang_detected, CAST(count(*) AS BIGINT) AS cnt
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
 
+    // Oracle: the FULL winnowing kernel in SQL. The rightmost-tie rule picks
+    // which POSITION a window selects, but every argmin position carries the
+    // same hash VALUE — and the query counts distinct VALUES — so the
+    // fingerprint set is exactly { min hash of each window }: two window
+    // functions (frame min + frame size), no position bookkeeping. Valid
+    // window starts are the full frames (cw = 4), plus j = 0 for the single
+    // clipped window of docs with fewer k-grams than the window width;
+    // sub-k-gram docs hash whole-text (1 fingerprint), empty docs get 0.
     Q("t10_fingerprints", (s, dir) => {
       import s.implicits._
       docs(s, dir)
@@ -178,7 +216,31 @@ object PipelineQueries {
         }
         .toDF("doc_id", "n_fingerprints")
         .orderBy($"doc_id")
-    }, None),
+    }, Some(
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, text, length(text) AS L FROM documents
+         |), grams AS (
+         |  SELECT doc_id, j, substr(text, j + 1, 8) AS g
+         |  FROM docs0, unnest(range(0, greatest(L - 7, 0))) AS t(j)
+         |), hashes AS (
+         |  SELECT doc_id, j, ${mix64Sql(fnvSql)} AS h FROM grams
+         |), wins AS (
+         |  SELECT doc_id, j,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cw
+         |  FROM hashes
+         |), sel AS (
+         |  SELECT doc_id, count(DISTINCT mh) AS nf
+         |  FROM wins WHERE cw = 4 OR j = 0
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN d.L = 0 THEN 0 WHEN d.L < 8 THEN 1
+         |    ELSE s.nf END AS BIGINT) AS n_fingerprints
+         |FROM docs0 d LEFT JOIN sel s ON s.doc_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin)),
 
     Q("t11_token_estimate", (s, dir) => {
       import s.implicits._
