@@ -186,6 +186,59 @@ class SkewStressSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.size < 100000,
       s"boilerplate mega-bucket leaked through the cap: ${pairs.size} pairs")
   }
+
+  test("span dedup under 50% boilerplate + single-gram flood docs: spans " +
+    "exact, no dominant task") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
+    import ss.implicits._
+    def prose(seed: Long, words: Int): String = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      (0 until words).map { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        "w" + java.lang.Long.toHexString(s & 0xffffffL)
+      }.mkString(" ")
+    }
+    // 5,000 docs (sf0.1 volume). Half carry a shared 50-word boilerplate
+    // block (43 hot gram keys x 2500 positions each); 100 are single-word
+    // floods, so ONE gram key holds ~19k positions — the adversarial case
+    // for the join back on the gram digest. Unlike LSH, span dedup never
+    // pairs positions, so no cap exists to hide behind: the output must be
+    // exact AND the stage must stay balanced.
+    val boiler = prose(999983L, 50)
+    val nDocs = 5000
+    val corpus = ss.range(nDocs).repartition(16).map { id =>
+      val i = id.toLong
+      // disjoint seed spaces ((i << 8) | slot): equal seeds would plant
+      // REAL duplicated prose runs across docs and break the span oracle
+      val text =
+        if (i % 50 == 7) Seq.fill(200)("spam").mkString(" ")
+        else if (i % 2 == 0)
+          prose((i << 8) | 1, 30) + " " + boiler + " " + prose((i << 8) | 2, 20)
+        else prose((i << 8) | 3, 100)
+      (i, text)
+    }
+    val (rows, stats) = withTaskStats {
+      graft.operators.Dedup.duplicateSpans(corpus, n = 8)
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, (r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)))
+        .toSeq
+    }
+    assertNoDominantTask(stats, factor = 6.0, floorMs = 2000)
+    val spans = rows.toMap
+    assert(rows.size == spans.size, "some document produced multiple spans")
+    // every boilerplate doc: exactly one span covering words 31..80
+    // (43 duplicated 8-gram starts); every flood doc: one whole-doc span
+    for (i <- 0L until nDocs.toLong) {
+      if (i % 50 == 7)
+        assert(spans(i) == ((1L, 200L, 193L)), s"flood doc $i: ${spans(i)}")
+      else if (i % 2 == 0)
+        assert(spans(i) == ((31L, 80L, 43L)), s"boiler doc $i: ${spans(i)}")
+      else
+        assert(!spans.contains(i), s"unique doc $i got a span: ${spans.get(i)}")
+    }
+  }
 }
 
 object SkewStressSpec {
