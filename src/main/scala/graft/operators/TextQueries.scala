@@ -312,6 +312,58 @@ object TextQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(sum(c) AS BIGINT) AS n_tokens,
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
-        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- per-source distinctive vocabulary (tf-idf): corpus document
+    // frequency joined back to per-source term frequency — the canonical
+    // two-pass global-statistics shape (a 100 TB corpus never fits a
+    // driver-side vocabulary; DF is itself a distributed aggregate, and the
+    // scalar doc count rides a one-row broadcast). Ranking uses the ROUNDED
+    // score with a term tie-break so both engines order identically ----
+    Q("t23_tfidf_terms", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select($"doc_id", $"source", explode(split(trim($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+      val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
+      val df = words.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val tf = words.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"score".desc, $"term".asc)
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"source", $"term", $"tf".cast("long").as("tf"),
+          $"df".cast("long").as("df"), $"score", $"rk".cast("long").as("rk"))
+        .orderBy($"source", $"rk")
+    }, Some(
+      """WITH w2 AS (
+        |  SELECT doc_id, source, term FROM (
+        |    SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |), df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM w2) GROUP BY 1
+        |), tf AS (
+        |  SELECT source, term, count(*) AS tf FROM w2 GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) DESC,
+        |        term ASC) AS rk
+        |  FROM tf JOIN df USING (term), n
+        |)
+        |SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
   )
 }
