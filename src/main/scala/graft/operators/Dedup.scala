@@ -301,8 +301,11 @@ object Dedup {
     * rows, never 10^12 pairs, so no bucket cap is needed. Grams travel as
     * md5 digests, not text: the shuffle stays narrow no matter how long
     * the n-gram is. */
-  def duplicateSpans(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
-    val grams = docs.toDF("doc_id", "text")
+  /** (doc_id, pos, h): every word-n-gram start position with its md5 digest
+    * (1-based word index). Shared by [[duplicateSpans]] and
+    * [[stripSpanStats]]. */
+  private def gramPositions(docs: Dataset[(Long, String)], n: Int): DataFrame =
+    docs.toDF("doc_id", "text")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(expr(
@@ -310,13 +313,13 @@ object Dedup {
           s" i -> md5(array_join(slice(w, i, $n), ' ')))")))
       .toDF("doc_id", "p", "h")
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
-    val dupGrams = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("h"))
+
+  /** Duplicated positions merged into maximal per-document spans
+    * (start, end inclusive, island size). */
+  private def mergeIslands(dupPositions: DataFrame, n: Int): DataFrame = {
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupGrams, "h")
+    dupPositions
       .withColumn("grp", col("pos") - row_number().over(perDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
@@ -324,6 +327,51 @@ object Dedup {
         count(lit(1)).as("n_dup_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_dup_grams"))
+  }
+
+  def duplicateSpans(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
+    val grams = gramPositions(docs, n)
+    val dupGrams = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"))
+    mergeIslands(grams.join(dupGrams, "h"), n)
+  }
+
+  /** Keep-first span-strip statistics — the APPLY side of span dedup: every
+    * duplicated gram occurrence except the globally first (smallest
+    * (doc_id, pos), packed into one long for a single-column min — assumes
+    * documents under 2^20 words) is foreign; foreign positions merge into
+    * spans, and a document's removed-word count is the total width of its
+    * foreign spans. The keeper document keeps its copy; a within-document
+    * repeat keeps only its first occurrence. One row per input document:
+    * (doc_id, n_words, n_removed, n_kept, n_spans).
+    *
+    * Same scale shape as [[duplicateSpans]] (the first-occurrence key is
+    * just a second agg column on the same gram-digest groupBy); the final
+    * per-document stats join is a left join on doc_id. */
+  def stripSpanStats(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
+    val words = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n_words"))
+    val keyed = gramPositions(docs, n)
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+    val firsts = keyed.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("k")).as("k0"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("k0"))
+    val foreignPos = keyed.join(firsts, "h")
+      .filter(col("k") =!= col("k0"))
+      .select(col("doc_id"), col("pos"))
+    val removed = mergeIslands(foreignPos, n)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("n_removed"),
+        count(lit(1)).as("n_spans"))
+    words.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_words") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   // ---------------- exact n-gram Jaccard (no LSH, for modest candidate sets) ----------------

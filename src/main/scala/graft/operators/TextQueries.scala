@@ -364,6 +364,53 @@ object TextQueries {
         |)
         |SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  score, CAST(rk AS BIGINT) AS rk
-        |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
+        |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // ---- keep-first span strip (the APPLY side of t21): every duplicated
+    // 8-gram occurrence except the globally-first is stripped; per-doc
+    // removal stats quantify how much boilerplate the pass deletes ----
+    Q("t24_span_strip", (s, dir) => {
+      import s.implicits._
+      Dedup.stripSpanStats(
+          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          n = 8)
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"n_words".cast("long").as("n_words"),
+          $"n_removed".cast("long").as("n_removed"),
+          $"n_kept".cast("long").as("n_kept"),
+          $"n_spans".cast("long").as("n_spans"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h,
+        |    doc_id * 1048576 + pos AS k
+        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
+        |        FROM words WHERE len(w) >= 8)
+        |), firsts AS (
+        |  SELECT h, min(k) AS k0 FROM grams GROUP BY 1 HAVING count(*) > 1
+        |), fo AS (
+        |  SELECT doc_id, pos FROM grams JOIN firsts USING (h) WHERE k <> k0
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fo
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl GROUP BY doc_id, grp
+        |), rem AS (
+        |  SELECT doc_id, sum(e - s + 1) AS n_removed, count(*) AS n_spans
+        |  FROM spans GROUP BY 1
+        |)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(w.w) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(len(w.w) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM documents d
+        |  JOIN words w ON w.doc_id = d.doc_id
+        |  LEFT JOIN rem r ON r.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin))
   )
 }

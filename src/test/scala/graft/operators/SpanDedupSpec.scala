@@ -81,6 +81,58 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(run(corpus) === Set.empty)
   }
 
+  /** Keep-first strip oracle: foreign = every dup-gram occurrence except the
+    * (doc, pos)-smallest; islands -> per-doc (n_words, removed, kept, spans). */
+  def bruteStrip(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+    val grams = corpus.flatMap { case (id, text) =>
+      val w = text.trim.split(" ")
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(i => (id, i + 1L, w.slice(i, i + n).mkString(" ")))
+    }
+    val byGram = grams.groupBy(_._3)
+    val foreign = byGram.values.filter(_.size > 1).flatMap { occ =>
+      occ.sortBy(o => (o._1, o._2)).tail
+    }
+    val removedByDoc = foreign.groupBy(_._1).map { case (id, occ) =>
+      val ps = occ.map(_._2).toSeq.sorted
+      val runs = ps.foldLeft(List.empty[List[Long]]) {
+        case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      val rem = runs.map(r => r.head + (n - 1) - r.last + 1).sum
+      (id, (rem, runs.size.toLong))
+    }
+    corpus.map { case (id, text) =>
+      val nWords = text.trim.split(" ", -1).length.toLong
+      val (rem, spans) = removedByDoc.getOrElse(id, (0L, 0L))
+      (id, nWords, rem, nWords - rem, spans)
+    }.toSet
+  }
+
+  test("keep-first strip agrees with its oracle; keeper copy survives") {
+    val block = randomWords(20)
+    val a = randomWords(30) ++ block ++ randomWords(25)
+    val b = randomWords(10) ++ block ++ randomWords(40)
+    val corpus = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, randomWords(60).mkString(" ")),
+      (4L, Seq.fill(30)("spam").mkString(" "))) // within-doc flood
+    val got = Dedup.stripSpanStats(ds(corpus), n).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+        r.getAs[Number](4).longValue))
+      .toSet
+    assert(got === bruteStrip(corpus))
+    // doc 1 holds the first occurrence: nothing removed there; doc 2 loses
+    // exactly the 20-word block; the flood doc keeps one gram's width start
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 == 0L)
+    assert(byId(2L)._3 == 20L && byId(2L)._4 == 50L)
+    assert(byId(3L)._3 == 0L)
+    // foreign starts 2..23 cover words 2..30: 29 removed, 1 kept
+    assert(byId(4L)._3 == 29L && byId(4L)._4 == 1L)
+  }
+
   test("operator agrees with the brute-force oracle on a random dirty corpus") {
     // unique docs + shared prefixes + a boilerplate block injected into many
     val boiler = randomWords(15)
