@@ -108,10 +108,12 @@ object Bench {
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    // queries ADDED to the bench set in round 6: the headline total grew by
-    // their cost, so the artifact also carries the subtotal comparable to
-    // earlier rounds' totals (same 13-query set)
-    val added = Set("g11_mem_classify", "g12_mem_wide_classify")
+    // queries ADDED to the bench set after round 5: the headline total grew
+    // by their cost, so the artifact also carries the subtotal comparable to
+    // earlier rounds' totals (the original 13-query set). r6: g11/g12; r7:
+    // t21 (span dedup).
+    val added = Set("g11_mem_classify", "g12_mem_wide_classify",
+      "t21_span_dedup")
     val comparable = results.collect {
       case (k, (med, _, _)) if !added(k) && med >= 0 => med
     }.sum

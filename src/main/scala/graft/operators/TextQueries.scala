@@ -284,7 +284,8 @@ object TextQueries {
         |  CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_dup_grams
-        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin)),
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin),
+      bench = true),
 
     // ---- unigram Shannon entropy per document: the distributional quality
     // signal behind gibberish/boilerplate filters (low entropy = repetitive
