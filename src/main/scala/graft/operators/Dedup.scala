@@ -315,8 +315,10 @@ object Dedup {
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
 
   /** Duplicated positions merged into maximal per-document spans
-    * (start, end inclusive, island size). */
-  private def mergeIslands(dupPositions: DataFrame, n: Int): DataFrame = {
+    * (start, end inclusive, island size). Shared with the streaming
+    * suppressor ([[graft.streaming.StreamingDedup.spanStrip]]), whose
+    * per-batch foreign marks close into spans with the same kernel. */
+  private[graft] def mergeIslands(dupPositions: DataFrame, n: Int): DataFrame = {
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPositions

@@ -310,6 +310,80 @@ object StreamingDedup {
       shingleN, numHashes, bands, stateTtlMs)((survivors, _) =>
       sink(survivors))
 
+  /** Gram occurrence heading into the first-claim state machine. */
+  final case class GramEvent(gramKey: Long, docId: Long, pos: Int,
+      ts: java.sql.Timestamp)
+
+  /** A gram occurrence that duplicates an earlier-claimed gram. */
+  final case class ForeignGram(docId: Long, pos: Int, ts: java.sql.Timestamp)
+
+  /** Streaming span suppression, phase 1 — the online analogue of
+    * [[graft.operators.Dedup.stripSpanStats]]'s keep-first rule: per
+    * word-n-gram digest, the first arrival (event time, then (docId, pos) —
+    * so a single trigger resolves exactly like the batch packed-key min)
+    * claims the gram; every later occurrence emits a foreign mark.
+    *
+    * Scale design: state is ONE boolean per distinct gram digest seen within
+    * the TTL — bounded by (ingest rate x TTL), never corpus size, and a
+    * duplicate arriving after expiry passes (the same bounded-state tradeoff
+    * as [[dedupExact]]). Marks carry (docId, pos) only: no document text
+    * amplifies through the stateful shuffle (a W-word doc contributes ~W
+    * short events, the same volume the batch gram shuffle moves). */
+  def spanForeignMarks(docs: DataFrame, textCol: String, tsCol: String,
+      idCol: String, n: Int = 8, watermark: String = "10 minutes",
+      stateTtlMs: Long = 10 * 60 * 1000L): Dataset[ForeignGram] = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def mark(key: Long, rows: Iterator[GramEvent],
+        state: GroupState[Boolean]): Iterator[ForeignGram] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val rs = rows.toVector.sortBy(r => (r.ts.getTime, r.docId, r.pos))
+      val claimed = state.exists
+      val foreign = if (claimed) rs else rs.tail
+      if (!claimed) state.update(true)
+      state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+        rs.map(_.ts.getTime).max + stateTtlMs))
+      foreign.iterator.map(r => ForeignGram(r.docId, r.pos, r.ts))
+    }
+
+    docs
+      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
+        col(textCol).as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (docId, ts, text) =>
+        // batch tokenization parity: single-space split of the trimmed text
+        val w = text.trim.split(" ")
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map { i =>
+          GramEvent(graft.functions.TextAnalysis.hashString(
+            w.slice(i, i + n).mkString(" ")), docId, i + 1, ts)
+        }
+      }
+      .withWatermark("ts", watermark)
+      .groupByKey(_.gramKey)
+      .flatMapGroupsWithState[Boolean, ForeignGram](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(mark)
+  }
+
+  /** Streaming span strip: per micro-batch, the foreign marks close into
+    * maximal per-document spans with the batch island kernel (a document's
+    * grams all travel in one trigger, so its islands complete within the
+    * batch) and `sink` receives (doc_id, span_start, span_end, n_dup_grams)
+    * — fully distributed, nothing collects to the driver. */
+  def spanStrip(docs: DataFrame, textCol: String, tsCol: String,
+      idCol: String, n: Int = 8, watermark: String = "10 minutes",
+      stateTtlMs: Long = 10 * 60 * 1000L)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[ForeignGram] =
+    spanForeignMarks(docs, textCol, tsCol, idCol, n, watermark, stateTtlMs)
+      .writeStream.foreachBatch { (batch: Dataset[ForeignGram], _: Long) =>
+        sink(graft.operators.Dedup.mergeIslands(
+          batch.select(col("docId").as("doc_id"), col("pos")), n))
+      }
+
   /** Stateless streaming quality gate: attach the batch quality columns and
     * keep docs inside the given bounds (same kernel as the batch path, so
     * online and offline filtering agree). */

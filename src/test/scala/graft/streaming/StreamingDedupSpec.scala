@@ -220,4 +220,51 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(rows("srcB") == ((1L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming span strip matches the batch keep-first rule in one " +
+    "trigger and suppresses across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: Long, k: Int): Seq[String] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      (0 until k).map { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        "w" + java.lang.Long.toHexString(s & 0xffffffL)
+      }
+    }
+    val block = words(42L, 12)
+    val doc1 = (words(100L, 10) ++ block ++ words(101L, 5)).mkString(" ")
+    val doc2 = (words(200L, 4) ++ block ++ words(201L, 8)).mkString(" ")
+    val flood = Seq.fill(30)("spam").mkString(" ")
+    val spans = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val query = StreamingDedup.spanStrip(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      n = 8, watermark = "10 minutes")({ batch =>
+        spans ++= batch.collect().map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+          r.getAs[Number](3).longValue))
+        ()
+      }).outputMode("append").start()
+    try {
+      // one trigger: doc 1 keeps the block (smallest (ts, docId, pos)); the
+      // flood doc keeps only its first gram. Same outcome as the batch
+      // packed-key min for equal timestamps.
+      stream.addData(Seq(
+        (ts(0), 1L, doc1), (ts(0), 2L, doc2), (ts(0), 4L, flood)))
+      query.processAllAvailable()
+      // doc 2's block: foreign starts 5..9 -> one span covering words 5..16
+      // (the 12-word block); flood: foreign starts 2..23 -> span 2..30
+      assert(spans.toSet === Set(
+        (2L, 5L, 16L, 5L),
+        (4L, 2L, 30L, 22L)))
+      // second trigger: a re-arrival of the block inside the watermark is
+      // fully foreign even though its first copy claimed in an EARLIER batch
+      spans.clear()
+      val doc9 = (words(900L, 3) ++ block ++ words(901L, 3)).mkString(" ")
+      stream.addData(Seq((ts(5), 9L, doc9)))
+      query.processAllAvailable()
+      assert(spans.toSet === Set((9L, 4L, 15L, 5L)))
+    } finally query.stop()
+  }
 }
