@@ -412,6 +412,36 @@ object TextQueries {
         |FROM documents d
         |  JOIN words w ON w.doc_id = d.doc_id
         |  LEFT JOIN rem r ON r.doc_id = d.doc_id
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic per-source downsampling: a doc is kept iff the hex
+    // prefix of md5(doc_id) falls under its source's rate threshold — the
+    // reproducible alternative to rand() sampling (same keep set on every
+    // run, every engine, any partitioning), evaluated as a conditional agg
+    // in one pass with no pre-filter scan ----
+    Q("t25_hash_sample", (s, dir) => {
+      import s.implicits._
+      val rate = when($"source" === "src0", "3f")  // ~25%
+        .when($"source" === "src1", "7f")          // ~50%
+        .otherwise("bf")                           // ~75%
+      val keep = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+        .leq(rate)
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(keep, $"n_chars").otherwise(0L)).cast("long").as("kept_chars"))
+        .orderBy($"source")
+    }, Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |      CASE source WHEN 'src0' THEN '3f' WHEN 'src1' THEN '7f'
+        |        ELSE 'bf' END AS keep
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
