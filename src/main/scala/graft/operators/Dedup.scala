@@ -288,9 +288,10 @@ object Dedup {
     * of LLM corpus curation (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022): every n-word gram occurring more
     * than once in the corpus (across documents, or repeated within one)
-    * marks its positions, and adjacent duplicated positions per document
-    * merge into maximal spans `[span_start, span_end]` (1-based word
-    * indices, inclusive).
+    * marks its positions, and positions whose covered words overlap or abut
+    * merge into maximal contiguous duplicated regions
+    * `[span_start, span_end]` (1-based word indices, inclusive; spans never
+    * overlap).
     *
     * Scale shape: one groupBy on the gram digest (map-side partial agg
     * collapses every gram to one count row before the exchange), one join
@@ -315,14 +316,26 @@ object Dedup {
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
 
   /** Duplicated positions merged into maximal per-document spans
-    * (start, end inclusive, island size). Shared with the streaming
-    * suppressor ([[graft.streaming.StreamingDedup.spanStrip]]), whose
-    * per-batch foreign marks close into spans with the same kernel. */
+    * (start, end inclusive, island size). Two positions p < q share a span
+    * iff q - p <= n: their covered word ranges [p, p+n-1] and [q, q+n-1]
+    * overlap or abut, so every span is a maximal CONTIGUOUS duplicated
+    * region and spans never overlap (merging only gap-1 positions would
+    * emit overlapping spans — e.g. duplicated starts {1, 3} with 2 unique —
+    * and overlap-double-count any word-removal accounting built on them).
+    * Shared with the streaming suppressor
+    * ([[graft.streaming.StreamingDedup.spanStrip]]), whose per-batch
+    * foreign marks close into spans with the same kernel. */
   private[graft] def mergeIslands(dupPositions: DataFrame, n: Int): DataFrame = {
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val running = perDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     dupPositions
-      .withColumn("grp", col("pos") - row_number().over(perDoc))
+      .withColumn("newIsland",
+        when(col("pos") - lag(col("pos"), 1).over(perDoc) <= n, 0)
+          .otherwise(1))
+      .withColumn("grp", sum(col("newIsland")).over(running))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (n - 1)).as("span_end"),
@@ -341,12 +354,13 @@ object Dedup {
   }
 
   /** Keep-first span-strip statistics — the APPLY side of span dedup: every
-    * duplicated gram occurrence except the globally first (smallest
-    * (doc_id, pos), packed into one long for a single-column min — assumes
-    * documents under 2^20 words) is foreign; foreign positions merge into
-    * spans, and a document's removed-word count is the total width of its
-    * foreign spans. The keeper document keeps its copy; a within-document
-    * repeat keeps only its first occurrence. One row per input document:
+    * duplicated gram occurrence except the globally first (lexicographically
+    * smallest (doc_id, pos), a struct min — no packed-key range contract) is
+    * foreign; foreign positions merge into spans, and a document's
+    * removed-word count is the total width of its foreign spans (spans
+    * never overlap — see [[mergeIslands]] — so the total is exact). The
+    * keeper document keeps its copy; a within-document repeat keeps only
+    * its first occurrence. One row per input document:
     * (doc_id, n_words, n_removed, n_kept, n_spans).
     *
     * Same scale shape as [[duplicateSpans]] (the first-occurrence key is
@@ -357,13 +371,13 @@ object Dedup {
       .select(col("doc_id"),
         size(split(trim(col("text")), " ")).as("n_words"))
     val keyed = gramPositions(docs, n)
-      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
     val firsts = keyed.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"), min(col("k")).as("k0"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("c") > 1)
-      .select(col("h"), col("k0"))
+      .select(col("h"), col("first"))
     val foreignPos = keyed.join(firsts, "h")
-      .filter(col("k") =!= col("k0"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"))
     val removed = mergeIslands(foreignPos, n)
       .groupBy(col("doc_id"))

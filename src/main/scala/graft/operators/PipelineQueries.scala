@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import Q.t
 
-/** Harness entries for the non-SQL-expressible training-data operators
-  * (MinHash LSH, SimHash, n-gram Jaccard, language-ID, fingerprinting,
-  * token estimation, ANN). These get rows-only driver checks; their
-  * correctness (e.g. LSH recall vs exact Jaccard) is asserted in ScalaTest.
+/** Harness entries for the hash-kernel training-data operators (MinHash
+  * LSH, SimHash, n-gram Jaccard, language-ID, fingerprinting, token
+  * estimation, ANN). Most carry full DuckDB oracles whose hash kernels are
+  * re-derived in SQL (see the fragment helpers below); only the
+  * genuinely-approximate ANN candidate sets (v04/v05/v06/v07/v08) and the
+  * codec-bound m01 stay rows-only, with planted-recall / golden specs in
+  * ScalaTest instead.
   */
 object PipelineQueries {
 
@@ -176,7 +179,11 @@ object PipelineQueries {
         .orderBy($"lang_detected")
     }, Some {
       val values = TextAnalysis.stopwords.toSeq.sortBy(_._1)
-        .flatMap { case (lang, ws) => ws.toSeq.sorted.map(w => s"('$lang', '$w')") }
+        .flatMap { case (lang, ws) =>
+          // SQL-escape: elision stopwords ("l'", "d'") must not break the
+          // generated VALUES list
+          ws.toSeq.sorted.map(w => s"('$lang', '${w.replace("'", "''")}')")
+        }
         .mkString(", ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

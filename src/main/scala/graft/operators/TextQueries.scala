@@ -276,9 +276,12 @@ object TextQueries {
         |), dup AS (
         |  SELECT doc_id, pos FROM grams JOIN cnt USING (h) WHERE c > 1
         |), isl AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM dup
+        |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 8
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dup)
         |)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(min(pos) AS BIGINT) AS span_start,
@@ -385,18 +388,22 @@ object TextQueries {
       """WITH words AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
         |), grams AS (
-        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h,
-        |    doc_id * 1048576 + pos AS k
+        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h
         |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
         |        FROM words WHERE len(w) >= 8)
         |), firsts AS (
-        |  SELECT h, min(k) AS k0 FROM grams GROUP BY 1 HAVING count(*) > 1
+        |  SELECT h, min({'d': doc_id, 'p': pos}) AS f
+        |  FROM grams GROUP BY 1 HAVING count(*) > 1
         |), fo AS (
-        |  SELECT doc_id, pos FROM grams JOIN firsts USING (h) WHERE k <> k0
+        |  SELECT doc_id, pos FROM grams JOIN firsts USING (h)
+        |  WHERE {'d': doc_id, 'p': pos} <> f
         |), isl AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM fo
+        |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 8
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM fo)
         |), spans AS (
         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
         |  FROM isl GROUP BY doc_id, grp

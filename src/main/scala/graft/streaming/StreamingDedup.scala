@@ -340,12 +340,21 @@ object StreamingDedup {
     def mark(key: Long, rows: Iterator[GramEvent],
         state: GroupState[Boolean]): Iterator[ForeignGram] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val rs = rows.toVector.sortBy(r => (r.ts.getTime, r.docId, r.pos))
+      val rs = rows.toVector
       val claimed = state.exists
-      val foreign = if (claimed) rs else rs.tail
+      // already claimed: every occurrence is foreign, no ordering needed;
+      // otherwise only the (ts, docId, pos)-minimum matters — a single-pass
+      // min, never a full sort (a hot boilerplate gram can put 10^4+
+      // occurrences of ONE key into a trigger)
+      val foreign =
+        if (claimed) rs
+        else {
+          val keeper = rs.minBy(r => (r.ts.getTime, r.docId, r.pos))
+          rs.filter(_ ne keeper)
+        }
       if (!claimed) state.update(true)
       state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
-        rs.map(_.ts.getTime).max + stateTtlMs))
+        rs.iterator.map(_.ts.getTime).max + stateTtlMs))
       foreign.iterator.map(r => ForeignGram(r.docId, r.pos, r.ts))
     }
 
@@ -355,8 +364,11 @@ object StreamingDedup {
         col(textCol).as("text"))
       .as[(Long, java.sql.Timestamp, String)]
       .flatMap { case (docId, ts, text) =>
-        // batch tokenization parity: single-space split of the trimmed text
-        val w = text.trim.split(" ")
+        // batch tokenization parity: Spark SQL trim strips SPACES only
+        // (Java String.trim would also strip tabs/newlines and desync gram
+        // digests and positions from the batch path)
+        val w = text.dropWhile(_ == ' ')
+          .reverse.dropWhile(_ == ' ').reverse.split(" ")
         if (w.length < n) Iterator.empty
         else (0 to w.length - n).iterator.map { i =>
           GramEvent(graft.functions.TextAnalysis.hashString(

@@ -3,9 +3,10 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSessionTestWrapper
 
-/** Pinned goldens for the two deterministic rows-only harness queries:
-  * t09 (language-ID argmax counts) and t10 (winnowing fingerprint counts)
-  * at sf0.01. The golden files were derived by an INDEPENDENT Python
+/** Pinned goldens for t09 (language-ID argmax counts) and t10 (winnowing
+  * fingerprint counts) at sf0.01 — both now ALSO DuckDB-oracled in the
+  * driver gate; these goldens stay as cross-implementation
+  * defense-in-depth. The golden files were derived by an INDEPENDENT Python
   * reimplementation of the kernels (tools/golden_t09_t10.py — FNV-1a +
   * splitmix64, winnowing <=-rightmost window rule, script-first langid),
   * so these are cross-implementation checks, not self-snapshots. */

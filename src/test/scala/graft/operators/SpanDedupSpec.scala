@@ -35,9 +35,9 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val dup = grams.filter { case (_, _, g) => counts(g) > 1 }
     dup.groupBy(_._1).flatMap { case (id, occ) =>
       val ps = occ.map(_._2).sorted
-      // split sorted positions into consecutive runs
+      // merge positions whose covered ranges overlap or abut (gap <= n)
       val runs = ps.foldLeft(List.empty[List[Long]]) {
-        case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+        case (run :: rest, p) if p - run.head <= n => (p :: run) :: rest
         case (acc, p) => List(p) :: acc
       }
       runs.map(r => (id, r.last, r.head + (n - 1), r.size.toLong))
@@ -96,7 +96,7 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val removedByDoc = foreign.groupBy(_._1).map { case (id, occ) =>
       val ps = occ.map(_._2).toSeq.sorted
       val runs = ps.foldLeft(List.empty[List[Long]]) {
-        case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+        case (run :: rest, p) if p - run.head <= n => (p :: run) :: rest
         case (acc, p) => List(p) :: acc
       }
       val rem = runs.map(r => r.head + (n - 1) - r.last + 1).sum
@@ -131,6 +131,26 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byId(3L)._3 == 0L)
     // foreign starts 2..23 cover words 2..30: 29 removed, 1 kept
     assert(byId(4L)._3 == 29L && byId(4L)._4 == 1L)
+  }
+
+  test("overlapping covered ranges merge into one span (no double-count)") {
+    // doc 3 duplicates doc 1's 8-gram at start 1 and doc 2's at start 3 but
+    // start 2 is unique: the two covered ranges [1,8] and [3,10] overlap on
+    // words 3..8 and MUST merge — separate islands would overlap-double-count
+    // (n_removed 16 of 10 words, negative n_kept)
+    val c = randomWords(10)
+    val corpus = Seq(
+      (1L, c.slice(0, 8).mkString(" ")),
+      (2L, c.slice(2, 10).mkString(" ")),
+      (3L, c.mkString(" ")))
+    assert(run(corpus) === Set(
+      (1L, 1L, 8L, 1L), (2L, 1L, 8L, 1L), (3L, 1L, 10L, 2L)))
+    val strip = Dedup.stripSpanStats(ds(corpus), n).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+        r.getAs[Number](4).longValue)).toSet
+    assert(strip === Set(
+      (1L, 8L, 0L, 8L, 0L), (2L, 8L, 0L, 8L, 0L), (3L, 10L, 10L, 0L, 1L)))
   }
 
   test("operator agrees with the brute-force oracle on a random dirty corpus") {
