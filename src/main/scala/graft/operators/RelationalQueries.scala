@@ -616,6 +616,41 @@ object RelationalQueries {
         | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
         | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
         | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- as-of (temporal) join: each click event attributed to the user's
+    // most recent error event at or before it — the fact x slowly-changing-
+    // dimension shape behind feature attribution. Spark-first: NO join node
+    // at all — union both streams with a tag and take last_value(ignoreNulls)
+    // over (user, ts) order, profiles sorting before facts at equal ts. One
+    // shuffle on user_id, linear in input; a range join here would be
+    // quadratic per hot user at corpus scale. The DuckDB oracle is a native
+    // ASOF LEFT JOIN (inclusive semantics match the tag ordering). ----
+    Q("q35_asof_join", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val profiles = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts", lit(0L).as("tag"), lit(-1L).as("event_id"),
+          $"value".as("pv"))
+      val facts = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(1L).as("tag"), $"event_id",
+          lit(null).cast("double").as("pv"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      profiles.unionByName(facts)
+        .withColumn("asof_value", last($"pv", ignoreNulls = true).over(w))
+        .filter($"tag" === 1L)
+        .select($"event_id".cast("long").as("event_id"),
+          $"user_id".cast("long").as("user_id"),
+          coalesce($"asof_value", lit(-1.0)).as("asof_value"))
+        .orderBy($"event_id")
+    }, Some(
+      """SELECT CAST(f.event_id AS BIGINT) AS event_id,
+        | CAST(f.user_id AS BIGINT) AS user_id,
+        | coalesce(p.value, -1.0) AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') f
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') p
+        |  ON f.user_id = p.user_id AND f.ts >= p.ts
+        |ORDER BY event_id""".stripMargin))
   )
 }
