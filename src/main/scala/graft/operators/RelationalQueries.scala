@@ -651,6 +651,31 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') f
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') p
         |  ON f.user_id = p.user_id AND f.ts >= p.ts
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- semi-structured extraction: pull a typed field out of the JSON
+    // props column and aggregate on it — metadata extraction stays a narrow
+    // codegen'd map (get_json_object), never a parse-to-struct of the whole
+    // payload when one path is needed ----
+    Q("q36_json_extract", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum($"k").cast("long").as("sum_k"),
+          min($"k").cast("long").as("min_k"),
+          max($"k").cast("long").as("max_k"))
+        .orderBy($"event_type")
+    }, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
