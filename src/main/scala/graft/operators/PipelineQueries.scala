@@ -84,6 +84,37 @@ object PipelineQueries {
        |  FROM toks
        |)""".stripMargin
 
+  /** The stopword-vote language-ID re-derived in SQL, through the `lab` CTE
+    * (doc_id, lang_detected). The VALUES list renders from the live
+    * [[TextAnalysis.stopwords]] map (quotes SQL-escaped, so elision
+    * stopwords like "l'" cannot break the generated SQL). Shared by the
+    * t09 distribution and t26 confusion-matrix oracles. */
+  private val langIdCtes: String = {
+    val values = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (lang, ws) =>
+        ws.toSeq.sorted.map(w => s"('$lang', '${w.replace("'", "''")}')")
+      }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS w
+       |  FROM documents
+       |), sw(lang, w) AS (
+       |  SELECT * FROM (VALUES $values)
+       |), scores AS (
+       |  SELECT t.doc_id, s.lang, count(*) AS score
+       |  FROM toks t JOIN sw s ON s.w = t.w
+       |  GROUP BY 1, 2
+       |), best AS (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+       |  FROM scores
+       |), lab AS (
+       |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_detected
+       |  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+       |)""".stripMargin
+  }
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
@@ -177,35 +208,31 @@ object PipelineQueries {
         .toDF("doc_id", "lang_detected")
         .groupBy($"lang_detected").agg(count(lit(1)).as("cnt"))
         .orderBy($"lang_detected")
-    }, Some {
-      val values = TextAnalysis.stopwords.toSeq.sortBy(_._1)
-        .flatMap { case (lang, ws) =>
-          // SQL-escape: elision stopwords ("l'", "d'") must not break the
-          // generated VALUES list
-          ws.toSeq.sorted.map(w => s"('$lang', '${w.replace("'", "''")}')")
-        }
-        .mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS w
-         |  FROM documents
-         |), sw(lang, w) AS (
-         |  SELECT * FROM (VALUES $values)
-         |), scores AS (
-         |  SELECT t.doc_id, s.lang, count(*) AS score
-         |  FROM toks t JOIN sw s ON s.w = t.w
-         |  GROUP BY 1, 2
-         |), best AS (
-         |  SELECT doc_id, lang, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
-         |  FROM scores
-         |), lab AS (
-         |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_detected
-         |  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
-         |)
+    }, Some(
+      s"""$langIdCtes
          |SELECT lang_detected, CAST(count(*) AS BIGINT) AS cnt
-         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
-    }),
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // detected-vs-labeled language confusion matrix: the label-audit pass a
+    // curation pipeline runs before trusting upstream metadata (same
+    // detection kernel and SQL CTEs as t09)
+    Q("t26_lang_confusion", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", $"text").as[(String, String)]
+        .map { case (label, text) =>
+          (label, TextAnalysis.detectLanguage(text))
+        }
+        .toDF("lang_label", "lang_detected")
+        .groupBy($"lang_label", $"lang_detected")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy($"lang_label", $"lang_detected")
+    }, Some(
+      s"""$langIdCtes
+         |SELECT d.lang AS lang_label, l.lang_detected,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Oracle: the FULL winnowing kernel in SQL. The rightmost-tie rule picks
     // which POSITION a window selects, but every argmin position carries the
