@@ -42,6 +42,12 @@ import graft.taxa.Taxonomy
   *             names a directory used as a file-backed correction queue —
   *             written by each micro-batch's survivor fold AND tailed as a
   *             second source by the same query)
+  *   curate    --docs docs.parquet --output out [--min-tokens 5]
+  *             [--max-tokens 100000] [--min-alpha 0.0]
+  *             [--near-dup-threshold 0.7|off] [--span-n 8; 0 = off]
+  *             (batch corpus curation: quality gate -> exact dedup ->
+  *             optional MinHash near-dup -> keep-first span strip; writes
+  *             out/corpus parquet + out/summary.tsv per-stage counts)
   *
   * classify2 with --per-sample (requires --sample-regex; excludes --gold /
   * --bracken-read-len) runs PER-SAMPLE taxon selection: each sample is
@@ -79,7 +85,9 @@ object Main {
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")),
       "streamDedup" -> (common ++ Set("input", "output", "feedback",
         "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
-        "max-files-per-trigger", "checkpoint")))
+        "max-files-per-trigger", "checkpoint")),
+      "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
+        "min-alpha", "near-dup-threshold", "span-n")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -936,6 +944,73 @@ object Main {
           .as[(Int, Long)]
           .collect()
         println(new KrakenReport(tax, counts).render)
+
+      case "curate" =>
+        // Batch corpus curation — the library's text operators composed into
+        // the offline pipeline a training-data run executes: quality gate ->
+        // exact dedup (keep the lowest doc_id per content hash) -> optional
+        // MinHash near-dup -> keep-first span strip. Each stage is the same
+        // kernel the oracle gate verifies (t04/t01/t06/t24 semantics).
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val in = spark.read.parquet(opts("docs"))
+          .select(col("doc_id").cast("long"), col("text").cast("string"))
+          .as[(Long, String)].persist(lvl)
+        val nIn = in.count()
+        val gated = graft.streaming.StreamingDedup.qualityFilter(
+            in.toDF("doc_id", "text"), "text",
+            minTokens = opts.getOrElse("min-tokens", "5").toLong,
+            maxTokens = opts.getOrElse("max-tokens", "100000").toLong,
+            minAlphaRatio = opts.getOrElse("min-alpha", "0.0").toDouble)
+          .select(col("doc_id"), col("text")).as[(Long, String)].persist(lvl)
+        val nGated = gated.count()
+        val wExact = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))
+        val exact = gated.toDF("doc_id", "text")
+          .withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("rk", row_number().over(wExact))
+          .filter(col("rk") === 1).select(col("doc_id"), col("text"))
+          .as[(Long, String)].persist(lvl)
+        val nExact = exact.count()
+        val nearThr = opts.getOrElse("near-dup-threshold", "off")
+        val deduped =
+          if (nearThr == "off") exact
+          else graft.operators.Dedup.deduplicate(exact,
+            threshold = nearThr.toDouble).persist(lvl)
+        val nNear = deduped.count()
+        val spanN = opts.getOrElse("span-n", "8").toInt
+        val cleaned =
+          if (spanN == 0) deduped
+          else graft.operators.Dedup.stripSpans(deduped, spanN)
+        val outDir = opts("output")
+        cleaned.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(outDir + "/corpus")
+        def wordCount(ds: org.apache.spark.sql.Dataset[(Long, String)]): Long =
+          ds.toDF("doc_id", "text")
+            .agg(sum(when(trim(col("text")) === "", 0L)
+              .otherwise(size(split(trim(col("text")), " ")))))
+            .collect()(0).getLong(0)
+        val wordsBefore = wordCount(deduped)
+        val wordsAfter = wordCount(spark.read.parquet(outDir + "/corpus")
+          .as[(Long, String)])
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sw = new java.io.PrintWriter(fs.create(
+          new org.apache.hadoop.fs.Path(outDir, "summary.tsv"), true), false,
+          java.nio.charset.StandardCharsets.UTF_8)
+        try {
+          sw.println("stage\tdocs")
+          sw.println(s"input\t$nIn")
+          sw.println(s"quality_gate\t$nGated")
+          sw.println(s"exact_dedup\t$nExact")
+          sw.println(s"near_dup\t$nNear")
+          sw.println(s"words_before_span_strip\t$wordsBefore")
+          sw.println(s"words_after_span_strip\t$wordsAfter")
+        } finally sw.close()
+        println(s"curated $nIn -> $nNear docs ($wordsAfter of $wordsBefore " +
+          s"words kept) into $outDir/corpus")
 
       case "streamDedup" =>
         // Streaming near-dup suppression over a FILE topology — the

@@ -366,20 +366,25 @@ object Dedup {
     * Same scale shape as [[duplicateSpans]] (the first-occurrence key is
     * just a second agg column on the same gram-digest groupBy); the final
     * per-document stats join is a left join on doc_id. */
-  def stripSpanStats(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
-    val words = docs.toDF("doc_id", "text")
-      .select(col("doc_id"),
-        size(split(trim(col("text")), " ")).as("n_words"))
+  /** Foreign gram positions under the keep-first rule: every duplicated
+    * occurrence except the lexicographically smallest (doc_id, pos). */
+  private def foreignPositions(docs: Dataset[(Long, String)], n: Int): DataFrame = {
     val keyed = gramPositions(docs, n)
     val firsts = keyed.groupBy(col("h"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("c") > 1)
       .select(col("h"), col("first"))
-    val foreignPos = keyed.join(firsts, "h")
+    keyed.join(firsts, "h")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"))
-    val removed = mergeIslands(foreignPos, n)
+  }
+
+  def stripSpanStats(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
+    val words = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n_words"))
+    val removed = mergeIslands(foreignPositions(docs, n), n)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("n_removed"),
         count(lit(1)).as("n_spans"))
@@ -388,6 +393,44 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         (col("n_words") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** The curated corpus under the keep-first rule: every word inside a
+    * foreign span is deleted and the survivors re-join on single spaces.
+    * Documents with NO foreign span pass through byte-identical (only
+    * rewritten docs get tokenization-normalized); a doc stripped to nothing
+    * survives as an empty string, never silently disappears.
+    *
+    * Scale shape: the rebuild touches only span-carrying documents (a
+    * left-semi on the span set), the word⋈span anti-join is equi on doc_id
+    * with a range residual against a handful of spans per doc, and the
+    * reassembly sorts each document's surviving words inside one
+    * collect_list row — bounded by document length, never corpus size. */
+  def stripSpans(docs: Dataset[(Long, String)], n: Int = 8)
+      : Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val original = docs.toDF("doc_id", "text")
+    val spans = mergeIslands(foreignPositions(docs, n), n)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanDocs = spans.select(col("doc_id")).distinct()
+    val words = original.join(spanDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))
+      .toDF("doc_id", "i", "wd")
+      .select(col("doc_id"), (col("i") + 1).as("idx"), col("wd"))
+    val kept = words.join(spans,
+      words("doc_id") === spans("doc_id") &&
+        col("idx").between(col("span_start"), col("span_end")), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(idx, wd))), x -> x.wd), ' ')").as("text"))
+    // docs stripped to nothing drop out of `kept` — restore as empty text
+    val untouched = original.join(spanDocs, Seq("doc_id"), "left_anti")
+    untouched
+      .unionByName(spanDocs.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .as[(Long, String)]
   }
 
   // ---------------- exact n-gram Jaccard (no LSH, for modest candidate sets) ----------------

@@ -903,4 +903,43 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       dir.resolve("rew").toString + "_s5")
     assert(pwf.spaces == 5 && pwf.demoted.exists(_.length == 128))
   }
+
+  test("CLI: curate runs quality gate -> exact dedup -> near-dup -> span strip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate")
+    val words = (0 until 400).map(i => s"tok$i")
+    def prose(seed: Int, k: Int): Seq[String] = {
+      val r = new Random(seed)
+      Seq.fill(k)(words(r.nextInt(words.length)))
+    }
+    val block = prose(999, 15)
+    val docs = Seq(
+      (0L, prose(1, 40).mkString(" ")),                         // clean keeper
+      (1L, (prose(2, 10) ++ block ++ prose(3, 12)).mkString(" ")), // block keeper
+      (2L, (prose(4, 20) ++ block ++ prose(5, 9)).mkString(" ")),  // loses block
+      (3L, prose(1, 40).mkString(" ")),                         // exact dup of 0
+      (4L, "tiny"),                                             // fails quality gate
+      (5L, prose(6, 35).mkString(" ")))
+    spark.createDataset(docs).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", out, "--p", "4",
+      "--min-tokens", "5", "--near-dup-threshold", "0.9", "--span-n", "8"))
+    val corpus = spark.read.parquet(out + "/corpus")
+      .as[(Long, String)].collect().toMap
+    // doc 3 (exact dup) and doc 4 (quality) are gone; 2 lost the block
+    assert(corpus.keySet == Set(0L, 1L, 2L, 5L))
+    assert(corpus(0L) == docs(0)._2)
+    assert(corpus(1L) == docs(1)._2) // keeper copy of the block survives
+    assert(corpus(2L) == (prose(4, 20) ++ prose(5, 9)).mkString(" "))
+    val summary = scala.io.Source.fromFile(out + "/summary.tsv").getLines()
+      .drop(1).map { l => val Array(a, b) = l.split("\t"); (a, b.toLong) }
+      .toMap
+    assert(summary("input") == 6L && summary("quality_gate") == 5L &&
+      summary("exact_dedup") == 4L && summary("near_dup") == 4L)
+    assert(summary("words_before_span_strip") -
+      summary("words_after_span_strip") == 15L)
+  }
 }

@@ -133,6 +133,23 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byId(4L)._3 == 29L && byId(4L)._4 == 1L)
   }
 
+  test("stripSpans rewrites exactly the foreign words; keepers byte-identical") {
+    val block = randomWords(20)
+    val a = randomWords(30) ++ block ++ randomWords(25)
+    val b0 = randomWords(10)
+    val b1 = randomWords(40)
+    val corpus = Seq(
+      (1L, a.mkString(" ")),
+      (2L, (b0 ++ block ++ b1).mkString(" ")),
+      (3L, randomWords(60).mkString(" ")),
+      (4L, Seq.fill(30)("spam").mkString(" ")))
+    val cleaned = Dedup.stripSpans(ds(corpus), n).collect().toMap
+    assert(cleaned(1L) == corpus(0)._2) // keeper untouched
+    assert(cleaned(2L) == (b0 ++ b1).mkString(" ")) // block excised
+    assert(cleaned(3L) == corpus(2)._2)
+    assert(cleaned(4L) == "spam") // flood keeps its first word only
+  }
+
   test("overlapping covered ranges merge into one span (no double-count)") {
     // doc 3 duplicates doc 1's 8-gram at start 1 and doc 2's at start 3 but
     // start 2 is unique: the two covered ranges [1,8] and [3,10] overlap on
