@@ -989,8 +989,10 @@ object Main {
           .write.mode("overwrite").parquet(outDir + "/corpus")
         def wordCount(ds: org.apache.spark.sql.Dataset[(Long, String)]): Long =
           ds.toDF("doc_id", "text")
-            .agg(sum(when(trim(col("text")) === "", 0L)
-              .otherwise(size(split(trim(col("text")), " ")))))
+            // coalesce: sum over ZERO rows is null (empty corpus after the
+            // gates must still produce a summary, not an NPE)
+            .agg(coalesce(sum(when(trim(col("text")) === "", 0L)
+              .otherwise(size(split(trim(col("text")), " ")))), lit(0L)))
             .collect()(0).getLong(0)
         val wordsBefore = wordCount(deduped)
         val wordsAfter = wordCount(spark.read.parquet(outDir + "/corpus")
@@ -1001,7 +1003,9 @@ object Main {
           new org.apache.hadoop.fs.Path(outDir, "summary.tsv"), true), false,
           java.nio.charset.StandardCharsets.UTF_8)
         try {
-          sw.println("stage\tdocs")
+          // one metric per row: the doc-count stages and the word-count
+          // totals share the file, so the header must not claim one unit
+          sw.println("metric\tvalue")
           sw.println(s"input\t$nIn")
           sw.println(s"quality_gate\t$nGated")
           sw.println(s"exact_dedup\t$nExact")

@@ -353,19 +353,6 @@ object Dedup {
     mergeIslands(grams.join(dupGrams, "h"), n)
   }
 
-  /** Keep-first span-strip statistics — the APPLY side of span dedup: every
-    * duplicated gram occurrence except the globally first (lexicographically
-    * smallest (doc_id, pos), a struct min — no packed-key range contract) is
-    * foreign; foreign positions merge into spans, and a document's
-    * removed-word count is the total width of its foreign spans (spans
-    * never overlap — see [[mergeIslands]] — so the total is exact). The
-    * keeper document keeps its copy; a within-document repeat keeps only
-    * its first occurrence. One row per input document:
-    * (doc_id, n_words, n_removed, n_kept, n_spans).
-    *
-    * Same scale shape as [[duplicateSpans]] (the first-occurrence key is
-    * just a second agg column on the same gram-digest groupBy); the final
-    * per-document stats join is a left join on doc_id. */
   /** Foreign gram positions under the keep-first rule: every duplicated
     * occurrence except the lexicographically smallest (doc_id, pos). */
   private def foreignPositions(docs: Dataset[(Long, String)], n: Int): DataFrame = {
@@ -380,6 +367,19 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** Keep-first span-strip statistics — the APPLY side of span dedup: every
+    * duplicated gram occurrence except the globally first (lexicographically
+    * smallest (doc_id, pos), a struct min — no packed-key range contract) is
+    * foreign; foreign positions merge into spans, and a document's
+    * removed-word count is the total width of its foreign spans (spans
+    * never overlap — see [[mergeIslands]] — so the total is exact). The
+    * keeper document keeps its copy; a within-document repeat keeps only
+    * its first occurrence. One row per input document:
+    * (doc_id, n_words, n_removed, n_kept, n_spans).
+    *
+    * Same scale shape as [[duplicateSpans]] (the first-occurrence key is
+    * just a second agg column on the same gram-digest groupBy); the final
+    * per-document stats join is a left join on doc_id. */
   def stripSpanStats(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
     val words = docs.toDF("doc_id", "text")
       .select(col("doc_id"),

@@ -629,8 +629,11 @@ object RelationalQueries {
     Q("q35_asof_join", (s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
+      // profiles carry their REAL event_id: with lit(-1) two error rows
+      // sharing (user_id, ts) would tie completely in the window order and
+      // last(pv) would be shuffle-order-dependent
       val profiles = ev.filter($"event_type" === "error")
-        .select($"user_id", $"ts", lit(0L).as("tag"), lit(-1L).as("event_id"),
+        .select($"user_id", $"ts", lit(0L).as("tag"), $"event_id",
           $"value".as("pv"))
       val facts = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts", lit(1L).as("tag"), $"event_id",
@@ -674,7 +677,7 @@ object RelationalQueries {
         | CAST(min(k) AS BIGINT) AS min_k,
         | CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )

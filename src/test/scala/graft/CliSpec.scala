@@ -942,4 +942,21 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(summary("words_before_span_strip") -
       summary("words_after_span_strip") == 15L)
   }
+
+  test("CLI: curate survives a corpus the gates filter to nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-empty")
+    spark.createDataset(Seq((0L, "a b"), (1L, "c d"))).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", out, "--p", "4", "--min-tokens", "100"))
+    assert(spark.read.parquet(out + "/corpus").count() == 0)
+    val summary = scala.io.Source.fromFile(out + "/summary.tsv").getLines()
+      .drop(1).map { l => val Array(a, b) = l.split("\t"); (a, b.toLong) }
+      .toMap
+    assert(summary("quality_gate") == 0L &&
+      summary("words_after_span_strip") == 0L)
+  }
 }
