@@ -185,5 +185,19 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val expected = bruteSpans(corpus)
     assert(expected.nonEmpty, "fixture must contain duplicated spans")
     assert(run(corpus) === expected)
+
+    // cross-operator invariant: the rewritten corpus must carry exactly the
+    // word counts the stats operator reports, document by document
+    val stats = Dedup.stripSpanStats(ds(corpus), n).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](3).longValue))
+      .toMap
+    val cleaned = Dedup.stripSpans(ds(corpus), n).collect().toMap
+    assert(cleaned.keySet == stats.keySet)
+    for ((id, text) <- cleaned) {
+      val words = if (text.isEmpty) 0L else text.split(" ").length.toLong
+      assert(words == stats(id)._2,
+        s"doc $id: cleaned has $words words, stats claim n_kept=${stats(id)._2}")
+    }
   }
 }
