@@ -153,6 +153,29 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
 
+    /** Encode mono float samples in [-1, 1] as a 16-bit PCM WAV blob
+      * (little-endian, via the JDK writer) — the inverse of [[decode]] up
+      * to int16 quantization; lets pipelines materialize audio columns
+      * without an external dependency. */
+    def encodeWavPcm16(samples: Array[Float], sampleRate: Float): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioInputStream}
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+        16, 1, 2, sampleRate, false)
+      val raw = new Array[Byte](2 * samples.length)
+      var i = 0
+      while (i < samples.length) {
+        val s = math.max(-32768, math.min(32767, (samples(i) * 32767).round))
+        raw(2 * i) = (s & 0xff).toByte
+        raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val in = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** RMS energy envelope over `dim` equal time windows — a real content
       * descriptor (silence -> 0, full-scale sine -> ~0.707 everywhere). */
     def features(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] =

@@ -471,6 +471,34 @@ object PipelineQueries {
         .orderBy($"media_id")
     }, None),
 
+    // multimodal audio end to end on driver data: deterministic PCM
+    // synthesized from document text (mix64-chained samples), REAL WAV
+    // encode (JDK writer), then the REAL decode path — sniff -> header
+    // info -> int16 round trip -> RMS energy envelope. Rows-only for the
+    // driver; golden_m02.py re-derives the envelopes analytically (the
+    // samples are fully determined BEFORE the WAV round trip) and
+    // GoldenPipelineSpec pins them.
+    Q("m02_audio_features", (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).map { case (id, text) =>
+        var h = graft.functions.TextAnalysis.mix64(text.hashCode.toLong ^ 0x5eedL)
+        val samples = Array.tabulate(800) { i =>
+          h = graft.functions.TextAnalysis.mix64(h + i)
+          (h >> 11).toFloat / (1L << 52).toFloat
+        }
+        (id, graft.functions.Multimodal.AudioCodecs.encodeWavPcm16(samples, 8000f))
+      }.toDF("id", "data")
+      val desc = graft.functions.Multimodal.describeAudio(media, "id", "data")
+        .select($"media_id", $"format", round($"sample_rate", 1).as("sample_rate"),
+          $"channels", $"n_frames", round($"duration_s", 4).as("duration_s"))
+      val feats = graft.functions.Multimodal
+        .withFeatures(media, "id", "data", dim = 8)
+        .select($"media_id", round(element_at($"features", 1), 4).as("e0"),
+          round(element_at($"features", 8), 4).as("e7"))
+      desc.join(feats, "media_id")
+        .orderBy($"media_id")
+    }, None),
+
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
       // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the

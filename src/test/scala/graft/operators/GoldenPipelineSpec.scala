@@ -295,6 +295,28 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("m02 audio features match the analytic PCM golden") {
+    // golden from tools/golden_m02.py: the 800-sample PCM chain is fully
+    // determined BEFORE the WAV round trip (java hashCode + mix64 chain,
+    // int16 quantization is clamp(round(s*32767))/32768), so pure-Python
+    // analytic envelopes independently verify the JDK WAV encode -> sniff
+    // -> javax.sound decode -> RMS feature path
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/m02_audio_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t")
+      (f(0).toLong, f(1), f(2).toDouble, f(3).toInt, f(4).toLong,
+        f(5).toDouble, f(6).toFloat, f(7).toFloat)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("m02_audio_features", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5), r.getFloat(6),
+        r.getFloat(7))).toVector
+    assert(got == expected)
+  }
+
   test("t08 SimHash pairs match the independent golden") {
     assume(new java.io.File(sfDir).isDirectory)
     val url = getClass.getResource("/golden/t08_simhash_sf001.tsv")
