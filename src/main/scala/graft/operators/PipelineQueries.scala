@@ -499,6 +499,32 @@ object PipelineQueries {
         .orderBy($"media_id")
     }, None),
 
+    // multimodal "video" plumbing: deterministic binary blobs -> fixed-
+    // offset frame decimation (every 4th 256-byte chunk) -> per-frame md5.
+    // The decode itself is stubbed by necessity (no codec libraries in this
+    // environment) but the dataflow — binary column in, per-frame rows out,
+    // digests aggregated — is the real frame-sampling shape; golden_m03.py
+    // re-derives every digest in pure Python.
+    Q("m03_frame_sample", (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).map { case (id, text) =>
+        var h = graft.functions.TextAnalysis.mix64(text.hashCode.toLong ^ 0xf1a6e5L)
+        val bytes = new Array[Byte](4096)
+        var i = 0
+        while (i < bytes.length) {
+          h = graft.functions.TextAnalysis.mix64(h)
+          bytes(i) = (h & 0xff).toByte
+          i += 1
+        }
+        (id, bytes)
+      }.toDF("id", "data")
+      graft.functions.Multimodal
+        .sampleFrames(media, "id", "data", frameBytes = 256, everyNth = 4)
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          md5($"frame_bytes").as("frame_md5"))
+        .orderBy($"media_id", $"frame_idx")
+    }, None),
+
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
       // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the

@@ -317,6 +317,23 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("m03 frame digests match the analytic byte golden") {
+    // golden from tools/golden_m03.py: the blob is exact byte arithmetic
+    // (java hashCode + mix64 chain), so hashlib md5 over the decimated
+    // 256-byte frames independently verifies the frame-sampling dataflow
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/m03_frames_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t"); (f(0).toLong, f(1).toLong, f(2))
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("m03_frame_sample", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toVector
+    assert(got == expected)
+  }
+
   test("t08 SimHash pairs match the independent golden") {
     assume(new java.io.File(sfDir).isDirectory)
     val url = getClass.getResource("/golden/t08_simhash_sf001.tsv")
