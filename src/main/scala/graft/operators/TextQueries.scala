@@ -449,6 +449,49 @@ object TextQueries {
         |      CASE source WHEN 'src0' THEN '3f' WHEN 'src1' THEN '7f'
         |        ELSE 'bf' END AS keep
         |  FROM documents)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- sequence packing: group documents into fixed token-budget bins
+    // (the batch-construction pass of LLM pretraining). The scale-correct
+    // formulation packs WITHIN hash groups — deterministic doc order and a
+    // running token sum per group, bins cut at the budget — so there is no
+    // global-order single-partition window; 256 groups pack independently
+    // and a bin is globally named (grp, bin). Contiguous greedy semantics:
+    // a document lands in the bin its preceding tokens fill ----
+    Q("t27_pack", (s, dir) => {
+      import s.implicits._
+      val budget = 2000L
+      val tr = trim($"text")
+      val toks = when(tr === "", 0L)
+        .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          substring(md5($"doc_id".cast("string").cast("binary")), 1, 2).as("grp"),
+          toks.as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("bin", (($"cum" - $"n_toks") / budget).cast("long"))
+        .groupBy($"grp", $"bin")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_toks").cast("long").as("sum_tokens"))
+        .orderBy($"grp", $"bin")
+    }, Some(
+      """SELECT grp, CAST((cum - n_toks) // 2000 AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+        |FROM (
+        |  SELECT grp, n_toks, sum(n_toks) OVER (
+        |    PARTITION BY grp ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (
+        |    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS grp,
+        |      CASE WHEN trim(text) = '' THEN 0
+        |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |        END AS n_toks
+        |    FROM documents))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
