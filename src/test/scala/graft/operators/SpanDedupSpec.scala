@@ -188,16 +188,17 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
     // cross-operator invariant: the rewritten corpus must carry exactly the
     // word counts the stats operator reports, document by document
-    val stats = Dedup.stripSpanStats(ds(corpus), n).collect()
-      .map(r => r.getAs[Number](0).longValue ->
-        (r.getAs[Number](1).longValue, r.getAs[Number](3).longValue))
+    val kept = Dedup.stripSpanStats(ds(corpus), n).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](3).longValue)
       .toMap
     val cleaned = Dedup.stripSpans(ds(corpus), n).collect().toMap
-    assert(cleaned.keySet == stats.keySet)
+    assert(cleaned.keySet == kept.keySet)
     for ((id, text) <- cleaned) {
-      val words = if (text.isEmpty) 0L else text.split(" ").length.toLong
-      assert(words == stats(id)._2,
-        s"doc $id: cleaned has $words words, stats claim n_kept=${stats(id)._2}")
+      // same tokenization as the stats operator: trimmed single-space split
+      val t = text.trim
+      val words = if (t.isEmpty) 0L else t.split(" ", -1).length.toLong
+      assert(words == kept(id),
+        s"doc $id: cleaned has $words words, stats claim n_kept=${kept(id)}")
     }
   }
 }

@@ -14,12 +14,11 @@ lossy encode/decode. Run once from tools/; commit the output.
 import numpy as np
 import pyarrow.parquet as pq
 
-from golden_t09_t10 import mix64
+from golden_t09_t10 import M64, mix64
 from golden_m01 import java_hash, round4_spark_float
 
 N = 800
 DIM = 8
-MASK = (1 << 64) - 1
 
 
 def envelope(text):
@@ -28,7 +27,7 @@ def envelope(text):
     cnt = [0] * DIM
     inv = np.float32(float(1 << 52))
     for i in range(N):
-        h = mix64((h + i) & MASK)
+        h = mix64((h + i) & M64)
         signed = h - (1 << 64) if h >= (1 << 63) else h
         # Java arithmetic >> == Python floor-shift on signed ints
         sample = np.float32(signed >> 11) / inv

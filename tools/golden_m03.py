@@ -11,10 +11,8 @@ import hashlib
 
 import pyarrow.parquet as pq
 
-from golden_t09_t10 import mix64
+from golden_t09_t10 import M64, mix64
 from golden_m01 import java_hash
-
-MASK = (1 << 64) - 1
 
 
 def frames(text):
