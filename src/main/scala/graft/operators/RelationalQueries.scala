@@ -679,6 +679,31 @@ object RelationalQueries {
         |FROM (SELECT event_type,
         |        TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |      FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- unpivot (melt): the inverse reshape of q34 via the stack
+    // generator — one pass, no join. The oracle is the DIRECT long-form
+    // group-by, so the round trip pivot -> unpivot == identity is what the
+    // gate verifies (na.fill zeros are dropped to restore the sparse form).
+    Q("q37_unpivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(year($"o_orderdate").cast("long").as("yr"), $"o_orderpriority")
+        .groupBy($"yr")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)
+        .select($"yr", expr(
+          "stack(5, '1-URGENT', `1-URGENT`, '2-HIGH', `2-HIGH`," +
+            " '3-MEDIUM', `3-MEDIUM`, '4-NOT SPECIFIED', `4-NOT SPECIFIED`," +
+            " '5-LOW', `5-LOW`) AS (priority, cnt)"))
+        .filter($"cnt" > 0)
+        .select($"yr", $"priority", $"cnt".cast("long").as("cnt"))
+        .orderBy($"yr", $"priority")
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
