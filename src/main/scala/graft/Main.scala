@@ -41,7 +41,9 @@ import graft.taxa.Taxonomy
   *             (streaming near-dup suppression over JSON files; --feedback
   *             names a directory used as a file-backed correction queue —
   *             written by each micro-batch's survivor fold AND tailed as a
-  *             second source by the same query)
+  *             second source by the same query; --mode span switches to
+  *             keep-first span suppression, appending per-document
+  *             duplicated-span JSON instead of survivors)
   *   curate    --docs docs.parquet --output out [--min-tokens 5]
   *             [--max-tokens 100000] [--min-alpha 0.0]
   *             [--near-dup-threshold 0.7|off] [--span-n 8; 0 = off]
@@ -85,7 +87,7 @@ object Main {
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")),
       "streamDedup" -> (common ++ Set("input", "output", "feedback",
         "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
-        "max-files-per-trigger", "checkpoint")),
+        "max-files-per-trigger", "checkpoint", "mode", "span-n")),
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
         "min-alpha", "near-dup-threshold", "span-n")))
   }
@@ -1038,6 +1040,26 @@ object Main {
           .option("maxFilesPerTrigger",
             opts.getOrElse("max-files-per-trigger", "1"))
           .json(opts("input"))
+        // --mode span: keep-first SPAN suppression instead of the near-dup
+        // topology — foreign marks close into per-document spans each
+        // micro-batch and append as JSON (no feedback loop: gram ownership
+        // never needs correcting, the first claim is final)
+        if (opts.getOrElse("mode", "near") == "span") {
+          val outDir = opts("output")
+          val query = graft.streaming.StreamingDedup.spanStrip(
+              docs, "text", "ts", "doc_id",
+              n = opts.getOrElse("span-n", "8").toInt,
+              watermark = opts.getOrElse("watermark", "10 minutes"),
+              stateTtlMs = opts.getOrElse("ttl-ms", "600000").toLong) { spans =>
+              spans.write.mode("append").json(outDir)
+            }
+            .option("checkpointLocation",
+              opts.getOrElse("checkpoint", outDir + "_ckpt"))
+            .start()
+          try query.processAllAvailable() finally query.stop()
+          println(s"stream drained: spans in $outDir")
+          return
+        }
         val fbDir = opts.get("feedback")
         val feedback = fbDir.map { d =>
           import spark.implicits._

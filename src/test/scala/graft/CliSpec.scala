@@ -824,6 +824,40 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(corrections.select("newOwner").collect().forall(_.getLong(0) == -1L))
   }
 
+  test("CLI: streamDedup --mode span suppresses duplicated grams across " +
+      "file triggers") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-stream-span")
+    val in = dir.resolve("in"); Files.createDirectories(in)
+    val block = (1 to 12).map(i => s"blk$i").mkString(" ")
+    def uniq(tag: String, k: Int): String =
+      (1 to k).map(i => s"$tag$i").mkString(" ")
+    def doc(id: Long, sec: Int, text: String): String =
+      s"""{"doc_id":$id,"ts":"2026-01-01T10:00:${"%02d".format(sec)}","text":"$text"}"""
+    // trigger 1 claims the block's grams (doc 1); trigger 2 re-sends the
+    // block inside a different doc — its copy must be fully foreign
+    write(in.resolve("f1.json"),
+      doc(1, 0, uniq("a", 10) + " " + block + " " + uniq("b", 5)) + "\n")
+    write(in.resolve("f2.json"),
+      doc(2, 10, uniq("c", 4) + " " + block + " " + uniq("d", 8)) + "\n")
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(in.resolve("f1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 10000))
+    Files.setLastModifiedTime(in.resolve("f2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(now))
+    val out = dir.resolve("out").toString
+    Main.main(Array("streamDedup", "--mode", "span",
+      "--input", in.toString, "--output", out,
+      "--watermark", "10 minutes", "--ttl-ms", "3600000"))
+    val spans = spark.read.json(out)
+      .select("doc_id", "span_start", "span_end", "n_dup_grams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 2's block sits at words 5..16: foreign gram starts 5..9
+    assert(spans == Set((2L, 5L, 16L, 5L)),
+      s"cross-trigger span suppression failed: $spans")
+  }
+
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("classify2", "--index", "x", "--treshold", "10",
