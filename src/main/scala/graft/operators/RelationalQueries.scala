@@ -704,6 +704,64 @@ object RelationalQueries {
     }, Some(
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         | o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS cnt
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- interval join: events falling inside other users' session
+    // windows (concurrent-activity counting). Spark-first scale shape:
+    // sessions explode into the day buckets they cover, events carry ONE
+    // bucket, and the match is an equi-join on bucket with a residual
+    // range filter — never a cartesian range join, and no double-count
+    // because each event lives in exactly one bucket. The oracle is
+    // DuckDB's plain range join over the same session derivation. ----
+    Q("q38_interval_join", (s, dir) => {
+      import s.implicits._
+      val DAY = 86400L * 1000000000L
+      val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      val sess = ev
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 3600L * 1000000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+      val sessB = sess.select($"user_id", $"session_idx", $"t0", $"t1",
+        explode(expr(s"sequence(t0 DIV ${DAY}L, t1 DIV ${DAY}L)")).as("bucket"))
+      val evB = ev.select($"user_id".as("e_user"), $"ts",
+        expr(s"ts DIV ${DAY}L").as("bucket"))
+      val matched = sessB.join(evB, Seq("bucket"))
+        .filter($"ts".between($"t0", $"t1") && $"e_user" =!= $"user_id")
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_concurrent"))
+      sess.join(matched, Seq("user_id", "session_idx"), "left")
+        .select($"user_id".cast("long").as("user_id"),
+          $"session_idx".cast("long").as("session_idx"),
+          coalesce($"n_concurrent", lit(0L)).cast("long").as("n_concurrent"))
+        .orderBy($"user_id", $"session_idx")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+        |), marks AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |      OR tns - lag(tns) OVER w > 3600000000000 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), sess AS (
+        |  SELECT user_id, session_idx, min(tns) AS t0, max(tns) AS t1 FROM (
+        |    SELECT user_id, tns, sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    FROM marks)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(s.user_id AS BIGINT) AS user_id,
+        | CAST(s.session_idx AS BIGINT) AS session_idx,
+        | CAST(count(e.tns) AS BIGINT) AS n_concurrent
+        |FROM sess s LEFT JOIN ev e
+        |  ON e.tns BETWEEN s.t0 AND s.t1 AND e.user_id <> s.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
