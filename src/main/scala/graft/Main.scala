@@ -1044,7 +1044,18 @@ object Main {
         // topology — foreign marks close into per-document spans each
         // micro-batch and append as JSON (no feedback loop: gram ownership
         // never needs correcting, the first claim is final)
-        if (opts.getOrElse("mode", "near") == "span") {
+        val mode = opts.getOrElse("mode", "near")
+        require(mode == "near" || mode == "span",
+          s"--mode takes near/span, got '$mode'")
+        // per-mode flags: an option the selected topology ignores must fail
+        // loudly, not silently change semantics (the feedback queue, LSH
+        // knobs and span width are mode-specific)
+        val disallowed = Map(
+          "near" -> Set("span-n"),
+          "span" -> Set("feedback", "shingle-n", "num-hashes", "bands"))
+        for (bad <- disallowed(mode).intersect(opts.keySet).headOption)
+          sys.error(s"--$bad has no effect with --mode $mode")
+        if (mode == "span") {
           val outDir = opts("output")
           val query = graft.streaming.StreamingDedup.spanStrip(
               docs, "text", "ts", "doc_id",
@@ -1053,8 +1064,10 @@ object Main {
               stateTtlMs = opts.getOrElse("ttl-ms", "600000").toLong) { spans =>
               spans.write.mode("append").json(outDir)
             }
+            // mode-specific default: resuming a span query from a near-mode
+            // checkpoint (different topology + state schema) must not happen
             .option("checkpointLocation",
-              opts.getOrElse("checkpoint", outDir + "_ckpt"))
+              opts.getOrElse("checkpoint", outDir + "_span_ckpt"))
             .start()
           try query.processAllAvailable() finally query.stop()
           println(s"stream drained: spans in $outDir")

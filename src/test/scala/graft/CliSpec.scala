@@ -856,6 +856,18 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // doc 2's block sits at words 5..16: foreign gram starts 5..9
     assert(spans == Set((2L, 5L, 16L, 5L)),
       s"cross-trigger span suppression failed: $spans")
+
+    // a mistyped mode or a flag the topology ignores must fail loudly
+    val badMode = intercept[IllegalArgumentException] {
+      Main.main(Array("streamDedup", "--mode", "spans",
+        "--input", in.toString, "--output", out))
+    }
+    assert(badMode.getMessage.contains("near/span"))
+    val badFlag = intercept[RuntimeException] {
+      Main.main(Array("streamDedup", "--mode", "span", "--bands", "8",
+        "--input", in.toString, "--output", out))
+    }
+    assert(badFlag.getMessage.contains("--bands"))
   }
 
   test("CLI: a mistyped option fails loudly instead of silently defaulting") {
