@@ -45,6 +45,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the deliberate rows-only residue: one line per query on WHY no SQL
+    // oracle exists (approximate candidate-set semantics) — so the
+    // artifact itself distinguishes "not oracled yet" from "by design"
+    val notes = SparkEntry.all.values.collect {
+      case qq if qq.rowsOnlyNote.isDefined =>
+        s"${q(qq.name)}: ${q(qq.rowsOnlyNote.get)}"
+    }
+    Files.writeString(Paths.get(s"$outDir/rows_only_by_design.json"),
+      notes.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -162,7 +162,9 @@ object GenomicQueries {
         }
         .toDF("doc_id", "n_spans", "n_kmers", "n_distinct_minimizers")
         .orderBy($"doc_id")
-    }, None),
+    }, Some(Q.golden("g01_spans_sf001.tsv", "doc_id" -> "BIGINT",
+      "n_spans" -> "BIGINT", "n_kmers" -> "BIGINT",
+      "n_distinct_minimizers" -> "BIGINT"))),
 
     // index build: flatMap minimizers -> LCA fold -> per-taxon record counts
     Q("g02_lca_index", (s, dir) => {
@@ -175,7 +177,8 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_minimizers"))
         .orderBy($"taxon")
-    }, None, bench = true),
+    }, Some(Q.golden("g02_lca_sf001.tsv", "taxon" -> "BIGINT",
+      "n_minimizers" -> "BIGINT")), bench = true),
 
     // 2-step dynamic classification: evidence -> taxon selection -> rebuild
     Q("g04_classify2", (s, dir) => {
@@ -206,7 +209,7 @@ object GenomicQueries {
         .localCheckpoint(true)
       release()
       counts
-    }, None),
+    }, Some(Q.goldenTaxonReads("g04_classify2_sf001.tsv"))),
 
     // bracken-style abundance weights: self-classify genome windows
     Q("g05_bracken", (s, dir) => {
@@ -220,7 +223,8 @@ object GenomicQueries {
         .select($"source".cast("long").as("source"),
           $"dest".cast("long").as("dest"), $"reads")
         .orderBy($"source", $"dest")
-    }, None),
+    }, Some(Q.golden("g05_bracken_sf001.tsv", "source" -> "BIGINT",
+      "dest" -> "BIGINT", "reads" -> "BIGINT"))),
 
     // index statistics + respace: depth histogram of the re-spaced index
     Q("g06_index_stats", (s, dir) => {
@@ -233,7 +237,8 @@ object GenomicQueries {
       graft.index.IndexOps.depthHistogram(respaced, bcTax)
         .select($"depth".cast("long").as("depth"), $"n_minimizers")
         .orderBy($"depth")
-    }, None),
+    }, Some(Q.golden("g06_stats_sf001.tsv", "depth" -> "BIGINT",
+      "n_minimizers" -> "BIGINT"))),
 
     // multi-sample classification: sample extracted from read titles by regex
     Q("g08_multisample", (s, dir) => {
@@ -255,7 +260,8 @@ object GenomicQueries {
           sampleRegex = "(S\\d)R", confidence = 0.0, minHitGroups = 1)
         .select($"sample", $"taxon".cast("long").as("taxon"), $"n_reads")
         .orderBy($"sample", $"taxon")
-    }, None),
+    }, Some(Q.golden("g08_multisample_sf001.tsv", "sample" -> "VARCHAR",
+      "taxon" -> "BIGINT", "n_reads" -> "BIGINT"))),
 
     // per-sample two-step classification: sample = order priority class,
     // each sample's reads drawn from a DIFFERENT nation slice (nation % 5 =
@@ -289,7 +295,8 @@ object GenomicQueries {
         .localCheckpoint(true)
       release()
       counts
-    }, None),
+    }, Some(Q.golden("g10_multisample2_sf001.tsv", "sample" -> "VARCHAR",
+      "taxon" -> "BIGINT", "n_reads" -> "BIGINT"))),
 
     // wide-minimizer path (m=40 > 32: two-long keys) end to end, through the
     // unified per-read protocol (ordinals, flags, paired-end mate border)
@@ -310,7 +317,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None, bench = true),
+    }, Some(Q.goldenTaxonReads("g07_wide_sf001.tsv")), bench = true),
 
     // frequency-ordered index (sampled top-mer demotion) end to end: the
     // demoted ordering must reproduce at classify time or keys stop
@@ -340,7 +347,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None),
+    }, Some(Q.goldenTaxonReads("g09_freq_sf001.tsv"))),
 
     // m=64 frequency-demoted classification: the widest key has no spare
     // bit for the demote flag, so the scanner consults the demotion set at
@@ -374,7 +381,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None),
+    }, Some(Q.goldenTaxonReads("g13_wide64_freq_sf001.tsv"))),
 
     // g03's classification through the zero-shuffle in-memory path: the
     // records collect into a broadcast open-addressing table and scan +
@@ -399,7 +406,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None, bench = true),
+    }, Some(Q.goldenTaxonReads("g03_classify_sf001.tsv")), bench = true),
 
     // the wide (m=40) pipeline through the same in-memory path, pinned to
     // g07's golden
@@ -420,7 +427,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None, bench = true),
+    }, Some(Q.goldenTaxonReads("g07_wide_sf001.tsv")), bench = true),
 
     // classification: reads are genome substrings addressed by orders
     Q("g03_classify", (s, dir) => {
@@ -440,6 +447,6 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, None, bench = true)
+    }, Some(Q.goldenTaxonReads("g03_classify_sf001.tsv")), bench = true)
   )
 }

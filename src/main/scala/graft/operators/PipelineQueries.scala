@@ -359,7 +359,8 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None),
+    }, None, rowsOnlyNote = Some("IVF ANN: the probed-cell candidate set IS " +
+      "the semantics (recall < 1 by design); planted-recall specs pin it")),
 
     // group-level MinHash sketches via the native aggregate: per-source
     // corpus signatures -> pairwise estimated Jaccard between sources.
@@ -421,7 +422,8 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None),
+    }, None, rowsOnlyNote = Some("int8-quantized kNN: results differ from " +
+      "exact float32 by quantization noise (error-bound spec pins it)")),
 
     // PQ ANN: 8-byte codes scanned instead of 64-dim float vectors, bounded
     // per-partition candidate heaps, exact re-rank of survivors only
@@ -433,7 +435,8 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None, bench = true),
+    }, None, bench = true, rowsOnlyNote = Some("PQ ANN: coded-distance " +
+      "candidate sets are approximate by design; re-rank bound spec pins it")),
 
     Q("v04_knn_lsh", (s, dir) => {
       import s.implicits._
@@ -442,7 +445,8 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None, bench = true),
+    }, None, bench = true, rowsOnlyNote = Some("hyperplane-LSH ANN: bucket " +
+      "candidate sets are approximate by design; planted-recall spec pins it")),
 
     // multimodal plumbing end to end on driver data: deterministic 8x8 PNGs
     // rendered from document text (real imageio encode), then the REAL
@@ -469,7 +473,9 @@ object PipelineQueries {
           round(element_at($"features", 4), 4).as("f3"))
       desc.join(feats, "media_id")
         .orderBy($"media_id")
-    }, None),
+    }, Some(Q.golden("m01_media_sf001.tsv", "media_id" -> "BIGINT",
+      "format" -> "VARCHAR", "width" -> "INTEGER", "height" -> "INTEGER",
+      "f0" -> "FLOAT", "f3" -> "FLOAT"))),
 
     // multimodal audio end to end on driver data: deterministic PCM
     // synthesized from document text (mix64-chained samples), REAL WAV
@@ -497,7 +503,10 @@ object PipelineQueries {
           round(element_at($"features", 8), 4).as("e7"))
       desc.join(feats, "media_id")
         .orderBy($"media_id")
-    }, None),
+    }, Some(Q.golden("m02_audio_sf001.tsv", "media_id" -> "BIGINT",
+      "format" -> "VARCHAR", "sample_rate" -> "DOUBLE",
+      "channels" -> "INTEGER", "n_frames" -> "BIGINT",
+      "duration_s" -> "DOUBLE", "e0" -> "FLOAT", "e7" -> "FLOAT"))),
 
     // multimodal "video" plumbing: deterministic binary blobs -> fixed-
     // offset frame decimation (every 4th 256-byte chunk) -> per-frame md5.
@@ -523,7 +532,8 @@ object PipelineQueries {
         .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
           md5($"frame_bytes").as("frame_md5"))
         .orderBy($"media_id", $"frame_idx")
-    }, None),
+    }, Some(Q.golden("m03_frames_sf001.tsv", "media_id" -> "BIGINT",
+      "frame_idx" -> "BIGINT", "frame_md5" -> "VARCHAR"))),
 
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
@@ -537,7 +547,8 @@ object PipelineQueries {
         .select($"id_a".cast("long").as("id_a"), $"id_b".cast("long").as("id_b"),
           round($"sim", 6).as("sim"))
         .orderBy($"id_a", $"id_b")
-    }, None),
+    }, None, rowsOnlyNote = Some("LSH cosine dedup: the banded candidate " +
+      "pair set IS the semantics (v09 carries the exact-pair oracle)")),
 
     // exact cosine near-dup pairs over a bounded probe set: the brute-force
     // counterpart of v05, DuckDB-oracled end to end through the native

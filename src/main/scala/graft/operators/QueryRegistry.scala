@@ -20,12 +20,36 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** headline benchmark query */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** rows-only queries: one-line reason there is DELIBERATELY no oracle
+      * (dumped as rows_only_by_design.json next to oracle_sql.json) */
+    rowsOnlyNote: Option[String] = None)
 
 object Q {
   /** Parquet table loader: the only data-access path queries use. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Golden-lane oracle: DuckDB `read_csv` over a pinned TSV derived by an
+    * INDEPENDENT Python reimplementation of the kernel (tools/golden_*.py,
+    * themselves fuzzed against the Scala kernels by
+    * tools/test_golden_kernels.py). Stands in for kernels with no tractable
+    * SQL re-derivation (minimizer scanning, LCA folds, codec round trips).
+    * The committed path is the sf0.01 golden — the driver's gate scale;
+    * tools/check_oracle.py re-points `_sf001.tsv` to the matching tag when
+    * run at another SF (sf0.001 goldens are committed alongside).
+    * Column types are declared so the dtype-kind compare stays strict
+    * (FLOAT for float32 feature columns — bit-exact vs the parquet dump). */
+  def golden(file: String, cols: (String, String)*): String = {
+    val colSpec = cols.map { case (n, tp) => s"'$n': '$tp'" }.mkString(", ")
+    s"""-- GOLDEN LANE: pinned independent-reimplementation golden (tools/golden_*.py)
+       |SELECT * FROM read_csv('/root/repo/src/test/resources/golden/$file',
+       |  delim='\t', header=false, columns={$colSpec})""".stripMargin
+  }
+
+  /** The (taxon, n_reads) classification-count golden shape. */
+  def goldenTaxonReads(file: String): String =
+    golden(file, "taxon" -> "BIGINT", "n_reads" -> "BIGINT")
 
   def registry(qs: Seq[Q]): ListMap[String, Q] =
     ListMap(qs.map(q => q.name -> q): _*)

@@ -27,16 +27,28 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GOLDEN-LANE queries read a pinned TSV (independent Python
+    # reimplementation, tools/golden_*.py). The committed SQL points at the
+    # sf0.01 golden (the driver's gate scale); at another SF swap the tag.
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+    n_golden = 0
     n_ok = n_bad = 0
     for name in sorted(oracle):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output");  n_bad += 1; continue
+        sql = oracle[name]
+        lane = ""
+        if "GOLDEN LANE" in sql:
+            n_golden += 1
+            lane = " [golden]"
+            if sf_tag != "sf001":
+                sql = sql.replace("_sf001.tsv", f"_{sf_tag}.tsv")
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                                  ignore_index=True)
-            duck_df = con.sql(oracle[name]).df()
+            duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -65,10 +77,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: values {bad_cols} dtypes {dt}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(a)} rows)")
+            print(f"OK   {name} ({len(a)} rows){lane}")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} fail; "
-          f"{len(oracle)} oracled of {len(glob.glob(out_dir + '/*')) - 1} queries")
+          f"{len(oracle)} oracled of "
+          f"{len([p for p in glob.glob(out_dir + '/*') if os.path.isdir(p)])} queries"
+          f" ({n_golden} via golden lane: read_csv of pinned TSVs derived by"
+          f" independent Python kernel reimplementations, tools/golden_*.py)")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":

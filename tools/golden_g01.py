@@ -61,11 +61,11 @@ def g01_row(dna):
     return spans, len(per_kmer), len(set(per_kmer))
 
 
-def main():
-    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
+    tbl = pq.read_table(f"{sf}/documents.parquet")
     docs = sorted(zip(tbl.column("doc_id").to_pylist(),
                       tbl.column("text").to_pylist()))
-    with open("src/test/resources/golden/g01_spans_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g01_spans_{tag}.tsv", "w") as f:
         for doc_id, text in docs:
             spans, kmers, distinct = g01_row(dna_of(text))
             f.write(f"{doc_id}\t{spans}\t{kmers}\t{distinct}\n")
@@ -73,4 +73,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

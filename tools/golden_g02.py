@@ -18,8 +18,7 @@ def minimizers(dna):
     return {min(pris[i:i + K - M + 1]) for i in range(n - K + 1)}
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -59,11 +58,12 @@ def main():
     counts = {}
     for t in records.values():
         counts[t] = counts.get(t, 0) + 1
-    with open("src/test/resources/golden/g02_lca_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g02_lca_{tag}.tsv", "w") as f:
         for t in sorted(counts):
             f.write(f"{t}\t{counts[t]}\n")
     print("taxa:", len(counts), "records:", len(records))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

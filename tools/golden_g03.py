@@ -13,8 +13,7 @@ import pyarrow.parquet as pq
 from golden_g01 import dna_of, encode, priority, K, M
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -98,11 +97,12 @@ def main():
         t = classify(read)
         out[t] = out.get(t, 0) + 1
 
-    with open("src/test/resources/golden/g03_classify_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g03_classify_{tag}.tsv", "w") as f:
         for t in sorted(out):
             f.write(f"{t}\t{out[t]}\n")
     print("taxa:", len(out), "reads:", sum(out.values()))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

@@ -15,8 +15,7 @@ import pyarrow.parquet as pq
 from golden_g01 import dna_of, encode, priority, K, M
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -108,7 +107,7 @@ def main():
     for t in respaced.values():
         d = depth(t)
         hist[d] = hist.get(d, 0) + 1
-    with open("src/test/resources/golden/g06_stats_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g06_stats_{tag}.tsv", "w") as f:
         for d in sorted(hist):
             f.write(f"{d}\t{hist[d]}\n")
 
@@ -120,7 +119,7 @@ def main():
         t = classify(dna[pos - 1:pos - 1 + 44], records)
         sample = "S" + pri[0]
         out8[(sample, t)] = out8.get((sample, t), 0) + 1
-    with open("src/test/resources/golden/g08_multisample_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g08_multisample_{tag}.tsv", "w") as f:
         for (s, t) in sorted(out8):
             f.write(f"{s}\t{t}\t{out8[(s, t)]}\n")
 
@@ -158,7 +157,7 @@ def main():
     for read in reads4:
         t = classify(read, dyn_records)
         out4[t] = out4.get(t, 0) + 1
-    with open("src/test/resources/golden/g04_classify2_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g04_classify2_{tag}.tsv", "w") as f:
         for t in sorted(out4):
             f.write(f"{t}\t{out4[t]}\n")
 
@@ -195,7 +194,7 @@ def main():
         for read in rds:
             rt = classify(read, dyn10)
             out10[(sample, rt)] = out10.get((sample, rt), 0) + 1
-    with open("src/test/resources/golden/g10_multisample2_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g10_multisample2_{tag}.tsv", "w") as f:
         for (sm, rt) in sorted(out10):
             f.write(f"{sm}\t{rt}\t{out10[(sm, rt)]}\n")
 
@@ -205,4 +204,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

@@ -15,8 +15,7 @@ from golden_g01 import dna_of, encode, priority, K, M
 READ_LEN = 64
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -117,11 +116,12 @@ def main():
             dest = 0 if (len(groups) < 2 or not scoring) else resolve(scoring)
             out[(source, dest)] = out.get((source, dest), 0) + 1
 
-    with open("src/test/resources/golden/g05_bracken_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g05_bracken_{tag}.tsv", "w") as f:
         for (s, d) in sorted(out):
             f.write(f"{s}\t{d}\t{out[(s, d)]}\n")
     print("pairs:", len(out), "windows:", sum(out.values()))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

@@ -49,8 +49,7 @@ def minimizers(dna):
     return {min(pris[i:i + K - M + 1]) for i in range(n - K + 1)}
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -127,11 +126,12 @@ def main():
         t = classify(read)
         out[t] = out.get(t, 0) + 1
 
-    with open("src/test/resources/golden/g07_wide_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g07_wide_{tag}.tsv", "w") as f:
         for t in sorted(out):
             f.write(f"{t}\t{out[t]}\n")
     print("taxa:", len(out), "reads:", sum(out.values()))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

@@ -49,8 +49,7 @@ def signed(x):
     return x - TWO64 if x >= TWO63 else x
 
 
-def main():
-    sf = "/root/testdata/sf0.01"
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
     nation = pq.read_table(f"{sf}/nation.parquet")
     region = pq.read_table(f"{sf}/region.parquet")
     customer = pq.read_table(f"{sf}/customer.parquet")
@@ -157,7 +156,7 @@ def main():
         t = classify(read)
         out[t] = out.get(t, 0) + 1
 
-    with open("src/test/resources/golden/g13_wide64_freq_sf001.tsv", "w") as f:
+    with open(f"src/test/resources/golden/g13_wide64_freq_{tag}.tsv", "w") as f:
         for t in sorted(out):
             f.write(f"{t}\t{out[t]}\n")
     print("demoted:", len(demoted), "index keys:", len(records),
@@ -166,4 +165,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

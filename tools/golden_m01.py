@@ -61,19 +61,20 @@ def features(text):
     return round4_spark_float(f[0]), round4_spark_float(f[3])
 
 
-def main():
-    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
+    tbl = pq.read_table(f"{sf}/documents.parquet")
     rows = sorted(zip(tbl.column("doc_id").to_pylist(),
                       tbl.column("text").to_pylist()))
     out = []
     for doc_id, text in rows:
         f0, f3 = features(text)
         out.append(f"{doc_id}\tpng\t8\t8\t{str(f0)}\t{str(f3)}")
-    path = ("/root/repo/src/test/resources/golden/m01_media_sf001.tsv")
+    path = (f"/root/repo/src/test/resources/golden/m01_media_{tag}.tsv")
     with open(path, "w") as fh:
         fh.write("\n".join(out) + "\n")
     print(f"{len(out)} rows -> {path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

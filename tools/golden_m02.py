@@ -43,19 +43,20 @@ def envelope(text):
             for w in range(DIM)]
 
 
-def main():
-    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
+    tbl = pq.read_table(f"{sf}/documents.parquet")
     rows = sorted(zip(tbl.column("doc_id").to_pylist(),
                       tbl.column("text").to_pylist()))
     out = []
     for doc_id, text in rows:
         e = envelope(text)
         out.append(f"{doc_id}\twav\t8000.0\t1\t{N}\t0.1\t{e[0]}\t{e[DIM-1]}")
-    path = "/root/repo/src/test/resources/golden/m02_audio_sf001.tsv"
+    path = f"/root/repo/src/test/resources/golden/m02_audio_{tag}.tsv"
     with open(path, "w") as fh:
         fh.write("\n".join(out) + "\n")
     print(f"{len(out)} rows -> {path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])

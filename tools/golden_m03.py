@@ -25,19 +25,20 @@ def frames(text):
             for f in range(0, 16, 4)]
 
 
-def main():
-    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+def main(sf="/root/testdata/sf0.01", tag="sf001"):
+    tbl = pq.read_table(f"{sf}/documents.parquet")
     rows = sorted(zip(tbl.column("doc_id").to_pylist(),
                       tbl.column("text").to_pylist()))
     out = []
     for doc_id, text in rows:
         for f, digest in frames(text):
             out.append(f"{doc_id}\t{f}\t{digest}")
-    path = "/root/repo/src/test/resources/golden/m03_frames_sf001.tsv"
+    path = f"/root/repo/src/test/resources/golden/m03_frames_{tag}.tsv"
     with open(path, "w") as fh:
         fh.write("\n".join(out) + "\n")
     print(f"{len(out)} rows -> {path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:])
