@@ -977,11 +977,16 @@ object Main {
           .as[(Long, String)].persist(lvl)
         val nExact = exact.count()
         val nearThr = opts.getOrElse("near-dup-threshold", "off")
+        val dedupScope = new graft.operators.Dedup.CacheScope
         val deduped =
           if (nearThr == "off") exact
           else graft.operators.Dedup.deduplicate(exact,
-            threshold = nearThr.toDouble).persist(lvl)
+            threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
         val nNear = deduped.count()
+        // nNear materialized `deduped` into its own cache, so the dedup
+        // pipeline's internal caches (banded buckets, shingle sets,
+        // component labels) are dead weight from here on
+        dedupScope.release()
         val spanN = opts.getOrElse("span-n", "8").toInt
         val cleaned =
           if (spanN == 0) deduped
@@ -999,6 +1004,13 @@ object Main {
         val wordsBefore = wordCount(deduped)
         val wordsAfter = wordCount(spark.read.parquet(outDir + "/corpus")
           .as[(Long, String)])
+        // every downstream action has run — release the stage caches so a
+        // long-lived driver embedding this pipeline doesn't accumulate
+        // pinned blocks (unpersist is idempotent: deduped may alias exact)
+        in.unpersist()
+        gated.unpersist()
+        exact.unpersist()
+        deduped.unpersist()
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val sw = new java.io.PrintWriter(fs.create(

@@ -20,6 +20,32 @@ object Dedup {
   /** Default per-bucket size cap for all LSH candidate generators. */
   val DEFAULT_MAX_BUCKET = 1024
 
+  /** Release handle for the caches a lazy-returning dedup pipeline pins
+    * internally (banded buckets, shingle sets, component labels). The
+    * returned Datasets are lazy, so the library can never safely unpersist
+    * inside the producing method; a caller that passes its own scope MUST
+    * call [[CacheScope.release]] after materializing the result (write or
+    * count) — afterwards a cluster recomputing a lost partition just
+    * re-runs the lineage, slower but still correct. The default
+    * [[CacheScope.unmanaged]] scope keeps the historical fire-and-forget
+    * behavior (caches live until the session ends). */
+  class CacheScope {
+    private val handles = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    private[operators] def track[T <: Dataset[_]](ds: T): T =
+      synchronized { handles += ds; ds }
+    def release(): Unit = synchronized {
+      handles.foreach(_.unpersist(blocking = false))
+      handles.clear()
+    }
+  }
+
+  object CacheScope {
+    /** Never released; tracks nothing so handles cannot accumulate. */
+    val unmanaged: CacheScope = new CacheScope {
+      override private[operators] def track[T <: Dataset[_]](ds: T): T = ds
+    }
+  }
+
   /** Drop rows belonging to hash buckets larger than `maxBucket`.
     *
     * Boilerplate content (license headers, templates, empty-ish docs)
@@ -107,7 +133,8 @@ object Dedup {
     * [[capBuckets]]) so candidate generation stays near-linear even when
     * boilerplate concentrates the corpus into a few buckets. */
   def lshCandidates(signatures: Dataset[(Long, Array[Long])], bands: Int,
-      rows: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+      rows: Int, maxBucket: Int = DEFAULT_MAX_BUCKET,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = signatures.sparkSession
     import spark.implicits._
     val banded0 = signatures.flatMap { case (id, sig) =>
@@ -118,8 +145,8 @@ object Dedup {
     // persist AFTER the cap: the window evaluates once at materialization and
     // both self-join sides read the (already capped, already partitioned)
     // cache instead of recomputing signatures for the whole corpus
-    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = scope.track(capBuckets(banded0, Seq("band", "bucket"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
@@ -129,12 +156,14 @@ object Dedup {
 
   /** Exact Jaccard verification over candidate pairs only. */
   def verifyJaccard(docs: Dataset[(Long, String)], candidates: DataFrame,
-      shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.7,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sets = docs.map { case (id, text) => (id, shingleSet(text, shingleN)) }
-      .toDF("id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = scope.track(
+      docs.map { case (id, text) => (id, shingleSet(text, shingleN)) }
+        .toDF("id", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -148,9 +177,10 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: signatures -> bands -> verified pairs. */
   def minhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame =
+      maxBucket: Int = DEFAULT_MAX_BUCKET,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
     verifyJaccard(docs, lshCandidates(minhashSignatures(docs, shingleN, numHashes),
-      bands, numHashes / bands, maxBucket), shingleN, threshold)
+      bands, numHashes / bands, maxBucket, scope), shingleN, threshold, scope)
 
   // ---------------- SimHash ----------------
 
@@ -217,7 +247,8 @@ object Dedup {
     * one hop; rounds double the reach, so convergence in O(log diameter)
     * iterations — dup clusters are tiny, so this is 2-3 rounds in practice).
     * Returns (id, cluster) where cluster = min doc id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // undirected edge list, both directions
@@ -254,27 +285,33 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // the last round's cache backs the returned (lazy) labels — the caller's
+    // scope owns its release
+    if (prevCached != null) scope.track(prevCached)
     labels
   }
 
   /** Full dedup decision: MinHash-LSH pairs -> components -> keep the lowest
     * doc id per cluster, drop the rest. Returns (id, cluster, keep). */
   def dedupDecisions(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = minhashDedup(docs, shingleN, numHashes, bands, threshold)
-    val comps = connectedComponents(pairs)
+    val pairs = minhashDedup(docs, shingleN, numHashes, bands, threshold,
+      DEFAULT_MAX_BUCKET, scope)
+    val comps = connectedComponents(pairs, scope = scope)
     comps.withColumn("keep", col("id") === col("cluster"))
   }
 
   /** The deduplicated corpus: all docs minus non-keeper cluster members. */
   def deduplicate(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7)
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      scope: CacheScope = CacheScope.unmanaged)
       : Dataset[(Long, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val drop = dedupDecisions(docs, shingleN, numHashes, bands, threshold)
+    val drop = dedupDecisions(docs, shingleN, numHashes, bands, threshold, scope)
       .filter(!col("keep"))
       .select(col("id"))
     docs.toDF("id", "text")
@@ -405,7 +442,16 @@ object Dedup {
     * left-semi on the span set), the word⋈span anti-join is equi on doc_id
     * with a range residual against a handful of spans per doc, and the
     * reassembly sorts each document's surviving words inside one
-    * collect_list row — bounded by document length, never corpus size. */
+    * collect_list row — bounded by document length, never corpus size.
+    *
+    * The span subtree feeds three plan branches but is NOT persisted: its
+    * shuffle exchanges are identical across branches, so Spark's exchange
+    * reuse (ReusedExchange / AQE stage reuse) shares the expensive
+    * gram-digest aggregation, and only the cheap post-exchange window over
+    * the (small) duplicated-position set re-runs per branch. Persisting
+    * here would pin cached blocks for the caller's whole session — the
+    * returned Dataset is lazy, so no safe unpersist point exists inside
+    * this method (StripSpansReuseSpec pins both properties). */
   def stripSpans(docs: Dataset[(Long, String)], n: Int = 8)
       : Dataset[(Long, String)] = {
     val spark = docs.sparkSession
@@ -413,7 +459,6 @@ object Dedup {
     val original = docs.toDF("doc_id", "text")
     val spans = mergeIslands(foreignPositions(docs, n), n)
       .select(col("doc_id"), col("span_start"), col("span_end"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanDocs = spans.select(col("doc_id")).distinct()
     val words = original.join(spanDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))

@@ -140,16 +140,23 @@ object TextQueries {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- per-source quota: keep the k largest docs per source (domain
-    // balancing — a window rank, one shuffle on source, deterministic
-    // doc_id tiebreak) ----
+    // balancing). A bounded native top-k aggregate, NOT a window rank: the
+    // partial aggregation keeps <= k rows per source per map task and the
+    // final merge folds k-sized heaps, so no task ever sorts a whole
+    // source — with a handful of sources at 100 TB a
+    // row_number().over(partitionBy(source)) window would put an entire
+    // source's corpus through one task ----
     Q("t17_source_quota", (s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+      graft.functions.TopKAggregate.register(s, k = 5,
+        desc = Seq(true, false), name = "topk_quota")
       t(s, dir, "documents")
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 5)
-        .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
+        .groupBy($"source")
+        .agg(graft.functions.TopKAggregate
+          .topK("topk_quota", struct($"n_chars", $"doc_id")).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", $"col.doc_id".as("doc_id"),
+          ($"pos" + 1).cast("long").as("rk"))
         .orderBy($"source", $"rk")
     }, Some(
       """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
@@ -323,9 +330,13 @@ object TextQueries {
     // two-pass global-statistics shape (a 100 TB corpus never fits a
     // driver-side vocabulary; DF is itself a distributed aggregate, and the
     // scalar doc count rides a one-row broadcast). Ranking uses the ROUNDED
-    // score with a term tie-break so both engines order identically ----
+    // score with a term tie-break so both engines order identically, and
+    // rides the bounded top-k aggregate — a source's whole vocabulary never
+    // sorts in one task the way a per-source row_number window would ----
     Q("t23_tfidf_terms", (s, dir) => {
       import s.implicits._
+      graft.functions.TopKAggregate.register(s, k = 3,
+        desc = Seq(true, false), name = "topk_tfidf")
       val docs = t(s, dir, "documents")
       val words = docs
         .select($"doc_id", $"source", explode(split(trim($"text"), " ")).as("term"))
@@ -334,16 +345,17 @@ object TextQueries {
       val df = words.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
       val tf = words.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"score".desc, $"term".asc)
       tf.join(df, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
-        .select($"source", $"term", $"tf".cast("long").as("tf"),
-          $"df".cast("long").as("df"), $"score", $"rk".cast("long").as("rk"))
+        .groupBy($"source")
+        .agg(graft.functions.TopKAggregate
+          .topK("topk_tfidf", struct($"score", $"term", $"tf", $"df")).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", $"col.term".as("term"),
+          $"col.tf".cast("long").as("tf"), $"col.df".cast("long").as("df"),
+          $"col.score".as("score"), ($"pos" + 1).cast("long").as("rk"))
         .orderBy($"source", $"rk")
     }, Some(
       """WITH w2 AS (

@@ -987,6 +987,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       summary("exact_dedup") == 4L && summary("near_dup") == 4L)
     assert(summary("words_before_span_strip") -
       summary("words_after_span_strip") == 15L)
+    // curate releases every stage cache before returning: a long-lived
+    // driver composing this pipeline must not accumulate pinned blocks
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"curate leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
   test("CLI: curate survives a corpus the gates filter to nothing") {

@@ -239,6 +239,42 @@ class SkewStressSpec extends AnyFunSuite with SparkSessionTestWrapper {
         assert(!spans.contains(i), s"unique doc $i got a span: ${spans.get(i)}")
     }
   }
+  test("bounded top-k under one dominant source (90% of corpus): result " +
+    "equals the window rank, no dominant task") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // 50,000 docs, 90% in source "mega" — the t17/t23 adversarial case: a
+    // row_number().over(partitionBy(source)) window would sort all 45k mega
+    // rows in ONE task; the bounded aggregate must keep every task near the
+    // median because each map task retains <= k rows per source
+    val nDocs = 50000
+    val corpus = ss.range(nDocs).repartition(16).select(
+      when($"id" % 10 < 9, "mega").otherwise(concat(lit("s"), $"id" % 7))
+        .as("source"),
+      ($"id" * 2654435761L % 100003).as("n_chars"),
+      $"id".as("doc_id"))
+    graft.functions.TopKAggregate.register(ss, k = 5,
+      desc = Seq(true, false), name = "tk_skew")
+    val (got, stats) = withTaskStats {
+      corpus.groupBy($"source")
+        .agg(graft.functions.TopKAggregate
+          .topK("tk_skew", struct($"n_chars", $"doc_id")).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", $"col.doc_id".as("doc_id"),
+          ($"pos" + 1).cast("long").as("rk"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assertNoDominantTask(stats, factor = 6.0, floorMs = 2000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+    val want = corpus.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "bounded top-k diverged from the window rank")
+    assert(got.count(_._1 == "mega") == 5)
+  }
 }
 
 object SkewStressSpec {
