@@ -629,12 +629,16 @@ object RelationalQueries {
     Q("q35_asof_join", (s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
-      // profiles carry their REAL event_id: with lit(-1) two error rows
-      // sharing (user_id, ts) would tie completely in the window order and
-      // last(pv) would be shuffle-order-dependent
+      // profiles pre-dedupe to ONE row per (user_id, ts) — max_by(value,
+      // event_id) — in BOTH engines: DuckDB's ASOF pick among equal-ts
+      // matches is unspecified, so leaving duplicate-(user_id, ts) errors
+      // in place would make the oracle compare engine tie-break choices
+      // instead of as-of semantics
       val profiles = ev.filter($"event_type" === "error")
-        .select($"user_id", $"ts", lit(0L).as("tag"), $"event_id",
-          $"value".as("pv"))
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("pv"))
+        .select($"user_id", $"ts", lit(0L).as("tag"),
+          lit(-1L).as("event_id"), $"pv")
       val facts = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts", lit(1L).as("tag"), $"event_id",
           lit(null).cast("double").as("pv"))
@@ -652,7 +656,9 @@ object RelationalQueries {
         | CAST(f.user_id AS BIGINT) AS user_id,
         | coalesce(p.value, -1.0) AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') f
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2) p
         |  ON f.user_id = p.user_id AND f.ts >= p.ts
         |ORDER BY event_id""".stripMargin)),
 

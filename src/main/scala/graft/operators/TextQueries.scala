@@ -13,6 +13,38 @@ import Q.t
   */
 object TextQueries {
 
+  /** Token-budget sequence packing: documents hash into `16^hexChars`
+    * md5-prefix groups; inside each group a running token sum cuts
+    * greedy bins of ~`budget` tokens (deterministic: group + doc_id order,
+    * never a global-order window — a single-partition global sort would be
+    * the bottleneck at corpus scale). `hexChars` sets the parallelism
+    * ceiling: 2 (256 groups) is plenty at gate scale and keeps the oracle
+    * pinned, but a 10k-core cluster wants 3+ (4096+ groups) — the within-
+    * group windows are unchanged, so widening only re-buckets documents.
+    * Returns one row per (grp, bin): doc and token counts. */
+  def packBins(docs: org.apache.spark.sql.DataFrame, budget: Long,
+      hexChars: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars out of range: $hexChars")
+    val tr = trim(col("text"))
+    val toks = when(tr === "", 0L)
+      .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1,
+          hexChars).as("grp"),
+        toks.as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_toks")) / budget).cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("sum_tokens"))
+      .orderBy(col("grp"), col("bin"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- exact dedup: content-hash grouping, keep lowest doc_id ----
     Q("t01_dedup_exact", (s, dir) => {
@@ -433,6 +465,65 @@ object TextQueries {
         |  LEFT JOIN rem r ON r.doc_id = d.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- the APPLY side shipped: the corpus AFTER keep-first span strip
+    // (t24 oracles the stats; this oracles the rewritten text itself, so
+    // the flagship rewrite — the thing a curation run actually ships — is
+    // DuckDB-verified end to end: keepers byte-identical, foreign words
+    // gone, empty-stripped docs surviving as '') ----
+    Q("t28_span_rewrite", (s, dir) => {
+      import s.implicits._
+      Dedup.stripSpans(
+          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          n = 8)
+        .toDF("doc_id", "text")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h
+        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
+        |        FROM words WHERE len(w) >= 8)
+        |), firsts AS (
+        |  SELECT h, min({'d': doc_id, 'p': pos}) AS f
+        |  FROM grams GROUP BY 1 HAVING count(*) > 1
+        |), fo AS (
+        |  SELECT doc_id, pos FROM grams JOIN firsts USING (h)
+        |  WHERE {'d': doc_id, 'p': pos} <> f
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 8
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM fo)
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl GROUP BY doc_id, grp
+        |), spandocs AS (
+        |  SELECT DISTINCT doc_id FROM spans
+        |), toks AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, w
+        |  FROM words JOIN spandocs USING (doc_id)
+        |), kept AS (
+        |  SELECT t.doc_id, t.idx, list_extract(t.w, t.idx) AS wd
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.idx BETWEEN s.s AND s.e)
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(wd, ' ' ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text AS text
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM spandocs)
+        |UNION ALL
+        |SELECT CAST(sd.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(r.text, '') AS text
+        |FROM spandocs sd LEFT JOIN rebuilt r ON r.doc_id = sd.doc_id
+        |ORDER BY doc_id""".stripMargin), bench = true),
+
     // ---- deterministic per-source downsampling: a doc is kept iff the hex
     // prefix of md5(doc_id) falls under its source's rate threshold — the
     // reproducible alternative to rand() sampling (same keep set on every
@@ -470,27 +561,10 @@ object TextQueries {
     // global-order single-partition window; 256 groups pack independently
     // and a bin is globally named (grp, bin). Contiguous greedy semantics:
     // a document lands in the bin its preceding tokens fill ----
-    Q("t27_pack", (s, dir) => {
-      import s.implicits._
-      val budget = 2000L
-      val tr = trim($"text")
-      val toks = when(tr === "", 0L)
-        .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"grp").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      t(s, dir, "documents")
-        .select($"doc_id",
-          substring(md5($"doc_id".cast("string").cast("binary")), 1, 2).as("grp"),
-          toks.as("n_toks"))
-        .withColumn("cum", sum($"n_toks").over(w))
-        .withColumn("bin", (($"cum" - $"n_toks") / budget).cast("long"))
-        .groupBy($"grp", $"bin")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum($"n_toks").cast("long").as("sum_tokens"))
-        .orderBy($"grp", $"bin")
-    }, Some(
+    Q("t27_pack", (s, dir) =>
+      // hexChars = 2 (256 groups) pins the oracle; PackBinsSpec exercises
+      // the 4096-group width the same kernel serves a large cluster with
+      packBins(t(s, dir, "documents"), budget = 2000L, hexChars = 2), Some(
       """SELECT grp, CAST((cum - n_toks) // 2000 AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_toks) AS BIGINT) AS sum_tokens

@@ -52,19 +52,26 @@ private[sources] final class IndexedFastaTable(options: CaseInsensitiveStringMap
     p
   }
 
+  // capture the ISSUING session while its planner instantiates this table:
+  // resolving SparkSession.active again at scan-execution time would, in a
+  // multi-session app, silently read through whichever session happens to
+  // be active then (different Hadoop conf, different parallelism)
+  private val session = org.apache.spark.sql.SparkSession.active
+
   override def name(): String = s"indexed-fasta($path)"
   override def schema(): StructType = IndexedFastaSource.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new IndexedFastaScanBuilder(path,
+    new IndexedFastaScanBuilder(session, path,
       opts.getInt("k", 35),
       opts.getInt("maxFragment", 1000000),
       opts.getInt("parallelism", 0))
 }
 
-private[sources] final class IndexedFastaScanBuilder(path: String, k: Int,
+private[sources] final class IndexedFastaScanBuilder(
+    session: org.apache.spark.sql.SparkSession, path: String, k: Int,
     maxFragment: Int, parallelism: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = IndexedFastaSource.SCHEMA
@@ -73,10 +80,11 @@ private[sources] final class IndexedFastaScanBuilder(path: String, k: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    new IndexedFastaScan(path, k, maxFragment, parallelism, required)
+    new IndexedFastaScan(session, path, k, maxFragment, parallelism, required)
 }
 
-private[sources] final class IndexedFastaScan(path: String, k: Int,
+private[sources] final class IndexedFastaScan(
+    session: org.apache.spark.sql.SparkSession, path: String, k: Int,
     maxFragment: Int, parallelism: Int, required: StructType)
     extends Scan with Batch {
 
@@ -86,15 +94,14 @@ private[sources] final class IndexedFastaScan(path: String, k: Int,
     s"indexed-fasta $path k=$k cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
     require(!path.endsWith(".gz") && !path.endsWith(".bz2"),
       "indexed FASTA requires an uncompressed file (byte-range seeks); " +
         "use Sequences.fasta for compressed inputs")
-    val entries = IndexedFasta.readFai(spark, path + ".fai")
+    val entries = IndexedFasta.readFai(session, path + ".fai")
     val splits = IndexedFasta.planSplits(path, entries, k, maxFragment)
     val bins = math.max(1, math.min(splits.size,
       if (parallelism > 0) parallelism
-      else spark.sparkContext.defaultParallelism))
+      else session.sparkContext.defaultParallelism))
     // round-robin bin-pack: neighbors land in different bins, so the long
     // sequences' many splits spread across tasks instead of clustering
     splits.zipWithIndex.groupBy(_._2 % bins).toSeq.sortBy(_._1)
@@ -102,11 +109,9 @@ private[sources] final class IndexedFastaScan(path: String, k: Int,
       .toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  override def createReaderFactory(): PartitionReaderFactory =
     new FastaPartitionReaderFactory(required,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-  }
+      new SerializableConfiguration(session.sparkContext.hadoopConfiguration))
 }
 
 private[sources] final case class FastaSplitsPartition(splits: Array[FastaSplit])

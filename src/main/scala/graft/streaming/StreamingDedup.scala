@@ -319,9 +319,18 @@ object StreamingDedup {
 
   /** Streaming span suppression, phase 1 — the online analogue of
     * [[graft.operators.Dedup.stripSpanStats]]'s keep-first rule: per
-    * word-n-gram digest, the first arrival (event time, then (docId, pos) —
-    * so a single trigger resolves exactly like the batch packed-key min)
+    * word-n-gram digest, the first arrival (event time, then (docId, pos))
     * claims the gram; every later occurrence emits a foreign mark.
+    *
+    * KEEPER CONTRACT vs the batch pass: only for occurrences meeting in ONE
+    * trigger with EQUAL timestamps does the tie-break (docId, pos) resolve
+    * exactly like the batch struct-min. Streaming ranks event time first
+    * and, across triggers, claim order IS arrival order — so a
+    * later-arriving occurrence with a smaller (docId, pos) is marked
+    * foreign where the batch pass would have kept it (pinned by the
+    * keeper-divergence case in StreamingDedupSpec). That is the price of
+    * bounded one-bool-per-gram state: revising an earlier claim would mean
+    * retracting already-emitted marks.
     *
     * Scale design: state is ONE boolean per distinct gram digest seen within
     * the TTL — bounded by (ingest rate x TTL), never corpus size, and a
@@ -385,7 +394,16 @@ object StreamingDedup {
     * maximal per-document spans with the batch island kernel (a document's
     * grams all travel in one trigger, so its islands complete within the
     * batch) and `sink` receives (doc_id, span_start, span_end, n_dup_grams)
-    * — fully distributed, nothing collects to the driver. */
+    * — fully distributed, nothing collects to the driver.
+    *
+    * Cross-trigger semantics: a gram claimed in trigger N suppresses its
+    * occurrences in trigger N+1, and those foreign marks close into spans
+    * against trigger N+1's marks only — correct, because documents are
+    * atomic per trigger, so every island is complete within its own batch.
+    * The keeper itself follows [[spanForeignMarks]]'s arrival-order
+    * contract, which can diverge from the batch keep-first pass on
+    * unequal timestamps (see its scaladoc; both properties are pinned in
+    * StreamingDedupSpec). */
   def spanStrip(docs: DataFrame, textCol: String, tsCol: String,
       idCol: String, n: Int = 8, watermark: String = "10 minutes",
       stateTtlMs: Long = 10 * 60 * 1000L)(sink: DataFrame => Unit)

@@ -959,6 +959,9 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Seq.fill(k)(words(r.nextInt(words.length)))
     }
     val block = prose(999, 15)
+    // snapshot BEFORE curate: other suites sharing this session may hold
+    // their own persisted RDDs — curate must only add none of its own
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq(
       (0L, prose(1, 40).mkString(" ")),                         // clean keeper
       (1L, (prose(2, 10) ++ block ++ prose(3, 12)).mkString(" ")), // block keeper
@@ -989,8 +992,8 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       summary("words_after_span_strip") == 15L)
     // curate releases every stage cache before returning: a long-lived
     // driver composing this pipeline must not accumulate pinned blocks
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"curate leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"curate leaked caches: $leaked")
   }
 
   test("CLI: curate survives a corpus the gates filter to nothing") {

@@ -267,4 +267,51 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(spans.toSet === Set((9L, 4L, 15L, 5L)))
     } finally query.stop()
   }
+
+  test("cross-trigger keeper diverges from the batch keep-first pass on " +
+    "unequal timestamps (documented contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: Long, k: Int): Seq[String] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      (0 until k).map { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        "w" + java.lang.Long.toHexString(s & 0xffffffL)
+      }
+    }
+    // the block reaches doc 10 FIRST (trigger 1, earlier ts) and doc 3 —
+    // the SMALLER (doc_id, pos) — only in trigger 2: streaming keeps the
+    // first ARRIVAL, batch keeps the struct-min. Both behaviors are the
+    // respective contracts; this pins the divergence instead of letting a
+    // parity claim paper over it.
+    val block = words(4242L, 12)
+    val docHi = (words(300L, 6) ++ block ++ words(301L, 4)).mkString(" ")
+    val docLo = (block ++ words(302L, 7)).mkString(" ")
+    val spans = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val query = StreamingDedup.spanStrip(
+      stream.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      n = 8, watermark = "10 minutes")({ batch =>
+        spans ++= batch.collect().map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+          r.getAs[Number](3).longValue))
+        ()
+      }).outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), 10L, docHi)))
+      query.processAllAvailable()
+      assert(spans.isEmpty, "first copy must claim, not mark")
+      stream.addData(Seq((ts(2), 3L, docLo)))
+      query.processAllAvailable()
+      // streaming: doc 3 is fully foreign (block at words 1..12, 5 starts)
+      assert(spans.toSet === Set((3L, 1L, 12L, 5L)))
+    } finally query.stop()
+    // the batch pass on the SAME corpus keeps doc 3 (struct-min) and marks
+    // doc 10 instead — the divergence this contract documents
+    val batchStats = graft.operators.Dedup.stripSpanStats(
+        Seq((10L, docHi), (3L, docLo)).toDS(), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batchStats(3L) == 0L, "batch keeps the smaller (doc_id, pos)")
+    assert(batchStats(10L) == 12L, "batch strips the larger doc's copy")
+  }
 }
