@@ -578,6 +578,134 @@ object TextQueries {
         |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
         |        END AS n_toks
         |    FROM documents))
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- context-window chunking: every document splits into fixed-size
+    // word chunks with overlap (the training-prep step between curation
+    // and tokenization). Pure per-row arithmetic — a narrow generate, no
+    // shuffle until the output sort — and each chunk carries the md5 of
+    // its joined words so chunk CONTENT (not just boundaries) is
+    // cross-engine verified. Starts step by stride while start <=
+    // max(1, n - overlap): the final partial chunk is kept, but no chunk
+    // that would be pure overlap of the previous one is emitted ----
+    Q("t29_chunk", (s, dir) => {
+      import s.implicits._
+      val chunkWords = 50
+      val overlap = 10
+      val stride = chunkWords - overlap
+      t(s, dir, "documents")
+        .select($"doc_id", split(trim($"text"), " ").as("w"))
+        .select($"doc_id", $"w", greatest(lit(1),
+          (size($"w") - overlap)).as("maxStart"))
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(1, maxStart, $stride), st -> struct(" +
+            s"st as start_word, least(st + ${chunkWords - 1}, size(w)) as end_word," +
+            s" md5(array_join(slice(w, st, least(st + ${chunkWords - 1}, size(w)) - st + 1), ' ')) as chunk_md5))")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("chunk_idx"),
+          $"col.start_word".cast("long").as("start_word"),
+          $"col.end_word".cast("long").as("end_word"),
+          ($"col.end_word" - $"col.start_word" + 1).cast("long").as("n_tokens"),
+          $"col.chunk_md5".as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), starts AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(1, len(w) - 10) + 1, 40)) AS st
+        |  FROM words
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) AS BIGINT)
+        |    AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start_word,
+        |  CAST(least(st + 49, len(w)) AS BIGINT) AS end_word,
+        |  CAST(least(st + 49, len(w)) - st + 1 AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[st:least(st + 49, len(w))], ' ')) AS chunk_md5
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- unigram cross-entropy quality score (the perplexity-filter shape
+    // of CCNet/Gopher-style curation, with the corpus itself as the LM):
+    // corpus word frequencies are a distributed aggregate, the scalar
+    // token total rides a one-row broadcast, and each document scores
+    // sum(c_dw * ln(N / c_w)) / n_tokens in one join + agg — no vocabulary
+    // ever touches the driver. High scores = improbable vocabulary ----
+    Q("t30_unigram_nll", (s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("wd"))
+        .filter($"wd" =!= "")
+      val cf = words.groupBy($"wd").agg(count(lit(1)).as("cw"))
+      val totals = cf.select(sum($"cw").as("n_total"))
+      words.groupBy($"doc_id", $"wd").agg(count(lit(1)).as("c"))
+        .join(cf, "wd")
+        .crossJoin(broadcast(totals))
+        .groupBy($"doc_id".cast("long").as("doc_id"))
+        .agg(sum($"c").cast("long").as("n_tokens"),
+          round(sum($"c" * log($"n_total".cast("double") / $"cw")) / sum($"c"),
+            4).as("avg_nll"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH wrds AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''
+        |), cf AS (
+        |  SELECT w, count(*) AS cw FROM wrds GROUP BY 1
+        |), n AS (
+        |  SELECT sum(cw) AS n_total FROM cf
+        |), dc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY 1, 2
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(sum(c * ln(CAST(n_total AS DOUBLE) / cw)) / sum(c), 4)
+        |    AS avg_nll
+        |FROM dc JOIN cf USING (w), n
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- n-gram-overlap decontamination: per corpus document, the
+    // fraction of its word-5-grams that appear in the eval set (docs with
+    // doc_id % 97 = 0 stand in for a benchmark) — the overlap-ratio
+    // refinement of t18's substring screen. Grams travel as md5 digests;
+    // the (small) eval gram set is explicitly broadcast, so the corpus
+    // side is one narrow generate + broadcast left join + per-doc agg —
+    // at 100 TB the eval set stays driver-small while the corpus streams ----
+    Q("t31_overlap_decon", (s, dir) => {
+      import s.implicits._
+      val n = 5
+      val grams = t(s, dir, "documents")
+        .select($"doc_id", split(trim($"text"), " ").as("w"))
+        .filter(size($"w") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1})," +
+            s" i -> md5(array_join(slice(w, i, $n), ' ')))")).as("h"))
+      val evalGrams = grams.filter($"doc_id" % 97 === 0)
+        .select($"h").distinct().withColumn("hit", lit(1L))
+      grams.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("h"), "left")
+        .groupBy($"doc_id".cast("long").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          coalesce(sum($"hit"), lit(0L)).cast("long").as("n_hit"))
+        .withColumn("overlap",
+          round($"n_hit".cast("double") / $"n_grams", 4))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, md5(array_to_string(w[pos:pos+4], ' ')) AS h
+        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+        |        FROM words WHERE len(w) >= 5)
+        |), ev AS (
+        |  SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+        |)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(ev.h) AS BIGINT) AS n_hit,
+        |  round(CAST(count(ev.h) AS DOUBLE) / count(*), 4) AS overlap
+        |FROM grams g LEFT JOIN ev ON g.h = ev.h
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
