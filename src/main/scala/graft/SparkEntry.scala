@@ -16,7 +16,7 @@ object SparkEntry {
   /** All registered queries, insertion-ordered. */
   val all: ListMap[String, Q] = Q.registry(
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      PipelineQueries.queries ++ GenomicQueries.queries)
+      PipelineQueries.queries ++ Clustering.queries ++ GenomicQueries.queries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

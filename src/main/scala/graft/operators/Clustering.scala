@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.{TopKAggregate, VectorSumAggregate}
+import Q.t
+
+/** Embedding-space curation: deterministic k-means, SemDeDup-style
+  * within-cluster semantic dedup (Abbas et al. 2023 shape), and
+  * temperature-balanced cluster sampling — the cluster/partition/resample
+  * pillar of a training-data pipeline.
+  *
+  * Everything here is EXACT integer arithmetic so Spark, DuckDB and any
+  * reimplementation agree bit-for-bit:
+  *
+  *   - vectors are quantized to milli-units once:
+  *     q_i = floor(float64(x_i)·1000 + 0.5) as long. IEEE float64 multiply/
+  *     add/floor are deterministic, so both engines derive identical longs;
+  *   - distances/dot products are long arithmetic on quantized vectors
+  *     (|q| ≤ ~525 ⇒ a 64-dim squared distance ≤ ~7·10^7, a dot ≤ ~1.8·10^7,
+  *     its square ≤ 3.2·10^14 — inside both long and exact-double range);
+  *   - centroid means round half-up on exact rationals:
+  *     m_i = floorDiv(2·s_i + c, 2·c), never a floating mean;
+  *   - every argmin breaks ties on the smallest cluster index via struct
+  *     ordering (dist, cid).
+  *
+  * Scale shape: Lloyd's is iters+1 full scans; each scan is a narrow map
+  * (assignment against k·dim broadcast longs riding the task closure) plus a
+  * [[VectorSumAggregate]] partial agg whose shuffle is k·dim longs per task.
+  * Centroids (k·dim·8 bytes) are the ONLY driver-side state. SemDeDup pairs
+  * only within a cluster — the paper's regime keeps k ∝ corpus size so
+  * cluster populations (and the pair blowup) stay bounded; k is a parameter
+  * here for exactly that reason.
+  */
+object Clustering {
+
+  /** Quantization scale: milli-units. */
+  val Quantum = 1000
+
+  /** floor(x·1000 + 0.5) per element, as long — identical in any IEEE
+    * float64 engine (DuckDB oracle: same expression over ::DOUBLE). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * Quantum + lit(0.5)).cast("long"))
+
+  /** Exact squared L2 distance to an integer centroid literal. */
+  private def sqDist(qv: Column, m: Array[Long]): Column =
+    aggregate(zip_with(qv, typedlit(m), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** argmin over centroids as struct-min of (dist, cid): smallest distance,
+    * then smallest cluster index — a total, engine-independent order. */
+  def assignStruct(qv: Column, cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (m, j) =>
+      struct(sqDist(qv, m).as("dist"), lit(j.toLong).as("cluster"))
+    }: _*))
+
+  /** Lloyd's iterations; returns the centroids after `iters` updates.
+    * Init = the quantized vectors of the k smallest vec_ids. Empty clusters
+    * keep their previous centroid. `q` must have columns (vec_id, qv). */
+  def kmeansCentroids(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    val spark = q.sparkSession
+    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+    VectorSumAggregate.register(spark, dim = cents.head.length)
+    for (_ <- 1 to iters) {
+      val rows = q
+        .select(assignStruct(col("qv"), cents).getField("cluster").as("cluster"),
+          col("qv"))
+        .groupBy("cluster")
+        .agg(VectorSumAggregate.vecSum(col("qv")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byCluster = rows.map(r =>
+        r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j.toLong).map { case (s, c) =>
+          // round-half-up of the exact rational mean s/c, in integers
+          s.map(si => Math.floorDiv(2 * si + c, 2 * c))
+        }.getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  /** (vec_id, qv, cluster, dist) under the final centroids. The iteration
+    * input is cached for the driver loop's actions, released before the lazy
+    * result (built on a fresh scan) is returned — no pinned blocks escape. */
+  def assignments(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q0 = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cached = q0.persist(StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try kmeansCentroids(cached, k, iters)
+      finally cached.unpersist(blocking = false)
+    q0.select(col("vec_id"), col("qv"),
+        assignStruct(col("qv"), cents).as("a"))
+      .select(col("vec_id"), col("qv"),
+        col("a.cluster").as("cluster"), col("a.dist").as("dist"))
+  }
+
+  /** SemDeDup: duplicate pairs are same-cluster pairs whose quantized cosine
+    * clears `tau`, resolved to components with min-id keepers. The cosine
+    * gate is exact: dot > 0 ∧ dot² ≥ tau²·‖a‖²·‖b‖² — all longs below 2^53,
+    * so the single double comparison is reproducible anywhere. Returns
+    * (vec_id, cluster, rep, keep). The assignment cache (feeding both
+    * self-join sides and the final left join) lands in `scope` — the
+    * [[Dedup.CacheScope]] release contract, same as the dedup pipelines. */
+  def semanticDecisions(emb: DataFrame, k: Int, iters: Int, tau: Double,
+      scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged): DataFrame = {
+    val asg = scope.track(assignments(emb, k, iters)
+      .withColumn("nsq",
+        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val x = asg.as("x")
+    val y = asg.as("y")
+    val dot = aggregate(
+      zip_with(col("x.qv"), col("y.qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = x.join(y,
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        dot.as("dot"), (col("x.nsq") * col("y.nsq")).as("nn"))
+      .filter(col("dot") > 0 &&
+        (col("dot") * col("dot")).cast("double") >=
+          lit(tau * tau) * col("nn").cast("double"))
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, scope = scope)
+      .withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("cluster", "rep")
+    val out = asg.select(col("vec_id"), col("cluster"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("rep"), col("vec_id")).as("rep"))
+      .withColumn("keep", col("rep") === col("vec_id"))
+    out
+  }
+
+  /** Temperature-balanced resample: cluster quotas ∝ size^{1/2} (α = 0.5
+    * flattens the head), members chosen by md5(vec_id) rank — deterministic
+    * across engines and partitionings, like t25's hash gate. The per-cluster
+    * rank is a [[TopKAggregate]] bounded fold (map-side k-capped heaps),
+    * never a per-cluster window sort. The size collect uses a transient
+    * cache released before return; the lazy result recomputes the (narrow)
+    * assignment map once when materialized — no pinned blocks escape. */
+  def clusterSample(emb: DataFrame, k: Int, iters: Int, total: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val asg = assignments(emb, k, iters).select("vec_id", "cluster")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = asg.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side quota math over k clusters, summed in cid order
+    val wts = (0L until k.toLong).map(j => sizes.getOrElse(j, 0L))
+      .map(n => math.sqrt(n.toDouble))
+    val tw = wts.sum
+    val quotas = (0 until k).map { j =>
+      val n = sizes.getOrElse(j.toLong, 0L)
+      j.toLong -> math.min(n, math.floor(total * wts(j) / tw + 0.5).toLong)
+    }
+    val quotaDf = spark.createDataFrame(quotas.map(q => (q._1, q._2)))
+      .toDF("cluster", "quota")
+    TopKAggregate.register(spark, k = total, desc = Seq(false, false),
+      name = "cluster_topk")
+    val ranked = asg
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .groupBy("cluster")
+      .agg(TopKAggregate.topK("cluster_topk",
+        struct(col("h"), col("vec_id"))).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).as("rank"),
+        col("col.vec_id").as("vec_id"))
+    val out = ranked.join(broadcast(quotaDf), Seq("cluster"))
+      .filter(col("rank") <= col("quota"))
+      .select("vec_id", "cluster")
+    asg.unpersist(blocking = false)
+    out
+  }
+
+  // ---------------- DuckDB oracle: the same k-means, unrolled ----------------
+
+  /** CTE block re-deriving the k-means assignment in pure DuckDB SQL:
+    * quantize → init from the k smallest vec_ids → `iters` unrolled rounds of
+    * (argmin assign, exact integer centroid update, empty-cluster coalesce) →
+    * final assignment `asg(vec_id, v, cid, dist)`. Long arithmetic throughout;
+    * floor((2s+c)/(2.0·c)) is exact here because numerator and denominator
+    * are exact doubles and the true rational is ≥ 1/(2c) from any other
+    * integer — far outside one ulp. */
+  def kmeansSqlCtes(k: Int, iters: Int, dim: Int): String = {
+    val distExpr = (c: String) =>
+      s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
+        "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid, dist FROM (
+         |    SELECT p.vec_id, p.v, c.cid, ${distExpr("c")} AS dist,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${distExpr("c")}, c.cid) AS rn
+         |    FROM q p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""${assignCte(s"a$i", prev)},
+         |s$i AS (
+         |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos)
+         |  GROUP BY 1, 2),
+         |n$i AS (
+         |  SELECT cid, list(CAST(floor((2*s + c) / (2.0*c)) AS BIGINT)
+         |    ORDER BY pos) AS m
+         |  FROM s$i GROUP BY 1),
+         |c$i AS (
+         |  SELECT $prev.cid, coalesce(n$i.m, $prev.m) AS m
+         |  FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * $Quantum + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
+       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignCte("asg", s"c$iters")}""".stripMargin
+  }
+
+  // ---------------- registered queries ----------------
+
+  private val K = 8
+  private val Iters = 3
+  private val Tau = 0.35
+  private val SampleTotal = 100
+
+  val queries: Seq[Q] = Seq(
+    // ---- deterministic k-means over the embedding table: cluster id and
+    // exact integer distance per vector. The oracle re-runs the identical
+    // integer Lloyd's, unrolled into SQL ----
+    Q("c01_kmeans", (s, dir) => {
+      assignments(t(s, dir, "embeddings"), K, Iters)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64)}
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+         |FROM asg ORDER BY 1""".stripMargin), bench = true),
+
+    // ---- SemDeDup: within-cluster cosine-duplicate components, min-id
+    // keepers. Oracle: k-means CTEs + exact integer cosine gate + the t13
+    // recursive transitive closure ----
+    Q("c02_semantic_dedup", (s, dir) => {
+      semanticDecisions(t(s, dir, "embeddings"), K, Iters, Tau)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("rep").cast("long").as("rep"), col("keep"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64).replaceFirst("WITH q AS", "WITH RECURSIVE q AS")},
+         |norms AS (
+         |  SELECT vec_id, cid, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nsq
+         |  FROM asg),
+         |prs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(list_zip(a.v, b.v),
+         |      z -> z[1]*z[2])) AS BIGINT) AS dot,
+         |    a.nsq * b.nsq AS nn
+         |  FROM norms a JOIN norms b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM prs
+         |  WHERE dot > 0 AND (dot*dot)::DOUBLE >= ($Tau*$Tau) * nn::DOUBLE),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk AS (
+         |  SELECT src AS id, src AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |reps AS (
+         |  SELECT id, min(reach) AS rep FROM walk GROUP BY 1)
+         |SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+         |  CAST(n.cid AS BIGINT) AS cluster,
+         |  CAST(coalesce(r.rep, n.vec_id) AS BIGINT) AS rep,
+         |  coalesce(r.rep, n.vec_id) = n.vec_id AS keep
+         |FROM norms n LEFT JOIN reps r ON r.id = n.vec_id
+         |ORDER BY 1""".stripMargin)),
+
+    // ---- temperature-balanced cluster sample: quotas ∝ sqrt(size),
+    // members by md5 rank ----
+    Q("c03_cluster_sample", (s, dir) => {
+      clusterSample(t(s, dir, "embeddings"), K, Iters, SampleTotal)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64)},
+         |sz AS (SELECT cid, count(*) AS n FROM asg GROUP BY 1),
+         |w AS (SELECT cid, n, sqrt(n::DOUBLE) AS wt FROM sz),
+         |tw AS (SELECT sum(wt) AS tw FROM w),
+         |quota AS (
+         |  SELECT cid, CAST(least(n::DOUBLE,
+         |    floor($SampleTotal * wt / tw + 0.5)) AS BIGINT) AS q
+         |  FROM w, tw),
+         |ranked AS (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM asg)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster
+         |FROM ranked JOIN quota USING (cid)
+         |WHERE rn <= q ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionTestWrapper
+import graft.functions.VectorSumAggregate
+
+/** Embedding-curation kernels: exact vector-sum aggregation, planted-cluster
+  * recovery, SemDeDup grouping, quota sampling, and the determinism the
+  * DuckDB oracles rely on. */
+class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dim = 64
+
+  /** A float32 blob near `center` with per-coordinate jitter from a fixed
+    * LCG — deterministic, no Random. */
+  private def blob(center: Float, id: Long): Array[Float] = {
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    Array.tabulate(dim) { i =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      center + ((s >>> 40).toInt % 97) / 1000f // jitter < ±0.1
+    }
+  }
+
+  private def embDf(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("vec_sum equals a per-group naive elementwise sum (fuzz over splits)") {
+    import spark.implicits._
+    VectorSumAggregate.register(spark, dim = 4)
+    val rows = (0L until 400L).map { i =>
+      (i % 7, Array(i, i * i % 31, -i, (i % 5) - 2))
+    }
+    val got = rows.toDF("g", "v").repartition(8)
+      .groupBy("g").agg(VectorSumAggregate.vecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2.toVector).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+    }
+    assert(got == want)
+  }
+
+  test("k-means recovers three planted well-separated blobs") {
+    // 3 blobs at centers -2, 0, +2; jitter ±0.1 — inter-blob distance
+    // dwarfs intra-blob spread, so Lloyd's must converge to the planting
+    val rows = (0L until 90L).map { i =>
+      val c = (i % 3).toInt // interleaved so the first-k init spans blobs
+      (i, blob(Array(-2f, 0f, 2f)(c), i))
+    }
+    val asg = Clustering.assignments(embDf(rows), k = 3, iters = 4)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member of a planted blob landed in the same k-means cluster
+    (0 until 3).foreach { c =>
+      val labels = rows.collect { case (id, _) if id % 3 == c => asg(id) }.toSet
+      assert(labels.size == 1, s"blob $c split across clusters $labels")
+    }
+    // and the three blobs landed in three DIFFERENT clusters
+    assert((0 until 3).map(c => asg(c.toLong)).toSet.size == 3)
+  }
+
+  test("empty clusters keep their previous centroid (no crash, k survives)") {
+    // two tight blobs but k = 4: at least two clusters end up empty
+    val rows = (0L until 40L).map(i => (i, blob(if (i % 2 == 0) -1f else 1f, i)))
+    val asg = Clustering.assignments(embDf(rows), k = 4, iters = 3)
+      .select("vec_id", "cluster").collect()
+    assert(asg.length == 40)
+    assert(asg.map(_.getLong(1)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
+  test("semantic dedup groups planted duplicates under the min id and " +
+    "releases its caches via the scope") {
+    // base corpus of zero-centered jitter vectors — RANDOM directions, so
+    // pairwise cosine concentrates near 0 (constant-center blobs would all
+    // be parallel and τ would catch everything) — plus one dup group:
+    // ids 100/101 share a vector exactly, 102 is a near-copy (cos ≈ 1)
+    val shared = blob(1.5f, 7L)
+    val near = shared.clone(); near(0) = near(0) + 0.01f
+    val rows = (0L until 30L).map(i => (i, blob(0f, i))) ++
+      Seq((100L, shared), (101L, shared), (102L, near))
+    val scope = new Dedup.CacheScope
+    val dec = Clustering.semanticDecisions(embDf(rows), k = 3, iters = 3,
+      tau = 0.95, scope = scope)
+      .select("vec_id", "rep", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = dec.map(d => d._1 -> d).toMap
+    assert(byId(100L) == ((100L, 100L, true)))
+    assert(byId(101L) == ((101L, 100L, false)))
+    assert(byId(102L) == ((102L, 100L, false)))
+    // vectors in distinct regions all survive
+    assert(dec.count(!_._3) == 2)
+    scope.release()
+    // give the async unpersists a beat, then require no pinned blocks
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("cluster sample honors sqrt-size quotas and is deterministic") {
+    // sizes 81/28/11, with ids 0/1/2 one per blob so the first-k init
+    // spans the planting (Lloyd's then converges to it immediately)
+    val rows = (0L until 120L).map { i =>
+      val c = if (i < 3) i.toInt else if (i < 83) 0 else if (i < 110) 1 else 2
+      (i, blob(Array(-2f, 0f, 2f)(c), i))
+    }
+    def run() = Clustering.clusterSample(embDf(rows), k = 3, iters = 3,
+      total = 30).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val got = run()
+    // quotas: floor(30*sqrt(n)/sum + .5) over the planted sizes
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val planted = Seq(81.0, 28.0, 11.0).map(math.sqrt).sum
+    val expected = Seq(81.0, 28.0, 11.0)
+      .map(n => math.floor(30 * math.sqrt(n) / planted + 0.5).toInt)
+    assert(sizes.values.toSeq.sorted == expected.sorted,
+      s"per-cluster counts $sizes vs expected $expected")
+    assert(got.length == expected.sum)
+    assert(run().sameElements(got), "resample must be deterministic")
+  }
+
+  test("assignments are deterministic across runs and partitionings") {
+    val rows = (0L until 60L).map(i => (i, blob((i % 4).toFloat, i)))
+    def run(parts: Int) =
+      Clustering.assignments(embDf(rows).repartition(parts), k = 4, iters = 3)
+        .select("vec_id", "cluster", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(2) == run(7))
+  }
+}
