@@ -36,6 +36,17 @@ object VectorKernels {
     s
   }
 
+  /** Exact dot product of two long-array columns (quantized-vector hot
+    * paths: SemDeDup's within-cluster pair join evaluates this per
+    * candidate pair). Associative integer adds — result is order-exact. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** Distinct minimizers of a DNA string (ambiguity-aware), as array<long>. */
   def minimizers(dna: UTF8String, k: Int, m: Int, spaces: Int): ArrayData = {
     val scanner = new graft.kmers.SupermerScanner(k,
@@ -90,6 +101,25 @@ case class DotProduct(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Native codegen'd EXACT dot product over two array<bigint> columns — the
+  * integer sibling of [[DotProduct]] for quantized-vector pipelines where
+  * the result must be bit-identical across engines and partitionings. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Native expression exposing the minimizer kernel to SQL users:
   * graft_minimizers(dna, k, m, spaces) -> array<bigint> of distinct
   * minimizer priorities. k/m/spaces must be foldable (literals). */
@@ -127,9 +157,12 @@ object GraftFunctions {
   private def fa(e: Expression): Expression = Cast(e, ArrayType(FloatType))
   private def int(e: Expression): Expression = Cast(e, IntegerType)
 
+  private def la(e: Expression): Expression = Cast(e, ArrayType(LongType))
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(fa(es(0)), fa(es(1)))),
     "dot_product" -> (es => DotProduct(fa(es(0)), fa(es(1)))),
+    "dot_long" -> (es => DotProductLong(la(es(0)), la(es(1)))),
     "graft_minimizers" -> (es =>
       SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))))
 

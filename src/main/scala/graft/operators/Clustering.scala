@@ -107,16 +107,16 @@ object Clustering {
     * [[Dedup.CacheScope]] release contract, same as the dedup pipelines. */
   def semanticDecisions(emb: DataFrame, k: Int, iters: Int, tau: Double,
       scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // dot_long is the codegen'd exact kernel (one static call per candidate
+    // pair) — the HOF zip_with/aggregate chain would allocate a zipped array
+    // per pair evaluation on the quadratic within-cluster path
     val asg = scope.track(assignments(emb, k, iters)
-      .withColumn("nsq",
-        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("nsq", call_function("dot_long", col("qv"), col("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val x = asg.as("x")
     val y = asg.as("y")
-    val dot = aggregate(
-      zip_with(col("x.qv"), col("y.qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val dot = call_function("dot_long", col("x.qv"), col("y.qv"))
     val pairs = x.join(y,
         col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
@@ -136,26 +136,33 @@ object Clustering {
     out
   }
 
-  /** Temperature-balanced resample: cluster quotas ∝ size^{1/2} (α = 0.5
-    * flattens the head), members chosen by md5(vec_id) rank — deterministic
-    * across engines and partitionings, like t25's hash gate. The per-cluster
-    * rank is a [[TopKAggregate]] bounded fold (map-side k-capped heaps),
-    * never a per-cluster window sort. The size collect uses a transient
-    * cache released before return; the lazy result recomputes the (narrow)
-    * assignment map once when materialized — no pinned blocks escape. */
+  /** Temperature-balanced resample: cluster quotas ∝ floor(sqrt(size))
+    * (α = 0.5 flattens the head), members chosen by md5(vec_id) rank —
+    * deterministic across engines and partitionings, like t25's hash gate.
+    * Weights are INTEGER square roots so the quota split is exact rational
+    * arithmetic (round-half-up via floorDiv) — a float Σ√n would make the
+    * quota depend on the engine's summation order at .5 boundaries (e.g.
+    * eight equal clusters with total=100 sit exactly on one). The
+    * per-cluster rank is a [[TopKAggregate]] bounded fold (map-side
+    * k-capped heaps), never a per-cluster window sort. The size collect
+    * uses a transient cache released before return; the lazy result
+    * recomputes the (narrow) assignment map once when materialized — no
+    * pinned blocks escape. */
   def clusterSample(emb: DataFrame, k: Int, iters: Int, total: Int): DataFrame = {
     val spark = emb.sparkSession
     val asg = assignments(emb, k, iters).select("vec_id", "cluster")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = asg.groupBy("cluster").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // driver-side quota math over k clusters, summed in cid order
-    val wts = (0L until k.toLong).map(j => sizes.getOrElse(j, 0L))
-      .map(n => math.sqrt(n.toDouble))
+    // driver-side quota math over k clusters, all integers
+    val wts = (0L until k.toLong).map(j =>
+      math.floor(math.sqrt(sizes.getOrElse(j, 0L).toDouble)).toLong)
     val tw = wts.sum
     val quotas = (0 until k).map { j =>
       val n = sizes.getOrElse(j.toLong, 0L)
-      j.toLong -> math.min(n, math.floor(total * wts(j) / tw + 0.5).toLong)
+      val q = if (tw == 0) 0L
+        else Math.floorDiv(2L * total * wts(j) + tw, 2L * tw)
+      j.toLong -> math.min(n, q)
     }
     val quotaDf = spark.createDataFrame(quotas.map(q => (q._1, q._2)))
       .toDF("cluster", "quota")
@@ -269,7 +276,12 @@ object Clustering {
          |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
          |pairs AS (
          |  SELECT id_a, id_b FROM prs
-         |  WHERE dot > 0 AND (dot*dot)::DOUBLE >= ($Tau*$Tau) * nn::DOUBLE),
+         |  -- tau^2 as an IEEE double PRODUCT, matching Scala's tau*tau —
+         |  -- a bare 0.35*0.35 literal is DECIMAL math in DuckDB (exactly
+         |  -- 0.1225, one ulp off the double product) and would disagree
+         |  -- with Spark on pairs landing in that gap
+         |  WHERE dot > 0 AND
+         |    (dot*dot)::DOUBLE >= ($Tau::DOUBLE * $Tau::DOUBLE) * nn::DOUBLE),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
@@ -286,7 +298,7 @@ object Clustering {
          |FROM norms n LEFT JOIN reps r ON r.id = n.vec_id
          |ORDER BY 1""".stripMargin)),
 
-    // ---- temperature-balanced cluster sample: quotas ∝ sqrt(size),
+    // ---- temperature-balanced cluster sample: quotas ∝ floor(sqrt(size)),
     // members by md5 rank ----
     Q("c03_cluster_sample", (s, dir) => {
       clusterSample(t(s, dir, "embeddings"), K, Iters, SampleTotal)
@@ -296,11 +308,14 @@ object Clustering {
     }, Some(
       s"""${kmeansSqlCtes(K, Iters, 64)},
          |sz AS (SELECT cid, count(*) AS n FROM asg GROUP BY 1),
-         |w AS (SELECT cid, n, sqrt(n::DOUBLE) AS wt FROM sz),
+         |-- integer sqrt weights: the quota split is exact rational
+         |-- arithmetic (round-half-up), immune to float summation order
+         |w AS (SELECT cid, n,
+         |  CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS wt FROM sz),
          |tw AS (SELECT sum(wt) AS tw FROM w),
          |quota AS (
-         |  SELECT cid, CAST(least(n::DOUBLE,
-         |    floor($SampleTotal * wt / tw + 0.5)) AS BIGINT) AS q
+         |  SELECT cid, least(n, CAST(
+         |    floor((2*$SampleTotal*wt + tw) / (2.0*tw)) AS BIGINT)) AS q
          |  FROM w, tw),
          |ranked AS (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid

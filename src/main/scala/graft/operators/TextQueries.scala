@@ -665,12 +665,13 @@ object TextQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- n-gram-overlap decontamination: per corpus document, the
-    // fraction of its word-5-grams that appear in the eval set (docs with
-    // doc_id % 97 = 0 stand in for a benchmark) — the overlap-ratio
-    // refinement of t18's substring screen. Grams travel as md5 digests;
-    // the (small) eval gram set is explicitly broadcast, so the corpus
-    // side is one narrow generate + broadcast left join + per-doc agg —
-    // at 100 TB the eval set stays driver-small while the corpus streams ----
+    // fraction of its word-5-grams that appear in the eval set — the
+    // overlap-ratio refinement of t18's substring screen. The eval
+    // stand-in (docs with doc_id % 97 = 0, CAPPED at the first 200 such
+    // ids) is bounded like a real benchmark set regardless of corpus
+    // size, so broadcasting its gram digests is legitimate at 100 TB:
+    // the corpus side stays one narrow generate + broadcast left join +
+    // per-doc agg, never a shuffle of corpus grams ----
     Q("t31_overlap_decon", (s, dir) => {
       import s.implicits._
       val n = 5
@@ -680,7 +681,8 @@ object TextQueries {
         .select($"doc_id", explode(expr(
           s"transform(sequence(1, size(w) - ${n - 1})," +
             s" i -> md5(array_join(slice(w, i, $n), ' ')))")).as("h"))
-      val evalGrams = grams.filter($"doc_id" % 97 === 0)
+      val evalGrams = grams
+        .filter($"doc_id" % 97 === 0 && $"doc_id" < 97L * 200)
         .select($"h").distinct().withColumn("hit", lit(1L))
       grams.filter($"doc_id" % 97 =!= 0)
         .join(broadcast(evalGrams), Seq("h"), "left")
@@ -698,7 +700,8 @@ object TextQueries {
         |  FROM (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
         |        FROM words WHERE len(w) >= 5)
         |), ev AS (
-        |  SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+        |  SELECT DISTINCT h FROM grams
+        |  WHERE doc_id % 97 = 0 AND doc_id < 97 * 200
         |)
         |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS n_grams,

@@ -78,6 +78,25 @@ class ExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toVector == expected)
   }
 
+  test("dot_long equals the zip_with/aggregate fold on signed long vectors") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // LCG-generated signed vectors, incl. zero and single-element shapes
+    var s = 42L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >> 40) % 1000 }
+    val rows = (0 until 50).map { i =>
+      val d = 1 + (i % 7)
+      (Array.fill(d)(nxt()), Array.fill(d)(nxt()))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(call_function("dot_long", $"a", $"b")).collect()
+      .map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map(t => t._1 * t._2).sum }
+    assert(got == want)
+  }
+
   test("GraftExtensions registers functions at session build time") {
     val s2 = SparkSessionTestWrapper.session.newSession()
     // newSession shares extensions state; use withExtensions path instead:

@@ -12,13 +12,16 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private val dim = 64
 
-  /** A float32 blob near `center` with per-coordinate jitter from a fixed
-    * LCG — deterministic, no Random. */
+  /** A float32 blob near `center` with SIGNED per-coordinate jitter in
+    * [-0.048, 0.048] from a fixed LCG — deterministic, no Random. Signed
+    * matters: zero-centered blobs then have genuinely random directions
+    * (positive-only jitter would put every vector in the positive orthant,
+    * where pairwise cosines concentrate near +0.75, not 0). */
   private def blob(center: Float, id: Long): Array[Float] = {
     var s = id * 6364136223846793005L + 1442695040888963407L
     Array.tabulate(dim) { i =>
       s = s * 6364136223846793005L + 1442695040888963407L
-      center + ((s >>> 40).toInt % 97) / 1000f // jitter < ±0.1
+      center + ((s >>> 40).toInt % 97 - 48) / 1000f
     }
   }
 
@@ -72,10 +75,11 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("semantic dedup groups planted duplicates under the min id and " +
     "releases its caches via the scope") {
-    // base corpus of zero-centered jitter vectors — RANDOM directions, so
-    // pairwise cosine concentrates near 0 (constant-center blobs would all
-    // be parallel and τ would catch everything) — plus one dup group:
-    // ids 100/101 share a vector exactly, 102 is a near-copy (cos ≈ 1)
+    // base corpus of zero-centered signed-jitter vectors — random
+    // directions, pairwise cosine concentrating near 0 (σ ≈ 1/8), far
+    // from τ = 0.95 (nonzero-center blobs would all be near-parallel and
+    // τ would catch everything) — plus one dup group: ids 100/101 share a
+    // vector exactly, 102 is a near-copy (cos ≈ 1)
     val shared = blob(1.5f, 7L)
     val near = shared.clone(); near(0) = near(0) + 0.01f
     val rows = (0L until 30L).map(i => (i, blob(0f, i))) ++
@@ -110,11 +114,11 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     def run() = Clustering.clusterSample(embDf(rows), k = 3, iters = 3,
       total = 30).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val got = run()
-    // quotas: floor(30*sqrt(n)/sum + .5) over the planted sizes
+    // quotas: round-half-up of total·w/Σw with integer weights w = ⌊√n⌋
     val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
-    val planted = Seq(81.0, 28.0, 11.0).map(math.sqrt).sum
-    val expected = Seq(81.0, 28.0, 11.0)
-      .map(n => math.floor(30 * math.sqrt(n) / planted + 0.5).toInt)
+    val wts = Seq(81L, 28L, 11L).map(n => math.sqrt(n.toDouble).toLong)
+    val tw = wts.sum
+    val expected = wts.map(w => Math.floorDiv(2L * 30 * w + tw, 2L * tw).toInt)
     assert(sizes.values.toSeq.sorted == expected.sorted,
       s"per-cluster counts $sizes vs expected $expected")
     assert(got.length == expected.sum)
