@@ -183,6 +183,31 @@ object Clustering {
     out
   }
 
+  /** Outlier flags per vector: dist − μ_cluster > 2σ_cluster, decided in
+    * EXACT integer arithmetic so every engine agrees on boundary cases.
+    * With n, Σd, Σd² per cluster (d the exact squared quantized distance):
+    *
+    *   d − μ > 2σ  ⇔  n·d − Σd > 0  ∧  (n·d − Σd)² > 4·(n·Σd² − (Σd)²)
+    *
+    * — both sides integers (decimal(38,0) here, HUGEINT in the oracle;
+    * magnitudes stay ≤ ~1e23). Plan shape: one k-row aggregate broadcast
+    * back onto the assignment scan; the k-means driver loop runs once
+    * (centroids are literals in both branches). */
+  def centroidOutliers(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val asg = assignments(emb, k, iters).select("vec_id", "cluster", "dist")
+    val d = col("dist").cast("decimal(38,0)")
+    val stats = asg.groupBy("cluster").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(d).cast("decimal(38,0)").as("sd"),
+      sum(d * d).cast("decimal(38,0)").as("sdd"))
+    asg.join(broadcast(stats), Seq("cluster"))
+      .withColumn("nd", col("n") * d - col("sd"))
+      .withColumn("outlier", col("nd") > 0 &&
+        col("nd") * col("nd") >
+          lit(4) * (col("n") * col("sdd") - col("sd") * col("sd")))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("outlier"))
+  }
+
   // ---------------- DuckDB oracle: the same k-means, unrolled ----------------
 
   /** CTE block re-deriving the k-means assignment in pure DuckDB SQL:
@@ -323,6 +348,37 @@ object Clustering {
          |  FROM asg)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster
          |FROM ranked JOIN quota USING (cid)
-         |WHERE rn <= q ORDER BY 1""".stripMargin))
+         |WHERE rn <= q ORDER BY 1""".stripMargin)),
+
+    // ---- embedding-space outlier pruning: flag vectors farther than
+    // mean + 2*stddev from their cluster centroid — the noise-removal
+    // step of embedding curation. The gate is EXACT integer arithmetic
+    // (d − μ > 2σ  ⇔  n·d − Σd > 0 ∧ (n·d − Σd)² > 4·(n·Σd² − (Σd)²)),
+    // evaluated in decimal(38,0) on the Spark side and HUGEINT in DuckDB
+    // (all magnitudes ≤ ~1e23 « 1e38). Per-cluster stats are a k-row agg
+    // broadcast back onto the scan: no window, no per-cluster sort, and
+    // the only shuffle is the k-row partial agg ----
+    Q("c04_centroid_outliers", (s, dir) => {
+      centroidOutliers(t(s, dir, "embeddings"), K, Iters)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("dist").cast("long").as("dist"), col("outlier"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64)},
+         |st AS (
+         |  SELECT cid, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(dist AS HUGEINT)) AS sd,
+         |    sum(CAST(dist AS HUGEINT) * CAST(dist AS HUGEINT)) AS sdd
+         |  FROM asg GROUP BY 1
+         |)
+         |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+         |  CAST(a.cid AS BIGINT) AS cluster,
+         |  CAST(a.dist AS BIGINT) AS dist,
+         |  (st.n * a.dist - st.sd) > 0 AND
+         |    (st.n * a.dist - st.sd) * (st.n * a.dist - st.sd)
+         |      > 4 * (st.n * st.sdd - st.sd * st.sd) AS outlier
+         |FROM asg a JOIN st ON st.cid = a.cid
+         |ORDER BY 1""".stripMargin))
   )
 }

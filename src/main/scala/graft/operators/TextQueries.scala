@@ -45,6 +45,90 @@ object TextQueries {
       .orderBy(col("grp"), col("bin"))
   }
 
+  /** PII patterns (t32): RE2-safe subset — no backreferences/lookaround, so
+    * Java regex (Spark) and RE2 (DuckDB) produce identical matches. No
+    * octet-range validation on IPs (standard for scrubbing: over-match). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** Redact PII in order email → IP → phone (the email pass removes
+    * addresses whose domains could otherwise shadow later patterns). */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+
+  /** Whitespace token count of `text` (t27's formula): 0 for blank. */
+  private def tokenCount(text: org.apache.spark.sql.Column) = {
+    val tr = trim(text)
+    when(tr === "", 0L)
+      .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
+  }
+
+  /** Temperature-flattened training-mixture allocation (t33 kernel): per
+    * source, token totals -> integer weight floor(sqrt(tokens)) (alpha=0.5)
+    * -> exact round-half-up rational share of `budget`, plus the implied
+    * epochs rate. |sources| rows; only the first scan touches the corpus. */
+  def mixtureWeights(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val bySource = docs
+      .select(col("source"), tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+      // IEEE-correctly-rounded sqrt: identical longs in any engine
+      .withColumn("wt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tw = bySource.select(sum(col("wt")).as("tw"))
+    bySource.crossJoin(broadcast(tw))
+      .withColumn("alloc_tokens",
+        expr(s"CAST((${2 * budget} * wt + tw) DIV (2 * tw) AS BIGINT)"))
+      .withColumn("epochs", when(col("n_tokens") === 0L, lit(0.0))
+        .otherwise(round(col("alloc_tokens").cast("double") / col("n_tokens"), 4)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("wt"),
+        col("alloc_tokens"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** Bloom-prefiltered exact decontamination (t34 kernel): eval word-n-grams
+    * fold into one 2^logm-bit filter; the collected bitset rides the plan as
+    * a literal and the codegen'd probe prunes corpus grams before the exact
+    * md5 confirm join. No false negatives => identical to the plain join.
+    * Inputs are (doc_id, text) frames; returns per corpus doc with ≥ n words
+    * (doc_id, n_grams, n_contam, keep). */
+  def bloomDecon(corpus: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame, n: Int = 5, logm: Int = 20,
+      probes: Int = 5): org.apache.spark.sql.DataFrame = {
+    import graft.functions.BloomFilterAggregate
+    BloomFilterAggregate.register(corpus.sparkSession, logm, probes)
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1})," +
+          s" i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h64"), md5(col("g")).as("h"))
+    val evalG = grams(evalDocs)
+    // one fixed-size row — the only driver-side state
+    val bits: Array[Long] = evalG
+      .agg(BloomFilterAggregate.bloomAgg(col("h64")))
+      .head().getSeq[Long](0).toArray
+    val evalSet = evalG.select(col("h")).distinct()
+    // gram totals from size(w) arithmetic — the count never explodes
+    val totals = corpus
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), (size(col("w")) - (n - 1)).cast("long").as("n_grams"))
+    val hits = grams(corpus)
+      .filter(BloomFilterAggregate.bloomContains(typedlit(bits), col("h64")))
+      .join(evalSet, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).cast("long").as("n_contam"))
+      .withColumn("keep", col("n_contam") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- exact dedup: content-hash grouping, keep lowest doc_id ----
     Q("t01_dedup_exact", (s, dir) => {
@@ -709,6 +793,134 @@ object TextQueries {
         |  round(CAST(count(ev.h) AS DOUBLE) / count(*), 4) AS overlap
         |FROM grams g LEFT JOIN ev ON g.h = ev.h
         |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- PII detection + redaction (the scrubbing pass of a training
+    // pipeline): per-doc email/IPv4/phone counts and the md5 of the
+    // scrubbed text, so redacted CONTENT (not just counts) is verified
+    // cross-engine. The synthetic corpus carries no PII, so a
+    // deterministic contact line derived from (doc_id, source) is planted
+    // first — identically in both engines — to exercise the kernel; the
+    // patterns are an RE2-safe subset so Java regex and RE2 agree match
+    // for match. Pure per-row projection over codegen'd built-ins
+    // (regexp_count/regexp_replace): narrow, no shuffle but the sort ----
+    Q("t32_pii_redact", (s, dir) => {
+      import s.implicits._
+      val d = $"doc_id"
+      val planted = concat($"text", when(d % 4 === 0,
+          concat(lit(" contact user"), d.cast("string"), lit("@"), $"source",
+            lit(".com ip 10."), (d % 256).cast("string"), lit(".0."),
+            ((d * 7) % 256).cast("string"), lit(" tel 555-"),
+            lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 4 === 1,
+          concat(lit(" mail user"), d.cast("string"), lit("@"), $"source",
+            lit(".org")))
+        .when(d % 4 === 2,
+          concat(lit(" host 192.168."), (d % 256).cast("string"), lit("."),
+            ((d * 3) % 256).cast("string")))
+        .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(d.cast("long").as("doc_id"), planted.as("t"))
+        .select($"doc_id",
+          regexp_count($"t", lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count($"t", lit(IpRe)).cast("long").as("n_ip"),
+          regexp_count($"t", lit(PhoneRe)).cast("long").as("n_phone"),
+          md5(redactPii($"t")).as("red_md5"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH p AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@' || source || '.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    WHEN doc_id % 4 = 1 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+        |      || '@' || source || '.org'
+        |    WHEN doc_id % 4 = 2 THEN ' host 192.168.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\b555-\d{4}\b')) AS BIGINT)
+        |    AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b555-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+        |FROM p ORDER BY 1""".stripMargin)),
+
+    // ---- training-mixture allocation (the domain-weighting step of a
+    // data recipe): per-source token totals -> temperature-flattened
+    // weights (alpha = 0.5 via floor(sqrt(tokens)), integer so the split
+    // is engine-independent) -> an exact rational round-half-up share of
+    // a token budget, plus the implied epochs-over-source rate. One tiny
+    // groupBy (|sources| rows) + a one-row broadcast total: nothing here
+    // grows with the corpus except the first scan ----
+    Q("t33_mixture_weights", (s, dir) =>
+      mixtureWeights(t(s, dir, "documents"), budget = 100000L), Some(
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |      END) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS wt
+        |  FROM src
+        |), tw AS (SELECT sum(wt) AS tw FROM w),
+        |alloc AS (
+        |  SELECT source, n_docs, n_tokens, wt,
+        |    CAST((200000 * wt + tw) // (2 * tw) AS BIGINT) AS alloc_tokens
+        |  FROM w, tw
+        |)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, wt, alloc_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 4) END AS epochs
+        |FROM alloc ORDER BY source""".stripMargin)),
+
+    // ---- Bloom-prefiltered exact decontamination: the eval set's
+    // word-5-grams fold into a 2^20-bit Bloom filter (native bloom_agg,
+    // word-wise-OR merge so map-side partials apply); the collected
+    // 128 KiB bitset rides the plan as a literal and the codegen'd
+    // bloom_contains prunes corpus grams BEFORE the confirm join, which
+    // re-checks survivors exactly (md5 digests). Bloom filters have no
+    // false negatives, so the output is exactly the plain-join answer —
+    // the oracle IS that plain join; the bloom is purely physical.
+    // This is the 100 TB shape for blocklists too big to broadcast as a
+    // hash relation: ~1.2 bytes/key prefilters locally with no shuffle,
+    // and only the (true hits + ~1e-5 fp) sliver reaches the join. Gram
+    // totals come from size(w) arithmetic — the count never explodes ----
+    Q("t34_bloom_decon", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      bloomDecon(
+        corpus = docs.filter($"doc_id" % 97 =!= 0),
+        evalDocs = docs.filter($"doc_id" % 97 === 0 && $"doc_id" < 97L * 200))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(w[pos:pos+4], ' ') AS g
+        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+        |        FROM words WHERE len(w) >= 5)
+        |), ev AS (
+        |  SELECT DISTINCT g FROM grams
+        |  WHERE doc_id % 97 = 0 AND doc_id < 97 * 200
+        |)
+        |SELECT CAST(gr.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(ev.g) AS BIGINT) AS n_contam,
+        |  count(ev.g) = 0 AS keep
+        |FROM grams gr LEFT JOIN ev ON gr.g = ev.g
+        |WHERE gr.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -133,4 +133,41 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(run(2) == run(7))
   }
+
+  test("centroid outliers: planted far point flagged, tight blob members not") {
+    // two tight blobs + one point far from its nearest centroid: with the
+    // planted point included in the stats, d_far − μ ≈ d_far·(1−1/n) while
+    // 2σ ≈ 2·d_far·√(n−1)/n, so the gate fires for n ≥ ~6
+    val far = Array.tabulate(dim)(i => if (i == 0) 40f else 0f)
+    val rows = (0L until 60L).map { i =>
+      (i, blob(Array(-2f, 2f)((i % 2).toInt), i))
+    } :+ (60L, far)
+    val got = Clustering.centroidOutliers(embDf(rows), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(60L), "planted far point must be flagged")
+    // a 2σ gate legitimately flags the extreme ~2% tail inside a tight
+    // blob too — require the planted point plus at most a small tail
+    val tightFlagged = (0L until 60L).count(got(_))
+    assert(tightFlagged <= 4, s"too many tight members flagged: $tightFlagged")
+  }
+
+  test("centroid outlier gate matches an exact BigInt recomputation") {
+    val rows = (0L until 80L).map(i => (i, blob((i % 3).toFloat - 1f, i)))
+    val df = embDf(rows)
+    val asg = Clustering.assignments(df, k = 3, iters = 3)
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent rule evaluation in BigInt (no decimal/HUGEINT involved)
+    val byC = asg.groupBy(_._2)
+    val want = asg.map { case (id, c, d) =>
+      val ds = byC(c).map(_._3)
+      val n = BigInt(ds.length); val sd = ds.map(BigInt(_)).sum
+      val sdd = ds.map(x => BigInt(x) * BigInt(x)).sum
+      val nd = n * d - sd
+      id -> (nd > 0 && nd * nd > 4 * (n * sdd - sd * sd))
+    }.toMap
+    val got = Clustering.centroidOutliers(df, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == want)
+  }
 }
