@@ -133,9 +133,10 @@ object Bench {
     // queries ADDED to the bench set after round 5: the headline total grew
     // by their cost, so the artifact also carries the subtotal comparable to
     // earlier rounds' totals (the original 13-query set). r6: g11/g12; r7:
-    // t21 (span dedup); r8: t28 (span rewrite), c01 (k-means).
+    // t21 (span dedup); r8: t28 (span rewrite), c01 (k-means), t34
+    // (bloom-prefiltered decontamination).
     val added = Set("g11_mem_classify", "g12_mem_wide_classify",
-      "t21_span_dedup", "t28_span_rewrite", "c01_kmeans")
+      "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon")
     val comparable = results.collect {
       case (k, (med, _, _)) if !added(k) && med >= 0 => med
     }.sum

@@ -921,6 +921,6 @@ object TextQueries {
         |  count(ev.g) = 0 AS keep
         |FROM grams gr LEFT JOIN ev ON gr.g = ev.g
         |WHERE gr.doc_id % 97 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true)
   )
 }
