@@ -47,6 +47,17 @@ object VectorKernels {
     s
   }
 
+  /** Exact squared L2 distance of two long-array columns — the k-means
+    * assignment hot loop evaluates this k times per row against literal
+    * centroids; one static call, no zipped-array allocation. */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Distinct minimizers of a DNA string (ambiguity-aware), as array<long>. */
   def minimizers(dna: UTF8String, k: Int, m: Int, spaces: Int): ArrayData = {
     val scanner = new graft.kmers.SupermerScanner(k,
@@ -120,6 +131,24 @@ case class DotProductLong(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Native codegen'd exact squared L2 distance over two array<bigint>
+  * columns — the assignment kernel of the integer k-means (c01/c02/c04). */
+case class SquaredDistanceLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.sqDistLong($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Native expression exposing the minimizer kernel to SQL users:
   * graft_minimizers(dna, k, m, spaces) -> array<bigint> of distinct
   * minimizer priorities. k/m/spaces must be foldable (literals). */
@@ -163,6 +192,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(fa(es(0)), fa(es(1)))),
     "dot_product" -> (es => DotProduct(fa(es(0)), fa(es(1)))),
     "dot_long" -> (es => DotProductLong(la(es(0)), la(es(1)))),
+    "sqdist_long" -> (es => SquaredDistanceLong(la(es(0)), la(es(1)))),
     "graft_minimizers" -> (es =>
       SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))))
 
@@ -177,8 +207,11 @@ object GraftFunctions {
   * time (`.withExtensions(new GraftExtensions)` or the
   * spark.sql.extensions conf). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     for ((name, builder) <- GraftFunctions.all)
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Expressions", name), builder))
+    // opt-in HOF→native vector rewrite (spark.graft.nativeVectorRewrite)
+    e.injectOptimizerRule(_ => NativeVectorRewrite)
+  }
 }

@@ -43,10 +43,13 @@ object Clustering {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * Quantum + lit(0.5)).cast("long"))
 
-  /** Exact squared L2 distance to an integer centroid literal. */
+  /** Exact squared L2 distance to an integer centroid literal — the native
+    * codegen'd kernel (graft.functions.SquaredDistanceLong): the assignment
+    * map evaluates this k times per row, and the HOF zip_with/aggregate
+    * chain would allocate a zipped array per (row, centroid). Callers go
+    * through [[assignments]], which registers the function. */
   private def sqDist(qv: Column, m: Array[Long]): Column =
-    aggregate(zip_with(qv, typedlit(m), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    call_function("sqdist_long", qv, typedlit(m))
 
   /** argmin over centroids as struct-min of (dist, cid): smallest distance,
     * then smallest cluster index — a total, engine-independent order. */
@@ -60,6 +63,7 @@ object Clustering {
     * keep their previous centroid. `q` must have columns (vec_id, qv). */
   def kmeansCentroids(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     val spark = q.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
@@ -87,6 +91,7 @@ object Clustering {
     * input is cached for the driver loop's actions, released before the lazy
     * result (built on a fresh scan) is returned — no pinned blocks escape. */
   def assignments(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q0 = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cached = q0.persist(StorageLevel.MEMORY_AND_DISK)
     val cents =
