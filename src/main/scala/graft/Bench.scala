@@ -117,6 +117,46 @@ object Bench {
     }
     val stagesFailed = stages.count(_._2._1 < 0)
 
+    // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
+    // aggregate(zip_with(...)) dot products on purpose — it is the query a
+    // user writes without knowing the native expressions exist. Timing it
+    // with graft.functions.NativeVectorRewrite off vs on (same session,
+    // same reps) makes the rule's payoff a tracked artifact number instead
+    // of a claim. The rule is a no-op while its conf flag is false, so
+    // installing it here cannot perturb the headline timings above.
+    val rewriteAb: Map[String, Double] =
+      try {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.functions.NativeVectorRewrite
+        val v02 = SparkEntry.all("v02_knn_brute")
+        // untimed warm-up so the HOF side (timed first) doesn't absorb the
+        // cold-start and inflate the rewrite's apparent win
+        try run(v02.fn(spark, sfDir)) catch { case _: Throwable => () }
+        def time(flag: Boolean): (Double, Double) = {
+          spark.conf.set(graft.functions.NativeVectorRewrite.ConfKey,
+            flag.toString)
+          // fresh DataFrame per rep: QueryExecution memoizes the optimized
+          // plan, so a reused frame would ignore the toggled flag
+          val times = (0 until reps).map { _ =>
+            val t0 = System.nanoTime()
+            run(v02.fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          (times(times.length / 2), times.head)
+        }
+        val (hofMed, hofMin) = time(flag = false)
+        val (natMed, natMin) = time(flag = true)
+        spark.conf.set(graft.functions.NativeVectorRewrite.ConfKey, "false")
+        Map("v02_hof" -> hofMed, "v02_hof_min" -> hofMin,
+          "v02_native" -> natMed, "v02_native_min" -> natMin)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rewrite A/B FAILED: $e")
+        e.printStackTrace()
+        Map("v02_hof" -> -1.0, "v02_hof_min" -> -1.0,
+          "v02_native" -> -1.0, "v02_native_min" -> -1.0)
+      }
+
     val loadEnd = loadavg()
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
@@ -146,12 +186,15 @@ object Bench {
       "\"" + k + "\":{\"build\":" + num(b) + ",\"classify\":" + num(med) +
         ",\"classify_min\":" + num(mn) + "}"
     }.mkString("{", ",", "}")
+    val rewriteJson = rewriteAb.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + num(v)
+    }.mkString("{", ",", "}")
     val sf = sfDir.replaceAll(".*sf", "")
     // `failed` keeps its round-over-round meaning (headline queries only);
     // staged failures get their own count so a broken staged entry cannot
     // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.

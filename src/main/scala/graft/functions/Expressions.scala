@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,6 +74,37 @@ object VectorKernels {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** Static text kernels invoked from generated code. */
+object TextKernels {
+  /** Unicode NFC normalization (canonical composition) — the
+    * canonicalization step before hashing/dedup so that composed and
+    * decomposed encodings of the same text collide. Spark ships no
+    * normalizer built-in; DuckDB's `nfc_normalize` is the oracle analogue. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan and almost all
+    // real text is already NFC — skip the allocation entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native codegen'd Unicode NFC normalization over a string column. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Native codegen'd cosine similarity over two array<float> columns.
@@ -193,6 +224,7 @@ object GraftFunctions {
     "dot_product" -> (es => DotProduct(fa(es(0)), fa(es(1)))),
     "dot_long" -> (es => DotProductLong(la(es(0)), la(es(1)))),
     "sqdist_long" -> (es => SquaredDistanceLong(la(es(0)), la(es(1)))),
+    "nfc_normalize" -> (es => NfcNormalize(Cast(es(0), StringType))),
     "graft_minimizers" -> (es =>
       SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))))
 

@@ -65,6 +65,40 @@ object TextQueries {
       .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
   }
 
+  /** Materialize a [[mixtureWeights]] allocation into an actual sampled
+    * corpus (t36 kernel): each source's keep probability is
+    * min(1, alloc_tokens / n_tokens); a document is kept iff the first 8
+    * hex chars of md5(doc_id), read as a 32-bit fraction, fall under that
+    * threshold. Same decision on every engine and every partitioning — the
+    * reproducible alternative to rand() sampling, and the step that turns a
+    * data recipe's weights into the training corpus. The weights frame is
+    * |sources| rows and explicitly broadcast; the corpus is touched by one
+    * scan + one map-side join, no shuffle until the reporting rollup. */
+  def temperatureSample(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = mixtureWeights(docs, budget)
+      .select($"source", $"n_tokens".as("src_tokens"), $"alloc_tokens")
+    // p <= 1 always (least caps the 0-token inf); the hex threshold is
+    // floor(p * 2^32) zero-padded to 8 chars, compared lexicographically
+    // against the md5 prefix — both lowercase 8-char hex, so string order
+    // IS numeric order
+    val p = least(lit(1.0), $"alloc_tokens".cast("double") / $"src_tokens")
+    val thr = lpad(lower(hex(floor(p * lit(4294967296.0)).cast("long"))), 8, "0")
+    val frac = substring(md5($"doc_id".cast("string").cast("binary")), 1, 8)
+    docs.join(broadcast(w), "source")
+      .withColumn("p", p)
+      .withColumn("keep", $"alloc_tokens" >= $"src_tokens" || frac < thr)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when($"keep", tokenCount($"text")).otherwise(0L)).cast("long")
+          .as("kept_tokens"),
+        round(max($"p"), 4).as("target_frac"))
+      .orderBy($"source")
+  }
+
   /** Temperature-flattened training-mixture allocation (t33 kernel): per
     * source, token totals -> integer weight floor(sqrt(tokens)) (alpha=0.5)
     * -> exact round-half-up rational share of `budget`, plus the implied
@@ -921,6 +955,85 @@ object TextQueries {
         |  count(ev.g) = 0 AS keep
         |FROM grams gr LEFT JOIN ev ON gr.g = ev.g
         |WHERE gr.doc_id % 97 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true)
+        |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // ---- Unicode canonicalization: NFC-compose (native codegen'd
+    // NfcNormalize — Spark ships no normalizer built-in), lowercase, strip
+    // punctuation to spaces, collapse runs — the canonical form hashed for
+    // cross-encoding dedup. Docs with doc_id % 7 == 0 get a deterministic
+    // DECOMPOSED accent injected (e + U+0301) so composition is actually
+    // exercised, not vacuously true on ASCII: nfc_len < raw_len for them,
+    // and canon_md5 only matches the oracle if both engines composed to
+    // the identical codepoints before hashing. Pure per-row column exprs ----
+    Q("t35_normalize", (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val dirty = when($"doc_id" % 7 === 0,
+        regexp_replace($"text", "e", "e\u0301")).otherwise($"text")
+      val norm = lower(call_function("nfc_normalize", dirty))
+      val canon = trim(regexp_replace(
+        regexp_replace(norm, "[^\\p{L}\\p{N} ]", " "), " +", " "))
+      t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          length(dirty).cast("long").as("raw_len"),
+          length(norm).cast("long").as("nfc_len"),
+          md5(canon.cast("binary")).as("canon_md5"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH dirty AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS t
+        |  FROM documents
+        |), norm AS (
+        |  SELECT doc_id, length(t) AS raw_len, lower(nfc_normalize(t)) AS n
+        |  FROM dirty
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(raw_len AS BIGINT) AS raw_len,
+        |  CAST(length(n) AS BIGINT) AS nfc_len,
+        |  md5(trim(regexp_replace(regexp_replace(n,
+        |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_md5
+        |FROM norm ORDER BY doc_id""".stripMargin)),
+
+    // ---- temperature sampling: materialize the t33 mixture weights into
+    // the kept corpus via per-source deterministic hash thresholds (see
+    // [[temperatureSample]]) — rollup per source so every per-doc keep
+    // decision is sum-verified ----
+    Q("t36_temperature_sample", (s, dir) =>
+      temperatureSample(t(s, dir, "documents"), budget = 100000L), Some(
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |      END) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS wt
+        |  FROM src
+        |), tw AS (SELECT sum(wt) AS tw FROM w),
+        |alloc AS (
+        |  SELECT source, n_tokens AS src_tokens,
+        |    CAST((200000 * wt + tw) // (2 * tw) AS BIGINT) AS alloc_tokens
+        |  FROM w, tw
+        |), k AS (
+        |  SELECT d.source,
+        |    least(1.0, alloc_tokens::DOUBLE / src_tokens) AS p,
+        |    alloc_tokens >= src_tokens
+        |      OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |        lpad(lower(hex(CAST(floor(least(1.0,
+        |          alloc_tokens::DOUBLE / src_tokens) * 4294967296.0)
+        |          AS BIGINT))), 8, '0') AS keep,
+        |    CASE WHEN trim(d.text) = '' THEN 0
+        |      ELSE length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+        |      END AS n_toks
+        |  FROM documents d JOIN alloc a USING (source)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(max(p), 4) AS target_frac
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -97,6 +97,40 @@ class ExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == want)
   }
 
+  test("nfc_normalize composes decomposed sequences and agrees with " +
+    "java.text.Normalizer on messy inputs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "Café au lait" // e + combining acute
+    val composed = "Café au lait"
+    val messy = Seq(decomposed, composed, "", "plain ascii",
+      "Ǻngström", // multiple combining marks
+      "ṩ already-nfd ṩ")
+    val got = messy.toDF("t")
+      .select(call_function("nfc_normalize", $"t").as("n"))
+      .collect().map(_.getString(0))
+    val want = messy.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    assert(got(0) == composed) // composition actually happened
+    // null propagates, no NPE from the fast path
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(call_function("nfc_normalize", $"t")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("nfc_normalize participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = spark.range(10).selectExpr("CAST(id AS STRING) AS t")
+      .select(call_function("nfc_normalize", col("t")))
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      (0 until 10).map(_.toString))
+  }
+
   test("GraftExtensions registers functions at session build time") {
     val s2 = SparkSessionTestWrapper.session.newSession()
     // newSession shares extensions state; use withExtensions path instead:

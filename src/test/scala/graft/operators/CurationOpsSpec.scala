@@ -117,4 +117,39 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.forall(_.getBoolean(3)), "clean corpus must keep everything")
     assert(out.forall(_.getLong(2) == 0L))
   }
+
+  test("temperature sampling: kept fraction tracks the allocation target " +
+    "and the keep set is deterministic across partitionings") {
+    // one dominant source (flattened down) and two small ones (kept whole)
+    val rows = (0L until 3000L).map { i =>
+      val src = if (i % 10 < 8) "big" else if (i % 10 == 8) "mid" else "small"
+      val words = (0L until 5L + i % 7).map(j => s"w${(i * 13 + j) % 53}")
+      (i, words.mkString(" "), src)
+    }
+    val d = docs(rows)
+    val got = TextQueries.temperatureSample(d, budget = 8000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == Set("big", "mid", "small"))
+    for ((src, (nDocs, nKept, keptToks, target)) <- got) {
+      assert(nKept <= nDocs)
+      assert(keptToks >= 0)
+      if (target >= 1.0) assert(nKept == nDocs, s"$src: full keep expected")
+      else {
+        // md5 is uniform: the kept fraction concentrates around the target
+        val frac = nKept.toDouble / nDocs
+        assert(math.abs(frac - target) < 0.05,
+          s"$src kept $frac vs target $target")
+      }
+    }
+    // the dominant source is actually downsampled; epochs-over-small kept
+    assert(got("big")._2 < got("big")._1)
+    // determinism: same answer from a different partitioning
+    val again = TextQueries.temperatureSample(d.repartition(7), budget = 8000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(again == got)
+  }
 }
