@@ -70,11 +70,22 @@ object Bench {
     val results = SparkEntry.benchQueries.map { case (name, q) =>
       val times =
         try {
-          (0 until reps).map { _ =>
+          val base = (0 until reps).map { _ =>
             val t0 = System.nanoTime()
             run(q.fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }
+          // Spike retry (r9 verdict): the load gate checks only at start,
+          // so a transient host spike mid-run can poison a rep by 6x+
+          // (r9 recorded 22 s against a true 2.6 s). One rep >3x the rep
+          // min is rerun ONCE and appended — the raw reps stay in
+          // reps_sec for forensics, and the headline below is min-of-reps
+          // so a second spike still cannot inflate it.
+          if (base.nonEmpty && base.max > 3 * base.min) {
+            val t0 = System.nanoTime()
+            run(q.fn(spark, sfDir))
+            base :+ (System.nanoTime() - t0) / 1e9
+          } else base
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
@@ -162,23 +173,32 @@ object Bench {
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
+    // Headline stat = MIN-of-reps (r9 verdict): the median was spike-
+    // poisoned two rounds running (one mid-run host spike lands in 2 of 3
+    // reps and the median reports it). Min approximates the noise-free
+    // cost of a fixed plan on a fixed dataset — the quantity round-over-
+    // round comparison needs. Medians stay in queries_median for
+    // continuity with r1-r9 artifacts.
+    val qs = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
+    val qsMedian = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
     val qsReps = results.map { case (k, (_, _, ts)) =>
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val total = results.values.map(_._2).filter(_ >= 0).sum
+    val totalMedian = results.values.map(_._1).filter(_ >= 0).sum
     // queries ADDED to the bench set after round 5: the headline total grew
     // by their cost, so the artifact also carries the subtotal comparable to
     // earlier rounds' totals (the original 13-query set). r6: g11/g12; r7:
     // t21 (span dedup); r8: t28 (span rewrite), c01 (k-means), t34
-    // (bloom-prefiltered decontamination).
+    // (bloom-prefiltered decontamination); r10: c02 (semantic dedup), c03
+    // (cluster sample), g13 (m=64 frequency classify).
     val added = Set("g11_mem_classify", "g12_mem_wide_classify",
-      "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon")
+      "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon",
+      "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify")
     val comparable = results.collect {
-      case (k, (med, _, _)) if !added(k) && med >= 0 => med
+      case (k, (_, min, _)) if !added(k) && min >= 0 => min
     }.sum
     val addedJson = added.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
@@ -194,7 +214,7 @@ object Bench {
     // staged failures get their own count so a broken staged entry cannot
     // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_median":$qsMedian,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -205,6 +225,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: $e")
     }
+    // The driver keeps only the LAST ~2000 characters of stdout and tries
+    // to parse a JSON line out of them; the full artifact line above is
+    // ~3.5 KB, so its head is truncated away and the driver has recorded
+    // "parsed": null for three rounds. This compact line carries the
+    // contract fields ({"metric","value","unit","queries","sf"}) in well
+    // under the capture window, printed LAST (sbt appends one ~90-char
+    // [success] line after it).
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -103,15 +103,56 @@ object Clustering {
         col("a.cluster").as("cluster"), col("a.dist").as("dist"))
   }
 
+  /** Per-cluster population cap for the SemDeDup pair join: clusters above
+    * this split into ceil(pop/cap) hash sub-buckets before pairing, so no
+    * task ever materializes more than ~cap² candidate pairs. The SemDeDup
+    * regime keeps k ∝ corpus size precisely so populations stay bounded,
+    * but an all-near-duplicate corpus collapses into one giant cluster
+    * regardless of k — without a guard that is a silent quadratic blowup
+    * (the same failure mode [[Dedup.capBuckets]] guards in LSH). Splitting
+    * trades recall for the bound (near-dup pairs straddling two sub-buckets
+    * of a split cluster are missed) — the flagged-and-documented tradeoff,
+    * announced loudly on stderr when it engages. */
+  val DefaultMaxClusterPop = 100000
+
+  /** Adds the pair-join sub-bucket column: `sub` = xxhash64(vec_id) mod
+    * ceil(pop/cap) for oversized clusters, 0 elsewhere. Deterministic in
+    * the ids (hash of vec_id, never partitioning). The per-cluster sizes
+    * are a k-row collect — bounded like every driver-side stat here. */
+  private[graft] def subBucketed(asg: DataFrame, maxClusterPop: Int): DataFrame = {
+    val sizes = asg.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val over = sizes.filter(_._2 > maxClusterPop)
+    if (over.isEmpty) asg.withColumn("sub", lit(0L))
+    else {
+      over.sortBy(_._1).foreach { case (c, n) =>
+        System.err.println(s"[graft] SemDeDup cluster $c population $n " +
+          s"exceeds cap $maxClusterPop: splitting into " +
+          s"${(n + maxClusterPop - 1) / maxClusterPop} hash sub-buckets " +
+          "(cross-sub-bucket duplicate pairs will be missed)")
+      }
+      val nsub = sizes.toSeq.map { case (c, n) =>
+        (c, math.max(1L, (n + maxClusterPop - 1) / maxClusterPop))
+      }
+      val nsubDf = asg.sparkSession.createDataFrame(nsub).toDF("cluster", "nsub")
+      asg.join(broadcast(nsubDf), Seq("cluster"))
+        .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+        .drop("nsub")
+    }
+  }
+
   /** SemDeDup: duplicate pairs are same-cluster pairs whose quantized cosine
     * clears `tau`, resolved to components with min-id keepers. The cosine
     * gate is exact: dot > 0 ∧ dot² ≥ tau²·‖a‖²·‖b‖² — all longs below 2^53,
     * so the single double comparison is reproducible anywhere. Returns
     * (vec_id, cluster, rep, keep). The assignment cache (feeding both
     * self-join sides and the final left join) lands in `scope` — the
-    * [[Dedup.CacheScope]] release contract, same as the dedup pipelines. */
+    * [[Dedup.CacheScope]] release contract, same as the dedup pipelines.
+    * Clusters above `maxClusterPop` are hash-split before the pair join
+    * (see [[DefaultMaxClusterPop]]). */
   def semanticDecisions(emb: DataFrame, k: Int, iters: Int, tau: Double,
-      scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged): DataFrame = {
+      scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged,
+      maxClusterPop: Int = DefaultMaxClusterPop): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // dot_long is the codegen'd exact kernel (one static call per candidate
     // pair) — the HOF zip_with/aggregate chain would allocate a zipped array
@@ -119,11 +160,15 @@ object Clustering {
     val asg = scope.track(assignments(emb, k, iters)
       .withColumn("nsq", call_function("dot_long", col("qv"), col("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val x = asg.as("x")
-    val y = asg.as("y")
+    // the sub-bucket column is a narrow decoration over the cached
+    // assignments (plus one broadcast k-row join when a split engages)
+    val asgSub = subBucketed(asg, maxClusterPop)
+    val x = asgSub.as("x")
+    val y = asgSub.as("y")
     val dot = call_function("dot_long", col("x.qv"), col("y.qv"))
     val pairs = x.join(y,
-        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+        col("x.cluster") === col("y.cluster") && col("x.sub") === col("y.sub") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         dot.as("dot"), (col("x.nsq") * col("y.nsq")).as("nn"))
       .filter(col("dot") > 0 &&
@@ -326,7 +371,7 @@ object Clustering {
          |  CAST(coalesce(r.rep, n.vec_id) AS BIGINT) AS rep,
          |  coalesce(r.rep, n.vec_id) = n.vec_id AS keep
          |FROM norms n LEFT JOIN reps r ON r.id = n.vec_id
-         |ORDER BY 1""".stripMargin)),
+         |ORDER BY 1""".stripMargin), bench = true),
 
     // ---- temperature-balanced cluster sample: quotas ∝ floor(sqrt(size)),
     // members by md5 rank ----
@@ -353,7 +398,7 @@ object Clustering {
          |  FROM asg)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster
          |FROM ranked JOIN quota USING (cid)
-         |WHERE rn <= q ORDER BY 1""".stripMargin)),
+         |WHERE rn <= q ORDER BY 1""".stripMargin), bench = true),
 
     // ---- embedding-space outlier pruning: flag vectors farther than
     // mean + 2*stddev from their cluster centroid — the noise-removal

@@ -144,6 +144,28 @@ object GenomicQueries {
         StagedRun(
           () => agg(mem.classify(reads, minHitGroups = 1)),
           () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () })
+      }),
+      // m=64 frequency-ordered path (r9 verdict): the two-long-key packing
+      // plus the demoted-set broadcast is the 100x-relevant configuration
+      // for large m — its classify stage was previously only oracled (g13),
+      // never timed. Build stage = frequency counting + demotion set +
+      // record materialization; classify stage = wide spans ⋈ records.
+      "g13_wide64_freq_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val packed = lib.map { case (tx, dna) =>
+          (tx, graft.kmers.Dna.pack2bit(dna), dna.length)
+        }
+        val demoted = graft.index.FrequencyOrdering.topCanonicalWideMers(
+          packed, 64, fraction = 1.0, topN = 65536)
+        val index = new graft.index.WideMinimizerIndex(k = 66, m = 64, bcTax,
+          0, demoted)
+        val records = materialize(index.makeRecords(lib))
+        val reads = readsDs(40, 72)
+        StagedRun(
+          () => agg(index.classify(index.spans(reads), records,
+            minHitGroups = 1)),
+          () => { records.unpersist(false); reads.unpersist(false)
+            bcTax.destroy(); () })
       }))
   }
 
@@ -381,7 +403,7 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, Some(Q.goldenTaxonReads("g13_wide64_freq_sf001.tsv"))),
+    }, Some(Q.goldenTaxonReads("g13_wide64_freq_sf001.tsv")), bench = true),
 
     // g03's classification through the zero-shuffle in-memory path: the
     // records collect into a broadcast open-addressing table and scan +

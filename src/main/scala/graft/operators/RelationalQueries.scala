@@ -15,6 +15,24 @@ import Q.t
   */
 object RelationalQueries {
 
+  /** `events` with `ts` normalized to BIGINT epoch nanoseconds regardless
+    * of the parquet physical type: TIMESTAMP(NANOS) data reads as LongType
+    * under `nanosAsLong` (the pre-2026-08 testdata), while timestamp[us]
+    * data reads as TimestampType — `unix_micros * 1000` restores the
+    * identical nanos. The DuckDB oracles use `epoch_ns(ts)`, which is
+    * correct for both physical types, so only the Spark side needs this. */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev
+      // timestamp[us] parquet reads as TIMESTAMP_NTZ; the session timezone
+      // is pinned UTC, so the NTZ->LTZ cast is the identity on the epoch
+      // (same convention as DuckDB's epoch_ns over a naive timestamp)
+      case _ => ev.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- A-class: grouped aggregation with partial (map-side) combine ----
     Q("q01_agg_pricing", (s, dir) => {
@@ -447,10 +465,10 @@ object RelationalQueries {
     // ---- gap-based sessionization (stateful window composition) ----
     Q("q26_sessionize", (s, dir) => {
       import s.implicits._
-      // events.ts is read as BIGINT nanos (nanosAsLong); a >1h gap starts a
-      // new session. DuckDB sees TIMESTAMP_NS and compares epoch_ns equally.
+      // events.ts normalized to BIGINT nanos (eventsNs); a >1h gap starts a
+      // new session. DuckDB compares epoch_ns equally.
       val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",
           when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 3600L * 1000000000L, 1L)
@@ -723,7 +741,7 @@ object RelationalQueries {
       import s.implicits._
       val DAY = 86400L * 1000000000L
       val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
-      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      val ev = eventsNs(s, dir).select($"event_id", $"user_id", $"ts")
       val sess = ev
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",

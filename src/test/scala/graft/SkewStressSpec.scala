@@ -275,6 +275,68 @@ class SkewStressSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == want, "bounded top-k diverged from the window rank")
     assert(got.count(_._1 == "mega") == 5)
   }
+
+  test("SemDeDup under one giant cluster (80% near-duplicates): pair join " +
+    "sub-bucketed to the cap, dups still collapse, no dominant task") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
+    import ss.implicits._
+    import SkewStressSpec.skewEmbedding
+    // 2,000 vectors: 80% tiny perturbations of one base vector (all-near-
+    // duplicate corpus — k-means puts them in ONE cluster no matter how k
+    // is chosen), 20% random. Without the population cap the pair join
+    // materializes ~1600^2/2 ~ 1.3M pairs in whatever tasks hold that
+    // cluster; with cap=100 it is split into 16 hash sub-buckets.
+    val nVec = 2000
+    val cap = 100
+    val emb = ss.range(nVec).repartition(16)
+      .map(i => (i, skewEmbedding(i, nVec)))
+      .toDF("vec_id", "embedding")
+    val asg = graft.operators.Clustering.assignments(emb, k = 4, iters = 2)
+      .persist()
+    val pops = asg.groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (giant, giantPop) = pops.maxBy(_._2)
+    assert(giantPop >= 1500, s"fixture lost its skew: cluster pops $pops")
+    // structural bound: after splitting, no (cluster, sub) group exceeds
+    // ~cap (2x slack for hash variance) => no task ever reads more than
+    // ~(2*cap)^2 candidate pairs from one group, vs 1600^2 unguarded
+    val groups = graft.operators.Clustering.subBucketed(asg, cap)
+      .groupBy("cluster", "sub").count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val maxGroup = groups.map(_._2).max
+    assert(maxGroup <= 2L * cap,
+      s"sub-bucketing failed to bound the pair join: max group $maxGroup")
+    val giantSubs = groups.count(_._1._1 == giant)
+    assert(giantSubs >= (giantPop / cap).toInt,
+      s"giant cluster split into only $giantSubs sub-buckets")
+    asg.unpersist()
+
+    val scope = new graft.operators.Dedup.CacheScope
+    val (decisions, stats) = withTaskStats {
+      graft.operators.Clustering.semanticDecisions(emb, k = 4, iters = 2,
+          tau = 0.8, scope = scope, maxClusterPop = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    }
+    scope.release()
+    assertNoDominantTask(stats, factor = 6.0, floorMs = 2000)
+    assert(decisions.length == nVec)
+    // every near-duplicate sub-bucket collapses to exactly one keeper: the
+    // perturbed vectors' pairwise cosine clears tau, so each sub-bucket is
+    // one connected component. Keepers among the near-dups == sub-buckets
+    // of the giant cluster — the documented recall cost of the split (vs 1
+    // keeper unguarded), bounded and proportional to pop/cap, never silent
+    val nearDupKeepers = decisions
+      .count(d => SkewStressSpec.isNearDup(d._1) && d._4)
+    assert(nearDupKeepers == giantSubs,
+      s"expected $giantSubs near-dup keepers (one per sub-bucket), " +
+        s"got $nearDupKeepers")
+    // reps are self-consistent: every rep is a kept member of the corpus
+    val keepers = decisions.filter(_._4).map(_._1).toSet
+    val reps = decisions.map(_._3).toSet
+    assert(reps.subsetOf(keepers), "some rep is not itself kept")
+  }
 }
 
 object SkewStressSpec {
@@ -287,6 +349,31 @@ object SkewStressSpec {
 
   /** Cold genome: 300 bp of unique random sequence. */
   private def coldDna(i: Long): String = randDna(i + 7777, 300)
+
+  /** 64-dim embedding fixture for the SemDeDup skew test: id 0 = the
+    * near-dup base, ids 1-3 = distinct random anchors (k-means init takes
+    * the k smallest vec_ids, so these seed 4 separated centroids), ids >= 4
+    * with i % 5 != 0 = tiny perturbations of the base (the 80% near-dup
+    * mass that collapses into one cluster), the rest random. */
+  private def skewEmbedding(i: Long, nVec: Int): Array[Float] = {
+    def rand(seed: Long): Array[Float] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      Array.tabulate(64) { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        (s >> 11).toFloat / (1L << 52).toFloat
+      }
+    }
+    if (i == 0L) rand(42L)
+    else if (i < 4L) rand(7000L + i)
+    else if (i % 5 == 0) rand(i * 31 + 97)
+    else {
+      val b = rand(42L)
+      val n = rand(i)
+      Array.tabulate(64)(d => b(d) + 0.01f * n(d))
+    }
+  }
+
+  private def isNearDup(i: Long): Boolean = i == 0L || (i >= 4L && i % 5 != 0)
 
   /** Deterministic pseudo-random DNA (object-level: executor closures must
     * not capture the spec instance). */
