@@ -211,6 +211,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 8, s"IVF found only $hits of 10 planted neighbors")
   }
 
+  /** Exact brute-force top-k ids per query — the v02 semantics, computed
+    * driver-side. The recall gate for the two non-SQL-oracled ANN lanes
+    * (v06 IVF / v07 PQ): their CORRECTNESS rows are rows-only by design,
+    * so the quantitative contract ("the approximate set covers most of the
+    * true neighbors") lives here instead. */
+  private def bruteTopK(k: Int, nQ: Int): Map[Long, Seq[Long]] =
+    (0L until nQ.toLong).map { q =>
+      q -> base.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(base(q.toInt)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+
+  private def recallAt(k: Int, got: Map[Long, Seq[Long]], nQ: Int): Double = {
+    val want = bruteTopK(k, nQ)
+    val hit = (0L until nQ.toLong).map(q =>
+      got.getOrElse(q, Seq.empty).toSet.intersect(want(q).toSet).size).sum
+    hit.toDouble / (k * nQ)
+  }
+
+  test("IVF kNN recall@3 vs exact brute force clears the gate") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = Similarity.ivfKnn(queries, ds, k = 3, nCells = 8, nProbe = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq }
+    val r = recallAt(3, got, 10)
+    assert(r >= 0.7, f"IVF recall@3 = $r%.2f below the 0.7 gate")
+  }
+
+  test("PQ kNN recall@3 vs exact brute force clears the gate") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = Similarity.pqKnn(queries, ds, k = 3, subspaces = 8,
+        centroids = 16, rerank = 24)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq }
+    val r = recallAt(3, got, 10)
+    assert(r >= 0.7, f"PQ recall@3 = $r%.2f below the 0.7 gate")
+  }
+
   test("cosine dedup finds planted near-identical pairs") {
     import spark.implicits._
     val got = Similarity.cosineDedup(spark.createDataset(base), 0.98, planes = 10)
