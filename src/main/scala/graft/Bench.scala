@@ -133,8 +133,9 @@ object Bench {
     // user writes without knowing the native expressions exist. Timing it
     // with graft.functions.NativeVectorRewrite off vs on (same session,
     // same reps) makes the rule's payoff a tracked artifact number instead
-    // of a claim. The rule is a no-op while its conf flag is false, so
-    // installing it here cannot perturb the headline timings above.
+    // of a claim. The rule (default-on since r10, row-guarded) is only
+    // installed here, after the headline timings, and the flag is set
+    // explicitly for each arm.
     val rewriteAb: Map[String, Double] =
       try {
         spark.experimental.extraOptimizations =

@@ -89,7 +89,9 @@ object Main {
         "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
         "max-files-per-trigger", "checkpoint", "mode", "span-n")),
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
-        "min-alpha", "near-dup-threshold", "span-n")))
+        "min-alpha", "near-dup-threshold", "span-n")),
+      "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
+        "iters", "tau", "max-cluster-pop", "sample")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1029,6 +1031,84 @@ object Main {
         } finally sw.close()
         println(s"curated $nIn -> $nNear docs ($wordsAfter of $wordsBefore " +
           s"words kept) into $outDir/corpus")
+
+      case "curateEmbeddings" =>
+        // Embedding-space curation — the [[graft.operators.Clustering]]
+        // pillar composed into the offline pipeline, mirroring `curate`:
+        // centroid-outlier pruning -> SemDeDup (within-cluster semantic
+        // dedup, min-id keepers) -> optional temperature-balanced cluster
+        // sample. Each stage re-clusters ITS OWN input (pruning changes the
+        // geometry, so reusing the pre-prune centroids downstream would
+        // dedup against stale structure) and is materialized before the
+        // next starts; every stage cache is released before exit. k clamps
+        // to the surviving population so a heavy prune cannot crash the
+        // downstream Lloyd's init.
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val k = opts.getOrElse("k", "8").toInt
+        val iters = opts.getOrElse("iters", "3").toInt
+        val tau = opts.getOrElse("tau", "0.35").toDouble
+        val cap = opts.getOrElse("max-cluster-pop",
+          graft.operators.Clustering.DefaultMaxClusterPop.toString).toInt
+        val outDir = opts("output")
+        val emb = spark.read.parquet(opts("embeddings"))
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .persist(lvl)
+        val nIn = emb.count()
+        require(nIn > 0, "curateEmbeddings: empty input")
+        // stage 1: prune vectors beyond mean + 2*sigma of their centroid
+        val k1 = math.min(k.toLong, nIn).toInt
+        val pruned = graft.operators.Clustering
+          .centroidOutliers(emb, k1, iters)
+          .filter(!col("outlier")).select(col("vec_id"))
+          .join(emb, Seq("vec_id"))
+          .persist(lvl)
+        val nPruned = pruned.count()
+        // stage 2: SemDeDup keepers on the pruned population
+        val scope = new graft.operators.Dedup.CacheScope
+        val k2 = math.min(k.toLong, nPruned).toInt
+        val kept = graft.operators.Clustering
+          .semanticDecisions(pruned, k2, iters, tau, scope = scope,
+            maxClusterPop = cap)
+          .filter(col("keep")).select(col("vec_id"), col("cluster"))
+          .join(pruned, Seq("vec_id"))
+          .persist(lvl)
+        val nKept = kept.count()
+        scope.release()
+        // stage 3 (optional): temperature-balanced resample to --sample
+        val sampleOpt = opts.getOrElse("sample", "off")
+        val curated =
+          if (sampleOpt == "off") kept.select(col("vec_id"), col("embedding"))
+          else {
+            val k3 = math.min(k.toLong, nKept).toInt
+            graft.operators.Clustering
+              .clusterSample(kept.select(col("vec_id"), col("embedding")),
+                k3, iters, sampleOpt.toInt)
+              .select(col("vec_id"))
+              .join(kept, Seq("vec_id"))
+              .select(col("vec_id"), col("embedding"))
+          }
+        curated.write.mode("overwrite").parquet(outDir + "/embeddings")
+        val nOut = spark.read.parquet(outDir + "/embeddings").count()
+        emb.unpersist()
+        pruned.unpersist()
+        kept.unpersist()
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sw = new java.io.PrintWriter(fs.create(
+          new org.apache.hadoop.fs.Path(outDir, "summary.tsv"), true), false,
+          java.nio.charset.StandardCharsets.UTF_8)
+        try {
+          sw.println("metric\tvalue")
+          sw.println(s"input\t$nIn")
+          sw.println(s"outlier_prune\t$nPruned")
+          sw.println(s"semantic_dedup\t$nKept")
+          sw.println(s"sampled\t$nOut")
+        } finally sw.close()
+        println(s"curated $nIn -> $nOut vectors " +
+          s"(pruned to $nPruned, deduped to $nKept) into $outDir/embeddings")
 
       case "streamDedup" =>
         // Streaming near-dup suppression over a FILE topology — the

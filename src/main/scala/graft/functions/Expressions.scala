@@ -243,7 +243,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     for ((name, builder) <- GraftFunctions.all)
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Expressions", name), builder))
-    // opt-in HOF→native vector rewrite (spark.graft.nativeVectorRewrite)
+    // default-on, row-guarded HOF→native vector rewrite (disable with
+    // spark.graft.nativeVectorRewrite=false)
     e.injectOptimizerRule(_ => NativeVectorRewrite)
   }
 }

@@ -16,14 +16,23 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
   * ANN scan being memory-bound and compute-bound. The natives emit one
   * static call inside whole-stage codegen and accumulate in a register.
   *
-  * OPT-IN via `spark.graft.nativeVectorRewrite=true` (conf, default off):
-  * on ragged arrays or null elements the HOF result is NULL (zip_with pads
-  * the shorter side with nulls, and null propagates through the fold)
-  * while the natives treat the input as dense and truncate to the shorter
-  * length. For embedding columns — fixed-width, non-null — the two are
-  * bitwise-identical (pinned by ExpressionsSpec and NativeVectorRewriteSpec);
-  * the flag states that contract explicitly instead of changing query
-  * semantics behind the user's back.
+  * ON BY DEFAULT (disable with `spark.graft.nativeVectorRewrite=false`)
+  * because the substitution is guarded row by row. The natives treat
+  * inputs as dense (truncate to the shorter length, never see element
+  * nulls); the HOF fold returns NULL on every other row — ragged lengths
+  * (zip_with pads the shorter side and null propagates through the fold),
+  * null elements (the product nulls, then the fold), and null input arrays.
+  * So the exact rewrite is
+  *
+  *   If(size(a) = size(b) [ AND no-null-elements ], native, NULL)
+  *
+  * — equal-length dense rows take the codegen'd fast path and every row
+  * the guard rejects gets the NULL the fold would have produced (a null
+  * input array nulls the size equality, and If routes a null predicate to
+  * the else branch). The null-element scan is skipped when the schema
+  * already proves `containsNull = false`. The guard re-evaluates size/nulls
+  * over `a`/`b`; on the attribute references these folds take in practice
+  * that is one cheap extra pass with no allocation.
   *
   * Injected by [[GraftExtensions]] (`injectOptimizerRule`); also usable via
   * `spark.experimental.extraOptimizations` on an existing session.
@@ -75,8 +84,33 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** exists(e, x -> isnull(x)) — the runtime null-element scan for arrays
+    * whose schema cannot prove density. The predicate never returns null,
+    * so three-valued-logic mode is irrelevant. */
+  private def hasNullElement(e: Expression): Expression = {
+    val elem = e.dataType.asInstanceOf[ArrayType].elementType
+    val v = NamedLambdaVariable("x", elem, nullable = true)
+    ArrayExists(e, LambdaFunction(IsNull(v), Seq(v)))
+  }
+
+  /** The guarded substitution: native on rows where it is provably equal
+    * to the fold, NULL (= what the fold returns) everywhere else. */
+  private def guarded(a: Expression, b: Expression,
+      native: Expression): Expression = {
+    def dense(e: Expression) = e.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+    val sizeEq = EqualTo(Size(a, legacySizeOfNull = false),
+      Size(b, legacySizeOfNull = false))
+    val cond =
+      if (dense(a) && dense(b)) sizeEq
+      else And(sizeEq, Not(Or(hasNullElement(a), hasNullElement(b))))
+    If(cond, native, Literal.create(null, native.dataType))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(ConfKey, "false") != "true") plan
+    if (conf.getConfString(ConfKey, "true") != "true") plan
     else plan.transformAllExpressions {
       // float dot in double: aggregate(zip_with(a, b, (x,y) =>
       //   x.cast(double) * y.cast(double)), 0.0, _+_)
@@ -84,13 +118,13 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
           if isFloatArr(a) && isFloatArr(b) &&
             ((isDoubleCastOf(mx, x) && isDoubleCastOf(my, y)) ||
               (isDoubleCastOf(mx, y) && isDoubleCastOf(my, x))) =>
-        DotProduct(a, b)
+        guarded(a, b, DotProduct(a, b))
       // exact long dot: aggregate(zip_with(a, b, (x,y) => x*y), 0L, _+_)
       case HofFold(a, b, Multiply(mx, my, _), Literal(0L, LongType), x, y)
           if isLongArr(a) && isLongArr(b) &&
             ((isVar(mx, x) && isVar(my, y)) ||
               (isVar(mx, y) && isVar(my, x))) =>
-        DotProductLong(a, b)
+        guarded(a, b, DotProductLong(a, b))
       // exact squared distance: aggregate(zip_with(a, b, (x,y) =>
       //   (x-y)*(x-y)), 0L, _+_)
       case HofFold(a, b,
@@ -99,6 +133,6 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
           if isLongArr(a) && isLongArr(b) &&
             isVar(s1l, x) && isVar(s1r, y) &&
             isVar(s2l, x) && isVar(s2r, y) =>
-        SquaredDistanceLong(a, b)
+        guarded(a, b, SquaredDistanceLong(a, b))
     }
 }

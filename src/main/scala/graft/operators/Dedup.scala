@@ -251,11 +251,25 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Lineage cut: re-root a (Long, Long) frame as an RDD-backed leaf.
+    // Without this, iteration i+1's LOGICAL plan embeds iteration i's
+    // twice (once in the neighbor join, once in the update join), so the
+    // analyzed tree doubles per round — caching cuts execution but not
+    // analysis, and when the producing plan is large (e.g. SemDeDup's
+    // pair join carries k·dim literal centroid arrays) Catalyst spends
+    // 10x the actual compute re-optimizing exponentially growing trees.
+    // The RDD round trip keeps distribution AND full RDD lineage (a lost
+    // cached block recomputes through the physical plan as before); the
+    // per-iteration frames are one row per node with edges, so the
+    // (de)serialization constant is irrelevant next to a plan blowup.
+    def cut(df: DataFrame, names: (String, String)): DataFrame =
+      spark.createDataset(df.as[(Long, Long)].rdd).toDF(names._1, names._2)
     // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesRaw = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cut(edgesRaw, ("src", "dst"))
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster", col("id"))
@@ -269,22 +283,23 @@ object Dedup {
           .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("ncluster")).as("minNeighbor"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updatedCache = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("minNeighbor"), col("cluster")))
             .as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val updated = cut(updatedCache, ("id", "cluster"))
       changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).count()
-      // `updated` is materialized by the count above; the previous round's
-      // cache (and its lineage) is now dead weight — free it each iteration
-      // instead of accumulating one persisted copy per round
+      // `updatedCache` is materialized by the count above; the previous
+      // round's cache (and its lineage) is now dead weight — free it each
+      // iteration instead of accumulating one persisted copy per round
       if (prevCached != null) prevCached.unpersist(blocking = false)
-      prevCached = updated
+      prevCached = updatedCache
       labels = updated
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    edgesRaw.unpersist(blocking = false)
     // the last round's cache backs the returned (lazy) labels — the caller's
     // scope owns its release
     if (prevCached != null) scope.track(prevCached)

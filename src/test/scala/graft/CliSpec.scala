@@ -1012,4 +1012,98 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(summary("quality_gate") == 0L &&
       summary("words_after_span_strip") == 0L)
   }
+
+  test("CLI: curateEmbeddings prunes outliers, dedups semantically, samples") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-emb")
+    def rand(seed: Long): Array[Float] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      Array.tabulate(64) { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        (s >> 11).toFloat / (1L << 52).toFloat
+      }
+    }
+    val anchors = Array(rand(11L), rand(22L), rand(33L))
+    def nearCopy(a: Array[Float], seed: Long): Array[Float] = {
+      val n = rand(seed)
+      Array.tabulate(64)(d => a(d) + 0.01f * n(d))
+    }
+    // ids 0-2: three separated anchors (k-means init takes the smallest
+    // ids); ids 3-62: twenty near-copies of each anchor (semantic dup
+    // groups, min-id keepers 0/1/2); id 63: the anchor-0 direction scaled
+    // 8x — same cosine as its group but FAR from the centroid, so stage 1
+    // (mean + 2*sigma) must prune it before dedup ever sees it; ids
+    // 100-119: mutually dissimilar randoms that survive dedup and give the
+    // sample stage a real population
+    val vecs: Seq[(Long, Array[Float])] =
+      anchors.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toSeq ++
+        (0 until 60).map(i => ((3 + i).toLong, nearCopy(anchors(i / 20), 500L + i))) ++
+        Seq((63L, anchors(0).map(_ * 8f))) ++
+        (0 until 20).map(i => ((100 + i).toLong, rand(9000L + i)))
+    spark.createDataset(vecs).toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = dir.resolve("out").toString
+    Main.main(Array("curateEmbeddings",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", out, "--p", "4", "--k", "3"))
+    val kept = spark.read.parquet(out + "/embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    val summary = scala.io.Source.fromFile(out + "/summary.tsv").getLines()
+      .drop(1).map { l => val Array(a, b) = l.split("\t"); (a, b.toLong) }
+      .toMap
+    assert(summary("input") == 84L)
+    // the scaled-out point is gone at the PRUNE stage (a dedup would also
+    // remove it, so the stage count is the evidence), and the prune does
+    // not decimate the corpus
+    assert(summary("outlier_prune") < 84L && summary("outlier_prune") >= 75L,
+      s"unexpected prune count: $summary")
+    assert(!kept.contains(63L))
+    // each near-copy group collapsed to its min-id keeper
+    assert(Set(0L, 1L, 2L).subsetOf(kept))
+    assert(kept.intersect((3L to 62L).toSet).isEmpty,
+      s"near-copies survived dedup: ${kept.intersect((3L to 62L).toSet)}")
+    assert(summary("semantic_dedup") == kept.size.toLong &&
+      summary("sampled") == kept.size.toLong)
+    // cache hygiene, as for curate
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"curateEmbeddings leaked caches: $leaked")
+
+    // temperature-balanced sample: a strict, cluster-spread subset
+    val out2 = dir.resolve("out2").toString
+    Main.main(Array("curateEmbeddings",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", out2, "--p", "4", "--k", "3", "--sample", "10"))
+    val sampled = spark.read.parquet(out2 + "/embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sampled.subsetOf(kept), "sample must draw from the deduped set")
+    assert(sampled.size >= 5 && sampled.size < kept.size,
+      s"sample size ${sampled.size} of ${kept.size}")
+  }
+
+  test("CLI: curateEmbeddings clamps k to a tiny surviving population") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-emb-tiny")
+    def rand(seed: Long): Array[Float] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      Array.tabulate(64) { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        (s >> 11).toFloat / (1L << 52).toFloat
+      }
+    }
+    // 4 vectors, default k=8: every Lloyd's init (and the sample stage)
+    // must clamp k to the population instead of failing its k-vector
+    // requirement
+    spark.createDataset((0L until 4L).map(i => (i, rand(i + 70L))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curateEmbeddings",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", out, "--p", "4"))
+    val kept = spark.read.parquet(out + "/embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
 }

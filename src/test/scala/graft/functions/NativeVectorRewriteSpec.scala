@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSessionTestWrapper
 import org.apache.spark.sql.functions._
 
-/** The opt-in optimizer rule that swaps interpreted HOF vector folds for the
-  * native codegen'd expressions. */
+/** The default-on, row-guarded optimizer rule that swaps interpreted HOF
+  * vector folds for the native codegen'd expressions. */
 class NativeVectorRewriteSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private def hofDotDouble(a: org.apache.spark.sql.Column,
@@ -85,13 +85,18 @@ class NativeVectorRewriteSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("does not fire when the flag is off or the pattern differs") {
     import spark.implicits._
-    val q = floatVecs.select(hofDotDouble($"a", $"b").as("d"))
-    // flag off (default): untouched even with the rule installed
+    // flag EXPLICITLY off: untouched even with the rule installed (the
+    // rule is on by default — see the default-on test below)
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ NativeVectorRewrite
-    try
+    spark.conf.set(NativeVectorRewrite.ConfKey, "false")
+    try {
+      val q = floatVecs.select(hofDotDouble($"a", $"b").as("d"))
       assert(!q.queryExecution.optimizedPlan.toString.contains("dotproduct"))
-    finally spark.experimental.extraOptimizations = prev
+    } finally {
+      spark.conf.unset(NativeVectorRewrite.ConfKey)
+      spark.experimental.extraOptimizations = prev
+    }
     withRule {
       // a fold that is NOT a dot product (max-combine) must survive
       val notDot = floatVecs.select(
@@ -99,6 +104,66 @@ class NativeVectorRewriteSpec extends AnyFunSuite with SparkSessionTestWrapper {
           lit(0.0), (acc, v) => greatest(acc, v)).as("m"))
       val opt = notDot.queryExecution.optimizedPlan.toString
       assert(!opt.contains("dotproduct"), s"greatest-fold wrongly rewritten:\n$opt")
+    }
+  }
+
+  test("fires by default (no conf set) once the rule is installed") {
+    import spark.implicits._
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ NativeVectorRewrite
+    try {
+      val q = floatVecs.select(hofDotDouble($"a", $"b").as("d"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dotproduct"), s"default-on rewrite did not fire:\n$opt")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("ragged arrays: guarded rewrite keeps the fold's NULL semantics") {
+    import spark.implicits._
+    // b is one element SHORTER on odd rows: zip_with pads with null and the
+    // fold returns NULL there; the guarded native must reproduce exactly
+    // that (If(size-equal, native, NULL)), never a truncated dot
+    def ragged = spark.range(20).select(
+      transform(sequence(lit(1), lit(8)),
+        i => ((i * 7 + $"id") % 23 - 11).cast("float")).as("a"),
+      transform(sequence(lit(1), (lit(8) - $"id" % 2).cast("int")),
+        i => ((i * 13 + $"id" * 3) % 19 - 9).cast("float")).as("b"))
+    def q() = ragged.select($"a", $"b", hofDotDouble($"a", $"b").as("d"))
+    val plain = q().collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(plain.count(_.isEmpty) == 10, "fixture must null half the rows")
+    withRule {
+      val rewritten = q()
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dotproduct"), s"guarded rewrite did not fire:\n$opt")
+      val got = rewritten.collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      assert(got.toSeq == plain.toSeq,
+        "guarded native diverged from the fold on ragged input")
+    }
+  }
+
+  test("null elements: guarded rewrite keeps the fold's NULL semantics") {
+    import spark.implicits._
+    // element 3 of a is null on every third row; the schema cannot prove
+    // density (containsNull = true), so the guard adds the exists(isnull)
+    // scan and those rows must stay NULL
+    def withNulls = spark.range(21).select(
+      transform(sequence(lit(1), lit(8)), i =>
+        when($"id" % 3 === 0 && i === 3, lit(null).cast("float"))
+          .otherwise(((i * 7 + $"id") % 23 - 11).cast("float"))).as("a"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((i * 13 + $"id" * 3) % 19 - 9).cast("float")).as("b"))
+    def q() = withNulls.select(hofDotDouble($"a", $"b").as("d"))
+    val plain = q().collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(plain.count(_.isEmpty) == 7, "fixture must null a third of the rows")
+    withRule {
+      val rewritten = q()
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dotproduct"), s"guarded rewrite did not fire:\n$opt")
+      val got = rewritten.collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == plain.toSeq,
+        "guarded native diverged from the fold on null elements")
     }
   }
 

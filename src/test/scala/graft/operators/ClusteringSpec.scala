@@ -84,6 +84,10 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val near = shared.clone(); near(0) = near(0) + 0.01f
     val rows = (0L until 30L).map(i => (i, blob(0f, i))) ++
       Seq((100L, shared), (101L, shared), (102L, near))
+    // snapshot, not global emptiness: suites sharing this session leave
+    // their own deliberately-unmanaged caches behind (suite order varies
+    // between `test` and `testOnly` selections)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val scope = new Dedup.CacheScope
     val dec = Clustering.semanticDecisions(embDf(rows), k = 3, iters = 3,
       tau = 0.95, scope = scope)
@@ -96,12 +100,13 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // vectors in distinct regions all survive
     assert(dec.count(!_._3) == 2)
     scope.release()
-    // give the async unpersists a beat, then require no pinned blocks
+    // give the async unpersists a beat, then require no pinned blocks of
+    // our own beyond the pre-existing snapshot
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
     val deadline = System.currentTimeMillis() + 10000
-    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-      System.currentTimeMillis() < deadline) Thread.sleep(100)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    while (leaked().nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty, s"leaked caches: ${leaked()}")
   }
 
   test("cluster sample honors sqrt-size quotas and is deterministic") {
