@@ -242,68 +242,147 @@ object Dedup {
 
   // ---------------- cluster resolution: pairs -> keep/drop decisions ----------------
 
-  /** Connected components over duplicate pairs via iterative min-label
-    * propagation (each round: every node adopts the smallest id reachable in
-    * one hop; rounds double the reach, so convergence in O(log diameter)
-    * iterations — dup clusters are tiny, so this is 2-3 rounds in practice).
-    * Returns (id, cluster) where cluster = min doc id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
+  /** Connected components over duplicate pairs, exact on every graph
+    * shape, via three combined mechanisms per round — each covers the
+    * other's worst case:
+    *
+    *   1. min-label propagation over the CONTRACTED edge set (one edge
+    *      pass: every node takes the minimum id in its one-hop
+    *      neighborhood ∪ itself);
+    *   2. pointer doubling on the CUMULATIVE node→representative map
+    *      (rep ← rep(rep), twice per round). Plain propagation moves
+    *      information one edge hop per round, so a path needs diameter
+    *      rounds; doubling over the accumulated map makes the reach grow
+    *      geometrically, so paths converge in O(log diameter);
+    *   3. edge contraction through the cumulative map (both endpoints
+    *      rewritten to their representative, self-loops dropped).
+    *      Doubling alone cannot help hub-shaped components — spokes point
+    *      AT the hub (pointer depth 1, nothing to compress) while a
+    *      better label creeps one bridge hop per round (observed as
+    *      maxIterations exhaustion on real near-dup graphs). Contraction
+    *      collapses each labeled star to a single node, so the bridge is
+    *      walked in contracted hops.
+    *
+    * Terminates when no representative changed in a round (the contracted
+    * edge set empties shortly after — every surviving edge maps inside a
+    * merged component). maxIterations is a backstop with a LOUD stderr
+    * warning, because an un-converged exit splits components. Returns
+    * (id, cluster) with cluster = min doc id of the component. Validated
+    * against a driver-side union-find in DedupSpec and by the t13/c02
+    * recursive-SQL oracles.
+    *
+    * Iterative-plan hygiene: every per-round frame is re-rooted as an
+    * RDD-backed leaf (`cut`) — caching cuts execution but not ANALYSIS,
+    * and a loop whose logical plan embeds the previous round's twice
+    * doubles the analyzed tree per round (with a large producing plan,
+    * e.g. SemDeDup's pair join carrying k·dim literal centroids, Catalyst
+    * spends 10x the actual compute re-optimizing). The RDD round trip
+    * keeps distribution and full RDD lineage (a lost cached block
+    * recomputes through the physical plan as before). */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 16,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // Lineage cut: re-root a (Long, Long) frame as an RDD-backed leaf.
-    // Without this, iteration i+1's LOGICAL plan embeds iteration i's
-    // twice (once in the neighbor join, once in the update join), so the
-    // analyzed tree doubles per round — caching cuts execution but not
-    // analysis, and when the producing plan is large (e.g. SemDeDup's
-    // pair join carries k·dim literal centroid arrays) Catalyst spends
-    // 10x the actual compute re-optimizing exponentially growing trees.
-    // The RDD round trip keeps distribution AND full RDD lineage (a lost
-    // cached block recomputes through the physical plan as before); the
-    // per-iteration frames are one row per node with edges, so the
-    // (de)serialization constant is irrelevant next to a plan blowup.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def cut(df: DataFrame, names: (String, String)): DataFrame =
       spark.createDataset(df.as[(Long, Long)].rdd).toDF(names._1, names._2)
-    // undirected edge list, both directions
-    val edgesRaw = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = cut(edgesRaw, ("src", "dst"))
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("cluster", col("id"))
-    var prevCached: DataFrame = null
-    var changed = 1L
+
+    // normalized undirected edge set (src < dst), self-loops dropped
+    val g0 = pairs.select(
+        least(col("id_a"), col("id_b")).as("src"),
+        greatest(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(lvl)
+    var gCached = g0
+    var gCount = g0.count()
+    var g = cut(g0, ("src", "dst"))
+    // cumulative node -> representative map over every node with an edge
+    val total0 = g.select(col("src").as("id"))
+      .unionAll(g.select(col("dst").as("id")))
+      .distinct().select(col("id"), col("id").as("rep"))
+      .persist(lvl)
+    var totalCached = total0
+    var total = cut(total0, ("id", "rep"))
+    var changed = if (gCount > 0) 1L else 0L
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncluster")).as("minNeighbor"))
-      val updatedCache = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("minNeighbor"), col("cluster")))
-            .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val updated = cut(updatedCache, ("id", "cluster"))
-      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      // `updatedCache` is materialized by the count above; the previous
-      // round's cache (and its lineage) is now dead weight — free it each
-      // iteration instead of accumulating one persisted copy per round
-      if (prevCached != null) prevCached.unpersist(blocking = false)
-      prevCached = updatedCache
-      labels = updated
+    while (changed > 0 && gCount > 0 && iter < maxIterations) {
+      // (1) min id in the one-hop neighborhood (∪ self) of the contracted
+      // graph; endpoints of g are representative ids, so l is keyed by rep
+      val nbr = g.select(col("src").as("id"), col("dst").as("nb"))
+        .unionAll(g.select(col("dst").as("id"), col("src").as("nb")))
+      val l = nbr.groupBy("id")
+        .agg(min(col("nb")).as("mn"))
+        .select(col("id").as("rep"), least(col("rep"), col("mn")).as("lab"))
+        .persist(lvl)
+      // apply to the cumulative map, then (2) two pointer jumps on it
+      var tNew = total
+        .join(l, Seq("rep"), "left")
+        .select(col("id"), col("rep").as("r0"),
+          coalesce(col("lab"), col("rep")).as("rep"))
+      for (_ <- 0 until 2) {
+        val look = tNew.select(col("id").as("jid"), col("rep").as("jr"))
+        tNew = tNew.join(look, col("rep") === col("jid"), "left")
+          .select(col("id"), col("r0"),
+            coalesce(col("jr"), col("rep")).as("rep"))
+      }
+      val totalNext = tNew
+        .select(col("id"), col("rep"), (col("rep") =!= col("r0")).as("chg"))
+        .persist(lvl)
+      changed = totalNext.filter(col("chg")).count()
+      // (3) contract the edges through the updated cumulative map
+      val gNext = g
+        .join(totalNext.select(col("id").as("src"), col("rep").as("srep")),
+          Seq("src"))
+        .join(totalNext.select(col("id").as("dst"), col("rep").as("drep")),
+          Seq("dst"))
+        .select(least(col("srep"), col("drep")).as("src"),
+          greatest(col("srep"), col("drep")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .persist(lvl)
+      gCount = gNext.count()
+      l.unpersist(blocking = false)
+      gCached.unpersist(blocking = false)
+      totalCached.unpersist(blocking = false)
+      gCached = gNext
+      totalCached = totalNext
+      g = cut(gNext, ("src", "dst"))
+      total = cut(totalNext.select(col("id"), col("rep")), ("id", "rep"))
       iter += 1
     }
-    edgesRaw.unpersist(blocking = false)
-    // the last round's cache backs the returned (lazy) labels — the caller's
-    // scope owns its release
-    if (prevCached != null) scope.track(prevCached)
-    labels
+    // loud: an un-converged exit means some components are still split
+    // across labels — silent truncation here is a correctness bug, not a
+    // tuning choice. gCount (not `changed`) is the convergence witness: a
+    // fully-merged graph contracts to zero edges in the same round that
+    // completes it, while `changed` legitimately stays positive through
+    // the final productive round.
+    if (gCount > 0)
+      System.err.println(s"[graft] connectedComponents stopped at " +
+        s"maxIterations=$maxIterations with $gCount contracted edges " +
+        "unresolved — raise maxIterations for this graph")
+    gCached.unpersist(blocking = false)
+    // Final path compression: gCount == 0 proves every component is MERGED
+    // (no edge crosses representatives), but the cumulative map can still
+    // hold pointer CHAINS (a → b → min) left by the last rounds' shifts —
+    // returning it raw would hand different members of one component
+    // different reps. Jump to fixpoint; each pass doubles the resolved
+    // depth, so this is O(log chain depth) cheap label-table passes.
+    var compChanged = 1L
+    while (compChanged > 0) {
+      val look = total.select(col("id").as("jid"), col("rep").as("jr"))
+      val tc = total.join(look, col("rep") === col("jid"), "left")
+        .select(col("id"), col("rep").as("r0"),
+          coalesce(col("jr"), col("rep")).as("rep"))
+        .select(col("id"), col("rep"), (col("rep") =!= col("r0")).as("chg"))
+        .persist(lvl)
+      compChanged = tc.filter(col("chg")).count()
+      totalCached.unpersist(blocking = false)
+      totalCached = tc
+      total = cut(tc.select(col("id"), col("rep")), ("id", "rep"))
+    }
+    // the final cumulative map's cache backs the returned (lazy) labels —
+    // the caller's scope owns its release
+    scope.track(totalCached)
+    total.select(col("id"), col("rep").as("cluster"))
   }
 
   /** Full dedup decision: MinHash-LSH pairs -> components -> keep the lowest

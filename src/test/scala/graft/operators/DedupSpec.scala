@@ -83,6 +83,44 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components equal a union-find oracle on adversarial " +
+    "shapes (long chain, labeled hub-star, cliques)") {
+    import spark.implicits._
+    // the three shapes that defeat naive distributed CC: a 400-node chain
+    // (needs pointer doubling — plain min-propagation is diameter-bound),
+    // a hub-star whose hub id is LARGER than a far endpoint reachable only
+    // over a bridge (needs contraction — doubling has no pointer depth to
+    // compress on a depth-1 star), and plain cliques (the common case)
+    val chain = (0L until 400L).map(i => (1000L + i, 1000L + i + 1))
+    val star = (0L until 50L).map(i => (23L, 5000L + i))
+    val bridge = Seq((5000L, 4000L), (4000L, 4001L), (4001L, 3L))
+    val cliques = (0L until 5L).flatMap(c =>
+      for (i <- 0L until 4L; j <- i + 1 until 4L)
+        yield (9000L + c * 10 + i, 9000L + c * 10 + j))
+    val edges: Seq[(Long, Long)] = chain ++ star ++ bridge ++ cliques
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(a) = r; r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    val want = nodes.map(n => n -> minOf(find(n))).toMap
+    assert(got == want)
+    // the star+bridge component must resolve THROUGH the hub to id 3
+    assert(got(23L) == 3L && got(5049L) == 3L)
+    // the long chain resolves to its minimum end
+    assert(got(1400L) == 1000L)
+  }
+
   test("dedup decisions keep exactly one doc per duplicate cluster") {
     val decisions = Dedup.dedupDecisions(ds, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
