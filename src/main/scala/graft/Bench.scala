@@ -232,8 +232,12 @@ object Bench {
     // "parsed": null for three rounds. This compact line carries the
     // contract fields ({"metric","value","unit","queries","sf"}) in well
     // under the capture window, printed LAST (sbt appends one ~90-char
-    // [success] line after it).
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}""")
+    // [success] line after it). If the bench set ever grows the line past
+    // the window, the per-query map is dropped rather than risking a
+    // truncated-head line the driver can't parse.
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}"""
+    println(if (compact.length <= 1800) compact
+      else s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"sf":"$sf"}""")
     spark.stop()
   }
 }

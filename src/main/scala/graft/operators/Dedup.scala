@@ -303,9 +303,12 @@ object Dedup {
       .persist(lvl)
     var totalCached = total0
     var total = cut(total0, ("id", "rep"))
-    var changed = if (gCount > 0) 1L else 0L
     var iter = 0
-    while (changed > 0 && gCount > 0 && iter < maxIterations) {
+    // gCount > 0 alone drives the loop: while any contracted edge crosses
+    // two representatives, the next round's min-label step strictly
+    // improves at least one of them, so progress is guaranteed — no
+    // separate did-anything-change action is needed
+    while (gCount > 0 && iter < maxIterations) {
       // (1) min id in the one-hop neighborhood (∪ self) of the contracted
       // graph; endpoints of g are representative ids, so l is keyed by rep
       val nbr = g.select(col("src").as("id"), col("dst").as("nb"))
@@ -317,19 +320,16 @@ object Dedup {
       // apply to the cumulative map, then (2) two pointer jumps on it
       var tNew = total
         .join(l, Seq("rep"), "left")
-        .select(col("id"), col("rep").as("r0"),
-          coalesce(col("lab"), col("rep")).as("rep"))
+        .select(col("id"), coalesce(col("lab"), col("rep")).as("rep"))
       for (_ <- 0 until 2) {
         val look = tNew.select(col("id").as("jid"), col("rep").as("jr"))
         tNew = tNew.join(look, col("rep") === col("jid"), "left")
-          .select(col("id"), col("r0"),
-            coalesce(col("jr"), col("rep")).as("rep"))
+          .select(col("id"), coalesce(col("jr"), col("rep")).as("rep"))
       }
-      val totalNext = tNew
-        .select(col("id"), col("rep"), (col("rep") =!= col("r0")).as("chg"))
-        .persist(lvl)
-      changed = totalNext.filter(col("chg")).count()
-      // (3) contract the edges through the updated cumulative map
+      val totalNext = tNew.persist(lvl)
+      // (3) contract the edges through the updated cumulative map. The
+      // gCount action below is the round's ONLY job: it materializes
+      // totalNext on the way (both contraction joins scan it fully)
       val gNext = g
         .join(totalNext.select(col("id").as("src"), col("rep").as("srep")),
           Seq("src"))
