@@ -237,7 +237,12 @@ object Similarity {
           if (qid != nid) {
             var dot = 0.0
             var i = 0
-            while (i < qv.length) { dot += qv(i) * codes(i); i += 1 }
+            // toDouble BEFORE the multiply: Float * Byte would multiply in
+            // float32 and round once per term — every other kernel here
+            // (VectorKernels, cosineInt8) accumulates double products, and
+            // the one-ulp term differences flip round(sim, 6) boundary
+            // cases against the DuckDB oracle (caught at sf0.1)
+            while (i < qv.length) { dot += qv(i).toDouble * codes(i); i += 1 }
             val sim = if (qnorm == 0.0 || cnorm == 0.0) 0.0 else dot / (qnorm * cnorm)
             heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), k, sim, nid)
           }
