@@ -121,6 +121,44 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(1400L) == 1000L)
   }
 
+  test("connected components equal a union-find oracle on random graphs " +
+    "(fuzz: sparse, dense, and path-heavy)") {
+    import spark.implicits._
+    val fuzz = new Random(20260813L)
+    for (trial <- 0 until 6) {
+      val n = 120 + fuzz.nextInt(120)
+      // three densities: below the giant-component threshold (forest of
+      // small trees), near it (long tendrils), above it (one hairy blob)
+      val m = trial % 3 match {
+        case 0 => n / 3
+        case 1 => (n * 0.55).toInt
+        case 2 => 2 * n
+      }
+      val ids = (0 until n).map(_ => fuzz.nextLong().abs % 1000000L).distinct
+      val edges = (0 until m).map { _ =>
+        (ids(fuzz.nextInt(ids.length)), ids(fuzz.nextInt(ids.length)))
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          parent(a) = r; r
+        }
+        for ((a, b) <- edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        val want = nodes.map(nd => nd -> minOf(find(nd))).toMap
+        assert(got == want, s"trial $trial (n=$n, m=$m) diverged")
+      }
+    }
+  }
+
   test("dedup decisions keep exactly one doc per duplicate cluster") {
     val decisions = Dedup.dedupDecisions(ds, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
