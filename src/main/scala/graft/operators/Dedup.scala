@@ -263,13 +263,22 @@ object Dedup {
     *      collapses each labeled star to a single node, so the bridge is
     *      walked in contracted hops.
     *
-    * Terminates when no representative changed in a round (the contracted
-    * edge set empties shortly after — every surviving edge maps inside a
-    * merged component). maxIterations is a backstop with a LOUD stderr
-    * warning, because an un-converged exit splits components. Returns
-    * (id, cluster) with cluster = min doc id of the component. Validated
-    * against a driver-side union-find in DedupSpec and by the t13/c02
-    * recursive-SQL oracles.
+    * Terminates when the contracted edge set empties (every surviving
+    * edge maps inside a merged component). maxIterations is a backstop
+    * with a LOUD stderr warning, because an un-converged exit splits
+    * components. Returns (id, cluster) with cluster = min doc id of the
+    * component. Validated against a driver-side union-find in DedupSpec
+    * and by the t13/c02 recursive-SQL oracles.
+    *
+    * Small-graph fast path: at or below `localMaxEdges` distinct edges
+    * the resolution runs driver-side (exact union-find over the collected
+    * pair list). The pair set entering CC is the GATED duplicate graph —
+    * proportional to the duplicates, not the corpus — so even 100 TB
+    * curation runs typically resolve a few million pairs, where the
+    * distributed loop's per-round job latency dominates its actual
+    * compute. Same auto-select-with-bounded-memory shape as the
+    * in-memory classifier (64 MB driver at the default bound); the
+    * contraction loop takes over above the bound.
     *
     * Iterative-plan hygiene: every per-round frame is re-rooted as an
     * RDD-backed leaf (`cut`) — caching cuts execution but not ANALYSIS,
@@ -279,8 +288,13 @@ object Dedup {
     * spends 10x the actual compute re-optimizing). The RDD round trip
     * keeps distribution and full RDD lineage (a lost cached block
     * recomputes through the physical plan as before). */
+  /** Edge-count bound for the driver-side union-find fast path:
+    * 2^22 edges x 16 bytes = 64 MB collected. */
+  val LocalCcMaxEdges: Long = 1L << 22
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 16,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -295,6 +309,33 @@ object Dedup {
       .persist(lvl)
     var gCached = g0
     var gCount = g0.count()
+    if (gCount <= localMaxEdges) {
+      // exact union-find over the collected pairs; result distributes back
+      // as a plain local-relation frame (no cache for the scope to own)
+      val es = g0.as[(Long, Long)].collect()
+      g0.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = a
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // min id per component (roots are not guaranteed minimal mid-stream,
+      // but after full processing the root chain always ends at the min:
+      // unions always point the larger root at the smaller)
+      val out = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray
+        .distinct.map(n => (n, find(n)))
+      return spark.createDataset(out.toIndexedSeq).toDF("id", "cluster")
+    }
     var g = cut(g0, ("src", "dst"))
     // cumulative node -> representative map over every node with an edge
     val total0 = g.select(col("src").as("id"))

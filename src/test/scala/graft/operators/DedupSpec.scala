@@ -98,8 +98,6 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       for (i <- 0L until 4L; j <- i + 1 until 4L)
         yield (9000L + c * 10 + i, 9000L + c * 10 + j))
     val edges: Seq[(Long, Long)] = chain ++ star ++ bridge ++ cliques
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver-side union-find ground truth
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(a: Long): Long = {
@@ -114,11 +112,18 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
     val want = nodes.map(n => n -> minOf(find(n))).toMap
-    assert(got == want)
-    // the star+bridge component must resolve THROUGH the hub to id 3
-    assert(got(23L) == 3L && got(5049L) == 3L)
-    // the long chain resolves to its minimum end
-    assert(got(1400L) == 1000L)
+    // both execution paths: the driver-side union-find fast path (default
+    // bound) and the distributed contraction loop (bound forced to 0)
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, 0L)) {
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          localMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"localMaxEdges=$localMax")
+      // the star+bridge component must resolve THROUGH the hub to id 3
+      assert(got(23L) == 3L && got(5049L) == 3L)
+      // the long chain resolves to its minimum end
+      assert(got(1400L) == 1000L)
+    }
   }
 
   test("connected components equal a union-find oracle on random graphs " +
@@ -139,8 +144,6 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (ids(fuzz.nextInt(ids.length)), ids(fuzz.nextInt(ids.length)))
       }.filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
-        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(a: Long): Long = {
           var r = a
@@ -154,7 +157,13 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
         val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
         val want = nodes.map(nd => nd -> minOf(find(nd))).toMap
-        assert(got == want, s"trial $trial (n=$n, m=$m) diverged")
+        // alternate paths across trials: even trials exercise the local
+        // union-find, odd trials force the distributed contraction loop
+        val localMax = if (trial % 2 == 0) Dedup.LocalCcMaxEdges else 0L
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            localMaxEdges = localMax)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (n=$n, m=$m, local=$localMax) diverged")
       }
     }
   }
