@@ -26,7 +26,9 @@ import Q.t
   *     ordering (dist, cid).
   *
   * Scale shape: Lloyd's is iters+1 full scans; each scan is a narrow map
-  * (assignment against k·dim broadcast longs riding the task closure) plus a
+  * (assignment against a k·dim TORRENT-BROADCAST long matrix via the native
+  * [[graft.functions.ArgminCentroids]] expression — one plan node and one
+  * static call per row for any k) plus a
   * [[VectorSumAggregate]] partial agg whose shuffle is k·dim longs per task.
   * Centroids (k·dim·8 bytes) are the ONLY driver-side state. SemDeDup pairs
   * only within a cluster — the paper's regime keeps k ∝ corpus size so
@@ -43,20 +45,19 @@ object Clustering {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * Quantum + lit(0.5)).cast("long"))
 
-  /** Exact squared L2 distance to an integer centroid literal — the native
-    * codegen'd kernel (graft.functions.SquaredDistanceLong): the assignment
-    * map evaluates this k times per row, and the HOF zip_with/aggregate
-    * chain would allocate a zipped array per (row, centroid). Callers go
-    * through [[assignments]], which registers the function. */
-  private def sqDist(qv: Column, m: Array[Long]): Column =
-    call_function("sqdist_long", qv, typedlit(m))
-
-  /** argmin over centroids as struct-min of (dist, cid): smallest distance,
-    * then smallest cluster index — a total, engine-independent order. */
-  def assignStruct(qv: Column, cents: Array[Array[Long]]): Column =
-    array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (m, j) =>
-      struct(sqDist(qv, m).as("dist"), lit(j.toLong).as("cluster"))
-    }: _*))
+  /** argmin over centroids as struct(dist, cluster): smallest exact squared
+    * L2 distance, then smallest cluster index — a total, engine-independent
+    * order, evaluated by the native [[graft.functions.ArgminCentroids]]
+    * expression over a BROADCAST centroid matrix. The plan carries one
+    * expression node regardless of k (the r10 k-literal formulation grew
+    * the plan and generated code linearly in k·dim — a structural blocker
+    * at SemDeDup-regime k ~ 10^4-10^5, where it meant millions of plan
+    * literals and codegen past the 64 KB method limit). */
+  def assignStruct(qv: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ArgminCentroids(
+        org.apache.spark.sql.graft.ColumnBridge.expression(qv), bc))
 
   /** Lloyd's iterations; returns the centroids after `iters` updates.
     * Init = the quantized vectors of the k smallest vec_ids. Empty clusters
@@ -69,12 +70,15 @@ object Clustering {
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
     VectorSumAggregate.register(spark, dim = cents.head.length)
     for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
       val rows = q
-        .select(assignStruct(col("qv"), cents).getField("cluster").as("cluster"),
+        .select(assignStruct(col("qv"), bc).getField("cluster").as("cluster"),
           col("qv"))
         .groupBy("cluster")
         .agg(VectorSumAggregate.vecSum(col("qv")).as("s"), count(lit(1)).as("c"))
         .collect()
+      // the collect above is this broadcast's only consumer — free it
+      bc.destroy()
       val byCluster = rows.map(r =>
         r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
       cents = cents.zipWithIndex.map { case (old, j) =>
@@ -97,8 +101,9 @@ object Clustering {
     val cents =
       try kmeansCentroids(cached, k, iters)
       finally cached.unpersist(blocking = false)
+    val bc = emb.sparkSession.sparkContext.broadcast(cents)
     q0.select(col("vec_id"), col("qv"),
-        assignStruct(col("qv"), cents).as("a"))
+        assignStruct(col("qv"), bc).as("a"))
       .select(col("vec_id"), col("qv"),
         col("a.cluster").as("cluster"), col("a.dist").as("dist"))
   }

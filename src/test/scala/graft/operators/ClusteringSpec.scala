@@ -156,6 +156,63 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(tightFlagged <= 4, s"too many tight members flagged: $tightFlagged")
   }
 
+  test("argmin kernel matches a naive min-by (fuzz incl. exact ties)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    var s = 99L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    for (trial <- 0 until 50) {
+      val d = 1 + (trial % 7)
+      val k = 1 + (trial % 19)
+      val cents = Array.fill(k)(Array.fill(d)(nxt() % 7))
+      // force exact ties regularly: duplicate an earlier centroid
+      if (k > 2 && trial % 3 == 0) cents(k - 1) = cents(trial % (k - 1)).clone()
+      val qv = Array.fill(d)(nxt() % 7)
+      val got = graft.functions.CentroidKernels.argmin(
+        new GenericArrayData(qv), cents)
+      val want = cents.zipWithIndex.map { case (m, j) =>
+        (m.zip(qv).map { case (a, b) => (b - a) * (b - a) }.sum, j.toLong)
+      }.min
+      assert((got.getLong(0), got.getLong(1)) == want, s"trial $trial")
+    }
+    // nearest-n probe list: full ordering by (dist, cid)
+    val cents = Array(Array(0L, 0L), Array(10L, 0L), Array(0L, 0L), Array(3L, 4L))
+    val near = graft.functions.CentroidKernels.nearest(
+      new GenericArrayData(Array(1L, 1L)), cents, 3)
+    // dists: c0=2, c1=82, c2=2, c3=13 -> order (2,c0),(2,c2),(13,c3)
+    assert(near.toLongArray().toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("assignment plan is constant-size in k and stays codegen'd at k=512") {
+    val rows = (0L until 600L).map(i => (i, blob((i % 4).toFloat, i)))
+    def optimized(k: Int) =
+      Clustering.assignments(embDf(rows), k = k, iters = 0)
+        .queryExecution.optimizedPlan
+    def exprNodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.map(e => { var n = 0; e.foreach(_ => n += 1); n }).sum
+    val small = exprNodes(optimized(4))
+    val large = exprNodes(optimized(512))
+    // the r10 k-literal argmin grew the plan by ~k·dim literal nodes; the
+    // broadcast-matrix expression must not grow AT ALL
+    assert(large == small,
+      s"plan expression count grew with k: $small (k=4) vs $large (k=512)")
+    // and the generated code must compile, not fall back to interpretation
+    // (k-literals blew past the 64 KB method limit at large k)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val asg = Clustering.assignments(embDf(rows), k = 512, iters = 0)
+        .select("vec_id", "cluster", "dist").collect()
+      assert(asg.length == 600)
+      // 600 distinct-ish vectors, k=512, init = first 512 vec_ids: the
+      // init members must each sit at distance 0 from their own centroid
+      val byId = asg.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert((0L until 512L).forall(byId(_) == 0L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("centroid outlier gate matches an exact BigInt recomputation") {
     val rows = (0L until 80L).map(i => (i, blob((i % 3).toFloat - 1f, i)))
     val df = embDf(rows)
