@@ -67,26 +67,27 @@ object Bench {
 
     val loadStart = loadavg()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Spike retry (r9 verdict): the load gate checks only at start, so a
+    // transient host spike mid-run can poison a rep by 6x+ (r9 recorded
+    // 22 s against a true 2.6 s). One rep >3x the rep min is rerun ONCE
+    // and appended — the raw reps stay in reps_sec for forensics, and the
+    // min stat cannot be inflated by a second spike.
+    def timeReps(thunk: () => Unit): IndexedSeq[Double] = {
+      val base = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        thunk()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (base.nonEmpty && base.max > 3 * base.min) {
+        val t0 = System.nanoTime()
+        thunk()
+        base :+ (System.nanoTime() - t0) / 1e9
+      } else base
+    }
     val results = SparkEntry.benchQueries.map { case (name, q) =>
       val times =
-        try {
-          val base = (0 until reps).map { _ =>
-            val t0 = System.nanoTime()
-            run(q.fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }
-          // Spike retry (r9 verdict): the load gate checks only at start,
-          // so a transient host spike mid-run can poison a rep by 6x+
-          // (r9 recorded 22 s against a true 2.6 s). One rep >3x the rep
-          // min is rerun ONCE and appended — the raw reps stay in
-          // reps_sec for forensics, and the headline below is min-of-reps
-          // so a second spike still cannot inflate it.
-          if (base.nonEmpty && base.max > 3 * base.min) {
-            val t0 = System.nanoTime()
-            run(q.fn(spark, sfDir))
-            base :+ (System.nanoTime() - t0) / 1e9
-          } else base
-        } catch { case e: Throwable =>
+        try timeReps(() => run(q.fn(spark, sfDir)))
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
           IndexedSeq.empty[Double]
@@ -96,37 +97,57 @@ object Bench {
       val min = if (sorted.isEmpty) -1.0 else sorted.head
       name -> ((median, min, times))
     }
+    val headlineMin = results.map { case (k, (_, min, _)) => k -> min }.toMap
     // Staged genomic benches (r6 verdict): the headline g-numbers above time
     // index construction + classification together and the build dominates.
     // Here each index builds ONCE, outside timing (its wall time reported as
     // the build stage), and the classify stage is timed alone per rep — this
     // is the number that shows the in-memory path's zero-shuffle advantage
     // over the bucketed join. Headline totals keep the combined semantics.
+    // Staged entries get the same spike protection as the headline reps
+    // (r10 verdict: staged g07 recorded a 16.7 s build against a 2.2 s
+    // combined headline — pure mid-run host load). Classify reps go through
+    // timeReps (>3x retry); a build whose wall time exceeds 3x the SAME
+    // query's combined headline min (build + classify together!) is
+    // self-evidently load-poisoned and is re-run once, keeping the smaller
+    // time. Per-entry 1-min loadavg stamps make any residual poisoning
+    // diagnosable from the artifact alone.
+    case class StagedResult(build: Double, classifyMed: Double,
+      classifyMin: Double, buildRetries: Int, load1Start: Double,
+      load1End: Double)
     val stages = graft.operators.GenomicQueries.stagedBench(spark, sfDir).map {
       case (name, prepare) =>
         try {
+          val l0 = load1()
           val b0 = System.nanoTime()
-          val staged = prepare()
-          val buildSec = (System.nanoTime() - b0) / 1e9
+          var staged = prepare()
+          var buildSec = (System.nanoTime() - b0) / 1e9
+          var buildRetries = 0
+          val suspectBuild = headlineMin.get(name).exists(h =>
+            h > 0 && buildSec > 3 * h)
+          if (suspectBuild) {
+            staged.cleanup()
+            val r0 = System.nanoTime()
+            staged = prepare()
+            buildSec = math.min(buildSec, (System.nanoTime() - r0) / 1e9)
+            buildRetries = 1
+          }
           // cleanup in finally: a failing rep must not leak this entry's
           // persisted records/reads (and broadcasts) into the next entries'
           // timings — the isolation is the whole point of the staged bench
           val times =
-            try (0 until reps).map { _ =>
-              val t0 = System.nanoTime()
-              run(staged.classify())
-              (System.nanoTime() - t0) / 1e9
-            }
+            try timeReps(() => run(staged.classify()))
             finally staged.cleanup()
           val sorted = times.sorted
-          name -> ((buildSec, sorted(sorted.length / 2), sorted.head))
+          name -> StagedResult(buildSec, sorted(sorted.length / 2),
+            sorted.head, buildRetries, l0, load1())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] staged $name FAILED: $e")
           e.printStackTrace()
-          name -> ((-1.0, -1.0, -1.0))
+          name -> StagedResult(-1.0, -1.0, -1.0, 0, -1.0, -1.0)
         }
     }
-    val stagesFailed = stages.count(_._2._1 < 0)
+    val stagesFailed = stages.count(_._2.build < 0)
 
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a
@@ -174,20 +195,22 @@ object Bench {
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // Headline stat = MIN-of-reps (r9 verdict): the median was spike-
-    // poisoned two rounds running (one mid-run host spike lands in 2 of 3
-    // reps and the median reports it). Min approximates the noise-free
-    // cost of a fixed plan on a fixed dataset — the quantity round-over-
-    // round comparison needs. Medians stay in queries_median for
-    // continuity with r1-r9 artifacts.
-    val qs = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
+    // Artifact-key continuity (r10 advice): "value"/"queries"/
+    // "value_pre_r6_set" carry the MEDIAN, exactly as the r1-r9 artifacts
+    // did under those keys — r10 silently moved min under them, so a
+    // consumer comparing artifacts across rounds without checking
+    // headline_stat would have read min-vs-median as a spurious speedup.
+    // The noise-free round-over-round stat (min-of-reps, r9 verdict) is
+    // carried EXPLICITLY in value_min/queries_min/value_pre_r6_set_min;
+    // headline_stat documents what the legacy keys hold.
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
-    val qsMedian = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
+    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
       .mkString("{", ",", "}")
     val qsReps = results.map { case (k, (_, _, ts)) =>
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.values.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.values.map(_._1).filter(_ >= 0).sum
     // queries ADDED to the bench set after round 5: the headline total grew
     // by their cost, so the artifact also carries the subtotal comparable to
@@ -199,13 +222,20 @@ object Bench {
       "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon",
       "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify")
     val comparable = results.collect {
+      case (k, (med, _, _)) if !added(k) && med >= 0 => med
+    }.sum
+    val comparableMin = results.collect {
       case (k, (_, min, _)) if !added(k) && min >= 0 => min
     }.sum
     val addedJson = added.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val stagesJson = stages.map { case (k, (b, med, mn)) =>
-      "\"" + k + "\":{\"build\":" + num(b) + ",\"classify\":" + num(med) +
-        ",\"classify_min\":" + num(mn) + "}"
+    val stagesJson = stages.map { case (k, r) =>
+      "\"" + k + "\":{\"build\":" + num(r.build) +
+        ",\"classify\":" + num(r.classifyMed) +
+        ",\"classify_min\":" + num(r.classifyMin) +
+        ",\"build_retries\":" + r.buildRetries +
+        ",\"load1_start\":" + num(r.load1Start) +
+        ",\"load1_end\":" + num(r.load1End) + "}"
     }.mkString("{", ",", "}")
     val rewriteJson = rewriteAb.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + num(v)
@@ -215,7 +245,7 @@ object Bench {
     // staged failures get their own count so a broken staged entry cannot
     // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_median":$qsMedian,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -228,16 +258,18 @@ object Bench {
     }
     // The driver keeps only the LAST ~2000 characters of stdout and tries
     // to parse a JSON line out of them; the full artifact line above is
-    // ~3.5 KB, so its head is truncated away and the driver has recorded
-    // "parsed": null for three rounds. This compact line carries the
-    // contract fields ({"metric","value","unit","queries","sf"}) in well
-    // under the capture window, printed LAST (sbt appends one ~90-char
-    // [success] line after it). If the bench set ever grows the line past
-    // the window, the per-query map is dropped rather than risking a
-    // truncated-head line the driver can't parse.
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}"""
+    // ~3.5 KB, so its head would be truncated away. This compact line
+    // carries the contract fields ({"metric","value","unit","queries",
+    // "sf"}) in well under the capture window, printed LAST (sbt appends
+    // one ~90-char [success] line after it). Since r11 the forked run's
+    // stdout bypasses sbt's logger (build.sbt run/outputStrategy :=
+    // StdoutOutput), so the line starts at column 0 with no "[info] "
+    // prefix — the other half of why "parsed" was null through r10. If
+    // the bench set ever grows the line past the window, the per-query
+    // map is dropped rather than risking a truncated-head line.
+    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(total)},"unit":"sec","headline_stat":"min","failed":$failed,"reps":$reps,"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"sf":"$sf"}""")
     spark.stop()
   }
 }
