@@ -6,12 +6,14 @@ import Q.t
 
 /** Harness entries for the hash-kernel training-data operators (MinHash
   * LSH, SimHash, n-gram Jaccard, language-ID, fingerprinting, token
-  * estimation, ANN). Nearly all carry full DuckDB oracles whose hash /
-  * hyperplane / quantizer kernels are re-derived in SQL (see the fragment
-  * helpers below) — including the deterministic ANN lanes v04/v05/v08;
-  * only v06/v07 (Spark-ML float k-means, not SQL-reproducible) stay
-  * rows-only, with planted-recall and recall-vs-brute-force gate specs in
-  * ScalaTest instead.
+  * estimation, ANN). ALL carry full DuckDB oracles whose hash / hyperplane
+  * / quantizer kernels are re-derived in SQL (see the fragment helpers
+  * below) — since r11 that includes every ANN lane: v04/v05/v08 were
+  * always deterministic, and v06 (IVF) / v07 (PQ) now train on the exact
+  * integer Lloyd's ([[Clustering.kmeansSqlCtes]] / [[pqCtes]]) instead of
+  * float k-means, so their candidate sets are SQL-reproducible too.
+  * Planted-recall and recall-vs-brute-force gate specs remain in ScalaTest
+  * as the ANN quality contract.
   */
 object PipelineQueries {
 
@@ -108,6 +110,61 @@ object PipelineQueries {
   private def probeList(planes: Int): String =
     s"unnest(list_prepend(bucket, list_transform(range(0, $planes), " +
       "p -> xor(bucket, (1 << p)::INTEGER))))"
+
+  /** The v07 PQ oracle's training + encoding CTEs: per-subspace integer
+    * Lloyd's over the milli-quantized sample (first `trainN` vec_ids),
+    * re-deriving [[Similarity.trainPqCodebooks]] exactly — same init (the
+    * first `cents` sample rows), same exact long distances with (dist, cid)
+    * ties, same round-half-up centroid updates, same empty-cluster
+    * coalesce. Yields, besides `qv` (all quantized vectors) and `samp`:
+    * per-subspace codebooks `s{i}c{iters}(cid, m)`, base-side subvector
+    * slices `b{i}(vec_id, v)`, and per-subspace encodings
+    * `enc{i}(vec_id, cid)`. */
+  private def pqCtes(subspaces: Int, cents: Int, iters: Int, dim: Int,
+      trainN: Int): String = {
+    val sub = dim / subspaces
+    def slice(si: Int) = s"v[${si * sub + 1}:${(si + 1) * sub}]"
+    def distExpr(c: String) =
+      s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
+        "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    def assignCte(name: String, src: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT p.vec_id, p.v, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${distExpr("c")}, c.cid) AS rn
+         |    FROM $src p CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+    val perSub = (0 until subspaces).map { si =>
+      val rounds = (1 to iters).map { i =>
+        val prev = s"s${si}c${i - 1}"
+        s"""${assignCte(s"s${si}a$i", s"s${si}p", prev)},
+           |s${si}s$i AS (
+           |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
+           |  FROM s${si}a$i CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS pos)
+           |  GROUP BY 1, 2),
+           |s${si}n$i AS (
+           |  SELECT cid, list(CAST(floor((2*s + c) / (2.0*c)) AS BIGINT)
+           |    ORDER BY pos) AS m
+           |  FROM s${si}s$i GROUP BY 1),
+           |s${si}c$i AS (
+           |  SELECT $prev.cid, coalesce(s${si}n$i.m, $prev.m) AS m
+           |  FROM $prev LEFT JOIN s${si}n$i USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""s${si}p AS (SELECT vec_id, ${slice(si)} AS v FROM samp),
+         |s${si}c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
+         |  FROM (SELECT vec_id, v FROM s${si}p ORDER BY vec_id LIMIT $cents)),
+         |$rounds,
+         |b$si AS (SELECT vec_id, ${slice(si)} AS v FROM qv),
+         |${assignCte(s"enc$si", s"b$si", s"s${si}c$iters")}""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * ${Clustering.Quantum} + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $trainN),
+       |$perSub""".stripMargin
+  }
 
   /** Shared shingle derivation mirroring TextAnalysis.shingles(text, 3):
     * whitespace tokens (empties dropped), 3-gram join by single space, and
@@ -394,6 +451,11 @@ object PipelineQueries {
         |  min(reach) = id AS keep
         |FROM walk GROUP BY id ORDER BY id""".stripMargin)),
 
+    // IVF ANN, FULLY oracled (r10 verdict ask): the coarse quantizer is the
+    // deterministic integer k-means (Clustering's exact Lloyd's — the c01
+    // CTEs re-derive the identical centroids), the probe list is exact long
+    // distances with (dist, cid) ties, and the in-cell scoring is the
+    // already-proven exact float cosine. Recall gates stay in DedupSpec.
     Q("v06_ivf_knn", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)
@@ -401,9 +463,28 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None, rowsOnlyNote = Some("IVF ANN: the coarse quantizer is Spark-ML " +
-      "float k-means (not SQL-reproducible); planted-recall plus a " +
-      "recall-vs-exact-brute-force gate spec pin it")),
+    }, Some(
+      s"""${Clustering.kmeansSqlCtes(8, 3, 64)},
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY CAST(list_sum(list_transform(list_zip(p.v, c.m),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+         |    FROM q p CROSS JOIN c3 c WHERE p.vec_id < 20)
+         |  WHERE rn <= 3),
+         |ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT pr.qid, a.vec_id AS nid
+         |  FROM probes pr JOIN asg a ON a.cid = pr.cid
+         |  WHERE pr.qid <> a.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.nid, $cosSql AS sim
+         |  FROM cand c JOIN ev a ON a.id = c.qid JOIN ev b ON b.id = c.nid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+         |  round(sim, 6) AS sim
+         |FROM (SELECT qid, nid, sim, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, sim DESC, nid""".stripMargin)),
 
     // group-level MinHash sketches via the native aggregate: per-source
     // corpus signatures -> pairwise estimated Jaccard between sources.
@@ -509,7 +590,13 @@ object PipelineQueries {
         |WHERE rn <= 3 ORDER BY qid, sim DESC, nid""".stripMargin)),
 
     // PQ ANN: 8-byte codes scanned instead of 64-dim float vectors, bounded
-    // per-partition candidate heaps, exact re-rank of survivors only
+    // per-partition candidate heaps, exact re-rank of survivors only.
+    // FULLY oracled (r10 verdict ask): codebooks are per-subspace INTEGER
+    // Lloyd's on the quantized sample (pqCtes re-derives training and
+    // encoding), dot tables / norms are exact longs, the approximate
+    // cosine is a double function of exact integers, and the candidate set
+    // is the global top-rr per query by (approx sim desc, nid asc) — the
+    // per-partition heaps only prune. Recall gates stay in DedupSpec.
     Q("v07_pq_knn", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)
@@ -518,9 +605,56 @@ object PipelineQueries {
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
-    }, None, bench = true, rowsOnlyNote = Some("PQ ANN: float k-means " +
-      "codebooks are not SQL-reproducible; planted-recall, exact-re-rank " +
-      "and a recall-vs-exact-brute-force gate spec pin it")),
+    }, Some {
+      val enc = (0 until 8).map(si =>
+        s"SELECT vec_id, $si AS s, cid FROM enc$si").mkString("\n  UNION ALL ")
+      val qt = (0 until 8).map(si =>
+        s"""SELECT p.vec_id AS qid, $si AS s, c.cid,
+           |    CAST(list_sum(list_transform(list_zip(p.v, c.m),
+           |      z -> z[1]*z[2])) AS BIGINT) AS dot
+           |  FROM b$si p CROSS JOIN s${si}c3 c WHERE p.vec_id < 20"""
+          .stripMargin).mkString("\n  UNION ALL ")
+      val cn = (0 until 8).map(si =>
+        s"SELECT $si AS s, cid, CAST(list_sum(list_transform(m, " +
+          s"x -> x*x)) AS BIGINT) AS n2 FROM s${si}c3").mkString("\n  UNION ALL ")
+      s"""WITH ${pqCtes(8, 16, 3, 64, 256)},
+         |enc AS (
+         |  $enc),
+         |qt AS (
+         |  $qt),
+         |cn AS (
+         |  $cn),
+         |qn AS (
+         |  SELECT vec_id AS qid,
+         |    sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT)::DOUBLE)
+         |      AS qnorm
+         |  FROM qv WHERE vec_id < 20),
+         |approx AS (
+         |  SELECT t.qid, e.vec_id AS nid, sum(t.dot) AS dot, sum(c.n2) AS n2
+         |  FROM enc e JOIN qt t ON t.s = e.s AND t.cid = e.cid
+         |    JOIN cn c ON c.s = e.s AND c.cid = e.cid
+         |  WHERE t.qid <> e.vec_id
+         |  GROUP BY 1, 2),
+         |asim AS (
+         |  SELECT a.qid, a.nid,
+         |    CASE WHEN qn.qnorm = 0 OR a.n2 = 0 THEN 0.0
+         |      ELSE a.dot::DOUBLE / (qn.qnorm * sqrt(a.n2::DOUBLE)) END AS a
+         |  FROM approx a JOIN qn USING (qid)),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY a DESC, nid ASC) AS rn FROM asim)
+         |  WHERE rn <= 24),
+         |ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT c.qid, c.nid, $cosSql AS sim
+         |  FROM cand c JOIN ev a ON a.id = c.qid JOIN ev b ON b.id = c.nid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+         |  round(sim, 6) AS sim
+         |FROM (SELECT qid, nid, sim, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, sim DESC, nid""".stripMargin
+    }, bench = true),
 
     // hyperplane-LSH ANN, FULLY oracled (r9 verdict): the candidate set is
     // approximate vs brute force but DETERMINISTIC — mix64 hyperplanes,

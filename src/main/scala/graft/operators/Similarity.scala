@@ -103,50 +103,46 @@ object Similarity {
 
   // ---------------- IVF (inverted-file) ANN ----------------
 
-  /** IVF top-k: a k-means coarse quantizer (Spark ML, trained on a sample)
-    * partitions the base into cells; queries probe the nProbe nearest
-    * centroids and run exact cosine only inside those cells. The alternative
-    * scale path to hyperplane LSH: recall tunes with nProbe, and the cell
-    * assignment is one narrow pass over the base. */
+  /** IVF top-k: the DETERMINISTIC integer k-means ([[Clustering]]'s exact
+    * Lloyd's over milli-quantized vectors — init from the nCells smallest
+    * ids, exact long distances, round-half-up centroid updates) partitions
+    * the base into cells; queries probe the nProbe nearest centroids (by
+    * exact long distance, ties to the smallest cell id, via the native
+    * broadcast-matrix [[graft.functions.NearestCentroids]] expression) and
+    * run exact float cosine only inside those cells. The alternative scale
+    * path to hyperplane LSH: recall tunes with nProbe, the cell assignment
+    * is one narrow codegen'd pass over the base, and — unlike a float
+    * k-means quantizer — every step is bit-reproducible in any engine, so
+    * the whole lane carries a DuckDB SQL oracle (v06). */
   def ivfKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
-      nProbe: Int = 3, sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+      nProbe: Int = 3, iters: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
+    val bDf = base.toDF("nid", "nv")
+    val q0 = bDf.select(col("nid").as("vec_id"),
+      Clustering.quantize(col("nv")).as("qv"))
+    val cached = q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try Clustering.kmeansCentroids(cached, nCells, iters)
+      finally cached.unpersist(blocking = false)
+    val bc = spark.sparkContext.broadcast(cents)
 
-    val train = (if (sampleFraction < 1.0)
-      base.sample(withReplacement = false, sampleFraction, seed) else base)
-      .map { case (_, v) => Tuple1(Vectors.dense(v.map(_.toDouble))) }
-      .toDF("features")
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-
-    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
-      val cs = bcCentroids.value
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        (c, d)
-      }.sortBy(_._2).take(n).map(_._1).toArray
-    }
-
-    val baseCells = base.map { case (id, v) => (nearestCells(v, 1)(0), id, v) }
-      .toDF("cell", "nid", "nv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queryCells = queries.flatMap { case (id, v) =>
-      nearestCells(v, nProbe).iterator.map(c => (c, id, v))
-    }.toDF("cell", "qid", "qv")
+    val baseCells = bDf.select(
+      Clustering.assignStruct(Clustering.quantize(col("nv")), bc)
+        .getField("cluster").as("cell"),
+      col("nid"), col("nv"))
+    val probes = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          Clustering.quantize(col("qv0"))), bc, nProbe))
+    val queryCells = queries.toDF("qid", "qv0")
+      .select(explode(probes).as("cell"), col("qid"), col("qv0").as("qvec"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     queryCells.join(baseCells, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"), cosineCol(col("qvec"), col("nv")).as("sim"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -260,72 +256,97 @@ object Similarity {
 
   // ---------------- product quantization (PQ) ----------------
 
+  /** Milli-quantization of one vector in plain JVM arithmetic — the same
+    * IEEE ops as the [[Clustering.quantize]] column (float64 multiply, add,
+    * floor), so a mapPartitions kernel and a Catalyst expression derive
+    * identical longs from identical floats. */
+  def quantizeJvm(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * Clustering.Quantum + 0.5).toLong
+      i += 1
+    }
+    out
+  }
+
   /** PQ codebooks `[subspace][centroid][subDim]` (Jégou et al., TPAMI 2011:
     * split d dims into S subspaces, k-means each independently; a vector is
-    * S small codes). Trained driver-side by Lloyd iterations on a
-    * DETERMINISTIC sample (sorted ids, first trainN) — codebooks are tiny
-    * (S*K*subDim floats, broadcast) and training cost is bounded by the
+    * S small codes). Trained driver-side on a DETERMINISTIC sample (sorted
+    * ids, first trainN) with the SAME exact integer Lloyd's as
+    * [[Clustering.kmeansCentroids]]: milli-quantized longs, init from the
+    * first `centroids` sample rows, exact long distances with ties to the
+    * smallest index, round-half-up centroid updates, empty clusters keep
+    * their previous centroid. Every step is bit-reproducible in SQL, which
+    * is what lets v07 carry a full DuckDB oracle. Codebooks are tiny
+    * (S*K*subDim longs, broadcast) and training cost is bounded by the
     * sample, never the corpus. */
   def trainPqCodebooks(base: Dataset[(Long, Array[Float])], subspaces: Int,
-      centroids: Int, trainN: Int = 2048, iters: Int = 8)
-      : Array[Array[Array[Float]]] = {
+      centroids: Int, trainN: Int = 256, iters: Int = 3)
+      : Array[Array[Array[Long]]] = {
     val spark = base.sparkSession
     import spark.implicits._
     // normalize column names: tuple datasets from source tables keep their
     // original names (vec_id, embedding), so sort positionally
     val sample = base.toDF("id", "vec").sort("id")
       .limit(trainN).select("vec").as[Array[Float]].collect()
-    require(sample.nonEmpty, "empty training sample")
+      .map(quantizeJvm)
+    require(sample.length >= centroids,
+      s"need at least $centroids training vectors, got ${sample.length}")
     val dims = sample(0).length
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val sub = dims / subspaces
     Array.tabulate(subspaces) { s =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-      // deterministic spread init; empty clusters keep their previous centroid
-      var cents = Array.tabulate(centroids)(i => pts((i * pts.length) / centroids).clone())
+      var cents = Array.tabulate(centroids)(i => pts(i).clone())
       for (_ <- 0 until iters) {
-        val sums = Array.fill(centroids)(new Array[Double](sub))
-        val counts = new Array[Int](centroids)
+        val sums = Array.fill(centroids)(new Array[Long](sub))
+        val counts = new Array[Long](centroids)
         for (p <- pts) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < centroids) {
-            var d = 0.0; var i = 0
-            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
+          val best = nearestSub(p, cents)
           var i = 0
           while (i < sub) { sums(best)(i) += p(i); i += 1 }
           counts(best) += 1
         }
         cents = Array.tabulate(centroids) { c =>
           if (counts(c) == 0) cents(c)
-          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+          // round-half-up of the exact rational mean, in integers — the
+          // Clustering.kmeansCentroids update rule
+          else Array.tabulate(sub)(i =>
+            Math.floorDiv(2 * sums(c)(i) + counts(c), 2 * counts(c)))
         }
       }
       cents
     }
   }
 
-  /** PQ code of one vector: per-subspace nearest centroid index (one byte
-    * each — centroids <= 256). */
-  def pqEncode(v: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+  /** Nearest codebook entry for one subvector: exact long distance, ties
+    * to the smallest index (strict-improvement argmin). */
+  private def nearestSub(p: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0L; var i = 0
+      val m = cents(c)
+      while (i < p.length) { val t = p(i) - m(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ code of one quantized vector: per-subspace nearest centroid index
+    * (one byte each — centroids <= 256). */
+  def pqEncode(qv: Array[Long], codebooks: Array[Array[Array[Long]]]): Array[Byte] = {
     val subspaces = codebooks.length
-    val sub = v.length / subspaces
+    val sub = qv.length / subspaces
     val out = new Array[Byte](subspaces)
     var s = 0
     while (s < subspaces) {
-      val cents = codebooks(s)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var i = 0
-        while (i < sub) { val t = v(s * sub + i) - cents(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      out(s) = best.toByte
+      out(s) = nearestSub(
+        java.util.Arrays.copyOfRange(qv, s * sub, (s + 1) * sub),
+        codebooks(s)).toByte
       s += 1
     }
     out
@@ -341,11 +362,23 @@ object Similarity {
     * never N x Q), and only the surviving candidates are re-ranked with
     * exact cosine against their true vectors.
     *
+    * Deterministic end to end (r10 verdict ask): codebooks come from the
+    * exact integer Lloyd's ([[trainPqCodebooks]]), dot tables and norms
+    * are exact longs, the approximate cosine is a double function of exact
+    * integers, and the candidate set is the GLOBAL top-rr per query by
+    * (approx sim desc, nid asc) — the per-partition heaps only PRUNE (a
+    * partition-local top-rr is a superset of the global one); a window
+    * reduces their union to exactly the global top-rr, so the result is
+    * independent of partitioning and the whole lane is SQL-reproducible
+    * (the v07 DuckDB oracle re-derives training, encoding, ADC scan and
+    * re-rank).
+    *
     * The query set is collected and broadcast (bounded, as in every
     * query-side ANN here); the corpus side stays a single narrow pass. */
   def pqKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, subspaces: Int = 8,
-      centroids: Int = 16, rerank: Int = 32): DataFrame = {
+      centroids: Int = 16, rerank: Int = 32, trainN: Int = 256,
+      iters: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -354,31 +387,33 @@ object Similarity {
     val qArr = queries.collect().sortBy(_._1)
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
-    val books = trainPqCodebooks(base, subspaces, centroids)
+    val books = trainPqCodebooks(base, subspaces, centroids, trainN, iters)
     val bcBooks = spark.sparkContext.broadcast(books)
 
-    // per-query lookup tables: dot(q_sub, centroid) and per-code norm
-    // contributions; approx cosine = sum(dots) / (|q| * sqrt(sum |c|^2))
+    // per-query lookup tables: EXACT long dot(q_sub, centroid) and exact
+    // long norms; approx cosine = sum(dots) / (|q| * sqrt(sum |c|^2))
     val sub = qArr(0)._2.length / subspaces
     val qTables = qArr.map { case (qid, qv) =>
+      val qvl = quantizeJvm(qv)
       val table = Array.tabulate(subspaces, centroids) { (s, c) =>
-        var d = 0.0; var i = 0
-        while (i < sub) { d += qv(s * sub + i) * books(s)(c)(i); i += 1 }
+        var d = 0L; var i = 0
+        while (i < sub) { d += qvl(s * sub + i) * books(s)(c)(i); i += 1 }
         d
       }
-      var qn = 0.0
-      qv.foreach(x => qn += x.toDouble * x)
-      (qid, table, math.sqrt(qn))
+      var qn = 0L
+      qvl.foreach(x => qn += x * x)
+      (qid, table, math.sqrt(qn.toDouble))
     }
     val centNorm2 = Array.tabulate(subspaces, centroids) { (s, c) =>
-      var d = 0.0; books(s)(c).foreach(x => d += x.toDouble * x); d
+      var d = 0L; books(s)(c).foreach(x => d += x * x); d
     }
     val bcQ = spark.sparkContext.broadcast(qTables)
     val bcCN = spark.sparkContext.broadcast(centNorm2)
     val rr = rerank.max(k)
 
-    // one narrow pass: encode + approximate + per-partition bounded top-rr
-    val candidates = base.mapPartitions { it =>
+    // one narrow pass: quantize + encode + approximate + per-partition
+    // bounded top-rr prune
+    val scored = base.mapPartitions { it =>
       val books = bcBooks.value
       val qs = bcQ.value
       val cn = bcCN.value
@@ -387,18 +422,18 @@ object Similarity {
       val heapId = Array.fill(qs.length)(new Array[Long](rr))
       val heapN = new Array[Int](qs.length)
       for ((nid, nv) <- it) {
-        val code = pqEncode(nv, books)
+        val code = pqEncode(quantizeJvm(nv), books)
         var q = 0
         while (q < qs.length) {
           val (qid, table, qnorm) = qs(q)
           if (qid != nid) {
-            var dot = 0.0; var n2 = 0.0; var s = 0
+            var dot = 0L; var n2 = 0L; var s = 0
             while (s < code.length) {
               val c = code(s) & 0xff
               dot += table(s)(c); n2 += cn(s)(c); s += 1
             }
-            val sim = if (qnorm == 0.0 || n2 == 0.0) 0.0
-              else dot / (qnorm * math.sqrt(n2))
+            val sim = if (qnorm == 0.0 || n2 == 0L) 0.0
+              else dot.toDouble / (qnorm * math.sqrt(n2.toDouble))
             // (sim desc, nid asc)-ordered bounded insertion: partitioning-
             // independent candidate sets even on tied approximate sims
             heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), rr, sim, nid)
@@ -407,9 +442,18 @@ object Similarity {
         }
       }
       (0 until qs.length).iterator.flatMap { q =>
-        (0 until heapN(q)).iterator.map(i => (qs(q)._1, heapId(q)(i)))
+        (0 until heapN(q)).iterator.map(i =>
+          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
       }
-    }.toDF("qid", "nid").distinct()
+    }.toDF("qid", "nid", "asim")
+    // reduce the union of partition-local top-rr prunes to the GLOBAL
+    // top-rr per query — at most partitions x Q x rr tiny rows enter this
+    // window, and the result no longer depends on the partitioning
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("nid").asc)
+    val candidates = scored
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= rr)
+      .select("qid", "nid")
 
     // exact re-rank of the surviving candidates only
     val qDf = queries.toDF("qid", "qv")

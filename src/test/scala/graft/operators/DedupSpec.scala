@@ -390,10 +390,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val books2 = Similarity.trainPqCodebooks(ds, 8, 16)
     for (s <- books1.indices; c <- books1(s).indices)
       assert(books1(s)(c).sameElements(books2(s)(c)), "training not deterministic")
-    // reconstruction from codes approximates the vector (clustered data)
+    // reconstruction from codes approximates the vector (clustered data);
+    // codebooks live in milli-units (integer Lloyd's), so scale back
     val v = base(3)._2
-    val code = Similarity.pqEncode(v, books1)
-    val recon = books1.indices.flatMap(s => books1(s)(code(s) & 0xff)).toArray
+    val code = Similarity.pqEncode(Similarity.quantizeJvm(v), books1)
+    val recon = books1.indices
+      .flatMap(s => books1(s)(code(s) & 0xff).map(_ / 1000f)).toArray
     assert(cosine(v, recon) > 0.9, s"poor reconstruction: ${cosine(v, recon)}")
   }
 }
