@@ -1053,62 +1053,83 @@ object Main {
         val cap = opts.getOrElse("max-cluster-pop",
           graft.operators.Clustering.DefaultMaxClusterPop.toString).toInt
         val outDir = opts("output")
-        val emb = spark.read.parquet(opts("embeddings"))
-          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-          .persist(lvl)
-        val nIn = emb.count()
-        require(nIn > 0, "curateEmbeddings: empty input")
-        // stage 1: prune vectors beyond mean + 2*sigma of their centroid
-        val k1 = math.min(k.toLong, nIn).toInt
-        val pruned = graft.operators.Clustering
-          .centroidOutliers(emb, k1, iters)
-          .filter(!col("outlier")).select(col("vec_id"))
-          .join(emb, Seq("vec_id"))
-          .persist(lvl)
-        val nPruned = pruned.count()
-        // stage 2: SemDeDup keepers on the pruned population
-        val scope = new graft.operators.Dedup.CacheScope
-        val k2 = math.min(k.toLong, nPruned).toInt
-        val kept = graft.operators.Clustering
-          .semanticDecisions(pruned, k2, iters, tau, scope = scope,
-            maxClusterPop = cap)
-          .filter(col("keep")).select(col("vec_id"), col("cluster"))
-          .join(pruned, Seq("vec_id"))
-          .persist(lvl)
-        val nKept = kept.count()
-        scope.release()
-        // stage 3 (optional): temperature-balanced resample to --sample
+        // validate every option BEFORE any Spark work: a malformed
+        // --sample failing in stage 3 would otherwise leave the stage
+        // caches pinned in a reused session (r10 advice)
         val sampleOpt = opts.getOrElse("sample", "off")
-        val curated =
-          if (sampleOpt == "off") kept.select(col("vec_id"), col("embedding"))
-          else {
-            val k3 = math.min(k.toLong, nKept).toInt
-            graft.operators.Clustering
-              .clusterSample(kept.select(col("vec_id"), col("embedding")),
-                k3, iters, sampleOpt.toInt)
-              .select(col("vec_id"))
-              .join(kept, Seq("vec_id"))
-              .select(col("vec_id"), col("embedding"))
-          }
-        curated.write.mode("overwrite").parquet(outDir + "/embeddings")
-        val nOut = spark.read.parquet(outDir + "/embeddings").count()
-        emb.unpersist()
-        pruned.unpersist()
-        kept.unpersist()
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val sw = new java.io.PrintWriter(fs.create(
-          new org.apache.hadoop.fs.Path(outDir, "summary.tsv"), true), false,
-          java.nio.charset.StandardCharsets.UTF_8)
+        val sampleN: Option[Int] =
+          if (sampleOpt == "off") None
+          else Some(try sampleOpt.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"--sample must be a positive integer or 'off', got '$sampleOpt'")
+          })
+        require(sampleN.forall(_ > 0),
+          s"--sample must be a positive integer or 'off', got '$sampleOpt'")
+        // the stage caches release in finally: ANY stage failure (bad
+        // schema, write error) must not leak pinned blocks into a reused
+        // session — the CliSpec hygiene check covers both paths
+        val scope = new graft.operators.Dedup.CacheScope
+        var emb: org.apache.spark.sql.DataFrame = null
+        var pruned: org.apache.spark.sql.DataFrame = null
+        var kept: org.apache.spark.sql.DataFrame = null
         try {
-          sw.println("metric\tvalue")
-          sw.println(s"input\t$nIn")
-          sw.println(s"outlier_prune\t$nPruned")
-          sw.println(s"semantic_dedup\t$nKept")
-          sw.println(s"sampled\t$nOut")
-        } finally sw.close()
-        println(s"curated $nIn -> $nOut vectors " +
-          s"(pruned to $nPruned, deduped to $nKept) into $outDir/embeddings")
+          emb = spark.read.parquet(opts("embeddings"))
+            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+            .persist(lvl)
+          val nIn = emb.count()
+          require(nIn > 0, "curateEmbeddings: empty input")
+          // stage 1: prune vectors beyond mean + 2*sigma of their centroid
+          val k1 = math.min(k.toLong, nIn).toInt
+          pruned = graft.operators.Clustering
+            .centroidOutliers(emb, k1, iters)
+            .filter(!col("outlier")).select(col("vec_id"))
+            .join(emb, Seq("vec_id"))
+            .persist(lvl)
+          val nPruned = pruned.count()
+          // stage 2: SemDeDup keepers on the pruned population
+          val k2 = math.min(k.toLong, nPruned).toInt
+          kept = graft.operators.Clustering
+            .semanticDecisions(pruned, k2, iters, tau, scope = scope,
+              maxClusterPop = cap)
+            .filter(col("keep")).select(col("vec_id"), col("cluster"))
+            .join(pruned, Seq("vec_id"))
+            .persist(lvl)
+          val nKept = kept.count()
+          scope.release()
+          // stage 3 (optional): temperature-balanced resample to --sample
+          val curated = sampleN match {
+            case None => kept.select(col("vec_id"), col("embedding"))
+            case Some(total) =>
+              val k3 = math.min(k.toLong, nKept).toInt
+              graft.operators.Clustering
+                .clusterSample(kept.select(col("vec_id"), col("embedding")),
+                  k3, iters, total)
+                .select(col("vec_id"))
+                .join(kept, Seq("vec_id"))
+                .select(col("vec_id"), col("embedding"))
+          }
+          curated.write.mode("overwrite").parquet(outDir + "/embeddings")
+          val nOut = spark.read.parquet(outDir + "/embeddings").count()
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val sw = new java.io.PrintWriter(fs.create(
+            new org.apache.hadoop.fs.Path(outDir, "summary.tsv"), true), false,
+            java.nio.charset.StandardCharsets.UTF_8)
+          try {
+            sw.println("metric\tvalue")
+            sw.println(s"input\t$nIn")
+            sw.println(s"outlier_prune\t$nPruned")
+            sw.println(s"semantic_dedup\t$nKept")
+            sw.println(s"sampled\t$nOut")
+          } finally sw.close()
+          println(s"curated $nIn -> $nOut vectors " +
+            s"(pruned to $nPruned, deduped to $nKept) into $outDir/embeddings")
+        } finally {
+          scope.release()
+          if (emb != null) emb.unpersist(blocking = false)
+          if (pruned != null) pruned.unpersist(blocking = false)
+          if (kept != null) kept.unpersist(blocking = false)
+        }
 
       case "streamDedup" =>
         // Streaming near-dup suppression over a FILE topology — the

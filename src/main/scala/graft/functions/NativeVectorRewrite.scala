@@ -109,19 +109,30 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     If(cond, native, Literal.create(null, native.dataType))
   }
 
+  /** The guard duplicates a/b into Size/ArrayExists alongside the native,
+    * so both children must be DETERMINISTIC: a non-deterministic child
+    * (e.g. shuffle(arr)) would make the guard inspect a DIFFERENT array
+    * than the native computes over — the null-element check could pass
+    * while the native sees a null (r10 advice). Deterministic non-attribute
+    * children merely re-evaluate (up to 3x per row on the guard path),
+    * which is a cost question, not a correctness one — and these folds take
+    * attribute references in practice. */
+  private def rewritable(a: Expression, b: Expression): Boolean =
+    a.deterministic && b.deterministic
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(ConfKey, "true") != "true") plan
     else plan.transformAllExpressions {
       // float dot in double: aggregate(zip_with(a, b, (x,y) =>
       //   x.cast(double) * y.cast(double)), 0.0, _+_)
       case HofFold(a, b, Multiply(mx, my, _), Literal(0.0, DoubleType), x, y)
-          if isFloatArr(a) && isFloatArr(b) &&
+          if isFloatArr(a) && isFloatArr(b) && rewritable(a, b) &&
             ((isDoubleCastOf(mx, x) && isDoubleCastOf(my, y)) ||
               (isDoubleCastOf(mx, y) && isDoubleCastOf(my, x))) =>
         guarded(a, b, DotProduct(a, b))
       // exact long dot: aggregate(zip_with(a, b, (x,y) => x*y), 0L, _+_)
       case HofFold(a, b, Multiply(mx, my, _), Literal(0L, LongType), x, y)
-          if isLongArr(a) && isLongArr(b) &&
+          if isLongArr(a) && isLongArr(b) && rewritable(a, b) &&
             ((isVar(mx, x) && isVar(my, y)) ||
               (isVar(mx, y) && isVar(my, x))) =>
         guarded(a, b, DotProductLong(a, b))
@@ -130,7 +141,7 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
       case HofFold(a, b,
             Multiply(Subtract(s1l, s1r, _), Subtract(s2l, s2r, _), _),
             Literal(0L, LongType), x, y)
-          if isLongArr(a) && isLongArr(b) &&
+          if isLongArr(a) && isLongArr(b) && rewritable(a, b) &&
             isVar(s1l, x) && isVar(s1r, y) &&
             isVar(s2l, x) && isVar(s2r, y) =>
         guarded(a, b, SquaredDistanceLong(a, b))

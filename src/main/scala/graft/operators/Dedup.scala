@@ -265,10 +265,12 @@ object Dedup {
     *
     * Terminates when the contracted edge set empties (every surviving
     * edge maps inside a merged component). maxIterations is a backstop
-    * with a LOUD stderr warning, because an un-converged exit splits
-    * components. Returns (id, cluster) with cluster = min doc id of the
-    * component. Validated against a driver-side union-find in DedupSpec
-    * and by the t13/c02 recursive-SQL oracles.
+    * that THROWS by default, because an un-converged exit splits
+    * components — a wrong answer no caller should receive silently
+    * (strict = false restores warn-and-return-split). Returns
+    * (id, cluster) with cluster = min doc id of the component. Validated
+    * against a driver-side union-find in DedupSpec and by the t13/c02
+    * recursive-SQL oracles.
     *
     * Small-graph fast path: at or below `localMaxEdges` distinct edges
     * the resolution runs driver-side (exact union-find over the collected
@@ -288,13 +290,20 @@ object Dedup {
     * spends 10x the actual compute re-optimizing). The RDD round trip
     * keeps distribution and full RDD lineage (a lost cached block
     * recomputes through the physical plan as before). */
-  /** Edge-count bound for the driver-side union-find fast path:
-    * 2^22 edges x 16 bytes = 64 MB collected. */
+  /** Edge-count bound for the driver-side union-find fast path. Honest
+    * driver-memory accounting (r10 advice — the old comment claimed 16
+    * bytes/edge, which only counted the raw longs): the path holds two
+    * primitive long edge arrays (16 B/edge), a sorted distinct node-id
+    * array (<= 16 B/edge) and an int parent array (<= 8 B/edge) — ~40
+    * bytes/edge all-primitive, so 2^22 edges peak at ~170 MB with no
+    * boxing (the edges stream in via toLocalIterator, partition by
+    * partition, never as a boxed collect). */
   val LocalCcMaxEdges: Long = 1L << 22
 
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 16,
       scope: CacheScope = CacheScope.unmanaged,
-      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
+      localMaxEdges: Long = LocalCcMaxEdges,
+      strict: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -310,31 +319,55 @@ object Dedup {
     var gCached = g0
     var gCount = g0.count()
     if (gCount <= localMaxEdges) {
-      // exact union-find over the collected pairs; result distributes back
-      // as a plain local-relation frame (no cache for the scope to own)
-      val es = g0.as[(Long, Long)].collect()
+      // exact union-find over the edges, all-primitive: stream the edge
+      // list into two long arrays (toLocalIterator holds one partition of
+      // boxed rows at a time, never the full set), index nodes through a
+      // sorted-distinct id array + binary search, and run union-find on
+      // int indices. Result distributes back as a plain local-relation
+      // frame (no cache for the scope to own).
+      val n = gCount.toInt
+      val srcA = new Array[Long](n)
+      val dstA = new Array[Long](n)
+      val it = g0.toLocalIterator()
+      var i = 0
+      while (it.hasNext) {
+        val r = it.next()
+        srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+      }
       g0.unpersist(blocking = false)
-      val parent = new java.util.HashMap[Long, Long](es.length * 2)
-      def find(a: Long): Long = {
+      val nodes = new Array[Long](2 * n)
+      System.arraycopy(srcA, 0, nodes, 0, n)
+      System.arraycopy(dstA, 0, nodes, n, n)
+      java.util.Arrays.sort(nodes)
+      var m = 0
+      var j = 0
+      while (j < nodes.length) {
+        if (m == 0 || nodes(m - 1) != nodes(j)) { nodes(m) = nodes(j); m += 1 }
+        j += 1
+      }
+      def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, 0, m, id)
+      val parent = Array.tabulate(m)(identity)
+      def find(a: Int): Int = {
         var r = a
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-        // path compression
+        while (parent(r) != r) r = parent(r)
         var c = a
-        while (parent.getOrDefault(c, c) != c) {
-          val nxt = parent.get(c); parent.put(c, r); c = nxt
-        }
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      for ((a, b) <- es) {
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      i = 0
+      while (i < n) {
+        val ra = find(idx(srcA(i)))
+        val rb = find(idx(dstA(i)))
+        // point the larger ID's root at the smaller's: the root chain then
+        // always ends at the component's min id (nodes is sorted, so index
+        // order IS id order)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        i += 1
       }
-      // min id per component (roots are not guaranteed minimal mid-stream,
-      // but after full processing the root chain always ends at the min:
-      // unions always point the larger root at the smaller)
-      val out = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray
-        .distinct.map(n => (n, find(n)))
-      return spark.createDataset(out.toIndexedSeq).toDF("id", "cluster")
+      val out = (0 until m).map(p => (nodes(p), nodes(find(p))))
+      return spark.createDataset(out).toDF("id", "cluster")
     }
     var g = cut(g0, ("src", "dst"))
     // cumulative node -> representative map over every node with an edge
@@ -390,16 +423,29 @@ object Dedup {
       total = cut(totalNext.select(col("id"), col("rep")), ("id", "rep"))
       iter += 1
     }
-    // loud: an un-converged exit means some components are still split
-    // across labels — silent truncation here is a correctness bug, not a
-    // tuning choice. gCount (not `changed`) is the convergence witness: a
-    // fully-merged graph contracts to zero edges in the same round that
-    // completes it, while `changed` legitimately stays positive through
-    // the final productive round.
-    if (gCount > 0)
-      System.err.println(s"[graft] connectedComponents stopped at " +
+    // an un-converged exit means some components are still split across
+    // labels — a WRONG ANSWER, not a tuning choice, so the default is to
+    // throw (r10 advice: a stderr warning alone let dedupDecisions /
+    // semanticDecisions / curateEmbeddings silently keep extra duplicates
+    // with no programmatic signal). gCount (not `changed`) is the
+    // convergence witness: a fully-merged graph contracts to zero edges in
+    // the same round that completes it, while `changed` legitimately stays
+    // positive through the final productive round. Contraction + doubling
+    // converges in O(log diameter) rounds, so 16 covers any realistic
+    // graph; strict = false restores the warn-and-return-split behavior
+    // for callers that prefer availability.
+    if (gCount > 0) {
+      val msg = s"connectedComponents stopped at " +
         s"maxIterations=$maxIterations with $gCount contracted edges " +
-        "unresolved — raise maxIterations for this graph")
+        "unresolved (components would be split) — raise maxIterations " +
+        "for this graph"
+      if (strict) {
+        gCached.unpersist(blocking = false)
+        totalCached.unpersist(blocking = false)
+        throw new IllegalStateException(s"[graft] $msg")
+      }
+      System.err.println(s"[graft] $msg")
+    }
     gCached.unpersist(blocking = false)
     // Final path compression: gCount == 0 proves every component is MERGED
     // (no edge crosses representatives), but the cumulative map can still

@@ -1082,6 +1082,38 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"sample size ${sampled.size} of ${kept.size}")
   }
 
+  test("CLI: curateEmbeddings rejects a malformed --sample before any " +
+    "work, and a failing run leaks no caches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-emb-bad")
+    spark.createDataset((0L until 4L).map(i => (i, Array.fill(64)(i / 4f))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // malformed --sample: validated up front, NOTHING runs or caches
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curateEmbeddings",
+        "--embeddings", dir.resolve("emb.parquet").toString,
+        "--output", dir.resolve("out").toString, "--p", "4",
+        "--sample", "ten"))
+    }
+    assert(e.getMessage.contains("--sample"))
+    // mid-pipeline failure (input missing the embedding column): the
+    // try/finally must release every stage cache
+    spark.range(4).select($"id".as("vec_id"), $"id".as("not_embedding"))
+      .write.parquet(dir.resolve("bad.parquet").toString)
+    intercept[Exception] {
+      Main.main(Array("curateEmbeddings",
+        "--embeddings", dir.resolve("bad.parquet").toString,
+        "--output", dir.resolve("out2").toString, "--p", "4"))
+    }
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    val deadline = System.currentTimeMillis() + 10000
+    while (leaked().nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty, s"failing curateEmbeddings leaked: ${leaked()}")
+  }
+
   test("CLI: curateEmbeddings clamps k to a tiny surviving population") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cli-curate-emb-tiny")

@@ -107,6 +107,20 @@ class NativeVectorRewriteSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("does not fire on non-deterministic children (guard would inspect " +
+    "a different array than the native computes over)") {
+    import spark.implicits._
+    withRule {
+      // shuffle(arr) re-evaluates differently per reference: the size/null
+      // guard and the native would each see their own shuffle — skip
+      val q = floatVecs.select(
+        hofDotDouble(shuffle($"a"), $"b").as("d"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.toLowerCase.contains("dotproduct"),
+        s"non-deterministic child wrongly rewritten:\n$opt")
+    }
+  }
+
   test("fires by default (no conf set) once the rule is installed") {
     import spark.implicits._
     val prev = spark.experimental.extraOptimizations

@@ -168,6 +168,25 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("un-converged connected components throw by default, warn when " +
+    "strict = false") {
+    import spark.implicits._
+    // a 40-node path has diameter 40: one contraction round cannot finish
+    // it, so maxIterations = 1 exits un-converged on the distributed path
+    val edges = (0L until 40L).map(i => (i, i + 1))
+    val df = edges.toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(df, maxIterations = 1, localMaxEdges = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxIterations"))
+    // non-strict restores warn-and-return-split for availability-first
+    // callers: labels come back (possibly split), no throw
+    val got = Dedup.connectedComponents(df, maxIterations = 1,
+      localMaxEdges = 0L, strict = false).collect()
+    assert(got.length == 41)
+  }
+
   test("dedup decisions keep exactly one doc per duplicate cluster") {
     val decisions = Dedup.dedupDecisions(ds, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
