@@ -149,6 +149,29 @@ object Bench {
     }
     val stagesFailed = stages.count(_._2.build < 0)
 
+    // Composed-pipeline bench (r10 verdict): the embedding-curation CLI
+    // end to end — centroid-outlier prune -> SemDeDup -> temperature-
+    // balanced sample -> parquet out + summary, i.e. the command a real
+    // user runs (`curateEmbeddings`), timed as one wall-clock unit
+    // including its stage materializations and output write. Single-shot
+    // by design (it is a multi-minute-at-scale composed job, not a
+    // per-query microbench); the surrounding loadavg stamps flag a
+    // poisoned number.
+    val pipelines: Map[String, Double] =
+      try {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-bench-curate").toString
+        val t0 = System.nanoTime()
+        graft.Main.main(Array("curateEmbeddings",
+          "--embeddings", s"$sfDir/embeddings.parquet",
+          "--output", out, "--p", cpus, "--k", "8", "--sample", "1000"))
+        Map("curate_embeddings" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] curate_embeddings pipeline FAILED: $e")
+        e.printStackTrace()
+        Map("curate_embeddings" -> -1.0)
+      }
+
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a
     // user writes without knowing the native expressions exist. Timing it
@@ -218,9 +241,11 @@ object Bench {
     // t21 (span dedup); r8: t28 (span rewrite), c01 (k-means), t34
     // (bloom-prefiltered decontamination); r10: c02 (semantic dedup), c03
     // (cluster sample), g13 (m=64 frequency classify).
+    // r11: t37 (distributed CC contraction), c04 (centroid outliers)
     val added = Set("g11_mem_classify", "g12_mem_wide_classify",
       "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon",
-      "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify")
+      "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify",
+      "t37_cc_contraction", "c04_centroid_outliers")
     val comparable = results.collect {
       case (k, (med, _, _)) if !added(k) && med >= 0 => med
     }.sum
@@ -240,12 +265,15 @@ object Bench {
     val rewriteJson = rewriteAb.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
+    val pipelinesJson = pipelines.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + num(v)
+    }.mkString("{", ",", "}")
     val sf = sfDir.replaceAll(".*sf", "")
     // `failed` keeps its round-over-round meaning (headline queries only);
     // staged failures get their own count so a broken staged entry cannot
     // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.

@@ -434,6 +434,6 @@ object Clustering {
          |    (st.n * a.dist - st.sd) * (st.n * a.dist - st.sd)
          |      > 4 * (st.n * st.sdd - st.sd * st.sd) AS outlier
          |FROM asg a JOIN st ON st.cid = a.cid
-         |ORDER BY 1""".stripMargin))
+         |ORDER BY 1""".stripMargin), bench = true)
   )
 }

@@ -369,6 +369,11 @@ object Dedup {
       val out = (0 until m).map(p => (nodes(p), nodes(find(p))))
       return spark.createDataset(out).toDF("id", "cluster")
     }
+    // observable path probe: verify/bench stderr shows which resolution
+    // strategy a given graph actually took (the driver fast path absorbs
+    // every oracle-scale graph unless localMaxEdges is overridden)
+    System.err.println(s"[graft] connectedComponents: DISTRIBUTED " +
+      s"contraction loop over $gCount edges (> local bound $localMaxEdges)")
     var g = cut(g0, ("src", "dst"))
     // cumulative node -> representative map over every node with an edge
     val total0 = g.select(col("src").as("id"))

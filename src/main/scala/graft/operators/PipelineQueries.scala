@@ -451,6 +451,40 @@ object PipelineQueries {
         |  min(reach) = id AS keep
         |FROM walk GROUP BY id ORDER BY id""".stripMargin)),
 
+    // The DISTRIBUTED connected-components loop at a tracked operating
+    // point (r10 verdict ask: the 2^22 driver auto-select absorbs every
+    // oracle-scale duplicate graph, so the contraction loop had no green
+    // oracle row or wall-time of its own). The graph: parts chained by
+    // consecutive rank within p_brand — 25 parallel paths whose DIAMETER
+    // grows with SF (~n/25; ~80 at sf0.01, ~800 at sf0.1), exactly the
+    // shape that one-hop label propagation cannot finish in bounded rounds
+    // and contraction + cumulative pointer doubling converges on in
+    // O(log diameter). localMaxEdges = 0 forces the distributed loop (the
+    // stderr probe in connectedComponents records the path taken), and the
+    // default strict mode THROWS if the loop exits un-converged, so a
+    // green row here is proof the contraction loop itself resolved every
+    // chain. Oracle: a path's component is its brand, cluster = min
+    // partkey per brand — no recursion needed.
+    Q("t37_cc_contraction", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"p_brand").orderBy($"p_partkey")
+      val edges = t(s, dir, "part").select($"p_brand", $"p_partkey")
+        .withColumn("prev", lag($"p_partkey", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"prev".as("id_a"), $"p_partkey".as("id_b"))
+      Dedup.connectedComponents(edges, localMaxEdges = 0L)
+        .select($"id".cast("long").as("id"),
+          $"cluster".cast("long").as("cluster"))
+        .orderBy($"id")
+    }, Some(
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  CAST(min(p_partkey) OVER (PARTITION BY p_brand) AS BIGINT)
+        |    AS cluster
+        |FROM part
+        |QUALIFY count(*) OVER (PARTITION BY p_brand) > 1
+        |ORDER BY 1""".stripMargin), bench = true),
+
     // IVF ANN, FULLY oracled (r10 verdict ask): the coarse quantizer is the
     // deterministic integer k-means (Clustering's exact Lloyd's — the c01
     // CTEs re-derive the identical centroids), the probe list is exact long
