@@ -402,6 +402,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(Similarity.cosineInt8(base(0)._2, codes) - 1.0) < 0.01)
   }
 
+  test("IVF and PQ kNN are independent of input partitioning (the property " +
+    "their DuckDB oracles rely on)") {
+    import spark.implicits._
+    def run(parts: Int): (Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]) = {
+      val ds = spark.createDataset(base).repartition(parts)
+      val queries = spark.createDataset(base.filter(_._1 < 10))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+      (rows(Similarity.ivfKnn(queries, ds, k = 3, nCells = 8, nProbe = 3)),
+        rows(Similarity.pqKnn(queries, ds, k = 3, subspaces = 8,
+          centroids = 16, rerank = 24)))
+    }
+    val (ivf2, pq2) = run(2)
+    val (ivf7, pq7) = run(7)
+    assert(ivf2 == ivf7, "IVF result depends on partitioning")
+    assert(pq2 == pq7, "PQ result depends on partitioning")
+  }
+
   test("PQ encoding is deterministic and codebooks reconstruct the sample") {
     import spark.implicits._
     val ds = spark.createDataset(base)
