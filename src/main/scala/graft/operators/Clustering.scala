@@ -272,20 +272,29 @@ object Clustering {
     * floor((2s+c)/(2.0·c)) is exact here because numerator and denominator
     * are exact doubles and the true rational is ≥ 1/(2c) from any other
     * integer — far outside one ulp. */
-  def kmeansSqlCtes(k: Int, iters: Int, dim: Int): String = {
+  def kmeansSqlCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansSqlCtes(k, iters, dim, trainN = None)
+
+  /** As above, but with `trainN` set the Lloyd's rounds train on only the
+    * `trainN` smallest vec_ids (CTE `samp`) while the final `asg` still
+    * assigns EVERY vector — re-deriving [[Similarity.ivfKnn]]'s
+    * sample-bounded quantizer training. `trainN = None` generates the
+    * exact full-corpus text the c01–c04 oracles embed. */
+  def kmeansSqlCtes(k: Int, iters: Int, dim: Int, trainN: Option[Int]): String = {
+    val src = if (trainN.isDefined) "samp" else "q"
     val distExpr = (c: String) =>
       s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
         "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
-    def assignCte(name: String, cents: String) =
+    def assignCte(name: String, cents: String, from: String) =
       s"""$name AS (
          |  SELECT vec_id, v, cid, dist FROM (
          |    SELECT p.vec_id, p.v, c.cid, ${distExpr("c")} AS dist,
          |      row_number() OVER (PARTITION BY p.vec_id
          |        ORDER BY ${distExpr("c")}, c.cid) AS rn
-         |    FROM q p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |    FROM $from p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""${assignCte(s"a$i", prev)},
+      s"""${assignCte(s"a$i", prev, src)},
          |s$i AS (
          |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
          |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos)
@@ -298,15 +307,18 @@ object Clustering {
          |  SELECT $prev.cid, coalesce(n$i.m, $prev.m) AS m
          |  FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
     }.mkString(",\n")
+    val sampCte = trainN.map(t =>
+      s"""samp AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $t),
+         |""".stripMargin).getOrElse("")
     s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * $Quantum + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
-       |c0 AS (
+       |${sampCte}c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
-       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
        |$rounds,
-       |${assignCte("asg", s"c$iters")}""".stripMargin
+       |${assignCte("asg", s"c$iters", "q")}""".stripMargin
   }
 
   // ---------------- registered queries ----------------

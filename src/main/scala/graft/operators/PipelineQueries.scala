@@ -498,7 +498,7 @@ object PipelineQueries {
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
     }, Some(
-      s"""${Clustering.kmeansSqlCtes(8, 3, 64)},
+      s"""${Clustering.kmeansSqlCtes(8, 3, 64, trainN = Some(1 << 17))},
          |probes AS (
          |  SELECT vec_id AS qid, cid FROM (
          |    SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id

@@ -116,13 +116,20 @@ object Similarity {
     * the whole lane carries a DuckDB SQL oracle (v06). */
   def ivfKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
-      nProbe: Int = 3, iters: Int = 3): DataFrame = {
+      nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val bDf = base.toDF("nid", "nv")
     val q0 = bDf.select(col("nid").as("vec_id"),
       Clustering.quantize(col("nv")).as("qv"))
-    val cached = q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // quantizer training is SAMPLE-BOUNDED (faiss-style): one full pass
+    // takes the trainN smallest ids (deterministic, so the v06 oracle
+    // re-derives the same sample with ORDER BY vec_id LIMIT trainN),
+    // materialized once — the iters Lloyd's scans then touch only the
+    // sample, never the corpus. Cell ASSIGNMENT below is still the one
+    // required full pass.
+    val cached = q0.sort("vec_id").limit(trainN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents =
       try Clustering.kmeansCentroids(cached, nCells, iters)
       finally cached.unpersist(blocking = false)

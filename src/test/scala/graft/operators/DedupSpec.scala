@@ -402,6 +402,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(Similarity.cosineInt8(base(0)._2, codes) - 1.0) < 0.01)
   }
 
+  test("IVF quantizer trains on a bounded deterministic sample without " +
+    "losing the planted neighbors") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    // trainN far below the corpus: the quantizer sees only the 64 smallest
+    // ids (the 100-TB shape — Lloyd's never rescans the corpus), yet every
+    // vector still gets a cell and the planted twins remain reachable
+    val got = Similarity.ivfKnn(queries, ds, k = 1, nCells = 8, nProbe = 3,
+        trainN = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"sample-trained IVF found only $hits of 10")
+  }
+
   test("IVF and PQ kNN are independent of input partitioning (the property " +
     "their DuckDB oracles rely on)") {
     import spark.implicits._
