@@ -157,20 +157,29 @@ object Bench {
     // by design (it is a multi-minute-at-scale composed job, not a
     // per-query microbench); the surrounding loadavg stamps flag a
     // poisoned number.
-    val pipelines: Map[String, Double] =
+    val pipelines: Map[String, Double] = {
+      val out = java.nio.file.Files.createTempDirectory("graft-bench-curate")
       try {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-bench-curate").toString
         val t0 = System.nanoTime()
         graft.Main.main(Array("curateEmbeddings",
           "--embeddings", s"$sfDir/embeddings.parquet",
-          "--output", out, "--p", cpus, "--k", "8", "--sample", "1000"))
+          "--output", out.toString, "--p", cpus, "--k", "8",
+          "--sample", "1000"))
         Map("curate_embeddings" -> (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] curate_embeddings pipeline FAILED: $e")
         e.printStackTrace()
         Map("curate_embeddings" -> -1.0)
+      } finally {
+        // the curated parquet copy is timing scaffolding — do not leak a
+        // corpus-sized directory into /tmp per bench invocation
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
       }
+    }
 
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a

@@ -22,6 +22,9 @@ object Verify {
     // never sets it, so its runs always dump the full query set
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
+      // a set-but-empty variable means "no filter", not "select nothing" —
+      // an empty dump would read as a catastrophic regression downstream
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

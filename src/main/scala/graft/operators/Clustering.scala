@@ -282,31 +282,6 @@ object Clustering {
     * exact full-corpus text the c01–c04 oracles embed. */
   def kmeansSqlCtes(k: Int, iters: Int, dim: Int, trainN: Option[Int]): String = {
     val src = if (trainN.isDefined) "samp" else "q"
-    val distExpr = (c: String) =>
-      s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
-        "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
-    def assignCte(name: String, cents: String, from: String) =
-      s"""$name AS (
-         |  SELECT vec_id, v, cid, dist FROM (
-         |    SELECT p.vec_id, p.v, c.cid, ${distExpr("c")} AS dist,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${distExpr("c")}, c.cid) AS rn
-         |    FROM $from p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-    val rounds = (1 to iters).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""${assignCte(s"a$i", prev, src)},
-         |s$i AS (
-         |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
-         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos)
-         |  GROUP BY 1, 2),
-         |n$i AS (
-         |  SELECT cid, list(CAST(floor((2*s + c) / (2.0*c)) AS BIGINT)
-         |    ORDER BY pos) AS m
-         |  FROM s$i GROUP BY 1),
-         |c$i AS (
-         |  SELECT $prev.cid, coalesce(n$i.m, $prev.m) AS m
-         |  FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
-    }.mkString(",\n")
     val sampCte = trainN.map(t =>
       s"""samp AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $t),
          |""".stripMargin).getOrElse("")
@@ -314,11 +289,55 @@ object Clustering {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * $Quantum + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
-       |${sampCte}c0 AS (
+       |$sampCte${lloydCtes("", src, k, iters, dim)},
+       |${lloydAssignCte("asg", "q", s"c$iters")}""".stripMargin
+  }
+
+  private def lloydDistSql(c: String): String =
+    s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+
+  /** One unrolled Lloyd's assignment CTE: every row of `from(vec_id, v)`
+    * labeled with its nearest centroid in `cents(cid, m)` — exact long
+    * distance, (dist, cid) ties. Shared by the k-means oracles (c01–c04,
+    * v06) and the PQ per-subspace training/encoding (v07), so the
+    * assignment kernel can never silently diverge between them. */
+  private[operators] def lloydAssignCte(name: String, from: String,
+      cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cid, dist FROM (
+       |    SELECT p.vec_id, p.v, c.cid, ${lloydDistSql("c")} AS dist,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${lloydDistSql("c")}, c.cid) AS rn
+       |    FROM $from p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** The unrolled integer Lloyd's: init `${prefix}c0` from the k smallest
+    * vec_ids of `src(vec_id, v)`, then `iters` rounds of (assign, exact
+    * integer sum, round-half-up update, empty-cluster coalesce). The final
+    * codebook CTE is `${prefix}c$iters`. One generator for every oracle
+    * that trains k-means — full-corpus (kmeansSqlCtes, prefix "") and
+    * per-subspace PQ (pqCtes, prefix "s<i>"). */
+  private[operators] def lloydCtes(prefix: String, src: String, k: Int,
+      iters: Int, dim: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"${prefix}c${i - 1}"
+      s"""${lloydAssignCte(s"${prefix}a$i", src, prev)},
+         |${prefix}s$i AS (
+         |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
+         |  FROM ${prefix}a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos)
+         |  GROUP BY 1, 2),
+         |${prefix}n$i AS (
+         |  SELECT cid, list(CAST(floor((2*s + c) / (2.0*c)) AS BIGINT)
+         |    ORDER BY pos) AS m
+         |  FROM ${prefix}s$i GROUP BY 1),
+         |${prefix}c$i AS (
+         |  SELECT $prev.cid, coalesce(${prefix}n$i.m, $prev.m) AS m
+         |  FROM $prev LEFT JOIN ${prefix}n$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""${prefix}c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
        |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
-       |$rounds,
-       |${assignCte("asg", s"c$iters", "q")}""".stripMargin
+       |$rounds""".stripMargin
   }
 
   // ---------------- registered queries ----------------

@@ -124,39 +124,16 @@ object PipelineQueries {
       trainN: Int): String = {
     val sub = dim / subspaces
     def slice(si: Int) = s"v[${si * sub + 1}:${(si + 1) * sub}]"
-    def distExpr(c: String) =
-      s"CAST(list_sum(list_transform(list_zip(p.v, $c.m), " +
-        "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
-    def assignCte(name: String, src: String, centsCte: String) =
-      s"""$name AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT p.vec_id, p.v, c.cid,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${distExpr("c")}, c.cid) AS rn
-         |    FROM $src p CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+    // training + encoding delegate to the SHARED Lloyd's generators
+    // (Clustering.lloydCtes / lloydAssignCte) — the same text the c01–c04
+    // and v06 oracles embed, so the assignment and update kernels can
+    // never silently diverge between the k-means and PQ lanes
     val perSub = (0 until subspaces).map { si =>
-      val rounds = (1 to iters).map { i =>
-        val prev = s"s${si}c${i - 1}"
-        s"""${assignCte(s"s${si}a$i", s"s${si}p", prev)},
-           |s${si}s$i AS (
-           |  SELECT cid, pos, sum(v[pos]) AS s, count(*) AS c
-           |  FROM s${si}a$i CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS pos)
-           |  GROUP BY 1, 2),
-           |s${si}n$i AS (
-           |  SELECT cid, list(CAST(floor((2*s + c) / (2.0*c)) AS BIGINT)
-           |    ORDER BY pos) AS m
-           |  FROM s${si}s$i GROUP BY 1),
-           |s${si}c$i AS (
-           |  SELECT $prev.cid, coalesce(s${si}n$i.m, $prev.m) AS m
-           |  FROM $prev LEFT JOIN s${si}n$i USING (cid))""".stripMargin
-      }.mkString(",\n")
       s"""s${si}p AS (SELECT vec_id, ${slice(si)} AS v FROM samp),
-         |s${si}c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
-         |  FROM (SELECT vec_id, v FROM s${si}p ORDER BY vec_id LIMIT $cents)),
-         |$rounds,
+         |${Clustering.lloydCtes(s"s$si", s"s${si}p", cents, iters, sub)},
          |b$si AS (SELECT vec_id, ${slice(si)} AS v FROM qv),
-         |${assignCte(s"enc$si", s"b$si", s"s${si}c$iters")}""".stripMargin
+         |${Clustering.lloydAssignCte(s"enc$si", s"b$si", s"s${si}c$iters")}"""
+        .stripMargin
     }.mkString(",\n")
     s"""qv AS (
        |  SELECT vec_id, list_transform(embedding,
@@ -473,10 +450,20 @@ object PipelineQueries {
         .withColumn("prev", lag($"p_partkey", 1).over(w))
         .filter($"prev".isNotNull)
         .select($"prev".as("id_a"), $"p_partkey".as("id_b"))
-      Dedup.connectedComponents(edges, localMaxEdges = 0L)
-        .select($"id".cast("long").as("id"),
-          $"cluster".cast("long").as("cluster"))
-        .orderBy($"id")
+      // the distributed loop pins its cumulative map in the passed scope;
+      // the harness has no post-materialization hook, so snapshot the
+      // labels eagerly (localCheckpoint blocks are ContextCleaner-reclaimed
+      // once the frame is GC'd, unlike persisted plans) and release the
+      // loop caches before returning — repeated bench reps then cannot
+      // accumulate pinned blocks
+      val scope = new Dedup.CacheScope
+      val labels =
+        try Dedup.connectedComponents(edges, localMaxEdges = 0L, scope = scope)
+          .select($"id".cast("long").as("id"),
+            $"cluster".cast("long").as("cluster"))
+          .localCheckpoint()
+        finally scope.release()
+      labels.orderBy($"id")
     }, Some(
       """SELECT CAST(p_partkey AS BIGINT) AS id,
         |  CAST(min(p_partkey) OVER (PARTITION BY p_brand) AS BIGINT)

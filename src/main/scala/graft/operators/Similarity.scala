@@ -310,7 +310,7 @@ object Similarity {
         val sums = Array.fill(centroids)(new Array[Long](sub))
         val counts = new Array[Long](centroids)
         for (p <- pts) {
-          val best = nearestSub(p, cents)
+          val best = nearestSub(p, 0, sub, cents)
           var i = 0
           while (i < sub) { sums(best)(i) += p(i); i += 1 }
           counts(best) += 1
@@ -327,16 +327,18 @@ object Similarity {
     }
   }
 
-  /** Nearest codebook entry for one subvector: exact long distance, ties
-    * to the smallest index (strict-improvement argmin). */
-  private def nearestSub(p: Array[Long], cents: Array[Array[Long]]): Int = {
+  /** Nearest codebook entry for the subvector p[off, off+len): exact long
+    * distance, ties to the smallest index (strict-improvement argmin).
+    * Offset-based so the per-row encode loop never copies subvectors. */
+  private def nearestSub(p: Array[Long], off: Int, len: Int,
+      cents: Array[Array[Long]]): Int = {
     var best = 0
     var bestD = Long.MaxValue
     var c = 0
     while (c < cents.length) {
       var d = 0L; var i = 0
       val m = cents(c)
-      while (i < p.length) { val t = p(i) - m(i); d += t * t; i += 1 }
+      while (i < len) { val t = p(off + i) - m(i); d += t * t; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -344,16 +346,15 @@ object Similarity {
   }
 
   /** PQ code of one quantized vector: per-subspace nearest centroid index
-    * (one byte each — centroids <= 256). */
+    * (one byte each — centroids <= 256). Allocation-free beyond the output
+    * byte array — this runs once per corpus row in the PQ scan. */
   def pqEncode(qv: Array[Long], codebooks: Array[Array[Array[Long]]]): Array[Byte] = {
     val subspaces = codebooks.length
     val sub = qv.length / subspaces
     val out = new Array[Byte](subspaces)
     var s = 0
     while (s < subspaces) {
-      out(s) = nearestSub(
-        java.util.Arrays.copyOfRange(qv, s * sub, (s + 1) * sub),
-        codebooks(s)).toByte
+      out(s) = nearestSub(qv, s * sub, sub, codebooks(s)).toByte
       s += 1
     }
     out
