@@ -374,6 +374,20 @@ object Dedup {
     // every oracle-scale graph unless localMaxEdges is overridden)
     System.err.println(s"[graft] connectedComponents: DISTRIBUTED " +
       s"contraction loop over $gCount edges (> local bound $localMaxEdges)")
+    // Size the loop's shuffles to the graph, not the session default: each
+    // round runs ~7 tiny shuffles whose per-partition scheduling overhead
+    // dominates wall time when the per-round frames are far smaller than
+    // the session's shuffle.partitions assume (~2M edges/partition keeps a
+    // partition comfortably in executor memory; the session value is the
+    // ceiling so a well-tuned large job is never *widened*). The loop is
+    // EAGER (per-round counts), so the scoped conf covers exactly its
+    // jobs and is restored before the lazy result returns.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val loopParts =
+      math.max(1L, math.min(prevParts.toLong, gCount / 2000000L + 1))
+    spark.conf.set(confKey, loopParts.toString)
+    try {
     var g = cut(g0, ("src", "dst"))
     // cumulative node -> representative map over every node with an edge
     val total0 = g.select(col("src").as("id"))
@@ -475,6 +489,7 @@ object Dedup {
     // the caller's scope owns its release
     scope.track(totalCached)
     total.select(col("id"), col("rep").as("cluster"))
+    } finally spark.conf.set(confKey, prevParts)
   }
 
   /** Full dedup decision: MinHash-LSH pairs -> components -> keep the lowest
