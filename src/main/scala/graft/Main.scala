@@ -91,7 +91,7 @@ object Main {
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
         "min-alpha", "near-dup-threshold", "span-n")),
       "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
-        "iters", "tau", "max-cluster-pop", "sample")))
+        "iters", "tau", "max-cluster-pop", "sample", "train")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1065,6 +1065,19 @@ object Main {
           })
         require(sampleN.forall(_ > 0),
           s"--sample must be a positive integer or 'off', got '$sampleOpt'")
+        // --train bounds each stage's Lloyd's TRAINING to the N smallest
+        // vec_ids (assignment still covers every vector) — the 100 TB
+        // setting, where iters full-corpus passes per stage for a
+        // quantizer is the wrong plan. 'off' (default) trains full-corpus.
+        val trainOpt = opts.getOrElse("train", "off")
+        val trainN: Option[Int] =
+          if (trainOpt == "off") None
+          else Some(try trainOpt.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"--train must be a positive integer or 'off', got '$trainOpt'")
+          })
+        require(trainN.forall(_ > 0),
+          s"--train must be a positive integer or 'off', got '$trainOpt'")
         // the stage caches release in finally: ANY stage failure (bad
         // schema, write error) must not leak pinned blocks into a reused
         // session — the CliSpec hygiene check covers both paths
@@ -1078,19 +1091,22 @@ object Main {
             .persist(lvl)
           val nIn = emb.count()
           require(nIn > 0, "curateEmbeddings: empty input")
+          // k clamps to the training population: with --train set the
+          // Lloyd's init draws from the sample, so k must fit inside it
+          val kCap = trainN.map(_.toLong).getOrElse(Long.MaxValue)
           // stage 1: prune vectors beyond mean + 2*sigma of their centroid
-          val k1 = math.min(k.toLong, nIn).toInt
+          val k1 = math.min(math.min(k.toLong, nIn), kCap).toInt
           pruned = graft.operators.Clustering
-            .centroidOutliers(emb, k1, iters)
+            .centroidOutliers(emb, k1, iters, trainN)
             .filter(!col("outlier")).select(col("vec_id"))
             .join(emb, Seq("vec_id"))
             .persist(lvl)
           val nPruned = pruned.count()
           // stage 2: SemDeDup keepers on the pruned population
-          val k2 = math.min(k.toLong, nPruned).toInt
+          val k2 = math.min(math.min(k.toLong, nPruned), kCap).toInt
           kept = graft.operators.Clustering
             .semanticDecisions(pruned, k2, iters, tau, scope = scope,
-              maxClusterPop = cap)
+              maxClusterPop = cap, trainN = trainN)
             .filter(col("keep")).select(col("vec_id"), col("cluster"))
             .join(pruned, Seq("vec_id"))
             .persist(lvl)
@@ -1100,10 +1116,10 @@ object Main {
           val curated = sampleN match {
             case None => kept.select(col("vec_id"), col("embedding"))
             case Some(total) =>
-              val k3 = math.min(k.toLong, nKept).toInt
+              val k3 = math.min(math.min(k.toLong, nKept), kCap).toInt
               graft.operators.Clustering
                 .clusterSample(kept.select(col("vec_id"), col("embedding")),
-                  k3, iters, total)
+                  k3, iters, total, trainN)
                 .select(col("vec_id"))
                 .join(kept, Seq("vec_id"))
                 .select(col("vec_id"), col("embedding"))

@@ -93,11 +93,23 @@ object Clustering {
 
   /** (vec_id, qv, cluster, dist) under the final centroids. The iteration
     * input is cached for the driver loop's actions, released before the lazy
-    * result (built on a fresh scan) is returned — no pinned blocks escape. */
-  def assignments(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    * result (built on a fresh scan) is returned — no pinned blocks escape.
+    *
+    * `trainN` bounds Lloyd's TRAINING to the trainN smallest vec_ids
+    * (faiss-style, the same contract as [[Similarity.ivfKnn]]): the iters
+    * driver-loop scans then touch only the sample — at 100 TB the
+    * full-corpus alternative is iters+1 complete passes for a quantizer
+    * whose quality saturates at ~256·k training points. The final
+    * ASSIGNMENT pass always covers every vector, and the sort/limit sample
+    * is deterministic in the ids, so the whole lane still carries an exact
+    * DuckDB oracle (`kmeansSqlCtes(trainN = ...)`, lane c05). `None` (the
+    * default) trains on the full corpus — the c01–c04 contract, unchanged. */
+  def assignments(emb: DataFrame, k: Int, iters: Int,
+      trainN: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val q0 = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cached = q0.persist(StorageLevel.MEMORY_AND_DISK)
+    val train = trainN.map(t => q0.sort("vec_id").limit(t)).getOrElse(q0)
+    val cached = train.persist(StorageLevel.MEMORY_AND_DISK)
     val cents =
       try kmeansCentroids(cached, k, iters)
       finally cached.unpersist(blocking = false)
@@ -157,12 +169,13 @@ object Clustering {
     * (see [[DefaultMaxClusterPop]]). */
   def semanticDecisions(emb: DataFrame, k: Int, iters: Int, tau: Double,
       scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged,
-      maxClusterPop: Int = DefaultMaxClusterPop): DataFrame = {
+      maxClusterPop: Int = DefaultMaxClusterPop,
+      trainN: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // dot_long is the codegen'd exact kernel (one static call per candidate
     // pair) — the HOF zip_with/aggregate chain would allocate a zipped array
     // per pair evaluation on the quadratic within-cluster path
-    val asg = scope.track(assignments(emb, k, iters)
+    val asg = scope.track(assignments(emb, k, iters, trainN)
       .withColumn("nsq", call_function("dot_long", col("qv"), col("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK))
     // the sub-bucket column is a narrow decoration over the cached
@@ -203,9 +216,10 @@ object Clustering {
     * uses a transient cache released before return; the lazy result
     * recomputes the (narrow) assignment map once when materialized — no
     * pinned blocks escape. */
-  def clusterSample(emb: DataFrame, k: Int, iters: Int, total: Int): DataFrame = {
+  def clusterSample(emb: DataFrame, k: Int, iters: Int, total: Int,
+      trainN: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
-    val asg = assignments(emb, k, iters).select("vec_id", "cluster")
+    val asg = assignments(emb, k, iters, trainN).select("vec_id", "cluster")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = asg.groupBy("cluster").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -248,8 +262,9 @@ object Clustering {
     * magnitudes stay ≤ ~1e23). Plan shape: one k-row aggregate broadcast
     * back onto the assignment scan; the k-means driver loop runs once
     * (centroids are literals in both branches). */
-  def centroidOutliers(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val asg = assignments(emb, k, iters).select("vec_id", "cluster", "dist")
+  def centroidOutliers(emb: DataFrame, k: Int, iters: Int,
+      trainN: Option[Int] = None): DataFrame = {
+    val asg = assignments(emb, k, iters, trainN).select("vec_id", "cluster", "dist")
     val d = col("dist").cast("decimal(38,0)")
     val stats = asg.groupBy("cluster").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -346,6 +361,10 @@ object Clustering {
   private val Iters = 3
   private val Tau = 0.35
   private val SampleTotal = 100
+  /** c05's training bound — below the embeddings row count at every test SF
+    * (500 at sf0.01, 2000 at sf0.1), so the sampled path is genuinely
+    * exercised, never trivially equal to full-corpus training. */
+  private val TrainBound = 256
 
   val queries: Seq[Q] = Seq(
     // ---- deterministic k-means over the embedding table: cluster id and
@@ -465,6 +484,24 @@ object Clustering {
          |    (st.n * a.dist - st.sd) * (st.n * a.dist - st.sd)
          |      > 4 * (st.n * st.sdd - st.sd * st.sd) AS outlier
          |FROM asg a JOIN st ON st.cid = a.cid
-         |ORDER BY 1""".stripMargin), bench = true)
+         |ORDER BY 1""".stripMargin), bench = true),
+
+    // ---- sample-bounded quantizer training: Lloyd's trains on the
+    // TrainBound smallest vec_ids only (the 100 TB regime — iters full
+    // corpus passes for a quantizer is the wrong plan when quality
+    // saturates at ~256·k training points), the assignment pass still
+    // covers every vector. Oracle: the same unrolled integer Lloyd's with
+    // its training CTE LIMITed to the identical deterministic sample ----
+    Q("c05_kmeans_sampled", (s, dir) => {
+      assignments(t(s, dir, "embeddings"), K, Iters, trainN = Some(TrainBound))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64, trainN = Some(TrainBound))}
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+         |FROM asg ORDER BY 1""".stripMargin))
   )
 }

@@ -1114,6 +1114,38 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(leaked().isEmpty, s"failing curateEmbeddings leaked: ${leaked()}")
   }
 
+  test("CLI: curateEmbeddings --train bounds quantizer training and " +
+    "rejects a malformed value up front") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-emb-train")
+    def rand(seed: Long): Array[Float] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      Array.tabulate(64) { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        (s >> 11).toFloat / (1L << 52).toFloat
+      }
+    }
+    spark.createDataset((0L until 40L).map(i => (i, rand(i + 300L))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+    // --train below --k: the k clamp must ride the training bound (the
+    // Lloyd's init draws from the sample), not crash the k-vector require
+    val out = dir.resolve("out").toString
+    Main.main(Array("curateEmbeddings",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", out, "--p", "4", "--k", "8", "--train", "6"))
+    val kept = spark.read.parquet(out + "/embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf((0L until 40L).toSet))
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curateEmbeddings",
+        "--embeddings", dir.resolve("emb.parquet").toString,
+        "--output", dir.resolve("out2").toString, "--p", "4",
+        "--train", "lots"))
+    }
+    assert(e.getMessage.contains("--train"))
+  }
+
   test("CLI: curateEmbeddings clamps k to a tiny surviving population") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cli-curate-emb-tiny")

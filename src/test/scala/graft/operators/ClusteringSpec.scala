@@ -213,6 +213,38 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("sample-bounded training: trainN >= population is byte-identical to " +
+    "full-corpus; a genuine bound trains on exactly the first-N ids") {
+    val rows = (0L until 100L).map(i => (i, blob((i % 4).toFloat, i)))
+    val df = embDf(rows)
+    def dump(asg: org.apache.spark.sql.DataFrame) =
+      asg.select("vec_id", "cluster", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val full = dump(Clustering.assignments(df, k = 4, iters = 3))
+    val uncapped = dump(Clustering.assignments(df, k = 4, iters = 3,
+      trainN = Some(1000)))
+    assert(uncapped == full, "trainN above the population must be a no-op")
+    // bounded path: re-derive driver-side — quantize, train Lloyd's on the
+    // 40 smallest ids via the public kmeansCentroids, assign every vector
+    // with a naive argmin — and require exact agreement
+    val got = dump(Clustering.assignments(df, k = 4, iters = 3,
+      trainN = Some(40)))
+    assert(got.map(_._1) == rows.map(_._1),
+      "bounded training must still assign EVERY vector")
+    val q0 = df.select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
+    val cents = Clustering.kmeansCentroids(q0.sort("vec_id").limit(40), 4, 3)
+    val want = rows.map { case (id, v) =>
+      val qv = v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      val (d, c) = cents.zipWithIndex.map { case (m, j) =>
+        (m.zip(qv).map { case (a, b) => (b - a) * (b - a) }.sum, j.toLong)
+      }.min
+      (id, c, d)
+    }
+    assert(got == want)
+    assert(got != full,
+      "the 40-id bound must actually change the centroids on this data")
+  }
+
   test("centroid outlier gate matches an exact BigInt recomputation") {
     val rows = (0L until 80L).map(i => (i, blob((i % 3).toFloat - 1f, i)))
     val df = embDf(rows)
