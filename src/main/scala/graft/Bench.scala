@@ -282,7 +282,10 @@ object Bench {
     // staged failures get their own count so a broken staged entry cannot
     // ship inside an artifact that claims failed:0
     val failed = results.values.count(_._1 < 0)
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    // a broken pipeline entry must not hide inside an artifact claiming
+    // failed:0 — same contract as failed_stages
+    val pipelinesFailed = pipelines.values.count(_ < 0)
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.

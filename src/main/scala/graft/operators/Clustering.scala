@@ -348,11 +348,14 @@ object Clustering {
          |${prefix}c$i AS (
          |  SELECT $prev.cid, coalesce(${prefix}n$i.m, $prev.m) AS m
          |  FROM $prev LEFT JOIN ${prefix}n$i USING (cid))""".stripMargin
-    }.mkString(",\n")
-    s"""${prefix}c0 AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
-       |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
-       |$rounds""".stripMargin
+    }
+    val init =
+      s"""${prefix}c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
+         |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
+    // iters = 0 (assignment under the raw init, a case the Spark side
+    // supports) must not leave a dangling comma after the init CTE
+    (init +: rounds).mkString(",\n")
   }
 
   // ---------------- registered queries ----------------

@@ -318,23 +318,36 @@ object Dedup {
       .persist(lvl)
     var gCached = g0
     var gCount = g0.count()
-    if (gCount <= localMaxEdges) {
+    // the fast path's node array is sized 2*edges, so edges must stay
+    // under Int.MaxValue/2 regardless of how far a caller raises
+    // localMaxEdges — beyond that the distributed loop takes over (a
+    // raised bound degrades to the scalable path, never to an
+    // array-allocation crash)
+    val localCap = math.min(localMaxEdges, (Int.MaxValue / 2 - 8).toLong)
+    if (gCount <= localCap) {
       // exact union-find over the edges, all-primitive: stream the edge
-      // list into two long arrays (toLocalIterator holds one partition of
-      // boxed rows at a time, never the full set), index nodes through a
-      // sorted-distinct id array + binary search, and run union-find on
-      // int indices. Result distributes back as a plain local-relation
-      // frame (no cache for the scope to own).
-      val n = gCount.toInt
-      val srcA = new Array[Long](n)
-      val dstA = new Array[Long](n)
+      // list into two growable long arrays (toLocalIterator holds one
+      // partition of boxed rows at a time, never the full set), index
+      // nodes through a sorted-distinct id array + binary search, and run
+      // union-find on int indices. Result distributes back as a plain
+      // local-relation frame (no cache for the scope to own). The builders
+      // size from the observed rows, NOT from gCount: count() and a later
+      // toLocalIterator() can disagree if a cached partition is evicted
+      // and recomputed from a non-deterministic upstream, and a fixed
+      // array would then either overflow or pad with phantom (0,0) edges.
+      val srcB = new scala.collection.mutable.ArrayBuilder.ofLong
+      val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
+      srcB.sizeHint(gCount.toInt)
+      dstB.sizeHint(gCount.toInt)
       val it = g0.toLocalIterator()
-      var i = 0
       while (it.hasNext) {
         val r = it.next()
-        srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+        srcB += r.getLong(0); dstB += r.getLong(1)
       }
       g0.unpersist(blocking = false)
+      val srcA = srcB.result()
+      val dstA = dstB.result()
+      val n = srcA.length
       val nodes = new Array[Long](2 * n)
       System.arraycopy(srcA, 0, nodes, 0, n)
       System.arraycopy(dstA, 0, nodes, n, n)
@@ -354,7 +367,7 @@ object Dedup {
         while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      i = 0
+      var i = 0
       while (i < n) {
         val ra = find(idx(srcA(i)))
         val rb = find(idx(dstA(i)))
@@ -373,7 +386,7 @@ object Dedup {
     // strategy a given graph actually took (the driver fast path absorbs
     // every oracle-scale graph unless localMaxEdges is overridden)
     System.err.println(s"[graft] connectedComponents: DISTRIBUTED " +
-      s"contraction loop over $gCount edges (> local bound $localMaxEdges)")
+      s"contraction loop over $gCount edges (> local bound $localCap)")
     // Size the loop's shuffles to the graph, not the session default: each
     // round runs ~7 tiny shuffles whose per-partition scheduling overhead
     // dominates wall time when the per-round frames are far smaller than

@@ -245,6 +245,18 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the 40-id bound must actually change the centroids on this data")
   }
 
+  test("kmeansSqlCtes emits well-formed SQL at iters = 0 (no dangling comma)") {
+    // iters = 0 (assignment under the raw init) is a supported Spark-side
+    // case; the generator used to leave ",\n," between the init CTE and
+    // the assignment CTE, which DuckDB rejects
+    for (trainN <- Seq(None, Some(16))) {
+      val sql = Clustering.kmeansSqlCtes(4, 0, 8, trainN)
+      assert(!sql.contains(",\n,"), s"dangling comma (trainN=$trainN):\n$sql")
+      assert(sql.contains("c0 AS") && sql.contains("asg AS"))
+      assert(!sql.contains("c1 AS"), "iters=0 must not emit round CTEs")
+    }
+  }
+
   test("centroid outlier gate matches an exact BigInt recomputation") {
     val rows = (0L until 80L).map(i => (i, blob((i % 3).toFloat - 1f, i)))
     val df = embDf(rows)
