@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels invoked from generated code (one static call per row —
@@ -209,6 +209,38 @@ case class SupermerMinimizers(dna: Expression, k: Expression, m: Expression,
       spaces = newChildren(3))
 }
 
+/** Per-position word-n-gram digests (array<struct<h1,h2>>) from a token
+  * array — the span-dedup gram identity ([[TextAnalysis.gramDigests]]).
+  * One call per DOCUMENT row (the kernel loops tokens/positions inside),
+  * so CodegenFallback's interpreted dispatch is immaterial, exactly as for
+  * [[SupermerMinimizers]]. */
+case class GramDigests(words: Expression, n: Expression) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(words, n)
+  override def dataType: DataType = GramDigests.Schema
+  override def nullable: Boolean = words.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = words.eval(input)
+    if (w == null) null
+    else TextAnalysis.gramDigests(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(words = newChildren(0), n = newChildren(1))
+}
+
+object GramDigests {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+}
+
 /** Registration: imperative (per-session) and declarative
   * (spark.sql.extensions=graft.functions.GraftExtensions). */
 object GraftFunctions {
@@ -226,7 +258,9 @@ object GraftFunctions {
     "sqdist_long" -> (es => SquaredDistanceLong(la(es(0)), la(es(1)))),
     "nfc_normalize" -> (es => NfcNormalize(Cast(es(0), StringType))),
     "graft_minimizers" -> (es =>
-      SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))))
+      SupermerMinimizers(Cast(es(0), StringType), int(es(1)), int(es(2)), int(es(3)))),
+    "gram_digests" -> (es =>
+      GramDigests(Cast(es(0), ArrayType(StringType)), int(es(1)))))
 
   /** Register as temp functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -32,6 +32,86 @@ object TextAnalysis {
     mix64(h)
   }
 
+  /** FNV-1a + avalanche over a UTF8String's raw bytes — the zero-copy
+    * token hash of the span-dedup gram kernel ([[gramDigests]]). Byte-level
+    * (vs [[hashString]]'s UTF-16 code units), so it reads Spark's native
+    * string representation without decoding; the two surfaces never join
+    * on each other's digests. */
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val nb = s.numBytes()
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < nb) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** One gram-digest chain: fold mix64(acc ^ tokenHash) over n consecutive
+    * token hashes from `off`. The chain distinguishes token SEQUENCES (not
+    * concatenations), so it is a drop-in identity for word n-grams. Shared
+    * by the batch span-dedup digests ([[gramDigests]]) and the streaming
+    * suppressor's state key
+    * ([[graft.streaming.StreamingDedup.spanForeignMarks]]). */
+  @inline def gramChain(th: Array[Long], off: Int, n: Int, seed: Long): Long = {
+    var acc = seed
+    var j = 0
+    while (j < n) { acc = mix64(acc ^ th(off + j)); j += 1 }
+    acc
+  }
+
+  /** Chain seeds for the two independent digest lanes. */
+  val GramSeedA = 0x9e3779b97f4a7c15L
+  val GramSeedB = 0xc2b2ae3d27d4eb4fL
+  /** Second-lane token-hash tweak (lane B re-mixes every token hash, so
+    * the lanes differ in both token hashes AND seed). */
+  val GramTokenTweak = 0x5851f42d4c957f2dL
+
+  /** Per-position word-n-gram digests of a tokenized document, as TWO
+    * independent 64-bit chains (struct h1, h2 — effectively a 128-bit
+    * identity, so grouping on the digest is collision-safe at corpus
+    * scale: ~10^-15 expected collisions across 10^12 grams, where one
+    * 64-bit lane alone would produce thousands and silently rewrite
+    * non-duplicated text). Position i
+    * (0-based) covers tokens [i, i+n); callers filter docs with fewer
+    * than n tokens.
+    *
+    * This replaces the md5(array_join(slice(w, i, n))) formulation: that
+    * built an O(gram-length) STRING per position and pushed a 32-char hex
+    * key into the shuffle — measured at sf0.1, the string building + md5
+    * was ~70% of the whole duplicated-position stage. Here each token
+    * hashes ONCE (FNV over its UTF8 bytes) and each position folds n
+    * longs, with a 16-byte shuffle key. */
+  def gramDigests(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val w = words.numElements()
+    val cnt = w - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val t1 = new Array[Long](w)
+    val t2 = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      // split() never yields null elements; empty tokens hash consistently
+      val h = hashUtf8(words.getUTF8String(i))
+      t1(i) = h
+      t2(i) = mix64(h ^ GramTokenTweak)
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    i = 0
+    while (i < cnt) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](gramChain(t1, i, n, GramSeedA),
+          gramChain(t2, i, n, GramSeedB)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Whitespace tokens. */
   def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)

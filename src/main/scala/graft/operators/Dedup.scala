@@ -553,18 +553,27 @@ object Dedup {
     * rows, never 10^12 pairs, so no bucket cap is needed. Grams travel as
     * md5 digests, not text: the shuffle stays narrow no matter how long
     * the n-gram is. */
-  /** (doc_id, pos, h): every word-n-gram start position with its md5 digest
-    * (1-based word index). Shared by [[duplicateSpans]] and
-    * [[stripSpanStats]]. */
-  private def gramPositions(docs: Dataset[(Long, String)], n: Int): DataFrame =
+  /** (doc_id, pos, h): every word-n-gram start position with its digest —
+    * a 128-bit struct(h1, h2) from the native
+    * [[graft.functions.TextAnalysis.gramDigests]] kernel (1-based word
+    * index). Each token hashes ONCE and each position folds n longs; the
+    * prior md5(array_join(slice(...))) built an O(gram-length) string per
+    * position and shuffled 32-char hex keys — measured ~70% of the
+    * duplicated-position stage at sf0.1, and pure overhead at corpus
+    * scale. The DuckDB oracles for every consumer keep their OWN md5-keyed
+    * re-derivation (digests are internal grouping identities; the compared
+    * outputs are spans/stats/text), so oracle independence got stronger.
+    * Shared by [[duplicateSpans]] and [[stripSpanStats]]. */
+  private def gramPositions(docs: Dataset[(Long, String)], n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.toDF("doc_id", "text")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1})," +
-          s" i -> md5(array_join(slice(w, i, $n), ' ')))")))
+      .select(col("doc_id"),
+        posexplode(call_function("gram_digests", col("w"), lit(n))))
       .toDF("doc_id", "p", "h")
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
+  }
 
   /** Duplicated positions merged into maximal per-document spans
     * (start, end inclusive, island size). Two positions p < q share a span

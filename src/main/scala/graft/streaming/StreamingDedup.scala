@@ -379,9 +379,16 @@ object StreamingDedup {
         val w = text.dropWhile(_ == ' ')
           .reverse.dropWhile(_ == ' ').reverse.split(" ")
         if (w.length < n) Iterator.empty
-        else (0 to w.length - n).iterator.map { i =>
-          GramEvent(graft.functions.TextAnalysis.hashString(
-            w.slice(i, i + n).mkString(" ")), docId, i + 1, ts)
+        else {
+          // per-token hashes once, then the shared batch gram chain
+          // (TextAnalysis.gramChain) per position — no per-gram string
+          // building, same shape as the batch kernel's lane A
+          val th = w.map(graft.functions.TextAnalysis.hashString)
+          (0 to w.length - n).iterator.map { i =>
+            GramEvent(graft.functions.TextAnalysis.gramChain(
+              th, i, n, graft.functions.TextAnalysis.GramSeedA),
+              docId, i + 1, ts)
+          }
         }
       }
       .withWatermark("ts", watermark)

@@ -131,6 +131,49 @@ class ExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (0 until 10).map(_.toString))
   }
 
+  test("gram_digests: position count, sequence identity, and agreement " +
+    "with a naive per-gram chain") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x a b c y"),
+      (4L, "a b"), (5L, "ab c d"), (6L, "a bc d"))
+    val n = 3
+    val got = rows.toDF("doc_id", "text")
+      .select($"doc_id", split(trim($"text"), " ").as("w"))
+      .filter(size($"w") >= n)
+      .select($"doc_id", posexplode(call_function("gram_digests", $"w", lit(n))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col.h1", $"col.h2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // naive reimplementation: token hashes via the same public kernels
+    import graft.functions.TextAnalysis._
+    def naive(text: String) = {
+      val w = text.split(" ")
+      val t1 = w.map(t => hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      val t2 = t1.map(h => mix64(h ^ GramTokenTweak))
+      (0 to w.length - n).map(i => (i + 1,
+        gramChain(t1, i, n, GramSeedA), gramChain(t2, i, n, GramSeedB)))
+    }
+    val want = rows.filter(_._2.split(" ").length >= n).flatMap { case (id, t) =>
+      naive(t).map { case (p, a, b) => (id, p, a, b) }
+    }
+    assert(got.sorted.toSeq == want.sorted)
+    // identical grams agree across documents; 4-gram of doc1 vs doc2
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(g => (g._3, g._4)).toSeq ==
+      byDoc(2L).map(g => (g._3, g._4)).toSeq)
+    // the shared "a b c" gram matches between doc 1 (pos 1) and doc 3 (pos 2)
+    assert(byDoc(1L).find(_._2 == 1).map(g => (g._3, g._4)) ==
+      byDoc(3L).find(_._2 == 2).map(g => (g._3, g._4)))
+    // token-boundary identity: ["ab","c","d"] must NOT collide with
+    // ["a","bc","d"] (sequences, not concatenations)
+    assert(byDoc(5L).map(g => (g._3, g._4)).toSet
+      .intersect(byDoc(6L).map(g => (g._3, g._4)).toSet).isEmpty)
+    // short docs are filtered by the caller; n > tokens yields no rows
+    assert(!byDoc.contains(4L))
+  }
+
   test("GraftExtensions registers functions at session build time") {
     val s2 = SparkSessionTestWrapper.session.newSession()
     // newSession shares extensions state; use withExtensions path instead:
