@@ -157,19 +157,17 @@ object Bench {
     // by design (it is a multi-minute-at-scale composed job, not a
     // per-query microbench); the surrounding loadavg stamps flag a
     // poisoned number.
-    val pipelines: Map[String, Double] = {
-      val out = java.nio.file.Files.createTempDirectory("graft-bench-curate")
+    def timePipeline(name: String, cli: java.nio.file.Path => Array[String])
+        : (String, Double) = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-bench-$name")
       try {
         val t0 = System.nanoTime()
-        graft.Main.main(Array("curateEmbeddings",
-          "--embeddings", s"$sfDir/embeddings.parquet",
-          "--output", out.toString, "--p", cpus, "--k", "8",
-          "--sample", "1000"))
-        Map("curate_embeddings" -> (System.nanoTime() - t0) / 1e9)
+        graft.Main.main(cli(out))
+        name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] curate_embeddings pipeline FAILED: $e")
+        System.err.println(s"[bench] $name pipeline FAILED: $e")
         e.printStackTrace()
-        Map("curate_embeddings" -> -1.0)
+        name -> -1.0
       } finally {
         // the curated parquet copy is timing scaffolding — do not leak a
         // corpus-sized directory into /tmp per bench invocation
@@ -180,6 +178,18 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
+    val pipelines: Map[String, Double] = Map(
+      // embedding curation: prune -> SemDeDup -> sample -> parquet
+      timePipeline("curate_embeddings", out => Array("curateEmbeddings",
+        "--embeddings", s"$sfDir/embeddings.parquet",
+        "--output", out.toString, "--p", cpus, "--k", "8",
+        "--sample", "1000")),
+      // text curation: quality gate -> exact dedup -> MinHash near-dup ->
+      // span strip -> parquet (the flagship text-pillar user command)
+      timePipeline("curate_text", out => Array("curate",
+        "--docs", s"$sfDir/documents.parquet",
+        "--output", out.toString, "--p", cpus,
+        "--near-dup-threshold", "0.7")))
 
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a

@@ -551,8 +551,8 @@ object Dedup {
     * per-document island aggregation. No pairwise blowup anywhere: unlike
     * LSH candidate pairing, a gram repeated 10^6 times contributes 10^6
     * rows, never 10^12 pairs, so no bucket cap is needed. Grams travel as
-    * md5 digests, not text: the shuffle stays narrow no matter how long
-    * the n-gram is. */
+    * 16-byte token-chain digests, not text: the shuffle stays narrow no
+    * matter how long the n-gram is. */
   /** (doc_id, pos, h): every word-n-gram start position with its digest —
     * a 128-bit struct(h1, h2) from the native
     * [[graft.functions.TextAnalysis.gramDigests]] kernel (1-based word
