@@ -219,15 +219,22 @@ case class GramDigests(words: Expression, n: Expression) extends Expression
 
   override def children: Seq[Expression] = Seq(words, n)
   override def dataType: DataType = GramDigests.Schema
-  override def nullable: Boolean = words.nullable
+  override def nullable: Boolean = words.nullable || n.nullable
   override def foldable: Boolean = children.forall(_.foldable)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val w = words.eval(input)
-    if (w == null) null
-    else TextAnalysis.gramDigests(
-      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      n.eval(input).asInstanceOf[Int])
+    val nv = n.eval(input)
+    // a null n must yield NULL per SQL semantics — asInstanceOf[Int] on a
+    // null box silently unboxes to 0, which would hand EVERY position the
+    // seed-constant digest and mark the whole corpus one duplicate
+    if (w == null || nv == null) null
+    else {
+      val nn = nv.asInstanceOf[Int]
+      require(nn >= 1, s"gram_digests: n must be >= 1, got $nn")
+      TextAnalysis.gramDigests(
+        w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nn)
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -34,9 +34,12 @@ object TextAnalysis {
 
   /** FNV-1a + avalanche over a UTF8String's raw bytes — the zero-copy
     * token hash of the span-dedup gram kernel ([[gramDigests]]). Byte-level
-    * (vs [[hashString]]'s UTF-16 code units), so it reads Spark's native
-    * string representation without decoding; the two surfaces never join
-    * on each other's digests. */
+    * (vs [[hashString]]'s UTF-16 code units — the two COINCIDE on pure
+    * ASCII, where code units equal bytes, and diverge on anything else);
+    * batch and streaming digests never join on each other, and the
+    * streaming lane additionally runs distinct chain seeds
+    * ([[StreamSeedA]]), so the surfaces cannot be conflated even on ASCII
+    * corpora. */
   def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val nb = s.numBytes()
     var h = 0xcbf29ce484222325L
@@ -65,9 +68,19 @@ object TextAnalysis {
   /** Chain seeds for the two independent digest lanes. */
   val GramSeedA = 0x9e3779b97f4a7c15L
   val GramSeedB = 0xc2b2ae3d27d4eb4fL
+  /** Streaming-suppressor chain seeds — deliberately DISTINCT from the
+    * batch seeds so streaming state keys never coincide with batch
+    * digests, even on ASCII corpora where [[hashUtf8]] and [[hashString]]
+    * agree per token. */
+  val StreamSeedA: Long = mix64(GramSeedA ^ 0x53L)
+  val StreamSeedB: Long = mix64(GramSeedB ^ 0x53L)
   /** Second-lane token-hash tweak (lane B re-mixes every token hash, so
     * the lanes differ in both token hashes AND seed). */
   val GramTokenTweak = 0x5851f42d4c957f2dL
+  /** Token hash for a null array element on the SQL surface of
+    * [[gramDigests]] — a fixed sentinel so the function is total (the
+    * internal span-dedup caller never produces nulls: split() cannot). */
+  val NullTokenHash: Long = mix64(0x6e756c6cL) // "null"
 
   /** Per-position word-n-gram digests of a tokenized document, as TWO
     * independent 64-bit chains (struct h1, h2 — effectively a 128-bit
@@ -95,8 +108,11 @@ object TextAnalysis {
     val t2 = new Array[Long](w)
     var i = 0
     while (i < w) {
-      // split() never yields null elements; empty tokens hash consistently
-      val h = hashUtf8(words.getUTF8String(i))
+      // the internal caller's split() never yields null elements, but the
+      // registered SQL function accepts arbitrary arrays — a null element
+      // hashes to a fixed sentinel instead of NPEing the query
+      val s = words.getUTF8String(i)
+      val h = if (s == null) NullTokenHash else hashUtf8(s)
       t1(i) = h
       t2(i) = mix64(h ^ GramTokenTweak)
       i += 1

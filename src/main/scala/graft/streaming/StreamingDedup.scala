@@ -310,8 +310,14 @@ object StreamingDedup {
       shingleN, numHashes, bands, stateTtlMs)((survivors, _) =>
       sink(survivors))
 
-  /** Gram occurrence heading into the first-claim state machine. */
-  final case class GramEvent(gramKey: Long, docId: Long, pos: Int,
+  /** Gram occurrence heading into the first-claim state machine. The key
+    * is the full 128-bit gram identity (two independent 64-bit chains,
+    * [[graft.functions.TextAnalysis.gramChain]] under the streaming
+    * seeds): this path feeds [[spanStrip]], i.e. actual text deletion, so
+    * it carries the same collision bound as the batch digests — one
+    * 64-bit lane alone would silently mark unique grams foreign once the
+    * in-TTL gram population reaches the billions. */
+  final case class GramEvent(k1: Long, k2: Long, docId: Long, pos: Int,
       ts: java.sql.Timestamp)
 
   /** A gram occurrence that duplicates an earlier-claimed gram. */
@@ -337,7 +343,14 @@ object StreamingDedup {
     * duplicate arriving after expiry passes (the same bounded-state tradeoff
     * as [[dedupExact]]). Marks carry (docId, pos) only: no document text
     * amplifies through the stateful shuffle (a W-word doc contributes ~W
-    * short events, the same volume the batch gram shuffle moves). */
+    * short events, the same volume the batch gram shuffle moves).
+    *
+    * UPGRADE NOTE: the state-key function changed in this version (joined-
+    * gram hashString -> per-token 128-bit chain). A checkpointed stream
+    * restarted across the change resumes without error but its pre-upgrade
+    * claims are keyed under the old scheme — they stop suppressing new
+    * arrivals and age out at the TTL. Restart from a fresh checkpoint for
+    * exact continuity. */
   def spanForeignMarks(docs: DataFrame, textCol: String, tsCol: String,
       idCol: String, n: Int = 8, watermark: String = "10 minutes",
       stateTtlMs: Long = 10 * 60 * 1000L): Dataset[ForeignGram] = {
@@ -346,7 +359,7 @@ object StreamingDedup {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    def mark(key: Long, rows: Iterator[GramEvent],
+    def mark(key: (Long, Long), rows: Iterator[GramEvent],
         state: GroupState[Boolean]): Iterator[ForeignGram] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val rs = rows.toVector
@@ -380,19 +393,23 @@ object StreamingDedup {
           .reverse.dropWhile(_ == ' ').reverse.split(" ")
         if (w.length < n) Iterator.empty
         else {
-          // per-token hashes once, then the shared batch gram chain
-          // (TextAnalysis.gramChain) per position — no per-gram string
-          // building, same shape as the batch kernel's lane A
-          val th = w.map(graft.functions.TextAnalysis.hashString)
+          // per-token hashes once, then the shared gram chain
+          // (TextAnalysis.gramChain) per position under BOTH streaming
+          // seeds — no per-gram string building, 128-bit identity like
+          // the batch kernel (this feeds text deletion)
+          import graft.functions.TextAnalysis
+          val t1 = w.map(TextAnalysis.hashString)
+          val t2 = t1.map(h => TextAnalysis.mix64(h ^ TextAnalysis.GramTokenTweak))
           (0 to w.length - n).iterator.map { i =>
-            GramEvent(graft.functions.TextAnalysis.gramChain(
-              th, i, n, graft.functions.TextAnalysis.GramSeedA),
+            GramEvent(
+              TextAnalysis.gramChain(t1, i, n, TextAnalysis.StreamSeedA),
+              TextAnalysis.gramChain(t2, i, n, TextAnalysis.StreamSeedB),
               docId, i + 1, ts)
           }
         }
       }
       .withWatermark("ts", watermark)
-      .groupByKey(_.gramKey)
+      .groupByKey(e => (e.k1, e.k2))
       .flatMapGroupsWithState[Boolean, ForeignGram](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(mark)
   }

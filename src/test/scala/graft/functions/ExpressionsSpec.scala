@@ -172,6 +172,28 @@ class ExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .intersect(byDoc(6L).map(g => (g._3, g._4)).toSet).isEmpty)
     // short docs are filtered by the caller; n > tokens yields no rows
     assert(!byDoc.contains(4L))
+    // KNOWN-ANSWER vector, derived by an independent Python
+    // reimplementation of FNV-1a-over-bytes + splitmix64 + the chain fold
+    // (not by these kernels) — pins the hash DEFINITION itself, so an
+    // off-by-one in hashUtf8/gramChain cannot cancel against a naive
+    // reimplementation built from the same kernels
+    assert(byDoc(1L).find(_._2 == 1).map(g => (g._3, g._4)).get ==
+      ((-4235485103605351373L, 3266950008819071677L)))
+    // null array elements on the SQL surface hash to the sentinel — total
+    // function, no NPE; null n yields NULL per SQL semantics
+    val withNull = spark.sql(
+      s"SELECT gram_digests(array('a', CAST(NULL AS STRING), 'b'), 2) AS g")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(withNull.length == 2)
+    val nullN = spark.sql(
+      "SELECT gram_digests(array('a','b'), CAST(NULL AS INT)) AS g")
+      .collect()(0)
+    assert(nullN.isNullAt(0), "null n must yield NULL, not seed digests")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT gram_digests(array('a','b'), 0)").collect()
+    }
+    assert(bad.getMessage.contains("n must be >= 1") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("n must be >= 1"))
   }
 
   test("GraftExtensions registers functions at session build time") {
