@@ -170,6 +170,33 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (1L, 8L, 0L, 8L, 0L), (2L, 8L, 0L, 8L, 0L), (3L, 10L, 10L, 0L, 1L)))
   }
 
+  test("duplicateSpans plan: dup-digest set broadcasts, exactly two " +
+    "shuffles (gram agg + per-doc window)") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val corpus = (0L until 100L).map { i =>
+      val unique = (0 until 20).map(j => s"u${i}_$j").mkString(" ")
+      if (i % 2 == 0) (i, s"$unique $boiler") else (i, unique)
+    }
+    val df = Dedup.duplicateSpans(ds(corpus), n)
+    df.collect() // finalize AQE so the executed plan is the real one
+    // the adaptive plan string carries BOTH the final and the initial
+    // plan — assert on the final section only
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the dup-digest join must be a broadcast join (AQE picks the build
+    // side by measured size) — a shuffled sort-merge join here would move
+    // the whole gram-position set a second time at corpus scale
+    assert(executed.contains("BroadcastHashJoin"),
+      s"dup-digest join is not broadcast:\n$executed")
+    // shuffle budget: one exchange for the gram-digest count aggregation,
+    // one to co-locate positions per document for the island window — a
+    // third exchange is a plan regression
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(executed).length
+    assert(shuffles <= 2, s"expected <= 2 shuffle exchanges, saw $shuffles:\n$executed")
+  }
+
   test("operator agrees with the brute-force oracle on a random dirty corpus") {
     // unique docs + shared prefixes + a boilerplate block injected into many
     val boiler = randomWords(15)
