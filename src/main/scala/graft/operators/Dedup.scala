@@ -310,7 +310,10 @@ object Dedup {
     def cut(df: DataFrame, names: (String, String)): DataFrame =
       spark.createDataset(df.as[(Long, Long)].rdd).toDF(names._1, names._2)
 
-    // normalized undirected edge set (src < dst), self-loops dropped
+    // normalized undirected edge set (src < dst), self-loops dropped.
+    // Ids must be integral: the RDD re-rooting upcasts through Long and
+    // fails LOUDLY on e.g. double ids (a silent cast would truncate and
+    // merge the wrong components).
     val g0 = pairs.select(
         least(col("id_a"), col("id_b")).as("src"),
         greatest(col("id_a"), col("id_b")).as("dst"))
@@ -454,6 +457,11 @@ object Dedup {
       g = cut(gNext, ("src", "dst"))
       total = cut(totalNext.select(col("id"), col("rep")), ("id", "rep"))
       iter += 1
+      // bounded trace (≤ maxIterations lines): the contracted-edge decay
+      // is THE convergence health signal at scale — a round that barely
+      // shrinks it flags pathological structure long before the bound hits
+      System.err.println(
+        s"[graft] connectedComponents round $iter: $gCount contracted edges remain")
     }
     // an un-converged exit means some components are still split across
     // labels — a WRONG ANSWER, not a tuning choice, so the default is to
