@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Volume-stress harness — the reproducible source of the dossier's
+  * at-volume evidence (docs/PLANS.md round-11 notes). Each subcommand
+  * generates a synthetic corpus with a CLOSED-FORM expected answer, runs
+  * the production operator well past the suite's fixture scale, asserts
+  * exactness (or a recall bound where the algorithm is approximate by
+  * design) and prints wall time. Not part of `sbt test` — run manually:
+  *
+  *   sbt "runMain graft.Stress cc"     # 5.1M-edge distributed CC
+  *   sbt "runMain graft.Stress span"   # 19.4M-gram span dedup
+  *   sbt "runMain graft.Stress emb"    # 100k-vector SemDeDup at k=512
+  *   sbt "runMain graft.Stress embblk" # same, adversarial block-id init
+  *   sbt "runMain graft.Stress lsh"    # 200k-doc MinHash-LSH decisions
+  *   sbt "runMain graft.Stress all"
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    which match {
+      case "cc" => cc(spark)
+      case "span" => span(spark)
+      case "emb" => emb(spark, interleaved = true)
+      case "embblk" => emb(spark, interleaved = false)
+      case "lsh" => lsh(spark)
+      case "all" =>
+        cc(spark); span(spark); emb(spark, interleaved = true)
+        emb(spark, interleaved = false); lsh(spark)
+      case other => sys.error(s"unknown stress '$other'")
+    }
+    spark.stop()
+  }
+
+  /** Distributed CC: 1000 diameter-5000 chains + 1000 100-node rings
+    * (5.1M edges), driver fast path disabled. Component = min id, closed
+    * form from the id — every label verified distributively. */
+  def cc(spark: SparkSession): Unit = {
+    val chains = 1000L
+    val perChain = 5000L
+    val chainEdges = spark.range(chains * perChain)
+      .filter(col("id") % perChain =!= 0)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+    val ringBase = chains * perChain
+    val rings = 1000L
+    val perRing = 100L
+    val ringEdges = spark.range(rings * perRing)
+      .select((col("id") + ringBase).as("id_a"),
+        (((col("id") + 1) % perRing) + expr(s"id div $perRing") * perRing +
+          ringBase).as("id_b"))
+    val edges = chainEdges.unionAll(ringEdges)
+    val scope = new operators.Dedup.CacheScope
+    val t0 = System.nanoTime()
+    val labels = operators.Dedup.connectedComponents(
+      edges, maxIterations = 16, scope = scope, localMaxEdges = 0L)
+    val wrong = labels.select(col("id"), col("cluster"),
+        when(col("id") < ringBase, expr(s"id div $perChain") * perChain)
+          .otherwise(expr(s"(id - $ringBase) div $perRing") * perRing + ringBase)
+          .as("want"))
+      .filter(col("cluster") =!= col("want")).count()
+    val n = labels.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    scope.release()
+    println(f"[stress cc] $n%d nodes: $secs%.1f s, wrong labels: $wrong")
+    assert(wrong == 0, s"$wrong wrong labels")
+  }
+
+  /** Span dedup: 200k docs x ~100 words (~19.4M gram positions), 30%
+    * carrying one shared 12-word boilerplate block; partial-overlap
+    * filler must NOT form 8-gram duplicates. Expected spans and removed
+    * words are exact. */
+  def span(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = 200000L
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        expr("transform(sequence(0, 87), j -> " +
+          "CASE WHEN j % 10 = 0 THEN concat('common', j % 7) " +
+          "ELSE concat('u', id, '_', j) END)"),
+        when(col("id") % 10 < 3, lit(boiler)).otherwise(
+          expr("concat_ws(' ', transform(sequence(0, 11), " +
+            "j -> concat('t', id, '_', j)))"))).as("text"))
+      .as[(Long, String)]
+    docs.cache().count()
+    val t0 = System.nanoTime()
+    val spans = operators.Dedup.duplicateSpans(docs, n = 8).cache()
+    spans.count()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val perDoc = spans.groupBy("doc_id").count()
+    val multi = perDoc.filter(col("count") > 1).count()
+    val docsWithSpan = perDoc.count()
+    val expectDocs = nDocs * 3 / 10
+    val t2t0 = System.nanoTime()
+    val removed = operators.Dedup.stripSpanStats(docs, n = 8)
+      .agg(sum("n_removed")).collect()(0).getLong(0)
+    val t2 = (System.nanoTime() - t2t0) / 1e9
+    spans.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    println(f"[stress span] $docsWithSpan%d span docs (want $expectDocs), " +
+      f"multi-span: $multi, duplicateSpans $t1%.1f s, stats $t2%.1f s, " +
+      s"removed $removed words")
+    assert(docsWithSpan == expectDocs && multi == 0 &&
+      removed == (expectDocs - 1) * 12)
+  }
+
+  /** Embedding pillar at SemDeDup-regime k: 100k 64-dim vectors = 2000
+    * planted directions x 50 jittered copies, k = 512, sample-bounded
+    * training. Interleaved ids: near-exact recovery (a direction exactly
+    * on a cluster boundary may split — clustering-dependent recall by
+    * design). Block ids: adversarial first-k init, recall bound 99%. */
+  def emb(spark: SparkSession, interleaved: Boolean): Unit = {
+    import spark.implicits._
+    val dirs = 2000
+    val copies = 50
+    val dim = 64
+    val embDf = spark.range(dirs.toLong * copies).map { id =>
+      val d = if (interleaved) (id % dirs).toInt else (id / copies).toInt
+      var s = d.toLong * 6364136223846793005L + 1442695040888963407L
+      val base = Array.tabulate(dim) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+      var t = id * 2862933555777941757L + 3037000493L
+      val v = base.map { x =>
+        t = t * 2862933555777941757L + 3037000493L
+        x + ((t >>> 40).toInt % 5 - 2) / 1000f
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding").cache()
+    embDf.count()
+    val k = 512
+    val scope = new operators.Dedup.CacheScope
+    val t0 = System.nanoTime()
+    val keepers = operators.Clustering.semanticDecisions(
+        embDf, k, iters = 3, tau = 0.95, scope = scope,
+        trainN = Some(1 << 14))
+      .filter(col("keep")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    scope.release()
+    embDf.unpersist(blocking = false)
+    val mode = if (interleaved) "interleaved" else "block(adversarial)"
+    val recall = (dirs.toLong * copies - keepers).toDouble /
+      (dirs.toLong * copies - dirs)
+    println(f"[stress emb/$mode] $keepers keepers of ${dirs * copies}, " +
+      f"removal recall $recall%.4f, $secs%.1f s (k=$k)")
+    if (interleaved)
+      assert(keepers >= dirs && keepers <= dirs + dirs / 100, s"$keepers")
+    else assert(recall > 0.99, s"recall $recall")
+  }
+
+  /** MinHash-LSH dedup decisions: 200k docs = 20k planted near-dup groups
+    * x 5 copies (shingle Jaccard ~0.86) + 100k uniques. 64 hashes /
+    * 16 bands catch essentially every group; uniques have disjoint
+    * shingles, so the expected cluster structure is exact. */
+  def lsh(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val groups = 20000L
+    val copies = 5L
+    val uniques = 100000L
+    val dupDocs = spark.range(groups * copies).select(col("id"),
+      expr(s"id div $copies").as("g"), (col("id") % copies).as("c"))
+      .select(col("id"),
+        concat_ws(" ",
+          expr("transform(sequence(0, 59), j -> concat('g', g, '_', j))"),
+          expr("concat('v', c, 'a')"), expr("concat('v', c, 'b')")).as("text"))
+    val uniqueDocs = spark.range(uniques)
+      .select((col("id") + groups * copies).as("id"),
+        expr("concat_ws(' ', transform(sequence(0, 61), " +
+          "j -> concat('u', id, '_', j)))").as("text"))
+    val docs = dupDocs.unionByName(uniqueDocs)
+      .select(col("id").as("_1"), col("text").as("_2"))
+      .as[(Long, String)].cache()
+    docs.count()
+    val scope = new operators.Dedup.CacheScope
+    val t0 = System.nanoTime()
+    val dec = operators.Dedup.dedupDecisions(docs, scope = scope).cache()
+    val clusters = dec.agg(countDistinct("cluster")).collect()(0).getLong(0)
+    val members = dec.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    dec.unpersist(blocking = false)
+    scope.release()
+    docs.unpersist(blocking = false)
+    println(f"[stress lsh] members $members, clusters $clusters, $secs%.1f s")
+    assert(clusters == groups && members == groups * copies)
+  }
+}
