@@ -32,9 +32,10 @@ object Stress {
       case "emb" => emb(spark, interleaved = true)
       case "embblk" => emb(spark, interleaved = false)
       case "lsh" => lsh(spark)
+      case "knn" => knn(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
-        emb(spark, interleaved = false); lsh(spark)
+        emb(spark, interleaved = false); lsh(spark); knn(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
     spark.stop()
@@ -155,6 +156,69 @@ object Stress {
     if (interleaved)
       assert(keepers >= dirs && keepers <= dirs + dirs / 100, s"$keepers")
     else assert(recall > 0.99, s"recall $recall")
+  }
+
+  /** ANN at volume: 100k 64-dim base vectors with CLUSTER structure (1000
+    * planted centers x 100 members, 15% jitter — real embeddings live on
+    * clustered manifolds; uniform-random vectors are ANN's pathological
+    * no-structure case where any cell/code partition is uninformative),
+    * 100 queries drawn from the base. IVF (64 cells, 8 probes) and PQ
+    * (8 subspaces x 16 centroids, rerank 64) top-10 measured against the
+    * exact brute-force top-10 — recall bounds asserted, all three wall
+    * times printed. */
+  def knn(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nBase = 100000L
+    val centers = 1000
+    val dim = 64
+    val base = spark.range(nBase).map { id =>
+      val c = (id % centers).toInt
+      var s = c.toLong * 6364136223846793005L + 1442695040888963407L
+      val ctr = Array.tabulate(dim) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+      var t = id * 2862933555777941757L + 3037000493L
+      val v = ctr.map { x =>
+        t = t * 2862933555777941757L + 3037000493L
+        x + ((t >>> 40).toInt % 301 - 150) / 1000f
+      }
+      (id, v)
+    }.toDF("_1", "_2").as[(Long, Array[Float])].cache()
+    base.count()
+    val queries = base.filter(_._1 % 1000 == 0).cache() // 100 queries
+    queries.count()
+    val k = 10
+    def topkMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tb0 = System.nanoTime()
+    val brute = topkMap(operators.Similarity.bruteForceKnn(
+        queries.toDF("id", "vec"), base.toDF("id", "vec"), k)
+      .select("qid", "nid"))
+    val tBrute = (System.nanoTime() - tb0) / 1e9
+    val ti0 = System.nanoTime()
+    val ivf = topkMap(operators.Similarity.ivfKnn(queries, base, k,
+        nCells = 64, nProbe = 8).select("qid", "nid"))
+    val tIvf = (System.nanoTime() - ti0) / 1e9
+    val tp0 = System.nanoTime()
+    val pq = topkMap(operators.Similarity.pqKnn(queries, base, k,
+        rerank = 64).select("qid", "nid"))
+    val tPq = (System.nanoTime() - tp0) / 1e9
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = brute.toSeq.map { case (q, want) =>
+        approx.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }
+      hits.sum / hits.size
+    }
+    val rIvf = recall(ivf)
+    val rPq = recall(pq)
+    base.unpersist(blocking = false)
+    queries.unpersist(blocking = false)
+    println(f"[stress knn] brute $tBrute%.1f s; ivf $tIvf%.1f s " +
+      f"recall@$k $rIvf%.3f; pq $tPq%.1f s recall@$k $rPq%.3f")
+    assert(rIvf >= 0.8, s"ivf recall $rIvf")
+    assert(rPq >= 0.6, s"pq recall $rPq")
   }
 
   /** MinHash-LSH dedup decisions: 200k docs = 20k planted near-dup groups
