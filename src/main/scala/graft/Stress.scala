@@ -33,9 +33,11 @@ object Stress {
       case "embblk" => emb(spark, interleaved = false)
       case "lsh" => lsh(spark)
       case "knn" => knn(spark)
+      case "stream" => stream(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
         emb(spark, interleaved = false); lsh(spark); knn(spark)
+        stream(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
     spark.stop()
@@ -219,6 +221,58 @@ object Stress {
       f"recall@$k $rIvf%.3f; pq $tPq%.1f s recall@$k $rPq%.3f")
     assert(rIvf >= 0.8, s"ivf recall $rIvf")
     assert(rPq >= 0.6, s"pq recall $rPq")
+  }
+
+  /** Streaming near-dup suppression at volume: 4 triggers x 25k docs
+    * through [[graft.streaming.StreamingDedup.dedupNear]]. Trigger 1
+    * carries 5k "base" docs + 20k uniques; triggers 2-4 each carry 20k
+    * uniques + 5k near-copies of trigger-1 bases (2 of 62 words differ,
+    * shingle Jaccard ~0.86 — each band matches w.p. ~0.55, so a copy
+    * escaping all 16 bands is ~3e-6). Expected survivors: 25k + 3x20k,
+    * with a tiny LSH-probabilistic slack. Exercises the stateful band
+    * shuffle and cross-trigger ownership at ~400k band events/trigger. */
+  def stream(spark: SparkSession): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val survivors = new java.util.concurrent.atomic.AtomicLong
+    val writer = graft.streaming.StreamingDedup.dedupNear(
+      ms.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "doc_id",
+      watermark = "60 minutes", stateTtlMs = 60 * 60 * 1000L) { batch =>
+      survivors.addAndGet(batch.count())
+    }
+    val bases = 5000
+    val uniquesPerTrigger = 20000
+    def baseText(b: Int): String =
+      (0 until 60).map(j => s"g${b}_$j").mkString(" ")
+    def docsFor(t: Int): Seq[(java.sql.Timestamp, Long, String)] = {
+      val t0 = 1700000000000L + t * 600000L
+      val idBase = t.toLong * 25000L
+      val dups = (0 until bases).map { b =>
+        (new java.sql.Timestamp(t0 + b), idBase + b,
+          s"${baseText(b)} v${t}a v${t}b")
+      }
+      val uniq = (0 until uniquesPerTrigger).map { i =>
+        val id = idBase + bases + i
+        (new java.sql.Timestamp(t0 + bases + i), id,
+          (0 until 62).map(j => s"u${id}_$j").mkString(" "))
+      }
+      dups ++ uniq
+    }
+    val query = writer.start()
+    val t0 = System.nanoTime()
+    try {
+      for (t <- 0 until 4) {
+        ms.addData(docsFor(t))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val got = survivors.get()
+    val want = 25000L + 3L * uniquesPerTrigger
+    println(f"[stress stream] survivors $got (want ~$want), 4 triggers, $secs%.1f s")
+    assert(math.abs(got - want) <= 20, s"survivors $got vs $want")
   }
 
   /** MinHash-LSH dedup decisions: 200k docs = 20k planted near-dup groups
