@@ -34,10 +34,11 @@ object Stress {
       case "lsh" => lsh(spark)
       case "knn" => knn(spark)
       case "stream" => stream(spark)
+      case "classify" => classify(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
         emb(spark, interleaved = false); lsh(spark); knn(spark)
-        stream(spark)
+        stream(spark); classify(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
     spark.stop()
@@ -221,6 +222,73 @@ object Stress {
       f"recall@$k $rIvf%.3f; pq $tPq%.1f s recall@$k $rPq%.3f")
     assert(rIvf >= 0.8, s"ivf recall $rIvf")
     assert(rPq >= 0.6, s"pq recall $rPq")
+  }
+
+  /** Genomic classify at volume with closed-form truth: 500 leaf taxa
+    * with DISTINCT random 20 kb genomes (10 MB library), 200k 150 bp
+    * reads cut from known genomes at known offsets. Build the bucketed
+    * minimizer->LCA index with the default Kraken 2 parameters, classify
+    * through the one-sided bucketed join, and require every classified
+    * read to land on its source taxon or an ancestor (the reference's own
+    * acceptance criterion), with >= 99% exact source hits — chance 31-mer
+    * collisions between random genomes are the only lift source. */
+  def classify(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nTaxa = 500
+    val genomeLen = 20000
+    val nReads = 200000L
+    val readLen = 150
+    val tax = taxa.Taxonomy.fromTuples((2 to nTaxa + 1).map(i =>
+      (i, 1, "species", s"s$i")))
+    def dna(taxon: Int): String = {
+      var s = taxon.toLong * 6364136223846793005L + 1442695040888963407L
+      val sb = new StringBuilder(genomeLen)
+      var i = 0
+      while (i < genomeLen) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        sb.append("ACGT"(((s >>> 40) & 3L).toInt))
+        i += 1
+      }
+      sb.toString
+    }
+    val genomes = (2 to nTaxa + 1).map(t => (t, dna(t)))
+    val bcGen = spark.sparkContext.broadcast(genomes.toArray)
+    val params = index.IndexParams(buckets = 32)
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val idx = new index.MinimizerIndex(params, bcTax)
+    val tb0 = System.nanoTime()
+    val records = idx.makeRecords(
+      spark.createDataset(genomes)).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRec = records.count()
+    val tBuild = (System.nanoTime() - tb0) / 1e9
+    val reads = spark.range(nReads).map { r =>
+      val gs = bcGen.value
+      val g = (r % gs.length).toInt
+      val off = ((r * 2654435761L) % (genomeLen - readLen)).toInt
+      sources.InputFragment(s"r$r src${gs(g)._1}", r,
+        gs(g)._2.substring(off, off + readLen), None)
+    }
+    val tc0 = System.nanoTime()
+    val out = idx.classify(idx.spans(reads), records)
+      .select(col("title"), col("classified"), col("taxon"))
+      .as[(String, Boolean, Int)]
+      .map { case (title, classified, taxon) =>
+        val src = title.split(" src")(1).toInt
+        (if (classified && taxon == src) 1 else 0,
+          if (classified && (taxon == src || taxon == 1)) 1 else 0, 1)
+      }
+      .toDF("exact", "ok", "n")
+      .agg(sum("exact"), sum("ok"), sum("n")).collect()(0)
+    val tClassify = (System.nanoTime() - tc0) / 1e9
+    records.unpersist(blocking = false)
+    val (exact, ok, n) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    println(f"[stress classify] $nRec%d records built $tBuild%.1f s; " +
+      f"$n%d reads classified $tClassify%.1f s; exact ${exact.toDouble / n}%.4f, " +
+      f"source-or-ancestor ${ok.toDouble / n}%.4f")
+    assert(n == nReads, s"classified $n of $nReads")
+    assert(ok == n, s"${n - ok} reads landed outside their source lineage")
+    assert(exact.toDouble / n >= 0.99, s"exact fraction ${exact.toDouble / n}")
   }
 
   /** Streaming near-dup suppression at volume: 4 triggers x 25k docs
