@@ -91,7 +91,7 @@ object Main {
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
         "min-alpha", "near-dup-threshold", "span-n")),
       "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
-        "iters", "tau", "max-cluster-pop", "sample", "train")))
+        "iters", "tau", "max-cluster-pop", "sample", "train", "init")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1078,6 +1078,16 @@ object Main {
           })
         require(trainN.forall(_ > 0),
           s"--train must be a positive integer or 'off', got '$trainOpt'")
+        // --init scatter draws the Lloyd's init (and the --train sample)
+        // from the (md5(vec_id), vec_id) permutation — the robust setting
+        // when ids are block-contiguous per source shard; 'first' (default)
+        // keeps the c01-oracled smallest-ids ordering
+        val scatter = opts.getOrElse("init", "first") match {
+          case "first" => false
+          case "scatter" => true
+          case other => throw new IllegalArgumentException(
+            s"--init must be 'first' or 'scatter', got '$other'")
+        }
         // the stage caches release in finally: ANY stage failure (bad
         // schema, write error) must not leak pinned blocks into a reused
         // session — the CliSpec hygiene check covers both paths
@@ -1097,7 +1107,7 @@ object Main {
           // stage 1: prune vectors beyond mean + 2*sigma of their centroid
           val k1 = math.min(math.min(k.toLong, nIn), kCap).toInt
           pruned = graft.operators.Clustering
-            .centroidOutliers(emb, k1, iters, trainN)
+            .centroidOutliers(emb, k1, iters, trainN, scatter)
             .filter(!col("outlier")).select(col("vec_id"))
             .join(emb, Seq("vec_id"))
             .persist(lvl)
@@ -1106,7 +1116,7 @@ object Main {
           val k2 = math.min(math.min(k.toLong, nPruned), kCap).toInt
           kept = graft.operators.Clustering
             .semanticDecisions(pruned, k2, iters, tau, scope = scope,
-              maxClusterPop = cap, trainN = trainN)
+              maxClusterPop = cap, trainN = trainN, scatter = scatter)
             .filter(col("keep")).select(col("vec_id"), col("cluster"))
             .join(pruned, Seq("vec_id"))
             .persist(lvl)
@@ -1119,7 +1129,7 @@ object Main {
               val k3 = math.min(math.min(k.toLong, nKept), kCap).toInt
               graft.operators.Clustering
                 .clusterSample(kept.select(col("vec_id"), col("embedding")),
-                  k3, iters, total, trainN)
+                  k3, iters, total, trainN, scatter)
                 .select(col("vec_id"))
                 .join(kept, Seq("vec_id"))
                 .select(col("vec_id"), col("embedding"))

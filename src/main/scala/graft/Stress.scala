@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.Stress cc"     # 5.1M-edge distributed CC
   *   sbt "runMain graft.Stress span"   # 19.4M-gram span dedup
-  *   sbt "runMain graft.Stress emb"    # 100k-vector SemDeDup at k=512
-  *   sbt "runMain graft.Stress embblk" # same, adversarial block-id init
-  *   sbt "runMain graft.Stress lsh"    # 200k-doc MinHash-LSH decisions
+  *   sbt "runMain graft.Stress emb"     # 100k-vector SemDeDup at k=512
+  *   sbt "runMain graft.Stress embblk"  # same, adversarial block-id layout
+  *   sbt "runMain graft.Stress embscat" # block ids + scatter init (recovery)
+  *   sbt "runMain graft.Stress lsh"     # 200k-doc MinHash-LSH decisions
   *   sbt "runMain graft.Stress all"
   */
 object Stress {
@@ -31,13 +32,16 @@ object Stress {
       case "span" => span(spark)
       case "emb" => emb(spark, interleaved = true)
       case "embblk" => emb(spark, interleaved = false)
+      case "embscat" => emb(spark, interleaved = false, scatter = true)
       case "lsh" => lsh(spark)
       case "knn" => knn(spark)
       case "stream" => stream(spark)
       case "classify" => classify(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
-        emb(spark, interleaved = false); lsh(spark); knn(spark)
+        emb(spark, interleaved = false)
+        emb(spark, interleaved = false, scatter = true)
+        lsh(spark); knn(spark)
         stream(spark); classify(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
@@ -120,8 +124,12 @@ object Stress {
     * planted directions x 50 jittered copies, k = 512, sample-bounded
     * training. Interleaved ids: near-exact recovery (a direction exactly
     * on a cluster boundary may split — clustering-dependent recall by
-    * design). Block ids: adversarial first-k init, recall bound 99%. */
-  def emb(spark: SparkSession, interleaved: Boolean): Unit = {
+    * design). Block ids: adversarial first-k init, recall bound 99%.
+    * Block ids + scatter init: the hash-scattered permutation must restore
+    * the interleaved-grade init (recall bound back to 99.9%), since under
+    * md5 order the block layout is invisible. */
+  def emb(spark: SparkSession, interleaved: Boolean,
+      scatter: Boolean = false): Unit = {
     import spark.implicits._
     val dirs = 2000
     val copies = 50
@@ -146,18 +154,20 @@ object Stress {
     val t0 = System.nanoTime()
     val keepers = operators.Clustering.semanticDecisions(
         embDf, k, iters = 3, tau = 0.95, scope = scope,
-        trainN = Some(1 << 14))
+        trainN = Some(1 << 14), scatter = scatter)
       .filter(col("keep")).count()
     val secs = (System.nanoTime() - t0) / 1e9
     scope.release()
     embDf.unpersist(blocking = false)
-    val mode = if (interleaved) "interleaved" else "block(adversarial)"
+    val mode = (if (interleaved) "interleaved" else "block(adversarial)") +
+      (if (scatter) "+scatter" else "")
     val recall = (dirs.toLong * copies - keepers).toDouble /
       (dirs.toLong * copies - dirs)
     println(f"[stress emb/$mode] $keepers keepers of ${dirs * copies}, " +
       f"removal recall $recall%.4f, $secs%.1f s (k=$k)")
-    if (interleaved)
-      assert(keepers >= dirs && keepers <= dirs + dirs / 100, s"$keepers")
+    assert(keepers >= dirs, s"over-merged: $keepers keepers < $dirs directions")
+    if (interleaved || scatter)
+      assert(recall > 0.999, s"recall $recall")
     else assert(recall > 0.99, s"recall $recall")
   }
 

@@ -45,6 +45,28 @@ object Clustering {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * Quantum + lit(0.5)).cast("long"))
 
+  /** The deterministic ordering Lloyd's init and the trainN sample draw
+    * from. Default (`scatter = false`): smallest vec_ids — cheap, and on
+    * naturally interleaved corpora the first k rows span the data. Scatter
+    * (`scatter = true`): (md5(vec_id), vec_id) — a deterministic PSEUDO-
+    * RANDOM permutation, so the init/sample is uniform over the corpus no
+    * matter how ids are laid out. The failure mode it closes is measured in
+    * the dossier (`graft.Stress embblk`): with BLOCK-CONTIGUOUS ids (all
+    * copies of a direction adjacent — e.g. ids assigned per source shard)
+    * the first-k init seeds every centroid from a handful of directions,
+    * degrading SemDeDup recall and inflating within-cluster pair cost.
+    * Same hash gate family as [[clusterSample]]'s member ranking; both
+    * engines derive identical hex strings, so scatter lanes stay exactly
+    * oracle-able (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id`). */
+  private[operators] def initOrder(scatter: Boolean): Seq[Column] =
+    if (scatter)
+      Seq(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    else Seq(col("vec_id"))
+
+  /** The DuckDB text of [[initOrder]]. */
+  private[operators] def initOrderSql(scatter: Boolean): String =
+    if (scatter) "md5(CAST(vec_id AS VARCHAR)), vec_id" else "vec_id"
+
   /** argmin over centroids as struct(dist, cluster): smallest exact squared
     * L2 distance, then smallest cluster index — a total, engine-independent
     * order, evaluated by the native [[graft.functions.ArgminCentroids]]
@@ -60,12 +82,18 @@ object Clustering {
         org.apache.spark.sql.graft.ColumnBridge.expression(qv), bc))
 
   /** Lloyd's iterations; returns the centroids after `iters` updates.
-    * Init = the quantized vectors of the k smallest vec_ids. Empty clusters
-    * keep their previous centroid. `q` must have columns (vec_id, qv). */
-  def kmeansCentroids(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    * Init = the quantized vectors of the k first rows under [[initOrder]]
+    * (smallest vec_ids by default; hash-scattered with `scatter`). Empty
+    * clusters keep their previous centroid. `q` must have columns
+    * (vec_id, qv). */
+  def kmeansCentroids(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
+    kmeansCentroids(q, k, iters, scatter = false)
+
+  def kmeansCentroids(q: DataFrame, k: Int, iters: Int,
+      scatter: Boolean): Array[Array[Long]] = {
     val spark = q.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+    var cents: Array[Array[Long]] = q.orderBy(initOrder(scatter): _*).limit(k)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
     VectorSumAggregate.register(spark, dim = cents.head.length)
@@ -103,15 +131,20 @@ object Clustering {
     * ASSIGNMENT pass always covers every vector, and the sort/limit sample
     * is deterministic in the ids, so the whole lane still carries an exact
     * DuckDB oracle (`kmeansSqlCtes(trainN = ...)`, lane c05). `None` (the
-    * default) trains on the full corpus — the c01–c04 contract, unchanged. */
+    * default) trains on the full corpus — the c01–c04 contract, unchanged.
+    *
+    * `scatter` switches the init (and, with `trainN`, the training sample)
+    * to the hash-scattered ordering — see [[initOrder]] for when and why;
+    * the scattered path is equally exact (oracle lane c06). */
   def assignments(emb: DataFrame, k: Int, iters: Int,
-      trainN: Option[Int] = None): DataFrame = {
+      trainN: Option[Int] = None, scatter: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val q0 = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val train = trainN.map(t => q0.sort("vec_id").limit(t)).getOrElse(q0)
+    val train = trainN.map(t => q0.sort(initOrder(scatter): _*).limit(t))
+      .getOrElse(q0)
     val cached = train.persist(StorageLevel.MEMORY_AND_DISK)
     val cents =
-      try kmeansCentroids(cached, k, iters)
+      try kmeansCentroids(cached, k, iters, scatter)
       finally cached.unpersist(blocking = false)
     val bc = emb.sparkSession.sparkContext.broadcast(cents)
     q0.select(col("vec_id"), col("qv"),
@@ -170,12 +203,12 @@ object Clustering {
   def semanticDecisions(emb: DataFrame, k: Int, iters: Int, tau: Double,
       scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged,
       maxClusterPop: Int = DefaultMaxClusterPop,
-      trainN: Option[Int] = None): DataFrame = {
+      trainN: Option[Int] = None, scatter: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // dot_long is the codegen'd exact kernel (one static call per candidate
     // pair) — the HOF zip_with/aggregate chain would allocate a zipped array
     // per pair evaluation on the quadratic within-cluster path
-    val asg = scope.track(assignments(emb, k, iters, trainN)
+    val asg = scope.track(assignments(emb, k, iters, trainN, scatter)
       .withColumn("nsq", call_function("dot_long", col("qv"), col("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK))
     // the sub-bucket column is a narrow decoration over the cached
@@ -217,9 +250,10 @@ object Clustering {
     * recomputes the (narrow) assignment map once when materialized — no
     * pinned blocks escape. */
   def clusterSample(emb: DataFrame, k: Int, iters: Int, total: Int,
-      trainN: Option[Int] = None): DataFrame = {
+      trainN: Option[Int] = None, scatter: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
-    val asg = assignments(emb, k, iters, trainN).select("vec_id", "cluster")
+    val asg = assignments(emb, k, iters, trainN, scatter)
+      .select("vec_id", "cluster")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = asg.groupBy("cluster").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -263,8 +297,9 @@ object Clustering {
     * back onto the assignment scan; the k-means driver loop runs once
     * (centroids are literals in both branches). */
   def centroidOutliers(emb: DataFrame, k: Int, iters: Int,
-      trainN: Option[Int] = None): DataFrame = {
-    val asg = assignments(emb, k, iters, trainN).select("vec_id", "cluster", "dist")
+      trainN: Option[Int] = None, scatter: Boolean = false): DataFrame = {
+    val asg = assignments(emb, k, iters, trainN, scatter)
+      .select("vec_id", "cluster", "dist")
     val d = col("dist").cast("decimal(38,0)")
     val stats = asg.groupBy("cluster").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -295,16 +330,24 @@ object Clustering {
     * assigns EVERY vector — re-deriving [[Similarity.ivfKnn]]'s
     * sample-bounded quantizer training. `trainN = None` generates the
     * exact full-corpus text the c01–c04 oracles embed. */
-  def kmeansSqlCtes(k: Int, iters: Int, dim: Int, trainN: Option[Int]): String = {
+  def kmeansSqlCtes(k: Int, iters: Int, dim: Int, trainN: Option[Int]): String =
+    kmeansSqlCtes(k, iters, dim, trainN, scatter = false)
+
+  /** As above with `scatter`: the training sample and init order by
+    * (md5(vec_id), vec_id) — re-deriving [[initOrder]]'s hash-scattered
+    * permutation in SQL (lane c06). */
+  def kmeansSqlCtes(k: Int, iters: Int, dim: Int, trainN: Option[Int],
+      scatter: Boolean): String = {
     val src = if (trainN.isDefined) "samp" else "q"
+    val ord = initOrderSql(scatter)
     val sampCte = trainN.map(t =>
-      s"""samp AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $t),
+      s"""samp AS (SELECT vec_id, v FROM q ORDER BY $ord LIMIT $t),
          |""".stripMargin).getOrElse("")
     s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * $Quantum + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
-       |$sampCte${lloydCtes("", src, k, iters, dim)},
+       |$sampCte${lloydCtes("", src, k, iters, dim, ord)},
        |${lloydAssignCte("asg", "q", s"c$iters")}""".stripMargin
   }
 
@@ -331,9 +374,10 @@ object Clustering {
     * integer sum, round-half-up update, empty-cluster coalesce). The final
     * codebook CTE is `${prefix}c$iters`. One generator for every oracle
     * that trains k-means — full-corpus (kmeansSqlCtes, prefix "") and
-    * per-subspace PQ (pqCtes, prefix "s<i>"). */
+    * per-subspace PQ (pqCtes, prefix "s<i>"). `initOrd` is the init
+    * ordering text ([[initOrderSql]]). */
   private[operators] def lloydCtes(prefix: String, src: String, k: Int,
-      iters: Int, dim: Int): String = {
+      iters: Int, dim: Int, initOrd: String = "vec_id"): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"${prefix}c${i - 1}"
       s"""${lloydAssignCte(s"${prefix}a$i", src, prev)},
@@ -351,8 +395,8 @@ object Clustering {
     }
     val init =
       s"""${prefix}c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
-         |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cid, v AS m
+         |  FROM (SELECT vec_id, v FROM $src ORDER BY $initOrd LIMIT $k))""".stripMargin
     // iters = 0 (assignment under the raw init, a case the Spark side
     // supports) must not leave a dangling comma after the init CTE
     (init +: rounds).mkString(",\n")
@@ -503,6 +547,25 @@ object Clustering {
         .orderBy("vec_id")
     }, Some(
       s"""${kmeansSqlCtes(K, Iters, 64, trainN = Some(TrainBound))}
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+         |FROM asg ORDER BY 1""".stripMargin)),
+
+    // ---- hash-scattered init + training sample: the Lloyd's init and the
+    // trainN sample draw from the (md5(vec_id), vec_id) permutation instead
+    // of the smallest ids — immune to block-contiguous id layouts that
+    // collapse the first-k init onto a few near-duplicate directions (the
+    // dossier's measured adversarial case). Still exactly oracle-able:
+    // DuckDB derives the identical hex ordering ----
+    Q("c06_kmeans_scatter", (s, dir) => {
+      assignments(t(s, dir, "embeddings"), K, Iters,
+          trainN = Some(TrainBound), scatter = true)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""${kmeansSqlCtes(K, Iters, 64, trainN = Some(TrainBound), scatter = true)}
          |SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |  CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
          |FROM asg ORDER BY 1""".stripMargin))

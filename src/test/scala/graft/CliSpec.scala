@@ -1146,6 +1146,36 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("--train"))
   }
 
+  test("CLI: curateEmbeddings --init scatter runs end to end and rejects " +
+    "an unknown init up front") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-emb-init")
+    def rand(seed: Long): Array[Float] = {
+      var s = graft.functions.TextAnalysis.mix64(seed)
+      Array.tabulate(64) { _ =>
+        s = graft.functions.TextAnalysis.mix64(s)
+        (s >> 11).toFloat / (1L << 52).toFloat
+      }
+    }
+    spark.createDataset((0L until 40L).map(i => (i, rand(i + 900L))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curateEmbeddings",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", out, "--p", "4", "--k", "4", "--init", "scatter"))
+    val kept = spark.read.parquet(out + "/embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf((0L until 40L).toSet))
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curateEmbeddings",
+        "--embeddings", dir.resolve("emb.parquet").toString,
+        "--output", dir.resolve("out2").toString, "--p", "4",
+        "--init", "random"))
+    }
+    assert(e.getMessage.contains("--init"))
+  }
+
   test("CLI: curateEmbeddings clamps k to a tiny surviving population") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cli-curate-emb-tiny")

@@ -245,15 +245,87 @@ class ClusteringSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the 40-id bound must actually change the centroids on this data")
   }
 
+  test("scatter init equals first-k init over hash-rank-relabelled ids") {
+    // scatter = init (and sample) drawn from the (md5(vec_id), vec_id)
+    // permutation. Relabelling every vec_id by its hash RANK turns that
+    // permutation into the plain id order, so kmeansCentroids(scatter)
+    // on the original ids must emit byte-identical centroids to
+    // kmeansCentroids(first) on the relabelled frame — pinning the exact
+    // ordering the c06 oracle re-derives in SQL
+    import spark.implicits._
+    val rows = (0L until 90L).map(i => (i, blob((i % 5).toFloat - 2f, i)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val rank = rows.map(_._1).sortBy(id => (hex(id), id)).zipWithIndex.toMap
+    val q = embDf(rows).select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("qv"))
+    val relabelled = rows.map { case (id, v) => (rank(id).toLong, v) }
+    val qRel = embDf(relabelled).select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("qv"))
+    val got = Clustering.kmeansCentroids(q, k = 6, iters = 2, scatter = true)
+    val want = Clustering.kmeansCentroids(qRel, k = 6, iters = 2)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("scatter init recovers a block-contiguous planting the first-k init " +
+    "degrades on") {
+    // 50 well-separated directions x 20 BLOCK-CONTIGUOUS copies (all copies
+    // of a direction adjacent in id space — the per-source-shard layout).
+    // First-k init sees only directions 0-2; scatter draws a pseudo-random
+    // 50 of the 1000 ids. SemDeDup should keep ~1 representative per
+    // direction; count how many extra duplicates each init leaves behind.
+    val dirs = 50
+    val copies = 20
+    val rows = (0L until (dirs * copies).toLong).map { id =>
+      val d = (id / copies).toInt
+      // distinct direction per d: a signed jittered blob around a
+      // direction-specific center pattern (blob() already varies per id;
+      // vary the center per direction so directions are well separated)
+      var s = d.toLong * 2862933555777941757L + 3037000493L
+      val center = Array.tabulate(dim) { _ =>
+        s = s * 2862933555777941757L + 3037000493L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+      var t = id * 6364136223846793005L + 1442695040888963407L
+      (id, center.map { x =>
+        t = t * 6364136223846793005L + 1442695040888963407L
+        x + ((t >>> 40).toInt % 5 - 2) / 1000f
+      })
+    }
+    def keepers(scatter: Boolean): Long = {
+      val scope = new Dedup.CacheScope
+      try Clustering.semanticDecisions(embDf(rows), k = dirs, iters = 3,
+          tau = 0.95, scope = scope, scatter = scatter)
+        .filter(col("keep")).count()
+      finally scope.release()
+    }
+    val first = keepers(scatter = false)
+    val scat = keepers(scatter = true)
+    info(s"keepers: first-k $first, scatter $scat (ideal $dirs)")
+    // ideal = 50 keepers; every keeper beyond that is a missed duplicate.
+    // At k == dirs exactly the 50 scattered draws cover ~32 distinct
+    // directions (coupon collector), so a small split tail remains — the
+    // property under test is the strict, large improvement over the
+    // collapsed first-k init, not perfection at the tightest possible k
+    assert(scat >= dirs, s"over-merged: $scat")
+    assert(scat < first,
+      s"scatter ($scat keepers) must strictly beat first-k ($first) here")
+    assert(scat <= dirs + 10, s"scatter left too many duplicates: $scat")
+  }
+
   test("kmeansSqlCtes emits well-formed SQL at iters = 0 (no dangling comma)") {
     // iters = 0 (assignment under the raw init) is a supported Spark-side
     // case; the generator used to leave ",\n," between the init CTE and
     // the assignment CTE, which DuckDB rejects
-    for (trainN <- Seq(None, Some(16))) {
-      val sql = Clustering.kmeansSqlCtes(4, 0, 8, trainN)
+    for (trainN <- Seq(None, Some(16)); scatter <- Seq(false, true)) {
+      val sql = Clustering.kmeansSqlCtes(4, 0, 8, trainN, scatter)
       assert(!sql.contains(",\n,"), s"dangling comma (trainN=$trainN):\n$sql")
       assert(sql.contains("c0 AS") && sql.contains("asg AS"))
       assert(!sql.contains("c1 AS"), "iters=0 must not emit round CTEs")
+      assert(sql.contains("md5(CAST(vec_id AS VARCHAR))") == scatter,
+        s"scatter=$scatter ordering missing/spurious:\n$sql")
     }
   }
 
