@@ -359,10 +359,14 @@ object Clustering {
     * labeled with its nearest centroid in `cents(cid, m)` — exact long
     * distance, (dist, cid) ties. Shared by the k-means oracles (c01–c04,
     * v06) and the PQ per-subspace training/encoding (v07), so the
-    * assignment kernel can never silently diverge between them. */
+    * assignment kernel can never silently diverge between them.
+    * `materialized` emits AS MATERIALIZED — needed where the CTE feeds a
+    * deep multiply-referenced graph (v10): DuckDB 1.0 INLINES every CTE
+    * reference, so an unmaterialized shared assignment re-evaluates its
+    * whole training chain per reference, multiplicatively. */
   private[operators] def lloydAssignCte(name: String, from: String,
-      cents: String): String =
-    s"""$name AS (
+      cents: String, materialized: Boolean = false): String =
+    s"""$name AS ${if (materialized) "MATERIALIZED " else ""}(
        |  SELECT vec_id, v, cid, dist FROM (
        |    SELECT p.vec_id, p.v, c.cid, ${lloydDistSql("c")} AS dist,
        |      row_number() OVER (PARTITION BY p.vec_id

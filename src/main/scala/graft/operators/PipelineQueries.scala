@@ -143,6 +143,52 @@ object PipelineQueries {
        |$perSub""".stripMargin
   }
 
+  /** The v10 IVF-PQ oracle's training + encoding CTEs, re-deriving
+    * [[Similarity.ivfPqKnn]]'s exact-integer pipeline: coarse centroids =
+    * the shared Lloyd's over the quantized sample (prefix "g", one
+    * "subspace" spanning all dims), `casg` = every vector's coarse cell,
+    * `res` = per-vector RESIDUAL from its cell centroid, `sres` = the
+    * sample's residuals (codebook training set), then per subspace the
+    * same Lloyd's over residual slices and `enc{i}` residual encodings.
+    * Every CTE is longs; the one float division happens in the consumer.
+    *
+    * The shared hubs (qv, samp, casg, res, sres, and the final codebooks
+    * re-exported as `gcb` / `s{i}cb`) are AS MATERIALIZED: DuckDB 1.0
+    * inlines CTEs per reference, and this graph references the residual
+    * chain 16+ times — unmaterialized, each reference re-evaluates the
+    * full coarse-training + assignment pipeline and the oracle blows up
+    * combinatorially (measured: >10 min vs ~seconds). Consumers must
+    * reference gcb / s{i}cb, never gc{iters} / s{i}c{iters} directly. */
+  private def ivfPqCtes(nCells: Int, subspaces: Int, cents: Int, iters: Int,
+      dim: Int, trainN: Int): String = {
+    val sub = dim / subspaces
+    def slice(si: Int) = s"v[${si * sub + 1}:${(si + 1) * sub}]"
+    val perSub = (0 until subspaces).map { si =>
+      s"""s${si}p AS MATERIALIZED (SELECT vec_id, ${slice(si)} AS v FROM sres),
+         |${Clustering.lloydCtes(s"s$si", s"s${si}p", cents, iters, sub)},
+         |s${si}cb AS MATERIALIZED (SELECT cid, m FROM s${si}c$iters),
+         |b$si AS (SELECT vec_id, ${slice(si)} AS v FROM res),
+         |${Clustering.lloydAssignCte(s"enc$si", s"b$si", s"s${si}cb",
+             materialized = true)}"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * ${Clustering.Quantum} + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $trainN),
+       |${Clustering.lloydCtes("g", "samp", nCells, iters, dim)},
+       |gcb AS MATERIALIZED (SELECT cid, m FROM gc$iters),
+       |${Clustering.lloydAssignCte("casg", "qv", "gcb", materialized = true)},
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(list_zip(a.v, c.m), z -> z[1]-z[2]) AS v
+       |  FROM casg a JOIN gcb c USING (cid)),
+       |sres AS MATERIALIZED (
+       |  SELECT r.vec_id, r.v FROM res r JOIN samp s USING (vec_id)),
+       |$perSub""".stripMargin
+  }
+
   /** Shared shingle derivation mirroring TextAnalysis.shingles(text, 3):
     * whitespace tokens (empties dropped), 3-gram join by single space, and
     * the under-3-token fallback to one whole-text shingle. `key` names the
@@ -661,6 +707,104 @@ object PipelineQueries {
          |    CASE WHEN qn.qnorm = 0 OR a.n2 = 0 THEN 0.0
          |      ELSE a.dot::DOUBLE / (qn.qnorm * sqrt(a.n2::DOUBLE)) END AS a
          |  FROM approx a JOIN qn USING (qid)),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY a DESC, nid ASC) AS rn FROM asim)
+         |  WHERE rn <= 24),
+         |ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT c.qid, c.nid, $cosSql AS sim
+         |  FROM cand c JOIN ev a ON a.id = c.qid JOIN ev b ON b.id = c.nid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+         |  round(sim, 6) AS sim
+         |FROM (SELECT qid, nid, sim, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, sim DESC, nid""".stripMargin
+    }, bench = true),
+
+    // IVF-PQ ANN (IVFADC): coarse integer k-means cells + product-quantized
+    // RESIDUALS, probed-cell table scan, exact re-rank — the composition
+    // 100 TB similarity search ships (cell pruning bounds the scan,
+    // residual codes bound the bytes). FULLY oracled: coarse training,
+    // cell assignment, residuals, per-subspace codebooks, encodings, the
+    // probe list, and the exact-long table decomposition of the
+    // approximate cosine are all re-derived in SQL (ivfPqCtes + the CTEs
+    // below); recall gates vs brute force live in DedupSpec.
+    Q("v10_ivfpq_knn", (s, dir) => {
+      import s.implicits._
+      val v = vecs(s, dir)
+      Similarity.ivfPqKnn(v.filter(_._1 < 20), v, k = 3, nCells = 8,
+        nProbe = 3, subspaces = 8, centroids = 16, rerank = 24)
+        .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
+          round($"sim", 6).as("sim"))
+        .orderBy($"qid", $"sim".desc, $"nid")
+    }, Some {
+      val enc = (0 until 8).map(si =>
+        s"SELECT vec_id, $si AS s, cid FROM enc$si").mkString("\n  UNION ALL ")
+      val qt = (0 until 8).map { si =>
+        val lo = si * 8 + 1; val hi = (si + 1) * 8
+        s"""SELECT p.vec_id AS qid, $si AS s, c.cid,
+           |    CAST(list_sum(list_transform(list_zip(p.v[$lo:$hi], c.m),
+           |      z -> z[1]*z[2])) AS BIGINT) AS dot
+           |  FROM qv p CROSS JOIN s${si}cb c WHERE p.vec_id < 20"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      val cx = (0 until 8).map { si =>
+        val lo = si * 8 + 1; val hi = (si + 1) * 8
+        s"""SELECT g.cid AS cell, $si AS s, c.cid,
+           |    CAST(list_sum(list_transform(list_zip(g.m[$lo:$hi], c.m),
+           |      z -> z[1]*z[2])) AS BIGINT) AS x
+           |  FROM gcb g CROSS JOIN s${si}cb c""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val cn = (0 until 8).map(si =>
+        s"SELECT $si AS s, cid, CAST(list_sum(list_transform(m, " +
+          s"x -> x*x)) AS BIGINT) AS n2 FROM s${si}cb").mkString("\n  UNION ALL ")
+      s"""WITH ${ivfPqCtes(8, 8, 16, 3, 64, 256)},
+         |enc AS (
+         |  $enc),
+         |qt AS (
+         |  $qt),
+         |cx AS (
+         |  $cx),
+         |cn AS (
+         |  $cn),
+         |gcn AS (
+         |  SELECT cid, CAST(list_sum(list_transform(m, x -> x*x)) AS BIGINT)
+         |    AS n2 FROM gcb),
+         |qn AS (
+         |  SELECT vec_id AS qid,
+         |    sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT)::DOUBLE)
+         |      AS qnorm
+         |  FROM qv WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT qid, cid, dotqc FROM (
+         |    SELECT qid, cid, dotqc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+         |    FROM (
+         |      SELECT p.vec_id AS qid, c.cid,
+         |        CAST(list_sum(list_transform(list_zip(p.v, c.m),
+         |          z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist,
+         |        CAST(list_sum(list_transform(list_zip(p.v, c.m),
+         |          z -> z[1]*z[2])) AS BIGINT) AS dotqc
+         |      FROM qv p CROSS JOIN gcb c WHERE p.vec_id < 20))
+         |  WHERE rn <= 3),
+         |approx AS (
+         |  SELECT pr.qid, ca.vec_id AS nid, pr.dotqc, ca.cid AS cell,
+         |    sum(t.dot) AS sdot, sum(2*cx.x + cn.n2) AS snn
+         |  FROM casg ca
+         |    JOIN probes pr ON pr.cid = ca.cid AND pr.qid <> ca.vec_id
+         |    JOIN enc e ON e.vec_id = ca.vec_id
+         |    JOIN qt t ON t.qid = pr.qid AND t.s = e.s AND t.cid = e.cid
+         |    JOIN cx ON cx.cell = ca.cid AND cx.s = e.s AND cx.cid = e.cid
+         |    JOIN cn ON cn.s = e.s AND cn.cid = e.cid
+         |  GROUP BY 1, 2, 3, 4),
+         |asim AS (
+         |  SELECT a.qid, a.nid,
+         |    CASE WHEN qn.qnorm = 0 OR (g.n2 + a.snn) <= 0 THEN 0.0
+         |      ELSE (a.dotqc + a.sdot)::DOUBLE
+         |        / (qn.qnorm * sqrt((g.n2 + a.snn)::DOUBLE)) END AS a
+         |  FROM approx a JOIN qn USING (qid) JOIN gcn g ON g.cid = a.cell),
          |cand AS (
          |  SELECT qid, nid FROM (
          |    SELECT qid, nid, row_number() OVER (PARTITION BY qid

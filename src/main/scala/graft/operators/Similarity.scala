@@ -298,6 +298,18 @@ object Similarity {
     val sample = base.toDF("id", "vec").sort("id")
       .limit(trainN).select("vec").as[Array[Float]].collect()
       .map(quantizeJvm)
+    trainSubspaceCodebooks(sample, subspaces, centroids, iters)
+  }
+
+  /** The driver-side per-subspace integer Lloyd's over an already-collected
+    * quantized sample — the shared training kernel of [[trainPqCodebooks]]
+    * (raw vectors) and [[ivfPqKnn]] (coarse centroids via subspaces = 1,
+    * then codebooks over RESIDUALS). Exactly the [[Clustering]] update
+    * rules: init from the first `centroids` sample rows, exact long
+    * distances with (dist, index) ties, round-half-up means, empty
+    * clusters keep their previous centroid. */
+  private[operators] def trainSubspaceCodebooks(sample: Array[Array[Long]],
+      subspaces: Int, centroids: Int, iters: Int): Array[Array[Array[Long]]] = {
     require(sample.length >= centroids,
       s"need at least $centroids training vectors, got ${sample.length}")
     val dims = sample(0).length
@@ -464,6 +476,181 @@ object Similarity {
       .select("qid", "nid")
 
     // exact re-rank of the surviving candidates only
+    val qDf = queries.toDF("qid", "qv")
+    val bDf = base.toDF("nid", "nv")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    candidates.join(bDf, "nid").join(qDf, "qid")
+      .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF-PQ ANN top-k (Jégou et al.'s IVFADC — the architecture 100 TB
+    * similarity search actually ships): a coarse integer k-means splits the
+    * corpus into `nCells` inverted lists, each vector stores only its cell
+    * id + an S-byte product-quantized code of its RESIDUAL from the cell
+    * centroid, queries probe the `nProbe` nearest cells, and the scan
+    * scores only probed-cell members via lookup tables before an exact
+    * re-rank of the global top-`rerank` candidates.
+    *
+    * Residual encoding is what plain [[pqKnn]] lacks on clustered data:
+    * there the codebooks must span the whole embedding space, so most of
+    * the code budget burns on BETWEEN-cluster variance; here the coarse
+    * centroid absorbs it and the codebooks model only the local residual
+    * field — recall rises at the same code size while the scan also drops
+    * to nProbe/nCells of the corpus. (The `knn` volume stress records the
+    * measured three-way comparison.)
+    *
+    * Exact integer arithmetic end to end, like every kernel here: the
+    * coarse quantizer and the per-subspace codebooks are the SAME
+    * driver-side integer Lloyd's ([[trainSubspaceCodebooks]] — coarse =
+    * one subspace spanning all dims), residuals are long subtractions,
+    * and the approximate cosine decomposes into exact-long tables:
+    *
+    *   dot(q, c + r̂)  = dot(q, c) + Σ_s dotTable[s][code_s]
+    *   ‖c + r̂‖²       = ‖c‖² + 2·Σ_s cross[cell][s][code_s]
+    *                      + Σ_s n2[s][code_s]
+    *
+    * (dotTable = query-subvector × codebook dots, cross = centroid-
+    * subvector × codebook dots, n2 = codebook norms — all longs below
+    * 2^53, so the one double division per pair is engine-independent and
+    * the whole lane carries a DuckDB oracle, v10.) A base row lives in
+    * exactly one cell, so a (query, row) pair is scored at most once; the
+    * per-partition bounded heaps order by (sim desc, nid asc) and only
+    * prune the global top-`rerank` window — partitioning-independent like
+    * [[pqKnn]]. Queries collect + broadcast (bounded); the corpus side is
+    * one narrow pass emitting ≤ partitions × Q × rerank candidate rows. */
+  def ivfPqKnn(queries: Dataset[(Long, Array[Float])],
+      base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 8,
+      nProbe: Int = 3, subspaces: Int = 8, centroids: Int = 16,
+      rerank: Int = 32, trainN: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val qArr = queries.collect().sortBy(_._1)
+    if (qArr.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
+    val dim = qArr(0)._2.length
+    val sub = dim / subspaces
+    // deterministic training sample: quantized first-trainN ids (the same
+    // contract as trainPqCodebooks / ivfKnn, so the v10 oracle re-derives
+    // it with ORDER BY vec_id LIMIT trainN)
+    val sample = base.toDF("id", "vec").sort("id")
+      .limit(trainN).select("vec").as[Array[Float]].collect()
+      .map(quantizeJvm)
+    // coarse centroids = the shared integer Lloyd's with ONE subspace
+    val coarse = trainSubspaceCodebooks(sample, 1, nCells, iters)(0)
+    // PQ codebooks over the sample's residuals from its coarse cell
+    val sampRes = sample.map { v =>
+      val c = nearestSub(v, 0, dim, coarse)
+      Array.tabulate(dim)(i => v(i) - coarse(c)(i))
+    }
+    val books = trainSubspaceCodebooks(sampRes, subspaces, centroids, iters)
+
+    // driver-side lookup tables, all exact longs
+    val centNorm2 = coarse.map { m => var d = 0L; m.foreach(x => d += x * x); d }
+    val n2 = Array.tabulate(subspaces, centroids) { (s, j) =>
+      var d = 0L; books(s)(j).foreach(x => d += x * x); d
+    }
+    val cross = Array.tabulate(nCells, subspaces, centroids) { (c, s, j) =>
+      var d = 0L; var i = 0
+      while (i < sub) { d += coarse(c)(s * sub + i) * books(s)(j)(i); i += 1 }
+      d
+    }
+    // per query: probed cells by (exact dist, cell) order, dot(q, cell
+    // centroid) per probed cell, dot tables, norm
+    val nP = math.min(nProbe, nCells)
+    val qTables = qArr.map { case (qid, qv) =>
+      val qvl = quantizeJvm(qv)
+      val byDist = coarse.zipWithIndex.map { case (m, c) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = qvl(i) - m(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted
+      val probed = byDist.take(nP).map(_._2)
+      val dotQC = probed.map { c =>
+        var d = 0L; var i = 0
+        while (i < dim) { d += qvl(i) * coarse(c)(i); i += 1 }
+        c -> d
+      }.toMap
+      val table = Array.tabulate(subspaces, centroids) { (s, j) =>
+        var d = 0L; var i = 0
+        while (i < sub) { d += qvl(s * sub + i) * books(s)(j)(i); i += 1 }
+        d
+      }
+      var qn = 0L
+      qvl.foreach(x => qn += x * x)
+      (qid, dotQC, table, math.sqrt(qn.toDouble))
+    }
+    // inverted probe map: cell -> indices of the queries probing it
+    val cellQueries: Array[Array[Int]] = {
+      val m = Array.fill(nCells)(List.empty[Int])
+      qTables.zipWithIndex.foreach { case ((_, dotQC, _, _), qi) =>
+        dotQC.keysIterator.foreach(c => m(c) = qi :: m(c))
+      }
+      m.map(_.reverse.toArray)
+    }
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcQ = spark.sparkContext.broadcast(qTables)
+    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
+    val bcCross = spark.sparkContext.broadcast(cross)
+    val bcN2 = spark.sparkContext.broadcast(n2)
+    val bcCN = spark.sparkContext.broadcast(centNorm2)
+    val rr = rerank.max(k)
+
+    val scored = base.mapPartitions { it =>
+      val coarse = bcCoarse.value
+      val books = bcBooks.value
+      val qs = bcQ.value
+      val cellQ = bcCellQ.value
+      val cross = bcCross.value
+      val n2 = bcN2.value
+      val cn = bcCN.value
+      val dim = coarse(0).length
+      val heapSim = Array.fill(qs.length)(new Array[Double](rr))
+      val heapId = Array.fill(qs.length)(new Array[Long](rr))
+      val heapN = new Array[Int](qs.length)
+      val res = new Array[Long](dim)
+      for ((nid, nv) <- it) {
+        val qvl = quantizeJvm(nv)
+        val cell = nearestSub(qvl, 0, dim, coarse)
+        var i = 0
+        while (i < dim) { res(i) = qvl(i) - coarse(cell)(i); i += 1 }
+        val code = pqEncode(res, books)
+        val qIdxs = cellQ(cell)
+        var qi = 0
+        while (qi < qIdxs.length) {
+          val q = qIdxs(qi)
+          val (qid, dotQC, table, qnorm) = qs(q)
+          if (qid != nid) {
+            var dot = dotQC(cell)
+            var nn = cn(cell)
+            var s = 0
+            while (s < code.length) {
+              val j = code(s) & 0xff
+              dot += table(s)(j)
+              nn += 2 * cross(cell)(s)(j) + n2(s)(j)
+              s += 1
+            }
+            val sim = if (qnorm == 0.0 || nn <= 0L) 0.0
+              else dot.toDouble / (qnorm * math.sqrt(nn.toDouble))
+            heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), rr, sim, nid)
+          }
+          qi += 1
+        }
+      }
+      (0 until qs.length).iterator.flatMap { q =>
+        (0 until heapN(q)).iterator.map(i =>
+          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
+      }
+    }.toDF("qid", "nid", "asim")
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("nid").asc)
+    val candidates = scored
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= rr)
+      .select("qid", "nid")
     val qDf = queries.toDF("qid", "qv")
     val bDf = base.toDF("nid", "nv")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)

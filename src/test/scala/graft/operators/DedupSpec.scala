@@ -436,6 +436,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pq2 == pq7, "PQ result depends on partitioning")
   }
 
+  test("IVF-PQ kNN finds planted neighbors, clears the recall gate, " +
+    "re-ranks exactly, and is independent of partitioning") {
+    import spark.implicits._
+    def run(parts: Int): Array[org.apache.spark.sql.Row] = {
+      val ds = spark.createDataset(base).repartition(parts)
+      val queries = spark.createDataset(base.filter(_._1 < 10))
+      Similarity.ivfPqKnn(queries, ds, k = 3, nCells = 8, nProbe = 3,
+        subspaces = 8, centroids = 16, rerank = 24).collect()
+    }
+    val res = run(2)
+    // planted twin at id+500 (cosine ~0.999) must be reachable through the
+    // probed cells + residual codes
+    val top1 = res.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.maxBy(r => (r.getDouble(2), -r.getLong(1))).getLong(1)
+    }
+    val hits = (0L until 10L).count(q => top1.get(q).contains(q + 500L))
+    assert(hits >= 8, s"IVF-PQ found only $hits of 10 planted neighbors")
+    // recall@3 vs exact brute force: residual coding should do no worse
+    // than the plain-PQ gate
+    val got = res.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq
+    }
+    val r = recallAt(3, got, 10)
+    assert(r >= 0.7, f"IVF-PQ recall@3 = $r%.2f below the 0.7 gate")
+    // the reported sim is the EXACT re-ranked cosine
+    for (row <- res) {
+      val exact = cosine(base(row.getLong(0).toInt)._2,
+        base.find(_._1 == row.getLong(1)).get._2)
+      assert(math.abs(row.getDouble(2) - exact) < 1e-9)
+    }
+    // partitioning independence (the property the v10 oracle relies on)
+    def sorted(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(sorted(res) == sorted(run(7)),
+      "IVF-PQ result depends on partitioning")
+  }
+
   test("PQ encoding is deterministic and codebooks reconstruct the sample") {
     import spark.implicits._
     val ds = spark.createDataset(base)
