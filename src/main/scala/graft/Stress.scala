@@ -211,8 +211,11 @@ object Stress {
       .select("qid", "nid"))
     val tBrute = (System.nanoTime() - tb0) / 1e9
     val ti0 = System.nanoTime()
+    // trainN at the same ~256-per-cell guideline as ivfpq below — the
+    // default (2^17) would re-scan the whole 100k corpus iters times for
+    // quantizer training and dominate the lane's wall time
     val ivf = topkMap(operators.Similarity.ivfKnn(queries, base, k,
-        nCells = 64, nProbe = 8).select("qid", "nid"))
+        nCells = 64, nProbe = 8, trainN = 16384).select("qid", "nid"))
     val tIvf = (System.nanoTime() - ti0) / 1e9
     val tp0 = System.nanoTime()
     val pq = topkMap(operators.Similarity.pqKnn(queries, base, k,

@@ -11,7 +11,8 @@ import Q.t
   * below) — since r11 that includes every ANN lane: v04/v05/v08 were
   * always deterministic, and v06 (IVF) / v07 (PQ) now train on the exact
   * integer Lloyd's ([[Clustering.kmeansSqlCtes]] / [[pqCtes]]) instead of
-  * float k-means, so their candidate sets are SQL-reproducible too.
+  * float k-means, so their candidate sets are SQL-reproducible too, and
+  * v10 composes them into IVF-PQ over residuals ([[ivfPqCtes]]).
   * Planted-recall and recall-vs-brute-force gate specs remain in ScalaTest
   * as the ANN quality contract.
   */

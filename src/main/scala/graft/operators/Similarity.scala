@@ -119,6 +119,10 @@ object Similarity {
       nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val qArr = queries.collect().sortBy(_._1)
+    if (qArr.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val bDf = base.toDF("nid", "nv")
     val q0 = bDf.select(col("nid").as("vec_id"),
       Clustering.quantize(col("nv")).as("qv"))
@@ -133,25 +137,81 @@ object Similarity {
     val cents =
       try Clustering.kmeansCentroids(cached, nCells, iters)
       finally cached.unpersist(blocking = false)
-    val bc = spark.sparkContext.broadcast(cents)
 
-    val baseCells = bDf.select(
-      Clustering.assignStruct(Clustering.quantize(col("nv")), bc)
-        .getField("cluster").as("cell"),
-      col("nid"), col("nv"))
-    val probes = org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.NearestCentroids(
-        org.apache.spark.sql.graft.ColumnBridge.expression(
-          Clustering.quantize(col("qv0"))), bc, nProbe))
-    val queryCells = queries.toDF("qid", "qv0")
-      .select(explode(probes).as("cell"), col("qid"), col("qv0").as("qvec"))
+    // probe lists driver-side: exact long distances, (dist, cid) ties —
+    // the NearestCentroids ordering, re-derived by the v06 oracle. The
+    // scan is ONE narrow mapPartitions pass over the base (cell argmin +
+    // exact cosine against the broadcast probing queries + bounded
+    // per-query top-k heaps), not a probe×cell equi-join: the join+window
+    // shape materialized every candidate row into a shuffle, which the
+    // knn volume stress measured at 3-5x the cost of this scan (a base
+    // row lives in ONE cell, so no dedup stage is needed either). The
+    // heaps only PRUNE — (sim desc, nid asc) total-order bounded
+    // insertion is a superset of the global top-k — so the window below
+    // reduces their union to exactly the former plan's answer:
+    // partitioning-independent, byte-identical, same SQL oracle.
+    val dim = qArr(0)._2.length
+    val nP = math.min(nProbe, nCells)
+    val qData = qArr.map { case (qid, qv) =>
+      val qvl = quantizeJvm(qv)
+      val probed = cents.zipWithIndex.map { case (m, c) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = qvl(i) - m(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nP).map(_._2)
+      (qid, qv, probed)
+    }
+    val cellQueries: Array[Array[Int]] = {
+      val m = Array.fill(nCells)(List.empty[Int])
+      qData.zipWithIndex.foreach { case ((_, _, probed), qi) =>
+        probed.foreach(c => m(c) = qi :: m(c))
+      }
+      m.map(_.reverse.toArray)
+    }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(qData.map(q => (q._1, q._2)))
+    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
 
+    val scored = base.mapPartitions { it =>
+      val cents = bcCents.value
+      val qs = bcQ.value
+      val cellQ = bcCellQ.value
+      val dim = cents(0).length
+      val heapSim = Array.fill(qs.length)(new Array[Double](k))
+      val heapId = Array.fill(qs.length)(new Array[Long](k))
+      val heapN = new Array[Int](qs.length)
+      for ((nid, nv) <- it) {
+        val cell = nearestSub(quantizeJvm(nv), 0, dim, cents)
+        val qIdxs = cellQ(cell)
+        var qi = 0
+        while (qi < qIdxs.length) {
+          val q = qIdxs(qi)
+          val (qid, qv) = qs(q)
+          if (qid != nid) {
+            // the exact-cosine kernel, same op order as the native
+            // cosine_sim expression (VectorKernels.cosine) — bitwise-equal
+            // sims, so the window result matches the former join plan
+            val n = math.min(qv.length, nv.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < n) {
+              val x = qv(i).toDouble; val y = nv(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+            heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), k, sim, nid)
+          }
+          qi += 1
+        }
+      }
+      (0 until qs.length).iterator.flatMap { q =>
+        (0 until heapN(q)).iterator.map(i =>
+          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
+      }
+    }.toDF("qid", "nid", "sim")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    queryCells.join(baseCells, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosineCol(col("qvec"), col("nv")).as("sim"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
   }
@@ -190,17 +250,29 @@ object Similarity {
   /** Bounded insertion into a (sim desc, nid asc)-ordered candidate list.
     * The tie-break on nid makes partition-local pruning agree with the
     * global window ordering, so results are independent of partitioning
-    * even with duplicate vectors. Shared by [[int8Knn]] and [[pqKnn]]. */
+    * even with duplicate vectors. Comparisons use java.lang.Double.compare
+    * — the TOTAL order Spark's sort (and DuckDB's) applies to doubles — so
+    * a NaN sim (zero-norm degenerate vectors under exact cosine) ranks
+    * above every finite value here exactly as it would in the window the
+    * heap prunes for, instead of falling through `<`'s always-false NaN
+    * comparisons into an arbitrary slot. Shared by [[int8Knn]], [[pqKnn]],
+    * [[ivfPqKnn]] and the [[ivfKnn]] scan. */
   private def boundedInsert(sims: Array[Double], ids: Array[Long], n: Int,
       cap: Int, sim: Double, nid: Long): Int = {
     val full = n == cap
-    if (full && (sim < sims(n - 1) || (sim == sims(n - 1) && nid > ids(n - 1))))
-      return n
+    if (full) {
+      val c = java.lang.Double.compare(sim, sims(n - 1))
+      if (c < 0 || (c == 0 && nid > ids(n - 1))) return n
+    }
     var pos = math.min(n, cap - 1)
-    while (pos > 0 && (sims(pos - 1) < sim ||
-        (sims(pos - 1) == sim && ids(pos - 1) > nid))) {
-      sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1)
-      pos -= 1
+    var go = pos > 0
+    while (go) {
+      val c = java.lang.Double.compare(sims(pos - 1), sim)
+      if (c < 0 || (c == 0 && ids(pos - 1) > nid)) {
+        sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1)
+        pos -= 1
+        go = pos > 0
+      } else go = false
     }
     sims(pos) = sim; ids(pos) = nid
     if (full) n else n + 1
