@@ -592,7 +592,16 @@ object Similarity {
     * per-partition bounded heaps order by (sim desc, nid asc) and only
     * prune the global top-`rerank` window — partitioning-independent like
     * [[pqKnn]]. Queries collect + broadcast (bounded); the corpus side is
-    * one narrow pass emitting ≤ partitions × Q × rerank candidate rows. */
+    * one narrow pass emitting ≤ partitions × Q × rerank candidate rows.
+    *
+    * Sizing (measured in the dossier's knn-stress sweep): `rerank` is the
+    * RECALL lever — with ~corpus·nProbe/nCells approx-scored candidates
+    * per query, an exact re-rank pool of only a few× k truncates true
+    * neighbors the code distortion mis-ranked (rerank=64 → recall 0.76,
+    * rerank=256 → 1.000 at 100k rows, k=10, identical scan cost); size it
+    * ~10–25× k. `trainN` follows the faiss ~256-points-per-cell guideline;
+    * the training sample is collected driver-side (trainN·dim·8 bytes —
+    * budget it like any driver-side stat). */
   def ivfPqKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 8,
       nProbe: Int = 3, subspaces: Int = 8, centroids: Int = 16,

@@ -108,6 +108,43 @@ object StreamingDedup {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
     val spark = docs.sparkSession
     import spark.implicits._
+
+    val keyFn = keyer.getOrElse(lshKeyer(shingleN, numHashes, bands))
+    val bandRows = docs
+      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
+        col(textCol).as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (docId, ts, text) =>
+        val keys = keyFn(text)
+        if (keys.isEmpty)
+          // no shingles: a synthetic per-doc bucket the doc trivially owns
+          // (batch parity: empty docs never become near-dup candidates)
+          Iterator.single(BandEvent(
+            graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
+            ts, text, BandEvent.Data))
+        else
+          keys.iterator.zipWithIndex.map { case (k, i) =>
+            BandEvent(k, docId, ts, if (i == 0) text else null, BandEvent.Data)
+          }
+      }
+    val events = feedback match {
+      case Some(fb) => bandRows.union(fb.map(f => BandEvent(f.bandKey,
+        f.newOwner, f.ts, null,
+        if (f.newOwner >= 0) BandEvent.Reassign else BandEvent.Release)))
+      case None => bandRows
+    }
+    ownershipStream(events, watermark, stateTtlMs)
+  }
+
+  /** The per-band-bucket ownership state machine over an already-keyed
+    * event stream — shared by the text path ([[dedupNearOwnership]]) and
+    * the embedding path ([[dedupNearEmbedding]]); one Long of state per
+    * bucket, event-time expired. */
+  private def ownershipStream(events: Dataset[BandEvent], watermark: String,
+      stateTtlMs: Long): Dataset[OwnedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     def assignOwner(bandKey: Long, rows: Iterator[BandEvent],
@@ -140,31 +177,6 @@ object StreamingDedup {
       out
     }
 
-    val keyFn = keyer.getOrElse(lshKeyer(shingleN, numHashes, bands))
-    val bandRows = docs
-      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
-        col(textCol).as("text"))
-      .as[(Long, java.sql.Timestamp, String)]
-      .flatMap { case (docId, ts, text) =>
-        val keys = keyFn(text)
-        if (keys.isEmpty)
-          // no shingles: a synthetic per-doc bucket the doc trivially owns
-          // (batch parity: empty docs never become near-dup candidates)
-          Iterator.single(BandEvent(
-            graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
-            ts, text, BandEvent.Data))
-        else
-          keys.iterator.zipWithIndex.map { case (k, i) =>
-            BandEvent(k, docId, ts, if (i == 0) text else null, BandEvent.Data)
-          }
-      }
-    val events = feedback match {
-      case Some(fb) => bandRows.union(fb.map(f => BandEvent(f.bandKey,
-        f.newOwner, f.ts, null,
-        if (f.newOwner >= 0) BandEvent.Reassign else BandEvent.Release)))
-      case None => bandRows
-    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.bandKey)
@@ -309,6 +321,57 @@ object StreamingDedup {
     dedupNearWithFeedback(docs, textCol, tsCol, idCol, None, watermark,
       shingleN, numHashes, bands, stateTtlMs)((survivors, _) =>
       sink(survivors))
+
+  /** Streaming near-dup suppression for EMBEDDING streams: multi-probe
+    * hyperplane sign buckets ([[graft.operators.Similarity.probeBuckets]] —
+    * the batch [[graft.operators.Similarity.cosineDedup]] candidate
+    * blocking) feed the SAME per-bucket ownership state machine as the
+    * text path, so the online and offline embedding pipelines share one
+    * candidate test. Suppression fires at candidate-block granularity
+    * (bucket collision): the exact-cosine confirmation the batch path runs
+    * needs the earlier vector, which a stream cannot re-read — the same
+    * bounded-state tradeoff the text path documents for its Jaccard
+    * confirmation, at the LSH false-positive rate for `planes` (raise
+    * planes to tighten the block). Band events stay three longs wide (the
+    * vector itself never rides the stateful shuffle); survivors arrive as
+    * (idCol, tsCol) — re-join the embedding by id downstream. Zero-norm or
+    * empty vectors get a synthetic self-owned bucket (they can never clear
+    * a positive cosine threshold in the batch semantics, so they must
+    * never suppress each other here). */
+  def dedupNearEmbedding(docs: DataFrame, embCol: String, tsCol: String,
+      idCol: String, watermark: String = "10 minutes", planes: Int = 12,
+      stateTtlMs: Long = 10 * 60 * 1000L)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[OwnedRow] = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandRows = docs
+      .filter(col(embCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
+        col(embCol).as("emb"))
+      .as[(Long, java.sql.Timestamp, Array[Float])]
+      .flatMap { case (docId, ts, emb) =>
+        val degenerate = emb == null || emb.isEmpty || emb.forall(_ == 0f)
+        if (degenerate)
+          // empty-shingle parity: a bucket only this doc can own; the ""
+          // on the designated row marks it as the doc's survivor row
+          Iterator.single(BandEvent(
+            graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
+            ts, "", BandEvent.Data))
+        else
+          graft.operators.Similarity.probeBuckets(emb, planes).iterator
+            .zipWithIndex.map { case (b, i) =>
+              BandEvent(b.toLong, docId, ts, if (i == 0) "" else null,
+                BandEvent.Data)
+            }
+      }
+    val owned = ownershipStream(bandRows, watermark, stateTtlMs)
+    owned.writeStream.foreachBatch { (batch: Dataset[OwnedRow], _: Long) =>
+      val fold = foldBatch(batch, idCol, tsCol)
+      try sink(fold.survivors.select(idCol, tsCol)) finally fold.cleanup()
+    }
+  }
 
   /** Gram occurrence heading into the first-claim state machine. The key
     * is the full 128-bit gram identity (two independent 64-bit chains,

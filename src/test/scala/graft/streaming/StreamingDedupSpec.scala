@@ -78,6 +78,66 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming embedding near-dup suppresses cosine look-alikes across " +
+    "triggers; zero vectors all pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 32
+    // deterministic signed random direction per d (LCG, zero-centered)
+    def dir(d: Int): Array[Float] = {
+      var s = d.toLong * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(dim) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+    }
+    // tiny jitter: sign pattern moves at most one hyperplane, which the
+    // multi-probe band keys cover
+    def near(v: Array[Float], seed: Long): Array[Float] = {
+      var s = seed * 2862933555777941757L + 3037000493L
+      v.map { x =>
+        s = s * 2862933555777941757L + 3037000493L
+        x + ((s >>> 40).toInt % 5 - 2) / 1000f
+      }
+    }
+    val stream = MemoryStream[(Timestamp, Long, Array[Float])]
+    val survivors = collection.mutable.Set.empty[Long]
+    val writer = StreamingDedup.dedupNearEmbedding(
+      stream.toDS().toDF("ts", "vec_id", "emb"), "emb", "ts", "vec_id",
+      watermark = "1 minute", planes = 12, stateTtlMs = 60 * 1000L) { batch =>
+      survivors.synchronized {
+        survivors ++= batch.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    val query = writer.start()
+    try {
+      // trigger 1: five distinct directions, an in-batch exact copy of
+      // direction 1, and a zero vector
+      stream.addData(Seq(
+        (ts(0), 1L, dir(1)), (ts(1), 2L, dir(2)), (ts(2), 3L, dir(3)),
+        (ts(3), 4L, dir(4)), (ts(4), 5L, dir(5)),
+        (ts(5), 6L, dir(1).clone()),
+        (ts(6), 7L, new Array[Float](dim))))
+      query.processAllAvailable()
+      // trigger 2: a cross-trigger near-copy of direction 2, one genuinely
+      // new direction, and another zero vector (degenerates never suppress
+      // each other — batch parity with the positive-threshold cosine gate)
+      stream.addData(Seq(
+        (ts(10), 8L, near(dir(2), 8L)),
+        (ts(11), 9L, dir(9)),
+        (ts(12), 10L, new Array[Float](dim))))
+      query.processAllAvailable()
+      val ids = survivors.synchronized(survivors.toSet)
+      assert(Set(1L, 2L, 3L, 4L, 5L).subsetOf(ids),
+        s"distinct directions lost: $ids")
+      assert(ids.contains(9L), s"new direction lost: $ids")
+      assert(ids.contains(7L) && ids.contains(10L),
+        s"zero vectors wrongly suppressed: $ids")
+      assert(!ids.contains(6L), s"in-batch exact copy not suppressed: $ids")
+      assert(!ids.contains(8L), s"cross-trigger near-copy not suppressed: $ids")
+    } finally query.stop()
+  }
+
   test("survivor fold is distributed: <10% of docs reach the driver greedy") {
     import spark.implicits._
     import StreamingDedup.OwnedRow
