@@ -322,30 +322,112 @@ object StreamingDedup {
       shingleN, numHashes, bands, stateTtlMs)((survivors, _) =>
       sink(survivors))
 
+  /** Embedding band event: the doc's int8 sketch rides EVERY band row (a
+    * vector sketch is small and fixed-width — dim bytes — unlike document
+    * text, which the text path deliberately keeps off the band shuffle).
+    * `des` marks the doc's one DESIGNATED row — the row the survivor fold
+    * may emit, mirroring the text path's single text-carrying row. */
+  final case class EmbBandEvent(bandKey: Long, docId: Long,
+      ts: java.sql.Timestamp, codes: Array[Byte], des: Boolean)
+
+  /** Bounded per-bucket owner sketches: parallel arrays of (docId, codes),
+    * insertion-ordered (earliest first). */
+  final case class OwnerSketches(ids: Array[Long], codes: Array[Array[Byte]])
+
   /** Streaming near-dup suppression for EMBEDDING streams: multi-probe
     * hyperplane sign buckets ([[graft.operators.Similarity.probeBuckets]] —
     * the batch [[graft.operators.Similarity.cosineDedup]] candidate
-    * blocking) feed the SAME per-bucket ownership state machine as the
-    * text path, so the online and offline embedding pipelines share one
-    * candidate test. Suppression fires at candidate-block granularity
-    * (bucket collision): the exact-cosine confirmation the batch path runs
-    * needs the earlier vector, which a stream cannot re-read — the same
-    * bounded-state tradeoff the text path documents for its Jaccard
-    * confirmation, at the LSH false-positive rate for `planes` (raise
-    * planes to tighten the block). Band events stay three longs wide (the
-    * vector itself never rides the stateful shuffle); survivors arrive as
-    * (idCol, tsCol) — re-join the embedding by id downstream. Zero-norm or
-    * empty vectors get a synthetic self-owned bucket (they can never clear
-    * a positive cosine threshold in the batch semantics, so they must
-    * never suppress each other here). */
+    * blocking) route arrivals to per-bucket state that holds a BOUNDED
+    * list of owner SKETCHES (int8-quantized vectors, dim bytes each), and
+    * a doc is marked a duplicate only after an in-state cosine
+    * confirmation against an owner clears `tau`.
+    *
+    * The confirmation is the load-bearing difference from the text path:
+    * text band keys are 64-bit MinHash band hashes, whose collision
+    * probability for DISSIMILAR docs is ~0, so bucket collision alone is
+    * a sound candidate test there. Hyperplane buckets span only 2^planes
+    * values — for two random directions P(bucket sets intersect) =
+    * P(Hamming <= 2 over the sign bits) ≈ 1.9% at planes = 12, so at
+    * corpus scale unconfirmed collisions would suppress unrelated vectors
+    * wholesale. With the sketch confirm, a collision costs one int8 dot
+    * product (sim error ~2%, so set `tau` with that margin vs the batch
+    * threshold) and dissimilar docs pass untouched.
+    *
+    * Bounded-state contract: at most `maxOwnersPerBucket` sketches per
+    * bucket (earliest-first; a full bucket stops ADMITTING new owners, so
+    * later duplicates of an unadmitted doc in that bucket go unsuppressed
+    * — recall loss, never a wrong drop), event-time TTL expiry, and docs
+    * are compared only against owners, never pairwise. Zero-norm/empty
+    * vectors never match and are never admitted as owners (batch parity:
+    * they cannot clear a positive cosine gate). Survivors arrive as
+    * (idCol, tsCol) — re-join the embedding by id downstream. */
   def dedupNearEmbedding(docs: DataFrame, embCol: String, tsCol: String,
-      idCol: String, watermark: String = "10 minutes", planes: Int = 12,
-      stateTtlMs: Long = 10 * 60 * 1000L)
+      idCol: String, tau: Double = 0.9, watermark: String = "10 minutes",
+      planes: Int = 12, stateTtlMs: Long = 10 * 60 * 1000L,
+      maxOwnersPerBucket: Int = 8)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[OwnedRow] = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def cosineCodes(a: Array[Byte], b: Array[Byte]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    // per bucket, per trigger: confirm each arrival (ts, docId order)
+    // against prior owners first, then owners admitted this trigger; emit
+    // one OwnedRow per band row — self-owned when nothing confirmed, so
+    // unconfirmed collisions classify as ALIVE in the fold
+    def confirmOwners(bandKey: Long, rows: Iterator[EmbBandEvent],
+        state: GroupState[OwnerSketches]): Iterator[OwnedRow] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val rs = rows.toVector.sortBy(r => (r.ts.getTime, r.docId))
+      if (rs.isEmpty) return Iterator.empty
+      val prior = state.getOption.getOrElse(
+        OwnerSketches(Array.empty, Array.empty))
+      val nPrior = prior.ids.length
+      val ids = collection.mutable.ArrayBuffer.from(prior.ids)
+      val codes = collection.mutable.ArrayBuffer.from(prior.codes)
+      val out = rs.map { r =>
+        var matched = -1
+        var i = 0
+        while (matched < 0 && i < ids.length) {
+          // a doc can appear as its own owner across probe buckets; never
+          // self-match
+          if (ids(i) != r.docId && cosineCodes(r.codes, codes(i)) >= tau)
+            matched = i
+          i += 1
+        }
+        val des = if (r.des) "" else null
+        if (matched >= 0)
+          OwnedRow(r.docId, r.ts, bandKey, ids(matched), matched < nPrior,
+            text = des)
+        else {
+          val zero = r.codes.forall(_ == 0)
+          if (!zero && ids.length < maxOwnersPerBucket &&
+              !ids.contains(r.docId)) {
+            ids += r.docId; codes += r.codes
+          }
+          OwnedRow(r.docId, r.ts, bandKey, r.docId, priorOwner = false,
+            text = des)
+        }
+      }
+      state.update(OwnerSketches(ids.toArray, codes.toArray))
+      state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+        rs.map(_.ts.getTime).max + stateTtlMs))
+      out.iterator
+    }
+
     val bandRows = docs
       .filter(col(embCol).isNotNull && col(tsCol).isNotNull)
       .select(col(idCol).as("docId"), col(tsCol).as("ts"),
@@ -354,19 +436,24 @@ object StreamingDedup {
       .flatMap { case (docId, ts, emb) =>
         val degenerate = emb == null || emb.isEmpty || emb.forall(_ == 0f)
         if (degenerate)
-          // empty-shingle parity: a bucket only this doc can own; the ""
-          // on the designated row marks it as the doc's survivor row
-          Iterator.single(BandEvent(
+          // zero-norm: a synthetic self bucket (never matches, never
+          // admitted — but the doc must still appear in the fold)
+          Iterator.single(EmbBandEvent(
             graft.functions.TextAnalysis.mix64(docId ^ 0x5ee7a11dL), docId,
-            ts, "", BandEvent.Data))
-        else
+            ts, Array.emptyByteArray, des = true))
+        else {
+          val (_, codes) = graft.operators.Similarity.quantizeInt8(emb)
           graft.operators.Similarity.probeBuckets(emb, planes).iterator
             .zipWithIndex.map { case (b, i) =>
-              BandEvent(b.toLong, docId, ts, if (i == 0) "" else null,
-                BandEvent.Data)
+              EmbBandEvent(b.toLong, docId, ts, codes, des = i == 0)
             }
+        }
       }
-    val owned = ownershipStream(bandRows, watermark, stateTtlMs)
+    val owned = bandRows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState[OwnerSketches, OwnedRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(confirmOwners)
     owned.writeStream.foreachBatch { (batch: Dataset[OwnedRow], _: Long) =>
       val fold = foldBatch(batch, idCol, tsCol)
       try sink(fold.survivors.select(idCol, tsCol)) finally fold.cleanup()

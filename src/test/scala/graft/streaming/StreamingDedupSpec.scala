@@ -138,6 +138,48 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming embedding near-dup never suppresses on bucket collision " +
+    "alone: the in-state cosine confirm gates every drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 32
+    def dir(d: Int): Array[Float] = {
+      var s = d.toLong * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(dim) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+    }
+    val stream = MemoryStream[(Timestamp, Long, Array[Float])]
+    val survivors = collection.mutable.Set.empty[Long]
+    // planes = 2: only FOUR buckets, and every doc multi-probes all but
+    // one of them — collisions are total. Without the sketch confirm this
+    // setting suppressed everything after the first arrival; with it,
+    // distinct directions must all pass while the exact copy still drops
+    val writer = StreamingDedup.dedupNearEmbedding(
+      stream.toDS().toDF("ts", "vec_id", "emb"), "emb", "ts", "vec_id",
+      tau = 0.9, watermark = "1 minute", planes = 2,
+      stateTtlMs = 60 * 1000L) { batch =>
+      survivors.synchronized {
+        survivors ++= batch.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    val query = writer.start()
+    try {
+      stream.addData(Seq(
+        (ts(0), 1L, dir(11)), (ts(1), 2L, dir(12)), (ts(2), 3L, dir(13)),
+        (ts(3), 4L, dir(14)), (ts(4), 5L, dir(15)), (ts(5), 6L, dir(16))))
+      query.processAllAvailable()
+      stream.addData(Seq(
+        (ts(10), 7L, dir(17)), (ts(11), 8L, dir(12).clone())))
+      query.processAllAvailable()
+      val ids = survivors.synchronized(survivors.toSet)
+      assert(Set(1L, 2L, 3L, 4L, 5L, 6L, 7L).subsetOf(ids),
+        s"distinct directions suppressed by mere bucket collision: $ids")
+      assert(!ids.contains(8L), s"exact copy not suppressed: $ids")
+    } finally query.stop()
+  }
+
   test("survivor fold is distributed: <10% of docs reach the driver greedy") {
     import spark.implicits._
     import StreamingDedup.OwnedRow
