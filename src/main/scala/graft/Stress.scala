@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Stress embblk"  # same, adversarial block-id layout
   *   sbt "runMain graft.Stress embscat" # block ids + scatter init (recovery)
   *   sbt "runMain graft.Stress lsh"     # 200k-doc MinHash-LSH decisions
+  *   sbt "runMain graft.Stress estream" # 100k-vector streaming emb dedup
   *   sbt "runMain graft.Stress all"
   */
 object Stress {
@@ -36,13 +37,14 @@ object Stress {
       case "lsh" => lsh(spark)
       case "knn" => knn(spark)
       case "stream" => stream(spark)
+      case "estream" => estream(spark)
       case "classify" => classify(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
         emb(spark, interleaved = false)
         emb(spark, interleaved = false, scatter = true)
         lsh(spark); knn(spark)
-        stream(spark); classify(spark)
+        stream(spark); estream(spark); classify(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
     spark.stop()
@@ -370,6 +372,75 @@ object Stress {
     val want = 25000L + 3L * uniquesPerTrigger
     println(f"[stress stream] survivors $got (want ~$want), 4 triggers, $secs%.1f s")
     assert(math.abs(got - want) <= 20, s"survivors $got vs $want")
+  }
+
+  /** Streaming EMBEDDING near-dup suppression at volume: 4 triggers x 25k
+    * 64-dim vectors through [[graft.streaming.StreamingDedup
+    * .dedupNearEmbedding]]. Trigger 1 carries 5k "base" directions + 20k
+    * uniques; triggers 2-4 each carry 20k uniques + 5k jittered copies of
+    * trigger-1 bases. planes = 20 keeps mean bucket occupancy ~0.5 so the
+    * 8-owner cap almost never saturates; the in-state int8 cosine confirm
+    * must (a) suppress every planted copy it blocks with (jitter keeps
+    * int8 cosine ~0.999, far above tau) and (b) pass every unique — for
+    * random 64-dim directions pairwise |cos| concentrates near 1/8, so a
+    * confirmed FALSE drop is impossible at tau = 0.9 and the survivor
+    * count is exact up to cap-overflow recall misses (counted, tiny). */
+  def estream(spark: SparkSession): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 64
+    def dir(d: Long): Array[Float] = {
+      var s = d * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(dim) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 2001 - 1000) / 1000f
+      }
+    }
+    def near(v: Array[Float], seed: Long): Array[Float] = {
+      var s = seed * 2862933555777941757L + 3037000493L
+      v.map { x =>
+        s = s * 2862933555777941757L + 3037000493L
+        x + ((s >>> 40).toInt % 5 - 2) / 1000f
+      }
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val survivors = new java.util.concurrent.atomic.AtomicLong
+    val writer = graft.streaming.StreamingDedup.dedupNearEmbedding(
+      ms.toDS().toDF("ts", "vec_id", "emb"), "emb", "ts", "vec_id",
+      tau = 0.9, watermark = "60 minutes", planes = 20,
+      stateTtlMs = 60 * 60 * 1000L) { batch =>
+      survivors.addAndGet(batch.count())
+    }
+    val bases = 5000
+    val uniquesPerTrigger = 20000
+    def docsFor(t: Int): Seq[(java.sql.Timestamp, Long, Array[Float])] = {
+      val t0 = 1700000000000L + t * 600000L
+      val idBase = t.toLong * 25000L
+      val dups = (0 until bases).map { b =>
+        val v = if (t == 0) dir(b) else near(dir(b), idBase + b)
+        (new java.sql.Timestamp(t0 + b), idBase + b, v)
+      }
+      val uniq = (0 until uniquesPerTrigger).map { i =>
+        val id = idBase + bases + i
+        (new java.sql.Timestamp(t0 + bases + i), id, dir(1000000L + id))
+      }
+      dups ++ uniq
+    }
+    val query = writer.start()
+    val t0 = System.nanoTime()
+    try {
+      for (t <- 0 until 4) {
+        ms.addData(docsFor(t))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val got = survivors.get()
+    val want = 25000L + 3L * uniquesPerTrigger
+    println(f"[stress estream] survivors $got (want $want), 4 triggers, $secs%.1f s")
+    assert(got >= want, s"false drops: $got < $want")
+    assert(got - want <= 50, s"missed copies beyond cap slack: $got vs $want")
   }
 
   /** MinHash-LSH dedup decisions: 200k docs = 20k planted near-dup groups
