@@ -116,7 +116,8 @@ object Similarity {
     * the whole lane carries a DuckDB SQL oracle (v06). */
   def ivfKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
-      nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17): DataFrame = {
+      nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17,
+      scatter: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -131,11 +132,14 @@ object Similarity {
     // re-derives the same sample with ORDER BY vec_id LIMIT trainN),
     // materialized once — the iters Lloyd's scans then touch only the
     // sample, never the corpus. Cell ASSIGNMENT below is still the one
-    // required full pass.
-    val cached = q0.sort("vec_id").limit(trainN)
+    // required full pass. `scatter` draws the sample (and the Lloyd's
+    // init) from the (md5(id), id) permutation instead of the smallest
+    // ids — the [[Clustering.initOrder]] robustness setting for
+    // block-contiguous id layouts, equally deterministic.
+    val cached = q0.sort(Clustering.initOrder(scatter): _*).limit(trainN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents =
-      try Clustering.kmeansCentroids(cached, nCells, iters)
+      try Clustering.kmeansCentroids(cached, nCells, iters, scatter)
       finally cached.unpersist(blocking = false)
 
     // probe lists driver-side: exact long distances, (dist, cid) ties —
@@ -361,16 +365,29 @@ object Similarity {
     * (S*K*subDim longs, broadcast) and training cost is bounded by the
     * sample, never the corpus. */
   def trainPqCodebooks(base: Dataset[(Long, Array[Float])], subspaces: Int,
-      centroids: Int, trainN: Int = 256, iters: Int = 3)
-      : Array[Array[Array[Long]]] = {
+      centroids: Int, trainN: Int = 256, iters: Int = 3,
+      scatter: Boolean = false): Array[Array[Array[Long]]] = {
+    val sample = collectTrainSample(base, trainN, scatter)
+    trainSubspaceCodebooks(sample, subspaces, centroids, iters)
+  }
+
+  /** The deterministic quantized training sample shared by the PQ family:
+    * the `trainN` first rows by id order — or, with `scatter`, by the
+    * (md5(id), id) permutation ([[Clustering.initOrder]]'s robustness
+    * setting for block-contiguous id layouts). Collected driver-side
+    * (trainN·dim·8 bytes — budget like any driver-side stat). */
+  private def collectTrainSample(base: Dataset[(Long, Array[Float])],
+      trainN: Int, scatter: Boolean): Array[Array[Long]] = {
     val spark = base.sparkSession
     import spark.implicits._
     // normalize column names: tuple datasets from source tables keep their
     // original names (vec_id, embedding), so sort positionally
-    val sample = base.toDF("id", "vec").sort("id")
+    val order =
+      if (scatter) Seq(md5(col("id").cast("string").cast("binary")), col("id"))
+      else Seq(col("id"))
+    base.toDF("id", "vec").sort(order: _*)
       .limit(trainN).select("vec").as[Array[Float]].collect()
       .map(quantizeJvm)
-    trainSubspaceCodebooks(sample, subspaces, centroids, iters)
   }
 
   /** The driver-side per-subspace integer Lloyd's over an already-collected
@@ -470,7 +487,7 @@ object Similarity {
   def pqKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, subspaces: Int = 8,
       centroids: Int = 16, rerank: Int = 32, trainN: Int = 256,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, scatter: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -479,7 +496,8 @@ object Similarity {
     val qArr = queries.collect().sortBy(_._1)
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
-    val books = trainPqCodebooks(base, subspaces, centroids, trainN, iters)
+    val books = trainPqCodebooks(base, subspaces, centroids, trainN, iters,
+      scatter)
     val bcBooks = spark.sparkContext.broadcast(books)
 
     // per-query lookup tables: EXACT long dot(q_sub, centroid) and exact
@@ -601,11 +619,14 @@ object Similarity {
     * rerank=256 → 1.000 at 100k rows, k=10, identical scan cost); size it
     * ~10–25× k. `trainN` follows the faiss ~256-points-per-cell guideline;
     * the training sample is collected driver-side (trainN·dim·8 bytes —
-    * budget it like any driver-side stat). */
+    * budget it like any driver-side stat). `scatter` hash-permutes the
+    * sample order (see [[Clustering.initOrder]]) — the robust setting when
+    * ids are block-contiguous per source shard. */
   def ivfPqKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 8,
       nProbe: Int = 3, subspaces: Int = 8, centroids: Int = 16,
-      rerank: Int = 32, trainN: Int = 256, iters: Int = 3): DataFrame = {
+      rerank: Int = 32, trainN: Int = 256, iters: Int = 3,
+      scatter: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -616,10 +637,8 @@ object Similarity {
     val sub = dim / subspaces
     // deterministic training sample: quantized first-trainN ids (the same
     // contract as trainPqCodebooks / ivfKnn, so the v10 oracle re-derives
-    // it with ORDER BY vec_id LIMIT trainN)
-    val sample = base.toDF("id", "vec").sort("id")
-      .limit(trainN).select("vec").as[Array[Float]].collect()
-      .map(quantizeJvm)
+    // it with ORDER BY vec_id LIMIT trainN), hash-permuted under `scatter`
+    val sample = collectTrainSample(base, trainN, scatter)
     // coarse centroids = the shared integer Lloyd's with ONE subspace
     val coarse = trainSubspaceCodebooks(sample, 1, nCells, iters)(0)
     // PQ codebooks over the sample's residuals from its coarse cell

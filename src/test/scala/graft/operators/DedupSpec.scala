@@ -474,6 +474,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       "IVF-PQ result depends on partitioning")
   }
 
+  test("ANN quantizer scatter sampling: planted recall kept, partitioning-" +
+    "independent, and the training order genuinely changes") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    // scatter changes the Lloyd's INIT (first-k of the hash-permuted
+    // sample), so the codebooks must differ from the id-ordered path...
+    val a = Similarity.trainPqCodebooks(ds, 8, 16, trainN = 64, iters = 3)
+    val b = Similarity.trainPqCodebooks(ds, 8, 16, trainN = 64, iters = 3,
+      scatter = true)
+    assert(a.flatten.flatten.toSeq != b.flatten.flatten.toSeq,
+      "scatter must reorder the training sample")
+    // ...while recall and partitioning-independence hold on every lane
+    def run(parts: Int) = Similarity.ivfPqKnn(queries,
+        spark.createDataset(base).repartition(parts), k = 1, nCells = 8,
+        nProbe = 3, rerank = 24, trainN = 64, scatter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = run(2)
+    assert(got == run(7), "scatter path depends on partitioning")
+    val hitsPq = (0L until 10L).count(q => got.toMap.get(q).contains(q + 500L))
+    assert(hitsPq >= 8, s"scatter IVF-PQ found only $hitsPq of 10")
+    val ivf = Similarity.ivfKnn(queries, ds, k = 1, nCells = 8, nProbe = 3,
+        trainN = 64, scatter = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hitsIvf = (0L until 10L).count(q => ivf.get(q).contains(q + 500L))
+    assert(hitsIvf >= 8, s"scatter IVF found only $hitsIvf of 10")
+  }
+
   test("PQ encoding is deterministic and codebooks reconstruct the sample") {
     import spark.implicits._
     val ds = spark.createDataset(base)
