@@ -148,6 +148,36 @@ object TextAnalysis {
     a
   }
 
+  /** Feature-hashed document embedding (the hashing trick, Weinberger et
+    * al. 2009): each whitespace token hashes (FNV-1a + mix64, the same
+    * [[hashString]] every dedup kernel uses) to a bucket `floorMod(h,
+    * dim)` with sign from the hash's top bit (the signed variant keeps
+    * E[dot] of unrelated docs at 0), token counts accumulate, and the
+    * vector L2-normalizes. A model-free bridge from the text pillar to
+    * the embedding pillar — the output feeds cosine dedup / ANN directly
+    * — and deterministic integer-through-IEEE arithmetic end to end, so
+    * the lane carries a full DuckDB oracle (t38). Empty/whitespace docs
+    * return the zero vector. */
+  def hashedEmbedding(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Double](dim)
+    for (tok <- tokenize(text)) {
+      val h = hashString(tok)
+      val b = ((h % dim) + dim) % dim
+      v(b.toInt) += (if (h < 0) -1.0 else 1.0)
+    }
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    if (n2 == 0.0) new Array[Float](dim)
+    else {
+      val n = math.sqrt(n2)
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
   // ---------------- quality scoring ----------------
 
   /** Heuristic quality metrics as SQL columns (codegen'd, no UDF):

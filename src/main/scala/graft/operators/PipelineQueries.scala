@@ -561,6 +561,43 @@ object PipelineQueries {
     // estimate (= fraction of matching positions) never touches the driver
     // and pairs with zero sketch overlap are never materialized — at 10^5+
     // sources a driver-side O(n^2) loop would be the job's bottleneck.
+    // feature-hashed document embeddings (hashing trick): token ->
+    // FNV+mix64 -> signed bucket count -> L2 normalize — the model-free
+    // text->vector bridge; its output feeds cosineDedup / ANN directly.
+    // Dense (doc_id, idx, val) triples so the compare is exact per cell;
+    // the oracle re-derives the hash, the signed buckets and the IEEE
+    // normalization in SQL
+    Q("t38_hashed_embedding", (s, dir) => {
+      import s.implicits._
+      val dim = 64
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val v = TextAnalysis.hashedEmbedding(text, dim)
+          v.iterator.zipWithIndex.map { case (x, i) => (id, i.toLong, x.toDouble) }
+        }
+        .toDF("doc_id", "idx", "val0")
+        .select($"doc_id".cast("long").as("doc_id"), $"idx".as("idx"),
+          round($"val0", 6).as("val"))
+        .orderBy("doc_id", "idx")
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS g
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${s64(mix64Sql(fnvSql))} AS h FROM toks),
+         |b AS (
+         |  SELECT doc_id, ((h % 64) + 64) % 64 AS idx,
+         |    CASE WHEN h < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM h),
+         |acc AS (SELECT doc_id, idx, sum(s) AS v FROM b GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM acc GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, r.i AS idx,
+         |  round(coalesce((a.v / nullif(n.n, 0))::REAL, 0.0)::DOUBLE, 6) AS val
+         |FROM documents d CROSS JOIN range(64) r(i)
+         |LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.idx = r.i
+         |LEFT JOIN nrm n ON n.doc_id = d.doc_id
+         |ORDER BY 1, 2""".stripMargin)),
+
     Q("t15_source_similarity", (s, dir) => {
       import s.implicits._
       val numHashes = 128

@@ -522,6 +522,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
 class TextAnalysisSpec extends AnyFunSuite {
   import TextAnalysis._
 
+  test("hashed embedding: unit norm, deterministic, near-dups align, " +
+    "unrelated docs don't, empty docs are zero") {
+    val dim = 64
+    val doc = "the quick brown fox jumps over the lazy dog"
+    val a = hashedEmbedding(doc, dim)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"norm $norm")
+    assert(a.sameElements(hashedEmbedding(doc, dim)))
+    assert(hashedEmbedding("", dim).forall(_ == 0f))
+    assert(hashedEmbedding("  \t ", dim).forall(_ == 0f))
+    // unit vectors: cosine == dot
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val words = (0 until 40).map(i => s"w$i")
+    val near = (words.dropRight(1) :+ "changed").mkString(" ")
+    val c = cos(hashedEmbedding(words.mkString(" "), dim),
+      hashedEmbedding(near, dim))
+    assert(c > 0.9, s"near-dup cosine $c")
+    val far = cos(hashedEmbedding(words.mkString(" "), dim),
+      hashedEmbedding((0 until 40).map(i => s"z$i").mkString(" "), dim))
+    assert(math.abs(far) < 0.5, s"unrelated cosine $far")
+  }
+
   test("shingles slide over tokens; short docs fall back to whole text") {
     assert(shingles("a b c d", 3).length == 2)
     assert(shingles("a b", 3).length == 1)
