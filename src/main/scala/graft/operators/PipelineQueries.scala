@@ -78,8 +78,12 @@ object PipelineQueries {
     * same left-to-right double accumulation as the Scala while-loop
     * (list_sum over the products — validated bitwise by the v02 oracle),
     * and the bucket is the sign-pattern sum (one bit per plane, so sum ==
-    * bitwise-or). Yields CTEs comp/compv/vb with vb(id, vec, bucket). */
-  private def hyperplaneCtes(planes: Int): String = {
+    * bitwise-or). Yields CTEs comp/compv/vb with vb(id, vec, bucket).
+    * `src`/`idCol`/`vecCol` select the vector source — the embeddings
+    * table by default (v04/v05), or a derived CTE like t39's hashed
+    * document embeddings. */
+  private def hyperplaneCtes(planes: Int, src: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
     val comp = s64(mix64Sql("(p * 4294967296 + d)::HUGEINT"))
     s"""comp AS (
        |  SELECT p, d, ($comp)::DOUBLE / 9223372036854775808::DOUBLE AS c
@@ -87,14 +91,32 @@ object PipelineQueries {
        |), compv AS (
        |  SELECT p, list(c ORDER BY d) AS cv FROM comp GROUP BY p
        |), vb AS (
-       |  SELECT e.vec_id AS id, e.embedding AS vec,
-       |    CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, cp.cv),
+       |  SELECT e.$idCol AS id, e.$vecCol AS vec,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.$vecCol, cp.cv),
        |      z -> z[1]::DOUBLE * z[2])) > 0 THEN 1 << cp.p ELSE 0 END) AS INTEGER)
        |      AS bucket
-       |  FROM embeddings e CROSS JOIN compv cp
-       |  GROUP BY e.vec_id, e.embedding
+       |  FROM $src e CROSS JOIN compv cp
+       |  GROUP BY e.$idCol, e.$vecCol
        |)""".stripMargin
   }
+
+  /** The t38/t39 hashed-embedding derivation ([[graft.functions
+    * .TextAnalysis.hashedEmbedding]] re-derived in SQL): tokens -> signed
+    * FNV+mix64 hash -> bucket `floorMod(h, dim)` with the hash-sign weight
+    * -> per-bucket counts (`acc`) and the L2 norm (`nrm`). */
+  private def hashedEmbCtes(dim: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS g
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${s64(mix64Sql(fnvSql))} AS h FROM toks),
+       |b AS (
+       |  SELECT doc_id, ((h % $dim) + $dim) % $dim AS idx,
+       |    CASE WHEN h < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM h),
+       |acc AS (SELECT doc_id, idx, sum(s) AS v FROM b GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM acc GROUP BY 1)"""
+      .stripMargin
 
   /** Exact cosine over aliases a.vec / b.vec — the [[graft.functions
     * .VectorKernels.cosine]] formulation (dot / (sqrt(na)·sqrt(nb)), all
@@ -580,23 +602,60 @@ object PipelineQueries {
           round($"val0", 6).as("val"))
         .orderBy("doc_id", "idx")
     }, Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS g
-         |  FROM documents),
-         |h AS (SELECT doc_id, ${s64(mix64Sql(fnvSql))} AS h FROM toks),
-         |b AS (
-         |  SELECT doc_id, ((h % 64) + 64) % 64 AS idx,
-         |    CASE WHEN h < 0 THEN -1.0 ELSE 1.0 END AS s
-         |  FROM h),
-         |acc AS (SELECT doc_id, idx, sum(s) AS v FROM b GROUP BY 1, 2),
-         |nrm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM acc GROUP BY 1)
+      s"""WITH ${hashedEmbCtes(64)}
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, r.i AS idx,
          |  round(coalesce((a.v / nullif(n.n, 0))::REAL, 0.0)::DOUBLE, 6) AS val
          |FROM documents d CROSS JOIN range(64) r(i)
          |LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.idx = r.i
          |LEFT JOIN nrm n ON n.doc_id = d.doc_id
          |ORDER BY 1, 2""".stripMargin)),
+
+    // the composition the t38 bridge exists for: near-dup document pairs
+    // via cosine over hashed embeddings — text -> vector -> hyperplane LSH
+    // blocking -> bucket cap -> exact cosine gate, reusing cosineDedup
+    // unchanged. FULLY oracled end to end: the hashed vectors are bitwise
+    // reproducible in SQL ((v/n)::REAL — v and n derive from identical
+    // integer sums), so the v05 bucket/cap/pair machinery composes with
+    // the t38 derivation directly. Zero-norm docs are filtered on both
+    // sides (their cosine is NaN, which Spark and DuckDB order-compare
+    // DIFFERENTLY — the filter keeps the lane engine-independent).
+    Q("t39_hashed_neardup", (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val hv = t(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, TextAnalysis.hashedEmbedding(text, 64))
+        }
+        .filter(_._2.exists(_ != 0f))
+      Similarity.cosineDedup(hv, threshold = 0.9, planes = 10)
+        .select($"id_a".cast("long").as("id_a"),
+          $"id_b".cast("long").as("id_b"), round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }, Some(
+      s"""WITH ${hashedEmbCtes(64)},
+         |dense AS (
+         |  SELECT d.doc_id, r.i AS idx,
+         |    coalesce((a.v / nullif(n.n, 0))::REAL, 0.0::REAL) AS val
+         |  FROM documents d CROSS JOIN range(64) r(i)
+         |  LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.idx = r.i
+         |  LEFT JOIN nrm n ON n.doc_id = d.doc_id),
+         |hv AS (
+         |  SELECT doc_id AS vec_id, list(val ORDER BY idx) AS embedding
+         |  FROM dense GROUP BY 1
+         |  HAVING max(abs(val)) > 0),
+         |${hyperplaneCtes(10, "hv")},
+         |banded AS (
+         |  SELECT id, vec, ${probeList(10)} AS bucket FROM vb
+         |), capped AS (
+         |  SELECT * FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 1024
+         |)
+         |SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a,
+         |  CAST(b.id AS BIGINT) AS id_b, round($cosSql, 6) AS sim
+         |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE $cosSql >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("t15_source_similarity", (s, dir) => {
       import s.implicits._
