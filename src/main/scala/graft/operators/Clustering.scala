@@ -58,10 +58,11 @@ object Clustering {
     * Same hash gate family as [[clusterSample]]'s member ranking; both
     * engines derive identical hex strings, so scatter lanes stay exactly
     * oracle-able (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id`). */
-  private[operators] def initOrder(scatter: Boolean): Seq[Column] =
+  private[operators] def initOrder(scatter: Boolean,
+      idCol: String = "vec_id"): Seq[Column] =
     if (scatter)
-      Seq(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-    else Seq(col("vec_id"))
+      Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    else Seq(col(idCol))
 
   /** The DuckDB text of [[initOrder]]. */
   private[operators] def initOrderSql(scatter: Boolean): String =

@@ -113,7 +113,15 @@ object Similarity {
     * path to hyperplane LSH: recall tunes with nProbe, the cell assignment
     * is one narrow codegen'd pass over the base, and — unlike a float
     * k-means quantizer — every step is bit-reproducible in any engine, so
-    * the whole lane carries a DuckDB SQL oracle (v06). */
+    * the whole lane carries a DuckDB SQL oracle (v06).
+    *
+    * Contract notes (the scan shape, since r11): queries collect +
+    * broadcast — the bounded-query contract the whole query-side ANN
+    * family shares (shard the query set for Q beyond driver memory; the
+    * pre-r11 probe×cell join kept queries distributed but cost 3-5x the
+    * scan at the knn volume stress). Null vectors on either side are
+    * dropped, exactly as the old join plan's null-safe expressions
+    * dropped them. */
   def ivfKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
       nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17,
@@ -121,7 +129,7 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val qArr = queries.collect().sortBy(_._1)
+    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val bDf = base.toDF("nid", "nv")
@@ -154,29 +162,16 @@ object Similarity {
     // insertion is a superset of the global top-k — so the window below
     // reduces their union to exactly the former plan's answer:
     // partitioning-independent, byte-identical, same SQL oracle.
-    val dim = qArr(0)._2.length
     val nP = math.min(nProbe, nCells)
     val qData = qArr.map { case (qid, qv) =>
-      val qvl = quantizeJvm(qv)
-      val probed = cents.zipWithIndex.map { case (m, c) =>
-        var d = 0L; var i = 0
-        while (i < dim) { val t = qvl(i) - m(i); d += t * t; i += 1 }
-        (d, c)
-      }.sorted.take(nP).map(_._2)
-      (qid, qv, probed)
+      (qid, qv, probeCells(quantizeJvm(qv), cents, nP))
     }
-    val cellQueries: Array[Array[Int]] = {
-      val m = Array.fill(nCells)(List.empty[Int])
-      qData.zipWithIndex.foreach { case ((_, _, probed), qi) =>
-        probed.foreach(c => m(c) = qi :: m(c))
-      }
-      m.map(_.reverse.toArray)
-    }
+    val cellQueries = invertProbes(qData.map(_._3), nCells)
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcQ = spark.sparkContext.broadcast(qData.map(q => (q._1, q._2)))
     val bcCellQ = spark.sparkContext.broadcast(cellQueries)
 
-    val scored = base.mapPartitions { it =>
+    val scored = base.filter(_._2 != null).mapPartitions { it =>
       val cents = bcCents.value
       val qs = bcQ.value
       val cellQ = bcCellQ.value
@@ -209,10 +204,7 @@ object Similarity {
           qi += 1
         }
       }
-      (0 until qs.length).iterator.flatMap { q =>
-        (0 until heapN(q)).iterator.map(i =>
-          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
-      }
+      drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
     }.toDF("qid", "nid", "sim")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -292,14 +284,15 @@ object Similarity {
       base: Dataset[(Long, Array[Float])], k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qArr = queries.collect().sortBy(_._1).map { case (qid, qv) =>
-      var qn = 0.0; qv.foreach(x => qn += x.toDouble * x)
-      (qid, qv, math.sqrt(qn))
-    }
+    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
+      .map { case (qid, qv) =>
+        var qn = 0.0; qv.foreach(x => qn += x.toDouble * x)
+        (qid, qv, math.sqrt(qn))
+      }
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val bcQ = spark.sparkContext.broadcast(qArr)
-    val quantized = base.map { case (id, v) =>
+    val quantized = base.filter(_._2 != null).map { case (id, v) =>
       val (_, q) = quantizeInt8(v)
       var cn = 0.0; q.foreach(c => cn += c.toDouble * c)
       (id, math.sqrt(cn), q)
@@ -328,10 +321,7 @@ object Similarity {
           q += 1
         }
       }
-      (0 until qs.length).iterator.flatMap { q =>
-        (0 until heapN(q)).iterator
-          .map(i => (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
-      }
+      drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
     }.toDF("qid", "nid", "sim")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     topk.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
@@ -381,11 +371,11 @@ object Similarity {
     val spark = base.sparkSession
     import spark.implicits._
     // normalize column names: tuple datasets from source tables keep their
-    // original names (vec_id, embedding), so sort positionally
-    val order =
-      if (scatter) Seq(md5(col("id").cast("string").cast("binary")), col("id"))
-      else Seq(col("id"))
-    base.toDF("id", "vec").sort(order: _*)
+    // original names (vec_id, embedding), so sort positionally; the
+    // ordering is Clustering.initOrder — ONE definition of the scatter
+    // permutation, so the clustering and ANN oracles can never diverge
+    base.toDF("id", "vec")
+      .sort(Clustering.initOrder(scatter, idCol = "id"): _*)
       .limit(trainN).select("vec").as[Array[Float]].collect()
       .map(quantizeJvm)
   }
@@ -446,6 +436,38 @@ object Similarity {
     best
   }
 
+  /** The `nP` nearest cells of a quantized vector by (exact long distance,
+    * cell index) — the [[graft.functions.NearestCentroids]] ordering,
+    * shared by [[ivfKnn]] and [[ivfPqKnn]] so the probe rule (and the v06/
+    * v10 oracles that re-derive it) can never diverge between them. */
+  private def probeCells(qvl: Array[Long], cents: Array[Array[Long]],
+      nP: Int): Array[Int] = {
+    val dim = qvl.length
+    cents.zipWithIndex.map { case (m, c) =>
+      var d = 0L; var i = 0
+      while (i < dim) { val t = qvl(i) - m(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(nP).map(_._2)
+  }
+
+  /** cell -> indices of the queries probing it (insertion order kept). */
+  private def invertProbes(probes: Array[Array[Int]],
+      nCells: Int): Array[Array[Int]] = {
+    val m = Array.fill(nCells)(List.empty[Int])
+    probes.zipWithIndex.foreach { case (ps, qi) =>
+      ps.foreach(c => m(c) = qi :: m(c))
+    }
+    m.map(_.reverse.toArray)
+  }
+
+  /** Drain the per-query bounded heaps into (qid, nid, sim) tuples. */
+  private def drainHeaps(qids: Array[Long], heapSim: Array[Array[Double]],
+      heapId: Array[Array[Long]],
+      heapN: Array[Int]): Iterator[(Long, Long, Double)] =
+    qids.indices.iterator.flatMap { q =>
+      (0 until heapN(q)).iterator.map(i => (qids(q), heapId(q)(i), heapSim(q)(i)))
+    }
+
   /** PQ code of one quantized vector: per-subspace nearest centroid index
     * (one byte each — centroids <= 256). Allocation-free beyond the output
     * byte array — this runs once per corpus row in the PQ scan. */
@@ -493,7 +515,7 @@ object Similarity {
     import spark.implicits._
     // collect queries BEFORE training: an empty query set must not pay a
     // full training pass, and qArr(0) below needs at least one row
-    val qArr = queries.collect().sortBy(_._1)
+    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val books = trainPqCodebooks(base, subspaces, centroids, trainN, iters,
@@ -523,7 +545,7 @@ object Similarity {
 
     // one narrow pass: quantize + encode + approximate + per-partition
     // bounded top-rr prune
-    val scored = base.mapPartitions { it =>
+    val scored = base.filter(_._2 != null).mapPartitions { it =>
       val books = bcBooks.value
       val qs = bcQ.value
       val cn = bcCN.value
@@ -551,10 +573,7 @@ object Similarity {
           q += 1
         }
       }
-      (0 until qs.length).iterator.flatMap { q =>
-        (0 until heapN(q)).iterator.map(i =>
-          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
-      }
+      drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
     }.toDF("qid", "nid", "asim")
     // reduce the union of partition-local top-rr prunes to the GLOBAL
     // top-rr per query — at most partitions x Q x rr tiny rows enter this
@@ -630,7 +649,7 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val qArr = queries.collect().sortBy(_._1)
+    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
     if (qArr.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val dim = qArr(0)._2.length
@@ -661,14 +680,11 @@ object Similarity {
     // per query: probed cells by (exact dist, cell) order, dot(q, cell
     // centroid) per probed cell, dot tables, norm
     val nP = math.min(nProbe, nCells)
-    val qTables = qArr.map { case (qid, qv) =>
+    val qProbes = qArr.map { case (_, qv) =>
+      probeCells(quantizeJvm(qv), coarse, nP)
+    }
+    val qTables = qArr.zip(qProbes).map { case ((qid, qv), probed) =>
       val qvl = quantizeJvm(qv)
-      val byDist = coarse.zipWithIndex.map { case (m, c) =>
-        var d = 0L; var i = 0
-        while (i < dim) { val t = qvl(i) - m(i); d += t * t; i += 1 }
-        (d, c)
-      }.sorted
-      val probed = byDist.take(nP).map(_._2)
       val dotQC = probed.map { c =>
         var d = 0L; var i = 0
         while (i < dim) { d += qvl(i) * coarse(c)(i); i += 1 }
@@ -683,14 +699,7 @@ object Similarity {
       qvl.foreach(x => qn += x * x)
       (qid, dotQC, table, math.sqrt(qn.toDouble))
     }
-    // inverted probe map: cell -> indices of the queries probing it
-    val cellQueries: Array[Array[Int]] = {
-      val m = Array.fill(nCells)(List.empty[Int])
-      qTables.zipWithIndex.foreach { case ((_, dotQC, _, _), qi) =>
-        dotQC.keysIterator.foreach(c => m(c) = qi :: m(c))
-      }
-      m.map(_.reverse.toArray)
-    }
+    val cellQueries = invertProbes(qProbes, nCells)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     val bcBooks = spark.sparkContext.broadcast(books)
     val bcQ = spark.sparkContext.broadcast(qTables)
@@ -700,7 +709,7 @@ object Similarity {
     val bcCN = spark.sparkContext.broadcast(centNorm2)
     val rr = rerank.max(k)
 
-    val scored = base.mapPartitions { it =>
+    val scored = base.filter(_._2 != null).mapPartitions { it =>
       val coarse = bcCoarse.value
       val books = bcBooks.value
       val qs = bcQ.value
@@ -741,10 +750,7 @@ object Similarity {
           qi += 1
         }
       }
-      (0 until qs.length).iterator.flatMap { q =>
-        (0 until heapN(q)).iterator.map(i =>
-          (qs(q)._1, heapId(q)(i), heapSim(q)(i)))
-      }
+      drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
     }.toDF("qid", "nid", "asim")
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("asim").desc, col("nid").asc)
