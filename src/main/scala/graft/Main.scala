@@ -89,7 +89,7 @@ object Main {
         "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
         "max-files-per-trigger", "checkpoint", "mode", "span-n")),
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
-        "min-alpha", "near-dup-threshold", "span-n")),
+        "min-alpha", "near-dup-threshold", "near-dup-mode", "span-n")),
       "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
         "iters", "tau", "max-cluster-pop", "sample", "train", "init")))
   }
@@ -959,6 +959,13 @@ object Main {
         import spark.implicits._
         import org.apache.spark.sql.functions._
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // --near-dup-mode picks the candidate test: 'minhash' (lexical
+        // shingle-Jaccard, the default) or 'hashed' (feature-hashed
+        // embedding cosine — order-insensitive, catches reshuffled copies).
+        // Validated BEFORE any Spark work, like curateEmbeddings' options
+        val nearMode = opts.getOrElse("near-dup-mode", "minhash")
+        require(nearMode == "minhash" || nearMode == "hashed",
+          s"--near-dup-mode must be 'minhash' or 'hashed', got '$nearMode'")
         val in = spark.read.parquet(opts("docs"))
           .select(col("doc_id").cast("long"), col("text").cast("string"))
           .as[(Long, String)].persist(lvl)
@@ -982,6 +989,9 @@ object Main {
         val dedupScope = new graft.operators.Dedup.CacheScope
         val deduped =
           if (nearThr == "off") exact
+          else if (nearMode == "hashed")
+            graft.operators.Dedup.deduplicateHashedCosine(exact,
+              threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
           else graft.operators.Dedup.deduplicate(exact,
             threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
         val nNear = deduped.count()

@@ -541,6 +541,34 @@ object Dedup {
       .as[(Long, String)]
   }
 
+  /** Near-dup removal over feature-hashed embeddings: documents hash to
+    * unit vectors ([[graft.functions.TextAnalysis.hashedEmbedding]] — the
+    * model-free text→vector bridge), [[Similarity.cosineDedup]] finds the
+    * pairs clearing `threshold` (hyperplane-LSH blocking + exact cosine),
+    * and components resolve to min-id keepers — the t39 composition as a
+    * corpus pass. The semantic-leaning alternative to [[deduplicate]]'s
+    * lexical shingle-Jaccard test: bag-of-words cosine is insensitive to
+    * token ORDER, so reshuffled or lightly paraphrased near-copies that
+    * break most shingles still pair here. Zero-norm (empty) docs are never
+    * candidates and always survive. Internal caches land in `scope`. */
+  def deduplicateHashedCosine(docs: Dataset[(Long, String)],
+      threshold: Double = 0.9, dim: Int = 64, planes: Int = 12,
+      scope: CacheScope = CacheScope.unmanaged): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hv = docs.map { case (id, text) =>
+      (id, graft.functions.TextAnalysis.hashedEmbedding(text, dim))
+    }.filter(_._2.exists(_ != 0f))
+    val pairs = Similarity.cosineDedup(hv, threshold, planes, scope = scope)
+      .select("id_a", "id_b")
+    val drop = connectedComponents(pairs, scope = scope)
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id"))
+    docs.toDF("id", "text")
+      .join(drop, Seq("id"), "left_anti")
+      .as[(Long, String)]
+  }
+
   // ---------------- exact substring-span dedup ----------------
 
   /** Maximal duplicated word-n-gram spans — the span-level exact dedup pass

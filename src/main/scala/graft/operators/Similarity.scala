@@ -771,9 +771,12 @@ object Similarity {
     * for embeddings). Buckets larger than `maxBucket` are dropped
     * ([[Dedup.capBuckets]]): embedding mass concentrated on one side of all
     * hyperplanes (e.g. near-zero vectors) would otherwise pair
-    * quadratically. */
+    * quadratically. The internal banded cache lands in `scope` — pass a
+    * managed [[Dedup.CacheScope]] from long-lived sessions (the curate CLI
+    * does) and release it once the result is consumed. */
   def cosineDedup(vectors: Dataset[(Long, Array[Float])], threshold: Double,
-      planes: Int = 12, maxBucket: Int = Dedup.DEFAULT_MAX_BUCKET): DataFrame = {
+      planes: Int = 12, maxBucket: Int = Dedup.DEFAULT_MAX_BUCKET,
+      scope: Dedup.CacheScope = Dedup.CacheScope.unmanaged): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -781,8 +784,8 @@ object Similarity {
       probeBuckets(v, planes).iterator.map(b => (b, id, v))
     }.toDF("bucket", "id", "vec")
     // persist the capped result: window evaluated once, both sides share it
-    val banded = Dedup.capBuckets(banded0, Seq("bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = scope.track(Dedup.capBuckets(banded0, Seq("bucket"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.bucket = b.bucket AND a.id < b.id"))

@@ -996,6 +996,45 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(leaked.isEmpty, s"curate leaked caches: $leaked")
   }
 
+  test("CLI: curate --near-dup-mode hashed drops reshuffled near-copies " +
+    "MinHash shingles miss, leaks no caches, and rejects a bad mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-hashed")
+    val words = (0 until 40).map(i => s"hw$i")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq(
+      (0L, words.mkString(" ")),
+      // a token-RESHUFFLED copy: bag-of-words identical (cosine 1.0) but
+      // almost no 3-token shingle survives the permutation — the case the
+      // hashed mode exists for
+      (1L, words.reverse.mkString(" ")),
+      (2L, (0 until 40).map(i => s"zz$i").mkString(" ")))
+    spark.createDataset(docs).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", out, "--p", "4", "--min-tokens", "5",
+      "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed",
+      "--span-n", "0"))
+    val corpus = spark.read.parquet(out + "/corpus")
+      .as[(Long, String)].collect().toMap
+    assert(corpus.keySet == Set(0L, 2L),
+      s"hashed mode must drop the reshuffled copy: ${corpus.keySet}")
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    val deadline = System.currentTimeMillis() + 10000
+    while (leaked().nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty, s"hashed curate leaked caches: ${leaked()}")
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curate",
+        "--docs", dir.resolve("docs.parquet").toString,
+        "--output", dir.resolve("out2").toString, "--p", "4",
+        "--near-dup-mode", "semantic"))
+    }
+    assert(e.getMessage.contains("--near-dup-mode"))
+  }
+
   test("CLI: curate survives a corpus the gates filter to nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cli-curate-empty")

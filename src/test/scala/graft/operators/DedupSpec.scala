@@ -201,6 +201,32 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept == corpus.map(_._1).toSet -- dropped)
   }
 
+  test("hashed-cosine dedup drops reshuffled copies the shingle test " +
+    "misses; both tests keep distinct docs and empty docs") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"hb$i")
+    val docs = Seq(
+      (0L, words.mkString(" ")),
+      // token-reshuffled copy: bag-of-words identical (hashed cosine 1.0)
+      // but the permutation destroys 3-token shingles (Jaccard ~0)
+      (1L, words.reverse.mkString(" ")),
+      (2L, (0 until 40).map(i => s"qq$i").mkString(" ")),
+      (3L, ""))
+    val ds = spark.createDataset(docs)
+    val scope = new Dedup.CacheScope
+    try {
+      val lexical = Dedup.deduplicate(ds, threshold = 0.9, scope = scope)
+        .collect().map(_._1).toSet
+      assert(lexical == Set(0L, 1L, 2L, 3L),
+        s"shingle test must MISS the reshuffle (the contrast): $lexical")
+      val hashed = Dedup.deduplicateHashedCosine(ds, threshold = 0.9,
+          scope = scope)
+        .collect().map(_._1).toSet
+      assert(hashed == Set(0L, 2L, 3L),
+        s"hashed cosine must catch the reshuffle, keep the rest: $hashed")
+    } finally scope.release()
+  }
+
   test("empty/whitespace docs never become near-dup candidates") {
     import spark.implicits._
     val withEmpties = corpus ++ (9000L until 9050L).map(i => (i, ""))
