@@ -189,7 +189,14 @@ object Bench {
       timePipeline("curate_text", out => Array("curate",
         "--docs", s"$sfDir/documents.parquet",
         "--output", out.toString, "--p", cpus,
-        "--near-dup-threshold", "0.7")))
+        "--near-dup-threshold", "0.7")),
+      // same pipeline with the hashed-cosine near-dup test (the t38/t39
+      // bridge as a user command) — tracked so the two candidate tests'
+      // costs stay comparable round over round
+      timePipeline("curate_text_hashed", out => Array("curate",
+        "--docs", s"$sfDir/documents.parquet",
+        "--output", out.toString, "--p", cpus,
+        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed")))
 
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a
