@@ -208,7 +208,8 @@ object Dedup {
     * within distance shares at least one exact chunk, so candidates come
     * from equi-joins on (chunkIdx, chunkValue), never a cross join. */
   def simhashDedup(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      maxDist: Int = 3, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = DEFAULT_MAX_BUCKET,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val chunks = maxDist + 1
@@ -229,8 +230,9 @@ object Dedup {
     // chunk-value mega-buckets (e.g. a zeroed chunk across boilerplate docs)
     // pair quadratically — cap them like the MinHash bands; persist the
     // capped result so the window runs once and both join sides share it
-    val banded = capBuckets(banded0, Seq("chunk", "val"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (tracked in `scope` — release it from long-lived sessions)
+    val banded = scope.track(capBuckets(banded0, Seq("chunk", "val"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, expr("a.chunk = b.chunk AND a.val = b.val AND a.id < b.id"))
@@ -743,13 +745,14 @@ object Dedup {
     * shuffle is on shingle hashes — skew-prone on boilerplate text; prefer
     * LSH above at full scale), count common, compute exact similarity. */
   def ngramJaccardPairs(docs: Dataset[(Long, String)], shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val exploded = docs.flatMap { case (id, text) =>
+    val exploded = scope.track(docs.flatMap { case (id, text) =>
       shingleSet(text, shingleN).iterator.map(s => (id, s))
     }.toDF("id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = exploded.as("a")
     val b = exploded.as("b")
