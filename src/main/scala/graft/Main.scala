@@ -986,6 +986,11 @@ object Main {
           .as[(Long, String)].persist(lvl)
         val nExact = exact.count()
         val nearThr = opts.getOrElse("near-dup-threshold", "off")
+        // an explicit --near-dup-mode with the threshold left 'off' would
+        // silently skip the near-dup pass the user just asked for
+        require(!(opts.contains("near-dup-mode") && nearThr == "off"),
+          "--near-dup-mode was set but --near-dup-threshold is 'off'; " +
+            "pass a threshold (e.g. --near-dup-threshold 0.8) to enable the pass")
         val dedupScope = new graft.operators.Dedup.CacheScope
         val deduped =
           if (nearThr == "off") exact

@@ -103,7 +103,16 @@ object PipelineQueries {
   /** The t38/t39 hashed-embedding derivation ([[graft.functions
     * .TextAnalysis.hashedEmbedding]] re-derived in SQL): tokens -> signed
     * FNV+mix64 hash -> bucket `floorMod(h, dim)` with the hash-sign weight
-    * -> per-bucket counts (`acc`) and the L2 norm (`nrm`). */
+    * -> per-bucket counts (`acc`) and the L2 norm (`nrm`).
+    *
+    * Tokenizer-parity caveat (same class as the streaming span path's):
+    * Java's regex `\s` includes U+000B/U+001C-1F and `String.trim` strips
+    * every char <= U+0020, while DuckDB's RE2 `\s` is `[\t\n\f\r ]` and
+    * `trim()` strips spaces only — documents containing those exotic
+    * control characters as the ONLY separator between tokens would
+    * tokenize differently on the two sides. The testdata corpora contain
+    * none (asserted by the sweep staying green); a corpus that does should
+    * normalize control chars to ' ' before both derivations. */
   private def hashedEmbCtes(dim: Int): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(
@@ -546,10 +555,13 @@ object PipelineQueries {
     // CTEs re-derive the identical centroids), the probe list is exact long
     // distances with (dist, cid) ties, and the in-cell scoring is the
     // already-proven exact float cosine. Recall gates stay in DedupSpec.
+    // queryBound = 7 < Q = 20: the oracle covers the SHARDED query path
+    // (three hash shards, training shared) — the r11 verdict ask.
     Q("v06_ivf_knn", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)
-      Similarity.ivfKnn(v.filter(_._1 < 20), v, k = 3, nCells = 8, nProbe = 3)
+      Similarity.ivfKnn(v.filter(_._1 < 20), v, k = 3, nCells = 8, nProbe = 3,
+          queryBound = 7)
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")
@@ -828,11 +840,14 @@ object PipelineQueries {
     // probe list, and the exact-long table decomposition of the
     // approximate cosine are all re-derived in SQL (ivfPqCtes + the CTEs
     // below); recall gates vs brute force live in DedupSpec.
+    // queryBound = 7 < Q = 20: the oracle also covers the sharded query
+    // path here (training + codebooks shared across the three shards).
     Q("v10_ivfpq_knn", (s, dir) => {
       import s.implicits._
       val v = vecs(s, dir)
       Similarity.ivfPqKnn(v.filter(_._1 < 20), v, k = 3, nCells = 8,
-        nProbe = 3, subspaces = 8, centroids = 16, rerank = 24)
+        nProbe = 3, subspaces = 8, centroids = 16, rerank = 24,
+        queryBound = 7)
         .select($"qid".cast("long").as("qid"), $"nid".cast("long").as("nid"),
           round($"sim", 6).as("sim"))
         .orderBy($"qid", $"sim".desc, $"nid")

@@ -101,6 +101,71 @@ object Similarity {
       .drop("rn")
   }
 
+  // ---------------- query-side sharding ----------------
+
+  /** Default cap on query rows collected + broadcast per scan shard. At
+    * 64-dim float32 one shard is ~16 MB of vectors plus per-query lookup
+    * tables — comfortably inside any driver/executor budget. */
+  val DefaultQueryShardBound: Int = 1 << 16
+
+  /** Auto-sharded driver for the query side of the kNN family.
+    *
+    * Every scan here broadcasts the query set (per-query bounded heaps need
+    * all of a query's state on every partition); r11 bounded that with a
+    * documented "collect ≤ bound queries" contract. This replaces the
+    * contract with an auto-select: Q ≤ `bound` runs exactly the historical
+    * single-collect path; Q > `bound` iterates deterministic hash shards of
+    * the query set (`floorMod(mix64(qid), nShards)` — uniform even on
+    * block-contiguous ids), materializing each shard's FINAL top-k with
+    * `localCheckpoint` so the shard's broadcasts are destroyed before the
+    * next shard is collected. Driver memory stays O(bound·dim) regardless
+    * of Q; the corpus pays one scan per shard (the unavoidable trade — at
+    * 100 TB pick `bound` so shards are few and each scan stays
+    * bandwidth-bound).
+    *
+    * Byte-identical to the unsharded path: per-query results depend only on
+    * the base, the per-shard window equals the global window restricted to
+    * the shard's qids, and the shards partition the qids — proven by
+    * DedupSpec's sharded-vs-off equality tests and the v06/v10 oracles,
+    * which run WITH a sub-Q bound.
+    *
+    * `scan(qArr)` must return the final per-query top-k frame for exactly
+    * the queries in qArr plus a cleanup dropping the shard's broadcasts.
+    * Hash shards are a memory TARGET, not a hard cap (uniform ±sqrt
+    * deviation). localCheckpoint truncates lineage: an executor loss while
+    * shard results are held fails the job instead of recomputing — swap in
+    * a reliable checkpoint dir for failure-prone fleets. Checkpointed
+    * blocks are reclaimed by the ContextCleaner once the returned frame is
+    * unreferenced. */
+  private def shardedKnn(queries: Dataset[(Long, Array[Float])], bound: Int)(
+      scan: Array[(Long, Array[Float])] => (DataFrame, () => Unit))
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(bound > 0, s"queryBound must be positive, got $bound")
+    val nonNull = queries.filter(_._2 != null)
+    // probe with limit(bound+1): the common bounded case pays no count()
+    val head = nonNull.limit(bound + 1).collect()
+    if (head.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
+    if (head.length <= bound) return scan(head.sortBy(_._1))._1
+    val nShards = math.max(2,
+      math.ceil(nonNull.count().toDouble / bound).toInt)
+    val parts = (0 until nShards).flatMap { i =>
+      val shard = nonNull
+        .filter(q => Math.floorMod(mix64(q._1), nShards.toLong) == i.toLong)
+        .collect().sortBy(_._1)
+      if (shard.isEmpty) None
+      else {
+        val (df, cleanup) = scan(shard)
+        val pinned = df.localCheckpoint(true)
+        cleanup()
+        Some(pinned)
+      }
+    }
+    parts.reduce(_ union _)
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** IVF top-k: the DETERMINISTIC integer k-means ([[Clustering]]'s exact
@@ -115,26 +180,20 @@ object Similarity {
     * k-means quantizer — every step is bit-reproducible in any engine, so
     * the whole lane carries a DuckDB SQL oracle (v06).
     *
-    * Contract notes (the scan shape, since r11): queries collect +
-    * broadcast — the bounded-query contract the whole query-side ANN
-    * family shares (shard the query set for Q beyond driver memory; the
-    * pre-r11 probe×cell join kept queries distributed but cost 3-5x the
-    * scan at the knn volume stress). Null vectors on either side are
-    * dropped, exactly as the old join plan's null-safe expressions
-    * dropped them. */
+    * Query-side shape (since r12): [[shardedKnn]] auto-select — Q ≤
+    * `queryBound` collects + broadcasts once (the historical path); beyond
+    * it, deterministic query shards each pay one corpus scan, byte-
+    * identical results (the v06 oracle runs with a sub-Q bound). Training
+    * happens once across shards. Null vectors on either side are dropped,
+    * exactly as the old join plan's null-safe expressions dropped them. */
   def ivfKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 16,
       nProbe: Int = 3, iters: Int = 3, trainN: Int = 1 << 17,
-      scatter: Boolean = false): DataFrame = {
+      scatter: Boolean = false,
+      queryBound: Int = DefaultQueryShardBound): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
-    if (qArr.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
     val bDf = base.toDF("nid", "nv")
-    val q0 = bDf.select(col("nid").as("vec_id"),
-      Clustering.quantize(col("nv")).as("qv"))
     // quantizer training is SAMPLE-BOUNDED (faiss-style): one full pass
     // takes the trainN smallest ids (deterministic, so the v06 oracle
     // re-derives the same sample with ORDER BY vec_id LIMIT trainN),
@@ -143,12 +202,16 @@ object Similarity {
     // required full pass. `scatter` draws the sample (and the Lloyd's
     // init) from the (md5(id), id) permutation instead of the smallest
     // ids — the [[Clustering.initOrder]] robustness setting for
-    // block-contiguous id layouts, equally deterministic.
-    val cached = q0.sort(Clustering.initOrder(scatter): _*).limit(trainN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents =
+    // block-contiguous id layouts, equally deterministic. Lazy: trained
+    // on the first shard only, never for an empty query set.
+    lazy val cents = {
+      val q0 = bDf.select(col("nid").as("vec_id"),
+        Clustering.quantize(col("nv")).as("qv"))
+      val cached = q0.sort(Clustering.initOrder(scatter): _*).limit(trainN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try Clustering.kmeansCentroids(cached, nCells, iters, scatter)
       finally cached.unpersist(blocking = false)
+    }
 
     // probe lists driver-side: exact long distances, (dist, cid) ties —
     // the NearestCentroids ordering, re-derived by the v06 oracle. The
@@ -162,54 +225,60 @@ object Similarity {
     // insertion is a superset of the global top-k — so the window below
     // reduces their union to exactly the former plan's answer:
     // partitioning-independent, byte-identical, same SQL oracle.
-    val nP = math.min(nProbe, nCells)
-    val qData = qArr.map { case (qid, qv) =>
-      (qid, qv, probeCells(quantizeJvm(qv), cents, nP))
-    }
-    val cellQueries = invertProbes(qData.map(_._3), nCells)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bcQ = spark.sparkContext.broadcast(qData.map(q => (q._1, q._2)))
-    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
-
-    val scored = base.filter(_._2 != null).mapPartitions { it =>
-      val cents = bcCents.value
-      val qs = bcQ.value
-      val cellQ = bcCellQ.value
-      val dim = cents(0).length
-      val heapSim = Array.fill(qs.length)(new Array[Double](k))
-      val heapId = Array.fill(qs.length)(new Array[Long](k))
-      val heapN = new Array[Int](qs.length)
-      for ((nid, nv) <- it) {
-        val cell = nearestSub(quantizeJvm(nv), 0, dim, cents)
-        val qIdxs = cellQ(cell)
-        var qi = 0
-        while (qi < qIdxs.length) {
-          val q = qIdxs(qi)
-          val (qid, qv) = qs(q)
-          if (qid != nid) {
-            // the exact-cosine kernel, same op order as the native
-            // cosine_sim expression (VectorKernels.cosine) — bitwise-equal
-            // sims, so the window result matches the former join plan
-            val n = math.min(qv.length, nv.length)
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < n) {
-              val x = qv(i).toDouble; val y = nv(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
-            val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-            heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), k, sim, nid)
-          }
-          qi += 1
-        }
+    shardedKnn(queries, queryBound) { qArr =>
+      import spark.implicits._
+      val nP = math.min(nProbe, nCells)
+      val qData = qArr.map { case (qid, qv) =>
+        (qid, qv, probeCells(quantizeJvm(qv), cents, nP))
       }
-      drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
-    }.toDF("qid", "nid", "sim")
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      val cellQueries = invertProbes(qData.map(_._3), nCells)
+      val bcCents = spark.sparkContext.broadcast(cents)
+      val bcQ = spark.sparkContext.broadcast(qData.map(q => (q._1, q._2)))
+      val bcCellQ = spark.sparkContext.broadcast(cellQueries)
+
+      val scored = base.filter(_._2 != null).mapPartitions { it =>
+        val cents = bcCents.value
+        val qs = bcQ.value
+        val cellQ = bcCellQ.value
+        val dim = cents(0).length
+        val heapSim = Array.fill(qs.length)(new Array[Double](k))
+        val heapId = Array.fill(qs.length)(new Array[Long](k))
+        val heapN = new Array[Int](qs.length)
+        for ((nid, nv) <- it) {
+          val cell = nearestSub(quantizeJvm(nv), 0, dim, cents)
+          val qIdxs = cellQ(cell)
+          var qi = 0
+          while (qi < qIdxs.length) {
+            val q = qIdxs(qi)
+            val (qid, qv) = qs(q)
+            if (qid != nid) {
+              // the exact-cosine kernel, same op order as the native
+              // cosine_sim expression (VectorKernels.cosine) — bitwise-equal
+              // sims, so the window result matches the former join plan
+              val n = math.min(qv.length, nv.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0
+              while (i < n) {
+                val x = qv(i).toDouble; val y = nv(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
+              }
+              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+              heapN(q) = boundedInsert(heapSim(q), heapId(q), heapN(q), k, sim, nid)
+            }
+            qi += 1
+          }
+        }
+        drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
+      }.toDF("qid", "nid", "sim")
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      val topk = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .drop("rn")
+      (topk, () => {
+        bcQ.destroy(); bcCellQ.destroy(); bcCents.destroy()
+      })
+    }
   }
 
   // ---------------- int8 scalar quantization ----------------
@@ -254,7 +323,11 @@ object Similarity {
     * comparisons into an arbitrary slot. Shared by [[int8Knn]], [[pqKnn]],
     * [[ivfPqKnn]] and the [[ivfKnn]] scan. */
   private def boundedInsert(sims: Array[Double], ids: Array[Long], n: Int,
-      cap: Int, sim: Double, nid: Long): Int = {
+      cap: Int, sim0: Double, nid: Long): Int = {
+    // normalize -0.0 to +0.0: java.lang.Double.compare orders -0.0 < 0.0
+    // but Spark's SQL double sort treats them as equal (tie-break on nid),
+    // so an unnormalized -0.0 could prune a row the global window keeps
+    val sim = sim0 + 0.0
     val full = n == cap
     if (full) {
       val c = java.lang.Double.compare(sim, sims(n - 1))
@@ -281,22 +354,21 @@ object Similarity {
     * No re-rank stage: int8 cosine is within quantization error of the
     * true value (asserted in the spec), so the scan result IS the answer. */
   def int8Knn(queries: Dataset[(Long, Array[Float])],
-      base: Dataset[(Long, Array[Float])], k: Int): DataFrame = {
+      base: Dataset[(Long, Array[Float])], k: Int,
+      queryBound: Int = DefaultQueryShardBound): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
-      .map { case (qid, qv) =>
-        var qn = 0.0; qv.foreach(x => qn += x.toDouble * x)
-        (qid, qv, math.sqrt(qn))
-      }
-    if (qArr.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
-    val bcQ = spark.sparkContext.broadcast(qArr)
     val quantized = base.filter(_._2 != null).map { case (id, v) =>
       val (_, q) = quantizeInt8(v)
       var cn = 0.0; q.foreach(c => cn += c.toDouble * c)
       (id, math.sqrt(cn), q)
     }
+    shardedKnn(queries, queryBound) { qRaw =>
+    val qArr = qRaw.map { case (qid, qv) =>
+      var qn = 0.0; qv.foreach(x => qn += x.toDouble * x)
+      (qid, qv, math.sqrt(qn))
+    }
+    val bcQ = spark.sparkContext.broadcast(qArr)
     val topk = quantized.mapPartitions { it =>
       val qs = bcQ.value
       val heapSim = Array.fill(qs.length)(new Array[Double](k))
@@ -324,7 +396,10 @@ object Similarity {
       drainHeaps(qs.map(_._1), heapSim, heapId, heapN)
     }.toDF("qid", "nid", "sim")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    topk.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val res = topk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    (res, () => bcQ.destroy())
+    }
   }
 
   // ---------------- product quantization (PQ) ----------------
@@ -504,22 +579,25 @@ object Similarity {
     * (the v07 DuckDB oracle re-derives training, encoding, ADC scan and
     * re-rank).
     *
-    * The query set is collected and broadcast (bounded, as in every
-    * query-side ANN here); the corpus side stays a single narrow pass. */
+    * The query side runs through [[shardedKnn]] (auto-sharded beyond
+    * `queryBound`, training shared across shards); the corpus side stays a
+    * single narrow pass per shard. */
   def pqKnn(queries: Dataset[(Long, Array[Float])],
       base: Dataset[(Long, Array[Float])], k: Int, subspaces: Int = 8,
       centroids: Int = 16, rerank: Int = 32, trainN: Int = 256,
-      iters: Int = 3, scatter: Boolean = false): DataFrame = {
+      iters: Int = 3, scatter: Boolean = false,
+      queryBound: Int = DefaultQueryShardBound): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // lazy: trained once, on the first shard — an empty query set never
+    // pays the training pass (shardedKnn returns before touching it)
+    lazy val books = trainPqCodebooks(base, subspaces, centroids, trainN,
+      iters, scatter)
+    lazy val centNorm2 = Array.tabulate(subspaces, centroids) { (s, c) =>
+      var d = 0L; books(s)(c).foreach(x => d += x * x); d
+    }
+    shardedKnn(queries, queryBound) { qArr =>
     import spark.implicits._
-    // collect queries BEFORE training: an empty query set must not pay a
-    // full training pass, and qArr(0) below needs at least one row
-    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
-    if (qArr.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
-    val books = trainPqCodebooks(base, subspaces, centroids, trainN, iters,
-      scatter)
     val bcBooks = spark.sparkContext.broadcast(books)
 
     // per-query lookup tables: EXACT long dot(q_sub, centroid) and exact
@@ -535,9 +613,6 @@ object Similarity {
       var qn = 0L
       qvl.foreach(x => qn += x * x)
       (qid, table, math.sqrt(qn.toDouble))
-    }
-    val centNorm2 = Array.tabulate(subspaces, centroids) { (s, c) =>
-      var d = 0L; books(s)(c).foreach(x => d += x * x); d
     }
     val bcQ = spark.sparkContext.broadcast(qTables)
     val bcCN = spark.sparkContext.broadcast(centNorm2)
@@ -588,11 +663,15 @@ object Similarity {
     val qDf = queries.toDF("qid", "qv")
     val bDf = base.toDF("nid", "nv")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    candidates.join(bDf, "nid").join(qDf, "qid")
+    val res = candidates.join(bDf, "nid").join(qDf, "qid")
       .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+    (res, () => {
+      bcQ.destroy(); bcCN.destroy(); bcBooks.destroy()
+    })
+    }
   }
 
   /** IVF-PQ ANN top-k (Jégou et al.'s IVFADC — the architecture 100 TB
@@ -645,38 +724,45 @@ object Similarity {
       base: Dataset[(Long, Array[Float])], k: Int, nCells: Int = 8,
       nProbe: Int = 3, subspaces: Int = 8, centroids: Int = 16,
       rerank: Int = 32, trainN: Int = 256, iters: Int = 3,
-      scatter: Boolean = false): DataFrame = {
+      scatter: Boolean = false,
+      queryBound: Int = DefaultQueryShardBound): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val qArr = queries.filter(_._2 != null).collect().sortBy(_._1)
-    if (qArr.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "sim")
-    val dim = qArr(0)._2.length
-    val sub = dim / subspaces
-    // deterministic training sample: quantized first-trainN ids (the same
-    // contract as trainPqCodebooks / ivfKnn, so the v10 oracle re-derives
-    // it with ORDER BY vec_id LIMIT trainN), hash-permuted under `scatter`
-    val sample = collectTrainSample(base, trainN, scatter)
-    // coarse centroids = the shared integer Lloyd's with ONE subspace
-    val coarse = trainSubspaceCodebooks(sample, 1, nCells, iters)(0)
-    // PQ codebooks over the sample's residuals from its coarse cell
-    val sampRes = sample.map { v =>
-      val c = nearestSub(v, 0, dim, coarse)
-      Array.tabulate(dim)(i => v(i) - coarse(c)(i))
-    }
-    val books = trainSubspaceCodebooks(sampRes, subspaces, centroids, iters)
+    // lazy: trained once, on the first query shard — an empty query set
+    // never pays the training pass
+    lazy val model = {
+      // deterministic training sample: quantized first-trainN ids (the same
+      // contract as trainPqCodebooks / ivfKnn, so the v10 oracle re-derives
+      // it with ORDER BY vec_id LIMIT trainN), hash-permuted under `scatter`
+      val sample = collectTrainSample(base, trainN, scatter)
+      // coarse centroids = the shared integer Lloyd's with ONE subspace
+      val coarse = trainSubspaceCodebooks(sample, 1, nCells, iters)(0)
+      val dim = sample(0).length
+      val sub = dim / subspaces
+      // PQ codebooks over the sample's residuals from its coarse cell
+      val sampRes = sample.map { v =>
+        val c = nearestSub(v, 0, dim, coarse)
+        Array.tabulate(dim)(i => v(i) - coarse(c)(i))
+      }
+      val books = trainSubspaceCodebooks(sampRes, subspaces, centroids, iters)
 
-    // driver-side lookup tables, all exact longs
-    val centNorm2 = coarse.map { m => var d = 0L; m.foreach(x => d += x * x); d }
-    val n2 = Array.tabulate(subspaces, centroids) { (s, j) =>
-      var d = 0L; books(s)(j).foreach(x => d += x * x); d
+      // driver-side lookup tables, all exact longs
+      val centNorm2 = coarse.map { m => var d = 0L; m.foreach(x => d += x * x); d }
+      val n2 = Array.tabulate(subspaces, centroids) { (s, j) =>
+        var d = 0L; books(s)(j).foreach(x => d += x * x); d
+      }
+      val cross = Array.tabulate(nCells, subspaces, centroids) { (c, s, j) =>
+        var d = 0L; var i = 0
+        while (i < sub) { d += coarse(c)(s * sub + i) * books(s)(j)(i); i += 1 }
+        d
+      }
+      (coarse, books, centNorm2, n2, cross)
     }
-    val cross = Array.tabulate(nCells, subspaces, centroids) { (c, s, j) =>
-      var d = 0L; var i = 0
-      while (i < sub) { d += coarse(c)(s * sub + i) * books(s)(j)(i); i += 1 }
-      d
-    }
+    shardedKnn(queries, queryBound) { qArr =>
+    import spark.implicits._
+    val (coarse, books, centNorm2, n2, cross) = model
+    val dim = coarse(0).length
+    val sub = dim / subspaces
     // per query: probed cells by (exact dist, cell) order, dot(q, cell
     // centroid) per probed cell, dot tables, norm
     val nP = math.min(nProbe, nCells)
@@ -760,11 +846,16 @@ object Similarity {
     val qDf = queries.toDF("qid", "qv")
     val bDf = base.toDF("nid", "nv")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    candidates.join(bDf, "nid").join(qDf, "qid")
+    val res = candidates.join(bDf, "nid").join(qDf, "qid")
       .select(col("qid"), col("nid"), cosineCol(col("qv"), col("nv")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+    (res, () => {
+      bcQ.destroy(); bcCellQ.destroy(); bcCoarse.destroy(); bcBooks.destroy()
+      bcCross.destroy(); bcN2.destroy(); bcCN.destroy()
+    })
+    }
   }
 
   /** All pairs above a cosine threshold via LSH buckets (near-dup detection

@@ -528,6 +528,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hitsIvf >= 8, s"scatter IVF found only $hitsIvf of 10")
   }
 
+  test("sharded query path is byte-identical to the single-collect path " +
+    "across the whole kNN family") {
+    import spark.implicits._
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    // queryBound = 3 < Q = 10 forces ≥ 2 hash shards; per-query results
+    // depend only on the base, so the union of per-shard top-k windows
+    // must equal the global one EXACTLY (same doubles, same tie-breaks)
+    val pairs = Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+      ("ivf", b => Similarity.ivfKnn(queries, ds, k = 3, nCells = 8,
+        nProbe = 3, queryBound = b)),
+      ("pq", b => Similarity.pqKnn(queries, ds, k = 3, subspaces = 8,
+        centroids = 16, rerank = 24, queryBound = b)),
+      ("ivfpq", b => Similarity.ivfPqKnn(queries, ds, k = 3, nCells = 8,
+        nProbe = 3, subspaces = 8, centroids = 16, rerank = 24,
+        queryBound = b)),
+      ("int8", b => Similarity.int8Knn(queries, ds, k = 3, queryBound = b)))
+    for ((name, run) <- pairs) {
+      val off = rows(run(Similarity.DefaultQueryShardBound))
+      val sharded = rows(run(3))
+      assert(sharded == off, s"$name: sharded result diverges")
+      assert(off.map(_._1).distinct.size == 10, s"$name: missing queries")
+    }
+  }
+
   test("PQ encoding is deterministic and codebooks reconstruct the sample") {
     import spark.implicits._
     val ds = spark.createDataset(base)
