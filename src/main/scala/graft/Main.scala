@@ -44,6 +44,13 @@ import graft.taxa.Taxonomy
   *             second source by the same query; --mode span switches to
   *             keep-first span suppression, appending per-document
   *             duplicated-span JSON instead of survivors)
+  *   annBuild  --embeddings emb.parquet --output idx [--cells 8]
+  *             [--subspaces 8] [--centroids 16] [--train 256] [--iters 3]
+  *             [--init first|scatter]  (persistent IVF-PQ index: trained
+  *             once, corpus encoded cell-partitioned, model sidecar)
+  *   annQuery  --index idx --queries q.parquet [--k 10] [--nprobe 3]
+  *             [--rerank 32] [--query-bound N] --output out  (probe-only
+  *             top-k; writes out/knn parquet, never re-trains)
   *   curate    --docs docs.parquet --output out [--min-tokens 5]
   *             [--max-tokens 100000] [--min-alpha 0.0]
   *             [--near-dup-threshold 0.7|off] [--span-n 8; 0 = off]
@@ -91,7 +98,11 @@ object Main {
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
         "min-alpha", "near-dup-threshold", "near-dup-mode", "span-n")),
       "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
-        "iters", "tau", "max-cluster-pop", "sample", "train", "init")))
+        "iters", "tau", "max-cluster-pop", "sample", "train", "init")),
+      "annBuild" -> (common ++ Set("embeddings", "output", "cells",
+        "subspaces", "centroids", "train", "iters", "init")),
+      "annQuery" -> (common ++ Set("index", "queries", "k", "nprobe",
+        "rerank", "query-bound", "output")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1171,6 +1182,56 @@ object Main {
           if (pruned != null) pruned.unpersist(blocking = false)
           if (kept != null) kept.unpersist(blocking = false)
         }
+
+      case "annBuild" =>
+        // Persistent IVF-PQ index build (graft.operators.AnnIndex): train
+        // once, encode once, persist cell-partitioned codes + the integer
+        // model sidecar — the serving half of the ANN pillar, mirroring
+        // the genomic `build` lifecycle.
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val scatter = opts.getOrElse("init", "first") match {
+          case "first" => false
+          case "scatter" => true
+          case other => throw new IllegalArgumentException(
+            s"--init must be 'first' or 'scatter', got '$other'")
+        }
+        val outDir = opts("output")
+        val emb = spark.read.parquet(opts("embeddings"))
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val model = graft.operators.AnnIndex.build(emb, outDir,
+          nCells = opts.getOrElse("cells", "8").toInt,
+          subspaces = opts.getOrElse("subspaces", "8").toInt,
+          centroids = opts.getOrElse("centroids", "16").toInt,
+          trainN = opts.getOrElse("train", "256").toInt,
+          iters = opts.getOrElse("iters", "3").toInt,
+          scatter = scatter)
+        val n = spark.read.parquet(outDir + "/vectors").count()
+        println(s"annBuild: indexed $n vectors into $outDir " +
+          s"(${model.nCells} cells, ${model.subspaces}x${model.centroids} codebooks)")
+
+      case "annQuery" =>
+        // Probe-only lookup against an annBuild index: no training or
+        // encode path — repeated query workloads amortize the build.
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val idxDir = opts("index")
+        val outDir = opts("output")
+        val q = spark.read.parquet(opts("queries"))
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val res = graft.operators.AnnIndex.query(q, idxDir,
+          k = opts.getOrElse("k", "10").toInt,
+          nProbe = opts.getOrElse("nprobe", "3").toInt,
+          rerank = opts.getOrElse("rerank", "32").toInt,
+          queryBound = opts.getOrElse("query-bound",
+            graft.operators.Similarity.DefaultQueryShardBound.toString).toInt)
+        res.write.mode("overwrite").parquet(outDir + "/knn")
+        val n = spark.read.parquet(outDir + "/knn").count()
+        println(s"annQuery: wrote $n neighbor rows to $outDir/knn")
 
       case "streamDedup" =>
         // Streaming near-dup suppression over a FILE topology — the

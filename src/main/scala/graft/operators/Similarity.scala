@@ -137,7 +137,7 @@ object Similarity {
     * a reliable checkpoint dir for failure-prone fleets. Checkpointed
     * blocks are reclaimed by the ContextCleaner once the returned frame is
     * unreferenced. */
-  private def shardedKnn(queries: Dataset[(Long, Array[Float])], bound: Int)(
+  private[operators] def shardedKnn(queries: Dataset[(Long, Array[Float])], bound: Int)(
       scan: Array[(Long, Array[Float])] => (DataFrame, () => Unit))
       : DataFrame = {
     val spark = queries.sparkSession
@@ -322,7 +322,7 @@ object Similarity {
     * heap prunes for, instead of falling through `<`'s always-false NaN
     * comparisons into an arbitrary slot. Shared by [[int8Knn]], [[pqKnn]],
     * [[ivfPqKnn]] and the [[ivfKnn]] scan. */
-  private def boundedInsert(sims: Array[Double], ids: Array[Long], n: Int,
+  private[operators] def boundedInsert(sims: Array[Double], ids: Array[Long], n: Int,
       cap: Int, sim0: Double, nid: Long): Int = {
     // normalize -0.0 to +0.0: java.lang.Double.compare orders -0.0 < 0.0
     // but Spark's SQL double sort treats them as equal (tie-break on nid),
@@ -441,7 +441,7 @@ object Similarity {
     * (md5(id), id) permutation ([[Clustering.initOrder]]'s robustness
     * setting for block-contiguous id layouts). Collected driver-side
     * (trainN·dim·8 bytes — budget like any driver-side stat). */
-  private def collectTrainSample(base: Dataset[(Long, Array[Float])],
+  private[operators] def collectTrainSample(base: Dataset[(Long, Array[Float])],
       trainN: Int, scatter: Boolean): Array[Array[Long]] = {
     val spark = base.sparkSession
     import spark.implicits._
@@ -496,7 +496,7 @@ object Similarity {
   /** Nearest codebook entry for the subvector p[off, off+len): exact long
     * distance, ties to the smallest index (strict-improvement argmin).
     * Offset-based so the per-row encode loop never copies subvectors. */
-  private def nearestSub(p: Array[Long], off: Int, len: Int,
+  private[operators] def nearestSub(p: Array[Long], off: Int, len: Int,
       cents: Array[Array[Long]]): Int = {
     var best = 0
     var bestD = Long.MaxValue
@@ -515,7 +515,7 @@ object Similarity {
     * cell index) — the [[graft.functions.NearestCentroids]] ordering,
     * shared by [[ivfKnn]] and [[ivfPqKnn]] so the probe rule (and the v06/
     * v10 oracles that re-derive it) can never diverge between them. */
-  private def probeCells(qvl: Array[Long], cents: Array[Array[Long]],
+  private[operators] def probeCells(qvl: Array[Long], cents: Array[Array[Long]],
       nP: Int): Array[Int] = {
     val dim = qvl.length
     cents.zipWithIndex.map { case (m, c) =>
@@ -526,7 +526,7 @@ object Similarity {
   }
 
   /** cell -> indices of the queries probing it (insertion order kept). */
-  private def invertProbes(probes: Array[Array[Int]],
+  private[operators] def invertProbes(probes: Array[Array[Int]],
       nCells: Int): Array[Array[Int]] = {
     val m = Array.fill(nCells)(List.empty[Int])
     probes.zipWithIndex.foreach { case (ps, qi) =>
@@ -536,7 +536,7 @@ object Similarity {
   }
 
   /** Drain the per-query bounded heaps into (qid, nid, sim) tuples. */
-  private def drainHeaps(qids: Array[Long], heapSim: Array[Array[Double]],
+  private[operators] def drainHeaps(qids: Array[Long], heapSim: Array[Array[Double]],
       heapId: Array[Array[Long]],
       heapN: Array[Int]): Iterator[(Long, Long, Double)] =
     qids.indices.iterator.flatMap { q =>

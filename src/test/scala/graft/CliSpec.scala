@@ -1035,6 +1035,55 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("--near-dup-mode"))
   }
 
+  test("CLI: curate with an explicit --near-dup-mode but no threshold " +
+    "fails loudly instead of silently skipping the pass") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-nothr")
+    spark.createDataset(Seq((0L, "a b c d e f"))).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curate",
+        "--docs", dir.resolve("docs.parquet").toString,
+        "--output", dir.resolve("out").toString, "--p", "4",
+        "--near-dup-mode", "hashed"))
+    }
+    assert(e.getMessage.contains("--near-dup-threshold"))
+  }
+
+  test("CLI: annBuild writes a probe-ready IVF-PQ index; annQuery answers " +
+    "from it without the corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-ann")
+    val rng = new scala.util.Random(13)
+    val anchors = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val close = anchors.take(10).map { case (i, v) =>
+      (i + 500L, v.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    }
+    spark.createDataset(anchors ++ close).toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb.parquet").toString)
+    spark.createDataset(anchors.take(10)).toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("q.parquet").toString)
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("annBuild",
+      "--embeddings", dir.resolve("emb.parquet").toString,
+      "--output", idx, "--p", "4", "--cells", "8", "--train", "64"))
+    // the index carries cell-partitioned codes + the model sidecar
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "model.tsv")))
+    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx,
+      "vectors")).toArray.map(_.toString).count(_.contains("cell="))
+    assert(cellDirs == 8, s"expected 8 cell partitions, saw $cellDirs")
+    val out = dir.resolve("out").toString
+    Main.main(Array("annQuery", "--index", idx,
+      "--queries", dir.resolve("q.parquet").toString,
+      "--k", "1", "--nprobe", "3", "--rerank", "8",
+      "--output", out, "--p", "4"))
+    val got = spark.read.parquet(out + "/knn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"annQuery found just $hits of 10 planted neighbors")
+  }
+
   test("CLI: curate survives a corpus the gates filter to nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cli-curate-empty")

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+
+/** The persistent ANN index (build/probe split): probe-only answers must
+  * match the one-shot [[Similarity.ivfPqKnn]] byte-for-byte, engage
+  * partition pruning on the probed cells, and never touch a training or
+  * encode path. */
+class AnnIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def randomVec(dim: Int = 64, seed: Int = 7): Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(dim)(rng.nextGaussian().toFloat)
+  }
+
+  private lazy val base: Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(11)
+    val anchors = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val close = anchors.take(10).map { case (i, v) =>
+      (i + 500L, v.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    }
+    anchors ++ close
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+
+  test("build + query matches the one-shot IVF-PQ byte-for-byte, sharded " +
+    "or not, and the model sidecar round-trips exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val ds = spark.createDataset(base)
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val model = AnnIndex.build(ds, dir, nCells = 8, subspaces = 8,
+      centroids = 16, trainN = 64, iters = 3)
+    // sidecar round-trip: the integer model is losslessly text-serialized
+    val loaded = AnnIndex.readModel(spark, s"$dir/model.tsv")
+    assert(loaded.coarse.map(_.toSeq).toSeq == model.coarse.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // probe-only result == the one-shot path (training + encode re-run)
+    val oneShot = rows(Similarity.ivfPqKnn(queries, ds, k = 3, nCells = 8,
+      nProbe = 3, subspaces = 8, centroids = 16, rerank = 24, trainN = 64))
+    val probed = rows(AnnIndex.query(queries, dir, k = 3, nProbe = 3,
+      rerank = 24))
+    assert(probed == oneShot, "index probe diverges from one-shot IVF-PQ")
+    // the sharded query side is shared: a sub-Q bound changes nothing
+    val sharded = rows(AnnIndex.query(queries, dir, k = 3, nProbe = 3,
+      rerank = 24, queryBound = 3))
+    assert(sharded == oneShot, "sharded index probe diverges")
+  }
+
+  test("probe scan prunes to the probed cells (partition pruning) and " +
+    "reads only the code column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx2").toString
+    val ds = spark.createDataset(base)
+    AnnIndex.build(ds, dir, nCells = 8, subspaces = 8, centroids = 16,
+      trainN = 64)
+    // one query, nProbe = 2 of 8 cells: the scan must not read the rest
+    val queries = spark.createDataset(base.filter(_._1 == 0L))
+    val res = AnnIndex.query(queries, dir, k = 3, nProbe = 2, rerank = 8)
+    res.collect() // force execution so the executed plan is final
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"no partition filter in the probe plan:\n$plan")
+    assert(plan.contains("cell#") && plan.contains(" IN ("),
+      s"cell IN (...) pruning missing from the probe plan:\n$plan")
+    // the data-reading scan projects codes, never decodes/encodes vectors
+    assert(plan.contains("ReadSchema: struct<nid:bigint,code:binary>") ||
+      plan.contains("ReadSchema: struct<code:binary,nid:bigint>"),
+      s"probe scan reads more than (nid, code):\n$plan")
+  }
+
+  test("query answers from the index alone: the corpus source is gone and " +
+    "no training path runs") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("annsrc").toString
+    val dir = java.nio.file.Files.createTempDirectory("annidx3").toString
+    // build from a parquet corpus, then DELETE it — probe-only must not
+    // notice (ivfPqKnn would fail here: it re-trains from the base)
+    spark.createDataset(base).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+      .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
+    AnnIndex.build(src, dir, nCells = 8, subspaces = 8, centroids = 16,
+      trainN = 64)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(srcDir))
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val got = AnnIndex.query(queries, dir, k = 1, nProbe = 3, rerank = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
+    assert(hits >= 8, s"probe-only found just $hits of 10 planted neighbors")
+  }
+}
