@@ -145,6 +145,35 @@ object Main {
     idx.getOrElse(base, 0)
   }
 
+  /** A stored index's [[KeyedIndex]] face, picked by the sidecar's m:
+    * 1 long (m <= 32), 2 (m <= 64), ceil(m/32) up to 4 beyond — so every
+    * downstream subcommand is width-generic over the full reference
+    * parameter space. */
+  private def keyedIndexFor(params: IndexParams,
+      bcTax: org.apache.spark.broadcast.Broadcast[Taxonomy]): KeyedIndex =
+    if (params.m > 64)
+      new XWideMinimizerIndex(params.k, params.m, bcTax, params.spaces,
+        params.demoted.getOrElse(Array.emptyLongArray))
+    else if (params.m > 32)
+      new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces,
+        params.demoted.getOrElse(Array.emptyLongArray))
+    else new MinimizerIndex(params, bcTax)
+
+  /** [[keyedIndexFor]] plus the bucketed records reloaded via the width's
+    * own DDL. */
+  private def openKeyed(spark: SparkSession, idxPath: String,
+      params: IndexParams,
+      bcTax: org.apache.spark.broadcast.Broadcast[Taxonomy])
+      : (KeyedIndex, org.apache.spark.sql.DataFrame) =
+    keyedIndexFor(params, bcTax) match {
+      case x: XWideMinimizerIndex =>
+        (x, x.loadRecords(spark, idxPath, params.buckets))
+      case w: WideMinimizerIndex =>
+        (w, w.loadRecords(spark, idxPath, params.buckets))
+      case n: MinimizerIndex =>
+        (n, MinimizerIndex.loadRecords(spark, idxPath, params.buckets))
+    }
+
   /** Strict boolean flag parse: "true"/"false" case-insensitively; anything
     * else ("1", a typo) fails loudly instead of silently acting as false. */
   private def boolOpt(opts: Map[String, String], name: String): Option[Boolean] =
@@ -279,7 +308,30 @@ object Main {
         val bcTax = spark.sparkContext.broadcast(tax)
         // --salt N: two-stage LCA fold for skewed (low-complexity) libraries
         val salt = opts.getOrElse("salt", "0").toInt
-        if (m > 32) {
+        if (m > 64) {
+          // extra-wide path: ceil(m/32)-long keys up to the reference's
+          // 4-long maximum (m <= 128), same packed build + sidecar protocol
+          val s = opts.getOrElse("s", "0").toInt
+          val packedLib = loadPackedLibrary(spark, opts, k)
+          val demoted = opts.getOrElse("o", "xor") match {
+            case "frequency" =>
+              FrequencyOrdering.topCanonicalXWideMers(packedLib, m,
+                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
+                topN = opts.getOrElse("freq-top", "4096").toInt)
+            case "xor" => Array.emptyLongArray
+            case other => sys.error(s"unknown ordering: $other (xor|frequency)")
+          }
+          val index = new XWideMinimizerIndex(k, m, bcTax, s, demoted)
+          val records = index.makeRecordsPacked(packedLib, salt)
+          index.writeRecords(records, opts("output"), buckets)
+          val n = index.loadRecords(spark, opts("output"), buckets).count()
+          IndexParams.write(spark, IndexParams(k = k, m = m, spaces = s,
+            buckets = buckets,
+            demoted = if (demoted.isEmpty) None else Some(demoted),
+            records = Some(n)), opts("output"), writeDemotionSidecar = false)
+          println(s"index written (extra-wide m=$m, ${index.idLongs}-long " +
+            s"keys, s=$s): $n records")
+        } else if (m > 32) {
           // wide-minimizer path: two-long keys, spaced seed honored across
           // the word boundary; built from the 2-bit packed library like the
           // narrow path. Default spacing 0 (the s=7 default is the narrow
@@ -417,50 +469,27 @@ object Main {
           }
         }
 
-        if (params.m > 32) {
-          // wide (m>32) and narrow share the span protocol and ClassifyKernel,
-          // so per-read output, paired-end and confidence work at any m
-          val wide = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
-          val records = wide.loadRecords(spark, idxPath, params.buckets)
-          if (inMemory)
-            emitInMemory(wide.inMemoryClassifier(records))
-          else {
-            val spans = wide.spans(loadReads(spark, opts))
-            if (confs.length > 1)
-              // one join+regroup for the whole sweep, same as the narrow
-              // path; detail=true: per-read output needs the hit strings
-              wide.classifyMultiThresholdDF(spans.toDF(), records, confs,
-                  minHitGroups, detail = true) { results =>
-                for ((conf, ds) <- results) {
-                  println(s"== confidence $conf ==")
-                  emit(ds, s"${opts("output")}/c$conf")
-                }
+        // every key width (1, 2, 3 or 4 longs) shares the span protocol and
+        // ClassifyKernel, so per-read output, paired-end and confidence work
+        // at any m — the dispatch is one sidecar read
+        val (index, records) = openKeyed(spark, idxPath, params, bcTax)
+        if (inMemory)
+          emitInMemory(index.inMemoryClassifier(records))
+        else {
+          val spans = index.spansDF(loadReads(spark, opts))
+          if (confs.length > 1)
+            // one join+regroup for the whole sweep (cached hit dataset);
+            // detail=true: per-read output needs the hit strings
+            index.classifyMultiThresholdDF(spans, records, confs,
+                minHitGroups, detail = true) { results =>
+              for ((conf, ds) <- results) {
+                println(s"== confidence $conf ==")
+                emit(ds, s"${opts("output")}/c$conf")
               }
-            else
-              emit(wide.classify(spans, records, confs.head, minHitGroups),
-                opts("output"))
-          }
-        } else {
-          val (index, records) = MinimizerIndex.open(spark, idxPath, bcTax)
-          if (inMemory)
-            emitInMemory(index.inMemoryClassifier(records))
-          else {
-            val spans = index.spans(loadReads(spark, opts))
-            if (confs.length > 1)
-              // one join+regroup for the whole sweep (cached hit dataset);
-              // detail=true: per-read output needs the hit strings
-              index.classifyMultiThreshold(spans, records, confs, minHitGroups,
-                  detail = true) {
-                results =>
-                  for ((conf, ds) <- results) {
-                    println(s"== confidence $conf ==")
-                    emit(ds, s"${opts("output")}/c$conf")
-                  }
-              }
-            else
-              emit(index.classify(spans, records, confs.head, minHitGroups),
-                opts("output"))
-          }
+            }
+          else
+            emit(index.classifyDF(spans, records, confs.head, minHitGroups),
+              opts("output"))
         }
 
       case "classify2" =>
@@ -471,12 +500,7 @@ object Main {
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         // the 2-step pipeline is width-generic: pick the index by stored m
-        val (idx: KeyedIndex, records) =
-          if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
-            (w, w.loadRecords(spark, idxPath, params.buckets))
-          } else
-            MinimizerIndex.open(spark, idxPath, bcTax)
+        val (idx, records) = openKeyed(spark, idxPath, params, bcTax)
         val dyn = new DynamicClassifier(idx, bcTax)
         // --gold taxa.txt REPLACES the heuristic selection with the listed
         // taxa (plus descendants) — the reference's gold-standard mode
@@ -539,12 +563,7 @@ object Main {
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         // bracken weights are width-generic: pick the index by stored m
-        val (idx: KeyedIndex, records) =
-          if (params.m > 32) {
-            val w = new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
-            (w, w.loadRecords(spark, idxPath, params.buckets))
-          } else
-            MinimizerIndex.open(spark, idxPath, bcTax)
+        val (idx, records) = openKeyed(spark, idxPath, params, bcTax)
         val bracken = new Bracken(idx, bcTax)
         // --chunks N: fault-tolerant build through the parquet checkpoint —
         // a lost driver resumes from the chunks already on disk
@@ -598,14 +617,12 @@ object Main {
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
         // taxon-side statistics and respace are width-agnostic
-        var records =
-          if (params.m > 32)
-            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
-              .loadRecords(spark, idxPath, params.buckets)
-          else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+        val (statsIdx, loaded) = openKeyed(spark, idxPath, params, bcTax)
+        var records = loaded
         for (s <- opts.get("respace")) {
           records =
-            if (params.m > 32) IndexOps.respaceWide(records, params, s.toInt, bcTax)
+            if (params.m > 64) IndexOps.respaceXWide(records, params, s.toInt, bcTax)
+            else if (params.m > 32) IndexOps.respaceWide(records, params, s.toInt, bcTax)
             else IndexOps.respace(records, params, s.toInt, bcTax)
         }
         // memoize per-taxon counts beside the index unless respaced (counts
@@ -618,17 +635,9 @@ object Main {
         // optional library coverage check (reference stats --library): how
         // many of each genome's minimizers are absent from the stored index
         if (opts.contains("library") && opts.contains("labels")) {
-          val idx: KeyedIndex =
-            if (params.m > 32)
-              new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces,
-                params.demoted.getOrElse(Array.emptyLongArray))
-            else new MinimizerIndex(params, bcTax)
-          val stored =
-            if (params.m > 32) new WideMinimizerIndex(params.k, params.m,
-              bcTax, params.spaces).loadRecords(spark, idxPath, params.buckets)
-            else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
           println("genomes with minimizers missing from the index:")
-          IndexOps.missingGenomes(idx, loadLibrary(spark, opts), stored).show(50)
+          IndexOps.missingGenomes(statsIdx, loadLibrary(spark, opts), loaded)
+            .show(50)
         }
 
       case "respace" =>
@@ -644,18 +653,21 @@ object Main {
         val spacings = opts("s").split(",").map(_.trim.toInt).toSeq
         for (s <- spacings) {
           val outLoc = opts("output") + s"_s$s"
-          if (params.m > 32) {
-            val records = new WideMinimizerIndex(params.k, params.m, bcTax,
-              params.spaces).loadRecords(spark, idxPath, params.buckets)
+          val (_, records) = openKeyed(spark, idxPath, params, bcTax)
+          // carry the demotion set through: dropping it would rewrite the
+          // sidecar as ordering=xor and desync classify-time minimizer
+          // selection from the stored (still frequency-ordered) keys
+          if (params.m > 64) {
+            val respaced = IndexOps.respaceXWide(records, params, s, bcTax)
+            new XWideMinimizerIndex(params.k, params.m, bcTax, s,
+                params.demoted.getOrElse(Array.emptyLongArray))
+              .writeRecords(respaced, outLoc, params.buckets)
+          } else if (params.m > 32) {
             val respaced = IndexOps.respaceWide(records, params, s, bcTax)
-            // carry the demotion set through: dropping it would rewrite the
-            // sidecar as ordering=xor and desync classify-time minimizer
-            // selection from the stored (still frequency-ordered) keys
             new WideMinimizerIndex(params.k, params.m, bcTax, s,
                 params.demoted.getOrElse(Array.emptyLongArray))
               .writeRecords(respaced, outLoc, params.buckets)
           } else {
-            val records = MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
             val respaced = IndexOps.respace(records, params, s, bcTax)
             // records = None: respacing re-folds to FEWER records; the stale
             // count is not re-measured here
@@ -670,13 +682,7 @@ object Main {
           // re-stamp the record count (respacing re-folds to fewer records)
           // so downstream classify can still auto-pick the in-memory path
           val outParams = IndexParams.read(spark, outLoc)
-          val n =
-            if (outParams.m > 32)
-              new WideMinimizerIndex(outParams.k, outParams.m, bcTax,
-                outParams.spaces)
-                .loadRecords(spark, outLoc, outParams.buckets).count()
-            else MinimizerIndex.loadRecords(spark, outLoc, outParams.buckets)
-              .count()
+          val n = openKeyed(spark, outLoc, outParams, bcTax)._2.count()
           IndexParams.write(spark, outParams.copy(records = Some(n)), outLoc,
             writeDemotionSidecar = false)
           println(s"index written: $outLoc (s=$s): " +
@@ -694,11 +700,7 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val records =
-          if (params.m > 32)
-            new WideMinimizerIndex(params.k, params.m, bcTax, params.spaces, params.demoted.getOrElse(Array.emptyLongArray))
-              .loadRecords(spark, idxPath, params.buckets)
-          else MinimizerIndex.loadRecords(spark, idxPath, params.buckets)
+        val records = openKeyed(spark, idxPath, params, bcTax)._2
         val allTaxa = IndexOps.minimizersPerTaxon(records)
           .as[(Int, Long)].collect()
         def writeReport(suffix: String, counts: Array[(Int, Long)]): Unit = {
@@ -738,11 +740,8 @@ object Main {
         require(refParams.m == params.m,
           s"cannot compare indexes of different m (${params.m} vs ${refParams.m})")
         def load(path: String, p: IndexParams) =
-          if (p.m > 32)
-            new WideMinimizerIndex(p.k, p.m, bcTax, p.spaces)
-              .loadRecords(spark, path, p.buckets)
-          else MinimizerIndex.loadRecords(spark, path, p.buckets)
-        val keyCols = if (params.m > 32) Seq("id1", "id2") else Seq("id1")
+          openKeyed(spark, path, p, bcTax)._2
+        val keyCols = keyedIndexFor(params, bcTax).keyCols
         IndexOps.compareIndexes(load(idxPath, params), load(refPath, refParams),
             bcTax, keyCols)
           .write.option("sep", "\t").mode("overwrite").csv(opts("output"))
@@ -804,7 +803,29 @@ object Main {
         def freqArgs = (opts.getOrElse("freq-sample", "1.0").toDouble,
           opts.getOrElse("freq-top", "4096").toInt)
         val rows: Seq[(String, Int, Int, Int, Long)] =
-          if (m > 32) {
+          if (m > 64) {
+            val demoted =
+              if (!frequency) Array.emptyLongArray
+              else { val (fr, top) = freqArgs
+                FrequencyOrdering.topCanonicalXWideMers(packedLib, m, fr, top) }
+            val sc = new graft.kmers.XWideScanner(k,
+              new graft.kmers.XWidePriority(m, spaces = s, demoted = demoted))
+            libraryFasta(spark, opts).flatMap { f =>
+              graft.kmers.SupermerScanner.splitByAmbiguity(f.nucleotides)
+                .collect { case run if run.valid && run.seq.length >= k =>
+                  val sms = sc.scan(run.seq).toVector
+                  val distinct = sms.map(_.ids.toSeq).distinct
+                  // n-word fold, matching the Python side exactly: per key
+                  // acc = acc * C ^ word from word 0 down (the two-word
+                  // l ^ h*C generalized), wrapping 64-bit multiply
+                  val sum = distinct.foldLeft(0L) { (a, ids) =>
+                    a ^ ids.foldLeft(0L)((acc, w) =>
+                      acc * 0x9e3779b97f4a7c15L ^ w)
+                  }
+                  (f.header, sms.size, sms.map(_.kmers).sum, distinct.size, sum)
+                }
+            }.collect().toSeq
+          } else if (m > 32) {
             val demoted =
               if (!frequency) Array.emptyLongArray
               else { val (fr, top) = freqArgs

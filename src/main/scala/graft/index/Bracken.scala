@@ -58,18 +58,23 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     * small (distinct minimizers of a bounded fragment), so a boxed pair map
     * is fine — the O(1)-per-position window slide below is the hot path. */
   private def hitRuns(seq: String,
-      lcaOf: collection.Map[(Long, Long), Int]): Array[HitRun] = {
+      lcaOf: collection.Map[(Long, Long, Long, Long), Int]): Array[HitRun] = {
     val out = mutable.ArrayBuffer.empty[HitRun]
     var pos = 0
     var first = true
     var lastK1 = 0L
     var lastK2 = 0L
+    var lastK3 = 0L
+    var lastK4 = 0L
     for (run <- SupermerScanner.splitByAmbiguity(seq)) {
       if (run.valid && run.seq.length >= k) {
         for (sm <- index.scanKeyed(run.seq)) {
-          val distinct = first || sm.k1 != lastK1 || sm.k2 != lastK2
-          first = false; lastK1 = sm.k1; lastK2 = sm.k2
-          out += HitRun(lcaOf.getOrElse((sm.k1, sm.k2), Taxonomy.NONE),
+          val distinct = first || sm.k1 != lastK1 || sm.k2 != lastK2 ||
+            sm.k3 != lastK3 || sm.k4 != lastK4
+          first = false
+          lastK1 = sm.k1; lastK2 = sm.k2; lastK3 = sm.k3; lastK4 = sm.k4
+          out += HitRun(
+            lcaOf.getOrElse((sm.k1, sm.k2, sm.k3, sm.k4), Taxonomy.NONE),
             pos + sm.start, sm.kmers, distinct)
         }
         out += HitRun(Taxonomy.NONE, pos + run.seq.length - (k - 1), k - 1, distinct = false)
@@ -85,12 +90,12 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
   def windowClassifications(seq: String, lcaOf: collection.Map[Long, Int],
       readLen: Int, resolver: LcaResolver): Iterator[(Int, Int)] =
     windowClassificationsKeyed(seq,
-      lcaOf.map { case (m, t) => (m, 0L) -> t }, readLen, resolver)
+      lcaOf.map { case (m, t) => (m, 0L, 0L, 0L) -> t }, readLen, resolver)
 
   /** Slide a read-length window over the runs; classify each position.
     * Returns (destTaxon -> windowCount) for this fragment. */
   def windowClassificationsKeyed(seq: String,
-      lcaOf: collection.Map[(Long, Long), Int],
+      lcaOf: collection.Map[(Long, Long, Long, Long), Int],
       readLen: Int, resolver: LcaResolver): Iterator[(Int, Int)] = {
     if (seq.length < readLen) return Iterator.empty
     val runs = hitRuns(seq, lcaOf)
@@ -152,36 +157,40 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     val frags = fragments(library, readLen, maxFragment)
       .toDF("taxon", "seq", "header", "location")
 
-    // distinct minimizer keys per fragment (two-long normalized)
+    // distinct minimizer keys per fragment (four-long normalized; the DF
+    // keeps only the index's real key columns)
     val idx = index
     val kk = k
-    val wide = idx.keyCols.size == 2
+    val nKeys = idx.keyCols.size
     val mins = frags.select($"header", $"location", $"seq").as[(String, Long, String)]
       .flatMap { case (h, loc, seq) =>
-        val set = mutable.HashSet.empty[(Long, Long)]
+        val set = mutable.HashSet.empty[(Long, Long, Long, Long)]
         SupermerScanner.splitByAmbiguity(seq).foreach { run =>
           if (run.valid && run.seq.length >= kk)
-            idx.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
+            idx.scanKeyed(run.seq).foreach(sm =>
+              set += ((sm.k1, sm.k2, sm.k3, sm.k4)))
         }
-        set.iterator.map { case (a, b) => (h, loc, a, b) }
-      }.toDF("header", "location", "id1", "id2")
-    val minsKeyed = if (wide) mins else mins.drop("id2")
+        set.iterator.map { case (a, b, c, d) => (h, loc, a, b, c, d) }
+      }.toDF("header", "location", "id1", "id2", "id3", "id4")
+    val minsKeyed = mins.drop(Seq("id2", "id3", "id4").drop(nKeys - 1): _*)
 
     // LCA lookup via the index (records side pre-bucketed: no index shuffle)
+    def keyOrZero(i: Int) =
+      if (i <= nKeys) col(s"id$i") else lit(0L)
     val lcas = minsKeyed.join(records, idx.keyCols, "left")
       .groupBy($"header", $"location")
       .agg(collect_list(struct(
-        $"id1".as("k1"),
-        (if (wide) $"id2" else lit(0L)).as("k2"),
+        keyOrZero(1).as("k1"), keyOrZero(2).as("k2"),
+        keyOrZero(3).as("k3"), keyOrZero(4).as("k4"),
         coalesce($"taxon", lit(Taxonomy.NONE)).as("taxon"))).as("lcas"))
 
     val bc = bcTax
     frags.join(lcas, Seq("header", "location"), "left")
       .select($"taxon", $"seq", $"lcas")
-      .as[(Int, String, Seq[(Long, Long, Int)])]
-      .flatMap { case (source, seq, lcaTriples) =>
-        val lcaOf = Option(lcaTriples).getOrElse(Seq.empty)
-          .map(t => (t._1, t._2) -> t._3).toMap
+      .as[(Int, String, Seq[(Long, Long, Long, Long, Int)])]
+      .flatMap { case (source, seq, lcaTuples) =>
+        val lcaOf = Option(lcaTuples).getOrElse(Seq.empty)
+          .map(t => (t._1, t._2, t._3, t._4) -> t._5).toMap
         val resolver = new LcaResolver(bc.value)
         windowClassificationsKeyed(seq, lcaOf, readLen, resolver)
           .map { case (dest, c) => (source, dest, c) }

@@ -100,6 +100,64 @@ object FrequencyOrdering {
       .flatMap { case (h, l) => Array(h, l) }
   }
 
+  /** Every canonical extra-wide (m > 64) m-mer of a valid segment as n-word
+    * arrays — the rolling push + O(words^2) canonicalization of
+    * [[graft.kmers.XWidePriority]]. */
+  def canonicalXWideMers(seq: CharSequence, m: Int): Iterator[Array[Long]] = {
+    val pri = new graft.kmers.XWidePriority(m)
+    val words = pri.words
+    val topMask = pri.topMask
+    val mer = new Array[Long](words)
+    val rcBuf = new Array[Long](words)
+    Iterator.range(0, seq.length).flatMap { i =>
+      var w = 0
+      while (w < words - 1) {
+        mer(w) = (mer(w) << 2) | (mer(w + 1) >>> 62)
+        w += 1
+      }
+      mer(0) &= topMask
+      mer(words - 1) = (mer(words - 1) << 2) | Dna.code(seq.charAt(i))
+      if (i < m - 1) Iterator.empty
+      else {
+        pri.reverseComplementInto(mer, rcBuf)
+        val canon =
+          if (graft.kmers.XWidePriority.unsignedLess(rcBuf, mer)) rcBuf else mer
+        Iterator.single(canon.clone())
+      }
+    }
+  }
+
+  /** Extra-wide (m in [65, 128]) variant of [[topCanonicalMers]]: the topN
+    * most frequent canonical n-word m-mers, returned interleaved (word 0
+    * first) sorted word-lexicographically — the demotion set of
+    * [[graft.kmers.XWidePriority]]. Arity-matched columns like every other
+    * extra-wide DataFrame. */
+  def topCanonicalXWideMers(library: Dataset[(Int, Array[Byte], Int)], m: Int,
+      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    val words = (m + 31) / 32
+    val sampled =
+      if (fraction >= 1.0) library
+      else library.sample(withReplacement = false, fraction, seed)
+    val mers = sampled.flatMap { case (_, packed, len) =>
+      canonicalXWideMers(new Dna.Packed(packed, len), m)
+    }
+    val keyCols = (1 to words).map(i => col(s"id$i"))
+    val counted = (words match {
+      case 3 => mers.map(a => (a(0), a(1), a(2))).toDF("id1", "id2", "id3")
+      case 4 => mers.map(a => (a(0), a(1), a(2), a(3)))
+        .toDF("id1", "id2", "id3", "id4")
+    })
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: keyCols: _*)
+      .limit(topN)
+      .select(keyCols: _*)
+      .collect()
+      .map(r => Array.tabulate(words)(r.getLong))
+    counted.sortWith(graft.kmers.XWidePriority.unsignedLess).flatten
+  }
+
   private def sidecar(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering")
 

@@ -108,6 +108,25 @@ object IndexOps {
       .agg(lcaAgg(col("taxon")).as("taxon"))
   }
 
+  /** [[respace]] for extra-wide (m > 64) indexes: per-word keep masks from
+    * [[graft.kmers.XWidePriority.spaceKeepMasks]] (untruncated, preserving
+    * an in-band demote flag like [[respaceWide]]), LCA re-fold on the
+    * idLongs-column key. */
+  def respaceXWide(records: DataFrame, params: IndexParams, newSpaces: Int,
+      bcTax: Broadcast[Taxonomy]): DataFrame = {
+    require(params.m > 64, s"respaceXWide needs m>64, got ${params.m}")
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    val masks = graft.kmers.XWidePriority.spaceKeepMasks(params.m, newSpaces)
+    val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
+    val keyed = masks.indices.map(w =>
+      col(s"id${w + 1}").bitwiseAND(lit(masks(w))).as(s"id${w + 1}"))
+    records
+      .select(keyed :+ col("taxon"): _*)
+      .groupBy(masks.indices.map(w => col(s"id${w + 1}")): _*)
+      .agg(lcaAgg(col("taxon")).as("taxon"))
+  }
+
   /** Widen span keys to match a respaced index: span priorities already have
     * the original spacing applied, so ANDing with the wider mask makes the
     * join keys consistent with [[respace]]d records — classification against
@@ -145,6 +164,21 @@ object IndexOps {
     spans.map(s => s.copy(id1 = s.id1 & mHi, id2 = s.id2 & mLo))
   }
 
+  /** [[respaceSpans]] for extra-wide spans: every key word ANDs with its
+    * keep-mask, matching [[respaceXWide]]d records. */
+  def respaceSpansXWide(spans: Dataset[XWideOrdinalSpan], params: IndexParams,
+      newSpaces: Int): Dataset[XWideOrdinalSpan] = {
+    require(newSpaces >= params.spaces,
+      s"can only widen spacing (${params.spaces} -> $newSpaces)")
+    val masks = graft.kmers.XWidePriority.spaceKeepMasks(params.m, newSpaces)
+    val m1 = masks(0); val m2 = masks(1); val m3 = masks(2)
+    val m4 = if (masks.length == 4) masks(3) else -1L
+    val spark = spans.sparkSession
+    import spark.implicits._
+    spans.map(s => s.copy(id1 = s.id1 & m1, id2 = s.id2 & m2,
+      id3 = s.id3 & m3, id4 = s.id4 & m4))
+  }
+
   /** Genomes that contributed no minimizers to the index (quality check;
     * spec: A12/A13, KeyValueIndex.scala:56-76): distinct library minimizers
     * anti-joined against records. Width-generic over [[KeyedIndex]]. */
@@ -164,17 +198,18 @@ object IndexOps {
           if (run.valid && run.seq.length >= k)
             index.scanKeyed(run.seq).foreach(sm => set(sm.k1) = ())
         }
-        set.keysIterator.map(a => (taxon, a, 0L))
+        set.keysIterator.map(a => (taxon, a, 0L, 0L, 0L))
       } else {
-        val set = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        val set = scala.collection.mutable.HashSet.empty[(Long, Long, Long, Long)]
         graft.kmers.SupermerScanner.splitByAmbiguity(seq).foreach { run =>
           if (run.valid && run.seq.length >= k)
-            index.scanKeyed(run.seq).foreach(sm => set += ((sm.k1, sm.k2)))
+            index.scanKeyed(run.seq).foreach(sm =>
+              set += ((sm.k1, sm.k2, sm.k3, sm.k4)))
         }
-        set.iterator.map { case (a, b) => (taxon, a, b) }
+        set.iterator.map { case (a, b, c, d) => (taxon, a, b, c, d) }
       }
-    }.toDF("taxon", "id1", "id2")
-    val left = if (narrow) libMins.drop("id2") else libMins
+    }.toDF("taxon", "id1", "id2", "id3", "id4")
+    val left = libMins.drop(Seq("id2", "id3", "id4").drop(keys.size - 1): _*)
     left.join(records.select(keys.map(col): _*), keys, "left_anti")
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_missing"))
   }

@@ -15,9 +15,13 @@ import graft.taxa.Taxonomy
   * abundance aggregation — work at any key width. Key columns are always a
   * prefix (id1[, id2]) of the span/record schemas; joins use [[keyCols]].
   */
-/** A super-mer in width-normalized form: the minimizer as two longs
-  * (k1 = id1; k2 = id2 for wide keys, 0 for narrow). */
-final case class KeyedSupermer(k1: Long, k2: Long, start: Int, kmers: Int)
+/** A super-mer in width-normalized form: the minimizer as up to four longs
+  * (k1 = id1; k2..k4 = id2..id4 where the width uses them, 0 otherwise —
+  * matching the reference's idLongs = ceil(m/32) maximum of 4,
+  * KmerKeyedIndex.scala:27-55). k3/k4 trail the historical fields so
+  * narrow/wide call sites and consumers stay positional. */
+final case class KeyedSupermer(k1: Long, k2: Long, start: Int, kmers: Int,
+    k3: Long = 0L, k4: Long = 0L)
 
 /** A broadcast-table classifier built by [[KeyedIndex.inMemoryClassifier]]:
   * the records were collected and broadcast at construction; every
@@ -50,7 +54,8 @@ trait InMemoryClassifier extends Serializable {
 
 trait KeyedIndex extends Serializable {
 
-  /** Join key columns: Seq("id1") narrow, Seq("id1", "id2") wide. */
+  /** Join key columns: Seq("id1") narrow, Seq("id1", "id2") wide,
+    * id1..id3/id1..id4 extra-wide. */
   def keyCols: Seq[String]
 
   /** k-mer length of this index. */

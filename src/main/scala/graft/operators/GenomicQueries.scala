@@ -166,6 +166,18 @@ object GenomicQueries {
             minHitGroups = 1)),
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () })
+      }),
+      // extra-wide (m=96, three-long keys) join path
+      "g14_xwide_classify" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new graft.index.XWideMinimizerIndex(k = 100, m = 96, bcTax)
+        val records = materialize(index.makeRecords(lib))
+        val reads = readsDs(16, 112)
+        StagedRun(
+          () => agg(index.classify(index.spans(reads), records,
+            minHitGroups = 1)),
+          () => { records.unpersist(false); reads.unpersist(false)
+            bcTax.destroy(); () })
       }))
   }
 
@@ -340,6 +352,29 @@ object GenomicQueries {
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
     }, Some(Q.goldenTaxonReads("g07_wide_sf001.tsv")), bench = true),
+
+    // extra-wide minimizer path (m=96 > 64: three-long keys, fully-populated
+    // top word) end to end — the reference's idLongs=ceil(m/32) scheme at
+    // width 3, through the same unified per-read protocol; golden derived by
+    // an independent 192-bit-int Python kernel (tools/golden_g14.py)
+    Q("g14_xwide_classify", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new graft.index.XWideMinimizerIndex(k = 100, m = 96, bcTax)
+      val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val records = index.makeRecords(lib)
+      val reads = t(s, dir, "orders")
+        .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey",
+          substring($"dna", (($"o_orderkey" % 16) + 1).cast("int"),
+            lit(112)).as("read"))
+        .as[(Long, String)]
+        .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+      index.classify(index.spans(reads), records, minHitGroups = 1)
+        .groupBy($"taxon".cast("long").as("taxon"))
+        .agg(count(lit(1)).cast("long").as("n_reads"))
+        .orderBy($"taxon")
+    }, Some(Q.goldenTaxonReads("g14_xwide_sf001.tsv")), bench = true),
 
     // frequency-ordered index (sampled top-mer demotion) end to end: the
     // demoted ordering must reproduce at classify time or keys stop

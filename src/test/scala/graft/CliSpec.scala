@@ -228,6 +228,94 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (l <- lines) assert(l.matches("-?[0-9]+\t[0-9]+:[0-9]+:[0-9.]+( .*)?"), l)
   }
 
+  test("CLI: extra-wide (m=96, three-long keys) build -> classify -> " +
+    "stats --respace -> bracken, end to end through the sidecar dispatch") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-xwide")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+
+    val idx = dir.resolve("idx").toString
+    // -s 5: spaced seed across three key words; --salt exercises the
+    // two-stage LCA fold at this width
+    Main.main(Array("build", "--k", "104", "--m", "96", "--p", "4",
+      "--salt", "2", "--s", "5",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    val params = graft.index.IndexParams.read(spark, idx)
+    assert(params.m == 96 && params.spaces == 5)
+
+    val fqSb = new StringBuilder
+    for (i <- 0 until 30) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 200)
+      fqSb.append(s"@xr${t}n$i\n${g.substring(s, s + 200)}\n+\n")
+        .append("I" * 200).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("classify", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1", "--in-memory", "false",
+      "--output", out))
+    val classified = index.MappingComparison.readKrakenOutput(spark, out)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(classified.nonEmpty)
+    // reads from genome t classify to t or an ancestor (never the sibling)
+    for ((title, taxon) <- classified if taxon != 0) {
+      val src = title.drop(2).takeWhile(_.isDigit).toInt
+      assert(taxon == src || taxon == 2 || taxon == 1,
+        s"$title -> $taxon")
+    }
+    // in-memory path agrees with the join path at this width
+    val outM = dir.resolve("outm").toString
+    Main.main(Array("classify", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--min-hit-groups", "1", "--in-memory", "true",
+      "--output", outM))
+    val viaMem = index.MappingComparison.readKrakenOutput(spark, outM)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaMem == classified)
+
+    // width-agnostic stats with --respace (mask + re-fold over 3 words)
+    val statsOut = dir.resolve("stats").toString
+    Main.main(Array("stats", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--respace", "8",
+      "--output", statsOut))
+    assert(Files.list(java.nio.file.Paths.get(statsOut)).toArray
+      .map(_.toString).exists(_.endsWith(".csv")))
+
+    // bracken weights over the extra-wide index
+    val outW = dir.resolve("weights").toString
+    Main.main(Array("bracken", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--read-len", "150",
+      "--output", outW))
+    val lines = Files.list(java.nio.file.Paths.get(outW)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(lines.nonEmpty)
+  }
+
   test("CLI: self-contained index -> classify (no --taxonomy) -> report; " +
       "FASTA R2; classify2 --gold releases its caches") {
     spark

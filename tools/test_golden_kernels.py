@@ -174,6 +174,63 @@ def wide_freq_stats(seqs, k, m, top_n):
     return stats
 
 
+def xwide_stats_at(k, m, seqs=None, top_n=None):
+    """From-scratch extra-wide (m > 64: 3/4-word) kernel at arbitrary (k, m)
+    — an independent check of the XWideScanner. Mask replicated per word
+    with the top word truncated to its populated bits; checksum folds each
+    distinct key's words top-down as acc = acc*MIX ^ word (the two-word
+    l ^ hi*MIX generalized). With seqs/top_n set, adds frequency demotion:
+    in-band (bit 63 of word 0) when the top word has a spare bit
+    (topBases <= 31), out-of-band compare rank otherwise."""
+    words = (m + 31) // 32
+    top_bases = m - 32 * (words - 1)
+    top_mask = (1 << (2 * top_bases)) - 1
+    pri_mask = 0
+    for w in range(words):
+        wm = golden_g07.XOR_MASK & (top_mask if w == 0 else M64)
+        pri_mask |= wm << (64 * (words - 1 - w))
+    in_band = top_bases <= 31
+    demoted = set()
+    if top_n is not None:
+        cnt = canonical_counts(seqs, m, golden_g07.encode,
+                               golden_g07.rc)
+
+        def signed(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        def word(v, w):
+            return (v >> (64 * (words - 1 - w))) & M64
+
+        ranked = sorted(cnt.items(), key=lambda kv:
+                        (-kv[1],) + tuple(signed(word(kv[0], w))
+                                          for w in range(words)))
+        demoted = set(mm for mm, _ in ranked[:top_n])
+    dem_bit = 1 << (64 * (words - 1) + 63)
+
+    def stats(dna):
+        def pri(j):
+            mer = golden_g07.encode(dna[j:j + m])
+            r = golden_g07.rc(mer, m)
+            canon = mer if mer <= r else r
+            p = canon ^ pri_mask
+            dem = canon in demoted
+            if in_band:
+                return (0, p | dem_bit if dem else p)
+            return (1 if dem else 0, p)
+        pris = [pri(j) for j in range(len(dna) - m + 1)]
+        per_kmer = [min(pris[i:i + k - m + 1])[1]
+                    for i in range(len(dna) - k + 1)]
+        spans = 1 + sum(1 for a, b in zip(per_kmer, per_kmer[1:]) if a != b)
+        chk = 0
+        for v in set(per_kmer):
+            acc = 0
+            for w in range(words):
+                acc = ((acc * MIX) & M64) ^ ((v >> (64 * (words - 1 - w))) & M64)
+            chk ^= acc
+        return spans, len(per_kmer), len(set(per_kmer)), chk
+    return stats
+
+
 def sequences(rng, k, n=100):
     """Random ACGT sequences with edge-case lengths and structures."""
     seqs = []
@@ -261,6 +318,21 @@ def main():
         bad += run_config("wide64_freq", 80, 64, 0,
                           wide_freq_stats(f64, 80, 64, 4096), f64, tmp,
                           freq_top=4096)
+        # extra-wide keys (m > 64: three/four-long) — plain, the in-band
+        # demote lane (topBases <= 31: m=65), and the out-of-band lane at a
+        # fully-populated top word (m=96); m=128 covers the 4-word maximum
+        bad += run_config("xwide96", 104, 96, 0, xwide_stats_at(104, 96),
+                          sequences(rng, 104), tmp)
+        bad += run_config("xwide128", 140, 128, 0, xwide_stats_at(140, 128),
+                          sequences(rng, 140), tmp)
+        f65 = sequences(rng, 72)
+        bad += run_config("xwide65_freq", 72, 65, 0,
+                          xwide_stats_at(72, 65, f65, 512), f65, tmp,
+                          freq_top=512)
+        f96 = sequences(rng, 104)
+        bad += run_config("xwide96_freq", 104, 96, 0,
+                          xwide_stats_at(104, 96, f96, 512), f96, tmp,
+                          freq_top=512)
     if bad:
         print(f"FAIL: {bad} mismatching sequences")
         return 1
