@@ -67,22 +67,33 @@ object Bench {
 
     val loadStart = loadavg()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Sub-second lanes drown in scheduler noise at 3 reps (r11 verdict:
+    // uniform ±20-50% drift on untouched lanes) — they top up to this many
+    // reps so the min/IQR stats have support.
+    val subSecondReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt
     // Spike retry (r9 verdict): the load gate checks only at start, so a
     // transient host spike mid-run can poison a rep by 6x+ (r9 recorded
     // 22 s against a true 2.6 s). One rep >3x the rep min is rerun ONCE
     // and appended — the raw reps stay in reps_sec for forensics, and the
     // min stat cannot be inflated by a second spike.
     def timeReps(thunk: () => Unit): IndexedSeq[Double] = {
-      val base = (0 until reps).map { _ =>
+      var times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         thunk()
         (System.nanoTime() - t0) / 1e9
       }
-      if (base.nonEmpty && base.max > 3 * base.min) {
+      // variance hygiene (r11 verdict): sub-second lanes get extra reps
+      while (times.nonEmpty && times.min < 1.0 && times.length < subSecondReps) {
         val t0 = System.nanoTime()
         thunk()
-        base :+ (System.nanoTime() - t0) / 1e9
-      } else base
+        times = times :+ (System.nanoTime() - t0) / 1e9
+      }
+      if (times.nonEmpty && times.max > 3 * times.min) {
+        val t0 = System.nanoTime()
+        thunk()
+        times :+ (System.nanoTime() - t0) / 1e9
+      } else times
     }
     val results = SparkEntry.benchQueries.map { case (name, q) =>
       val times =
@@ -259,6 +270,16 @@ object Bench {
     val qsReps = results.map { case (k, (_, _, ts)) =>
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query inter-quartile range of the reps (r11 verdict: variance
+    // columns, so a round-over-round delta can be judged against the
+    // lane's own spread instead of guessed at)
+    val qsIqr = results.map { case (k, (_, _, ts)) =>
+      val s = ts.sorted
+      val iqr =
+        if (s.length < 2) 0.0
+        else s(math.min(s.length - 1, (s.length * 3) / 4)) - s(s.length / 4)
+      "\"" + k + "\":" + num(iqr)
+    }.mkString("{", ",", "}")
     val totalMin = results.values.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.values.map(_._1).filter(_ >= 0).sum
     // queries ADDED to the bench set after round 5: the headline total grew
@@ -267,11 +288,13 @@ object Bench {
     // t21 (span dedup); r8: t28 (span rewrite), c01 (k-means), t34
     // (bloom-prefiltered decontamination); r10: c02 (semantic dedup), c03
     // (cluster sample), g13 (m=64 frequency classify).
-    // r11: t37 (distributed CC contraction), c04 (centroid outliers)
+    // r11: t37 (distributed CC contraction), c04 (centroid outliers).
+    // r12: g14 (extra-wide m=96 classify), c07 (SemDeDup at k=1024).
     val added = Set("g11_mem_classify", "g12_mem_wide_classify",
       "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon",
       "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify",
-      "t37_cc_contraction", "c04_centroid_outliers")
+      "t37_cc_contraction", "c04_centroid_outliers",
+      "g14_xwide_classify", "c07_semantic_dedup_k1024")
     val comparable = results.collect {
       case (k, (med, _, _)) if !added(k) && med >= 0 => med
     }.sum
@@ -302,7 +325,12 @@ object Bench {
     // a broken pipeline entry must not hide inside an artifact claiming
     // failed:0 — same contract as failed_stages
     val pipelinesFailed = pipelines.values.count(_ < 0)
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    // round_over_round_stat PINS which stat to compare across rounds (r11
+    // verdict: r10->r11 deltas were read off mixed stats): min-of-reps is
+    // the noise-resistant choice and has been carried in value_min /
+    // queries_min since r9 — compare THOSE keys, judged against
+    // queries_iqr; "value"/"queries" stay medians for legacy continuity.
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.

@@ -242,11 +242,23 @@ object Stress {
     val rIvf = recall(ivf)
     val rPq = recall(pq)
     val rIvfPq = recall(ivfpq)
+    // sharded query side at volume (r11 verdict ask): queryBound = 30 <
+    // Q = 100 forces 4 hash shards (training shared, per-shard corpus
+    // scans) — the result must be IDENTICAL sets to the single-collect
+    // ivfpq above, not merely similar
+    val ts0 = System.nanoTime()
+    val sharded = topkMap(operators.Similarity.ivfPqKnn(queries, base, k,
+        nCells = 64, nProbe = 8, rerank = 256, trainN = 16384,
+        queryBound = 30)
+      .select("qid", "nid"))
+    val tSharded = (System.nanoTime() - ts0) / 1e9
+    assert(sharded == ivfpq, "sharded ivfpq diverges from single-collect")
     base.unpersist(blocking = false)
     queries.unpersist(blocking = false)
     println(f"[stress knn] brute $tBrute%.1f s; ivf $tIvf%.1f s " +
       f"recall@$k $rIvf%.3f; pq $tPq%.1f s recall@$k $rPq%.3f; " +
-      f"ivfpq $tIvfPq%.1f s recall@$k $rIvfPq%.3f")
+      f"ivfpq $tIvfPq%.1f s recall@$k $rIvfPq%.3f; " +
+      f"ivfpq-sharded(4) $tSharded%.1f s identical")
     assert(rIvf >= 0.8, s"ivf recall $rIvf")
     assert(rPq >= 0.6, s"pq recall $rPq")
     // residual coding + a deep exact re-rank must recover what whole-space

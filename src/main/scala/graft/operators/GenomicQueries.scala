@@ -167,6 +167,53 @@ object GenomicQueries {
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () })
       }),
+      // the 2-step dynamic path (the reference's flagship workflow — r11
+      // verdict ask: oracled but never benched). Build stage = static
+      // index records + derived reads; classify stage = the WHOLE dynamic
+      // pass (evidence join, taxon selection, sub-index re-fold, final
+      // classify), its internal caches released inside the rep so reps
+      // stay independent
+      "g04_classify2" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val dyn = new graft.index.DynamicClassifier(params, bcTax)
+        val staticRecords = materialize(dyn.index.buildRecords(lib))
+        val reads = t(s, dir, "orders")
+          .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
+          .filter($"c_nationkey" % 2 === 0)
+          .select($"o_orderkey",
+            substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
+              lit(44)).as("read"))
+          .as[(Long, String)]
+          .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        reads.count()
+        StagedRun(
+          () => {
+            val (classified, _, release) = dyn.classify2(reads, lib,
+              staticRecords, criterion = graft.index.DistinctMinimizers,
+              rank = "species", threshold = 50, minHitGroups = 1)
+            val counts = agg(classified).localCheckpoint(true)
+            release()
+            counts
+          },
+          () => { staticRecords.unpersist(false); reads.unpersist(false)
+            bcTax.destroy(); () })
+      }),
+      // bracken weights (r11 verdict ask: oracled, never benched). Build
+      // stage = LCA records; weights stage = fragment scan + one-sided LCA
+      // join + O(1) window slide + per-(source,dest) count
+      "g05_bracken" -> (() => {
+        val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+        val index = new MinimizerIndex(params, bcTax)
+        val bracken = new graft.index.Bracken(params, bcTax)
+        val records = materialize(index.makeRecords(lib))
+        StagedRun(
+          () => bracken.weights(lib, records, readLen = 64)
+            .select($"source".cast("long").as("source"),
+              $"dest".cast("long").as("dest"), $"reads")
+            .orderBy($"source", $"dest"),
+          () => { records.unpersist(false); bcTax.destroy(); () })
+      }),
       // extra-wide (m=96, three-long keys) join path
       "g14_xwide_classify" -> (() => {
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))

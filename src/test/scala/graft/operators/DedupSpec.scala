@@ -171,9 +171,15 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("un-converged connected components throw by default, warn when " +
     "strict = false") {
     import spark.implicits._
-    // a 40-node path has diameter 40: one contraction round cannot finish
-    // it, so maxIterations = 1 exits un-converged on the distributed path
-    val edges = (0L until 40L).map(i => (i, i + 1))
+    // a zig-zag path (low ids alternating with high ids: 0-20-1-21-2-…)
+    // has a LOCAL min at every second node, so even the driver-compressed
+    // fixpoint labels need two rounds (round 1 contracts each high node
+    // into its smaller neighbor, leaving the monotone path 0-1-2-…;
+    // round 2 finishes it) — maxIterations = 1 exits un-converged on any
+    // distributed-loop variant. (A monotone path no longer works here:
+    // label-chain fixpoint compression resolves it in one round.)
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, 20L + i)) ++ (if (i < 19L) Seq((20L + i, i + 1)) else Nil))
     val df = edges.toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(df, maxIterations = 1, localMaxEdges = 0L)
@@ -184,7 +190,7 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // callers: labels come back (possibly split), no throw
     val got = Dedup.connectedComponents(df, maxIterations = 1,
       localMaxEdges = 0L, strict = false).collect()
-    assert(got.length == 41)
+    assert(got.length == 40)
   }
 
   test("dedup decisions keep exactly one doc per duplicate cluster") {
