@@ -32,6 +32,16 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
 
   val k: Int = index.kOf
 
+  /** 128-bit content digest for the fragment regroup key (executor-local,
+    * one pass per fragment — noise next to the two minimizer scans). */
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
   /** Split genomes into bounded fragments overlapping by readLen-1, so every
     * read-length window lives in exactly one fragment (window starts in
     * [fragStart, fragStart + max - readLen] — consecutive fragments tile the
@@ -42,7 +52,19 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     val spark = library.sparkSession
     import spark.implicits._
     library.flatMap { case (taxon, seq) =>
-      val header = s"g$taxon"
+      // the regroup key must be unique per genome CONTENT, not per taxon:
+      // real libraries hold many genomes per taxon, and a taxon-keyed
+      // header merged every taxon-mate's minimizer->LCA list into ONE
+      // collect_list row that every fragment of the taxon then
+      // deserialized (measured: 15.5 s of the g05 weights stage at sf0.1,
+      // with group size growing unbounded in the library — a scale bug,
+      // not just latency). A content digest keys identical genomes
+      // together, which is harmless (identical content needs identical
+      // maps) and bounds each group at ONE fragment's minimizers. The
+      // digest must be stable across the two scans of the fragment frame
+      // (minimizer derivation and the window join), which md5-of-content
+      // is and a partition-dependent row id is not.
+      val header = s"g$taxon-" + md5Hex(seq)
       if (seq.length <= maxFragment) Iterator((taxon, seq, header, 0L))
       else Iterator.range(0, seq.length - readLen + 1, maxFragment - (readLen - 1))
         .map { start =>
