@@ -31,6 +31,9 @@ import graft.taxa.Taxonomy
   *             missing kreports)
   *   compareIndex --index idx --reference idx2 --output out  (LCA migration
   *             depth histogram)
+  *   mergeIndex --index idx --reference idx2 --output out  (incremental
+  *             library growth: union + LCA re-fold, exact, no re-scan of
+  *             either library; identical scan params required)
   *   inputCheck --taxonomy dir --labels l.tsv  (label sanity: unknown taxa,
   *             non-leaf genomes, implied tree size)
   *   scan      --library lib.fna [-k 35 -m 31 -s 7] --output out.tsv
@@ -87,6 +90,7 @@ object Main {
       "respace" -> (common ++ Set("index", "s", "output")),
       "inspect" -> (common ++ Set("index", "labels", "output")),
       "compareIndex" -> (common ++ Set("index", "reference", "output")),
+      "mergeIndex" -> (common ++ Set("index", "reference", "output")),
       "inputCheck" -> (common ++ Set("labels")),
       "scan" -> (common ++ Set("library", "library-fai", "k", "m", "s",
         "o", "freq-sample", "freq-top", "output")),
@@ -745,6 +749,45 @@ object Main {
         IndexOps.compareIndexes(load(idxPath, params), load(refPath, refParams),
             bcTax, keyCols)
           .write.option("sep", "\t").mode("overwrite").csv(opts("output"))
+
+      case "mergeIndex" =>
+        // incremental library growth: union + per-key LCA re-fold of two
+        // stored indexes with identical scan parameters — exact (LCA is
+        // associative/commutative/idempotent: merge(build(A), build(B)) ==
+        // build(A ∪ B), property-proven in IndexOpsSpec), and the existing
+        // library is never re-scanned
+        val spark = session(buckets)
+        val aPath = opts("index"); val bPath = opts("reference")
+        val pa = IndexParams.read(spark, aPath)
+        val pb = IndexParams.read(spark, bPath)
+        require(pa.k == pb.k && pa.m == pb.m && pa.spaces == pb.spaces &&
+          pa.xorMask == pb.xorMask && pa.canonical == pb.canonical &&
+          java.util.Arrays.equals(
+            pa.demoted.getOrElse(Array.emptyLongArray),
+            pb.demoted.getOrElse(Array.emptyLongArray)),
+          "mergeIndex needs identical scan parameters on both indexes " +
+            s"(k=${pa.k}/${pb.k}, m=${pa.m}/${pb.m}, " +
+            s"s=${pa.spaces}/${pb.spaces}, ordering incl. demotion set)")
+        spark.conf.set("spark.sql.shuffle.partitions", pa.buckets.toString)
+        val tax = loadTaxonomy(spark,
+          opts.getOrElse("taxonomy", aPath + "/taxonomy"))
+        val bcTax = spark.sparkContext.broadcast(tax)
+        val (idxA, recA) = openKeyed(spark, aPath, pa, bcTax)
+        val (_, recB) = openKeyed(spark, bPath, pb, bcTax)
+        val merged = IndexOps.mergeIndexes(recA, recB, bcTax, idxA.keyCols)
+        val outLoc = opts("output")
+        idxA match {
+          case x: XWideMinimizerIndex => x.writeRecords(merged, outLoc, pa.buckets)
+          case w: WideMinimizerIndex => w.writeRecords(merged, outLoc, pa.buckets)
+          case n: MinimizerIndex => n.writeRecords(merged, outLoc)
+        }
+        copyTaxonomy(spark,
+          opts.getOrElse("taxonomy", aPath + "/taxonomy"), outLoc)
+        val outParams = IndexParams.read(spark, outLoc)
+        val n = openKeyed(spark, outLoc, outParams, bcTax)._2.count()
+        IndexParams.write(spark, outParams.copy(records = Some(n)), outLoc,
+          writeDemotionSidecar = false)
+        println(s"merged index written: $n records")
 
       case "inputCheck" =>
         // label-file sanity before a build (spec: reference

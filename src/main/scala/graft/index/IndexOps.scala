@@ -179,6 +179,28 @@ object IndexOps {
       id3 = s.id3 & m3, id4 = s.id4 & m4))
   }
 
+  /** Merge two LCA-record frames of indexes built with IDENTICAL scan
+    * parameters (k, m, spacing, ordering/demotion — the caller gates this;
+    * different parameters give incomparable keys): union + per-key LCA
+    * re-fold. Exact, because the record LCA is associative, commutative
+    * and idempotent over leaf contributions — lca(fold(A), fold(B)) per
+    * key equals fold(A ∪ B) per key, which is what makes incremental
+    * library growth sound WITHOUT re-scanning the existing library (at
+    * 100 TB, re-deriving the whole index to add a batch of genomes is the
+    * wrong plan; this is one shuffle over records, and the new batch alone
+    * pays a scan). Width-generic: pass the index's [[KeyedIndex.keyCols]].
+    * Property-proven: merge(build(A), build(B)) == build(A ∪ B) at every
+    * key width (IndexOpsSpec). */
+  def mergeIndexes(a: DataFrame, b: DataFrame, bcTax: Broadcast[Taxonomy],
+      keyCols: Seq[String] = Seq("id1")): DataFrame = {
+    val spark = a.sparkSession
+    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
+    a.select((keyCols :+ "taxon").map(col): _*)
+      .unionByName(b.select((keyCols :+ "taxon").map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.taxa.LcaAggregate.lcaAgg(lcaName, col("taxon")).as("taxon"))
+  }
+
   /** Genomes that contributed no minimizers to the index (quality check;
     * spec: A12/A13, KeyValueIndex.scala:56-76): distinct library minimizers
     * anti-joined against records. Width-generic over [[KeyedIndex]]. */

@@ -1123,6 +1123,62 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("--near-dup-mode"))
   }
 
+  test("CLI: mergeIndex unions two builds exactly (record-identical to a " +
+    "combined build) and rejects mismatched parameters") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-merge")
+    val genomes = Map(4 -> dna(2000), 5 -> dna(2000), 6 -> dna(2000))
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n" +
+        "6\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      (Seq(1 -> "root", 2 -> "genus g", 4 -> "s4", 5 -> "s5", 6 -> "s6")
+        .map { case (t, n) => s"$t\t|\t$n\t|\t\t|\tscientific name\t|" }
+        .mkString("", "\n", "\n")))
+    def build(name: String, taxa: Seq[Int], out: String,
+        m: String = "31"): Unit = {
+      write(dir.resolve(s"$name.fasta"),
+        taxa.map(t => s">s$t\n${genomes(t)}").mkString("", "\n", "\n"))
+      write(dir.resolve(s"$name.tsv"),
+        taxa.map(t => s"s$t\t$t").mkString("", "\n", "\n"))
+      Main.main(Array("build", "--k", "35", "--m", m, "--p", "4",
+        "--library", dir.resolve(s"$name.fasta").toString,
+        "--labels", dir.resolve(s"$name.tsv").toString,
+        "--taxonomy", dir.resolve("tax").toString,
+        "--output", out))
+    }
+    val idxA = dir.resolve("idxA").toString
+    val idxB = dir.resolve("idxB").toString
+    val idxAll = dir.resolve("idxAll").toString
+    build("libA", Seq(4, 5), idxA)
+    build("libB", Seq(6), idxB)
+    build("libAll", Seq(4, 5, 6), idxAll)
+    val merged = dir.resolve("merged").toString
+    Main.main(Array("mergeIndex", "--index", idxA, "--reference", idxB,
+      "--p", "4", "--output", merged))
+    def recs(path: String): Map[Long, Int] = {
+      val p = graft.index.IndexParams.read(spark, path)
+      graft.index.MinimizerIndex.loadRecords(spark, path, p.buckets)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(recs(merged) == recs(idxAll),
+      "merged records diverge from the combined build")
+    // the sidecar re-stamped the record count and the taxonomy traveled
+    assert(graft.index.IndexParams.read(spark, merged).records
+      .contains(recs(merged).size.toLong))
+    assert(Files.exists(dir.resolve("merged/taxonomy/nodes.dmp")) ||
+      Files.exists(java.nio.file.Paths.get(merged, "taxonomy", "nodes.dmp")))
+    // mismatched m fails loudly
+    val idxW = dir.resolve("idxW").toString
+    build("libW", Seq(6), idxW, m = "33")
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("mergeIndex", "--index", idxA, "--reference", idxW,
+        "--p", "4", "--output", dir.resolve("bad").toString))
+    }
+    assert(e.getMessage.contains("identical scan parameters"))
+  }
+
   test("CLI: curate with an explicit --near-dup-mode but no threshold " +
     "fails loudly instead of silently skipping the pass") {
     import spark.implicits._

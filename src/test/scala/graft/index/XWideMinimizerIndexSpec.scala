@@ -112,6 +112,37 @@ class XWideMinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     records.unpersist(false)
   }
 
+  test("mergeIndexes(build(A), build(B)) == build(A ∪ B) at every key " +
+    "width — the exactness contract of incremental library growth") {
+    import spark.implicits._
+    // libB repeats genome 4 under taxon 5, so some keys must LCA-lift to
+    // the genus ACROSS the merge boundary — the case a naive
+    // keep-first/keep-either merge would get wrong
+    val libA = spark.createDataset(Seq((4, genomes(4)), (5, genomes(5))))
+    val libB = spark.createDataset(Seq((6, genomes(6)), (5, genomes(4))))
+    val libAll = libA.union(libB)
+    def recordsMap(df: org.apache.spark.sql.DataFrame,
+        nk: Int): Map[Seq[Long], Int] =
+      df.collect().map(r => (0 until nk).map(r.getLong).toSeq -> r.getInt(nk))
+        .toMap
+    val widths: Seq[KeyedIndex] = Seq(
+      new MinimizerIndex(IndexParams(k = 35, m = 31, spaces = 7, buckets = 4),
+        bcTax),
+      new WideMinimizerIndex(50, 40, bcTax),
+      new XWideMinimizerIndex(104, 96, bcTax))
+    for (idx <- widths) {
+      val nk = idx.keyCols.size
+      val merged = IndexOps.mergeIndexes(idx.buildRecords(libA),
+        idx.buildRecords(libB), bcTax, idx.keyCols)
+      val direct = idx.buildRecords(libAll)
+      val m = recordsMap(merged, nk)
+      val d = recordsMap(direct, nk)
+      assert(m == d, s"merge diverges at $nk-long keys")
+      // the lift genuinely happened: at least one key resolved to genus 2
+      assert(m.values.exists(_ == 2), s"no LCA lift at $nk-long keys")
+    }
+  }
+
   test("width-generic consumers run at idLongs=3: bracken windows and " +
     "missing-genome stats agree with expectations") {
     import spark.implicits._
