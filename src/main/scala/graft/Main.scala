@@ -51,6 +51,8 @@ import graft.taxa.Taxonomy
   *             [--subspaces 8] [--centroids 16] [--train 256] [--iters 3]
   *             [--init first|scatter]  (persistent IVF-PQ index: trained
   *             once, corpus encoded cell-partitioned, model sidecar)
+  *   annAppend --index idx --embeddings new.parquet  (append a batch,
+  *             encoded with the stored model — no retraining, no rescan)
   *   annQuery  --index idx --queries q.parquet [--k 10] [--nprobe 3]
   *             [--rerank 32] [--query-bound N] --output out  (probe-only
   *             top-k; writes out/knn parquet, never re-trains)
@@ -106,7 +108,8 @@ object Main {
       "annBuild" -> (common ++ Set("embeddings", "output", "cells",
         "subspaces", "centroids", "train", "iters", "init")),
       "annQuery" -> (common ++ Set("index", "queries", "k", "nprobe",
-        "rerank", "query-bound", "output")))
+        "rerank", "query-bound", "output")),
+      "annAppend" -> (common ++ Set("index", "embeddings")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1275,6 +1278,21 @@ object Main {
         val n = spark.read.parquet(outDir + "/vectors").count()
         println(s"annBuild: indexed $n vectors into $outDir " +
           s"(${model.nCells} cells, ${model.subspaces}x${model.centroids} codebooks)")
+
+      case "annAppend" =>
+        // incremental corpus growth for a served ANN index: the new batch
+        // is encoded with the STORED model (no retraining — spec-asserted
+        // byte-identical to a combined build on the same model) and
+        // appended to the cell partitions; only the batch pays a scan
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(opts("embeddings"))
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+        graft.operators.AnnIndex.append(emb, opts("index"))
+        val n = spark.read.parquet(opts("index") + "/vectors").count()
+        println(s"annAppend: index now holds $n vectors")
 
       case "annQuery" =>
         // Probe-only lookup against an annBuild index: no training or

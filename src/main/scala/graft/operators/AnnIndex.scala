@@ -62,8 +62,34 @@ object AnnIndex {
     val books = Similarity.trainSubspaceCodebooks(sampRes, subspaces,
       centroids, iters)
     val model = Model(coarse, books)
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
-    val bcBooks = spark.sparkContext.broadcast(books)
+    encodeWrite(model, base, dir, overwrite = true)
+    writeModel(spark, s"$dir/model.tsv", model)
+    model
+  }
+
+  /** Append a NEW vector batch to an existing index, encoded with the
+    * STORED model — the incremental half of the serving lifecycle: the
+    * corpus grows, only the new batch pays an encode pass, probes see the
+    * union immediately (same cells, same codebooks, so the ADC arithmetic
+    * is bit-identical to a build that encoded everything with this model —
+    * spec-asserted). The quantizers are NOT retrained: like any IVF
+    * system, heavy drift in the data distribution eventually degrades
+    * recall and warrants a rebuild. Caller owns nid uniqueness across
+    * batches, as with any index append. */
+  def append(base: Dataset[(Long, Array[Float])], dir: String): Model = {
+    val model = readModel(base.sparkSession, s"$dir/model.tsv")
+    encodeWrite(model, base, dir, overwrite = false)
+    model
+  }
+
+  /** The one narrow encode pass + cell-partitioned write shared by
+    * [[build]] (overwrite) and [[append]] (append). */
+  private def encodeWrite(model: Model, base: Dataset[(Long, Array[Float])],
+      dir: String, overwrite: Boolean): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bcCoarse = spark.sparkContext.broadcast(model.coarse)
+    val bcBooks = spark.sparkContext.broadcast(model.books)
     val encoded = base.filter(_._2 != null).map { case (id, v) =>
       val co = bcCoarse.value
       val qvl = Similarity.quantizeJvm(v)
@@ -72,13 +98,13 @@ object AnnIndex {
       (id, cell, Similarity.pqEncode(res, bcBooks.value), v)
     }.toDF("nid", "cell", "code", "vec")
     // repartition ON the partition column first: each cell's rows land in
-    // one task, so partitionBy emits one file per cell instead of
-    // (tasks x cells) shards — codes are S bytes/row, so even billion-row
-    // cells stay block-sized; raise with repartition(n, $"cell") if not
+    // one task, so partitionBy emits one file per cell (per batch) instead
+    // of (tasks x cells) shards — codes are S bytes/row, so even
+    // billion-row cells stay block-sized; raise with repartition(n,
+    // $"cell") if not
     encoded.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-    writeModel(spark, s"$dir/model.tsv", model)
-    model
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$dir/vectors")
   }
 
   /** Probe a built index: top-`k` exact-cosine neighbors per query, ADC

@@ -1226,6 +1226,25 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
     assert(hits >= 8, s"annQuery found just $hits of 10 planted neighbors")
+
+    // annAppend: a batch of even-closer twins encoded with the STORED
+    // model; a re-probe must surface them
+    val closer = anchors.take(10).map { case (i, v) =>
+      (i + 900L, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    spark.createDataset(closer).toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb2.parquet").toString)
+    Main.main(Array("annAppend", "--index", idx,
+      "--embeddings", dir.resolve("emb2.parquet").toString, "--p", "4"))
+    val out2 = dir.resolve("out2").toString
+    Main.main(Array("annQuery", "--index", idx,
+      "--queries", dir.resolve("q.parquet").toString,
+      "--k", "1", "--nprobe", "3", "--rerank", "8",
+      "--output", out2, "--p", "4"))
+    val got2 = spark.read.parquet(out2 + "/knn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits2 = (0L until 10L).count(q => got2.get(q).contains(q + 900L))
+    assert(hits2 >= 8, s"appended batch unreachable: $hits2 of 10")
   }
 
   test("CLI: curate survives a corpus the gates filter to nothing") {

@@ -75,6 +75,39 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"probe scan reads more than (nid, code):\n$plan")
   }
 
+  test("append encodes a new batch with the stored model: probe results " +
+    "are byte-identical to a combined build trained on the same sample") {
+    import spark.implicits._
+    val dirInc = java.nio.file.Files.createTempDirectory("annidx-inc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("annidx-all").toString
+    // A = the 40 smallest ids, B = the rest; trainN = 40 makes the
+    // combined build's deterministic sample exactly A's vectors, so both
+    // indexes carry the SAME model and the comparison is exact, not
+    // approximate
+    val a = spark.createDataset(base.filter(_._1 < 500))
+    val b = spark.createDataset(base.filter(_._1 >= 500))
+    val all = spark.createDataset(base)
+    val mA = AnnIndex.build(a, dirInc, nCells = 8, subspaces = 8,
+      centroids = 16, trainN = 40)
+    AnnIndex.append(b, dirInc)
+    val mAll = AnnIndex.build(all, dirAll, nCells = 8, subspaces = 8,
+      centroids = 16, trainN = 40)
+    assert(mA.coarse.map(_.toSeq).toSeq == mAll.coarse.map(_.toSeq).toSeq &&
+      mA.books.map(_.map(_.toSeq).toSeq).toSeq ==
+        mAll.books.map(_.map(_.toSeq).toSeq).toSeq,
+      "fixture broken: the two models must coincide for an exact compare")
+    val queries = spark.createDataset(base.filter(_._1 < 10))
+    val inc = rows(AnnIndex.query(queries, dirInc, k = 3, nProbe = 3,
+      rerank = 24))
+    val full = rows(AnnIndex.query(queries, dirAll, k = 3, nProbe = 3,
+      rerank = 24))
+    assert(inc == full, "appended index diverges from the combined build")
+    // the appended batch is genuinely probed: planted twins live in B
+    val top1 = inc.groupBy(_._1).map { case (q, rs) => q -> rs.head._2 }
+    val hits = (0L until 10L).count(q => top1.get(q).contains(q + 500L))
+    assert(hits >= 8, s"append lost the planted neighbors: $hits of 10")
+  }
+
   test("query answers from the index alone: the corpus source is gone and " +
     "no training path runs") {
     import spark.implicits._
