@@ -33,14 +33,10 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
   val k: Int = index.kOf
 
   /** 128-bit content digest for the fragment regroup key (executor-local,
-    * one pass per fragment — noise next to the two minimizer scans). */
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"$b%02x"))
-    sb.toString
-  }
+    * one pass per fragment — noise next to the two minimizer scans).
+    * commons-codec ships with Spark (it backs the SQL md5() expression). */
+  private def md5Hex(s: String): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
 
   /** Split genomes into bounded fragments overlapping by readLen-1, so every
     * read-length window lives in exactly one fragment (window starts in

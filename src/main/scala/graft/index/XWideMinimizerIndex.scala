@@ -351,21 +351,12 @@ final class XWideMinimizerIndex(k: Int, m: Int, bcTax: Broadcast[Taxonomy],
 final class XWideTaxonMap private (used: Array[Boolean], keys: Array[Long],
     vals: Array[Int], n: Int) extends Serializable {
 
-  @inline private def hash4(a: Long, b: Long, c: Long, d: Long): Int = {
-    var h = (a * 0x9e3779b97f4a7c15L) ^ (b * 0xbf58476d1ce4e5b9L)
-    h = (h * 0x9e3779b97f4a7c15L) ^ (c * 0xbf58476d1ce4e5b9L)
-    if (n == 4) h = (h * 0x9e3779b97f4a7c15L) ^ (d * 0xbf58476d1ce4e5b9L)
-    java.lang.Long.hashCode(h)
-  }
-
   @inline def get(a: Long, b: Long, c: Long, d: Long): Int = {
     val cap = used.length
-    var i = hash4(a, b, c, d) & (cap - 1)
+    var i = XWideTaxonMap.hash4(a, b, c, d, n) & (cap - 1)
     while (true) {
       if (!used(i)) return Taxonomy.NONE
-      val o = i * n
-      if (keys(o) == a && keys(o + 1) == b && keys(o + 2) == c &&
-        (n == 3 || keys(o + 3) == d)) return vals(i)
+      if (XWideTaxonMap.same(keys, i * n, a, b, c, d, n)) return vals(i)
       i = (i + 1) & (cap - 1)
     }
     Taxonomy.NONE
@@ -377,6 +368,20 @@ final class XWideTaxonMap private (used: Array[Boolean], keys: Array[Long],
 }
 
 object XWideTaxonMap {
+  /** ONE hash and ONE key-equality definition shared by build and probe —
+    * a divergence between the two would make every lookup miss. */
+  @inline private def hash4(a: Long, b: Long, c: Long, d: Long, n: Int): Int = {
+    var h = (a * 0x9e3779b97f4a7c15L) ^ (b * 0xbf58476d1ce4e5b9L)
+    h = (h * 0x9e3779b97f4a7c15L) ^ (c * 0xbf58476d1ce4e5b9L)
+    if (n == 4) h = (h * 0x9e3779b97f4a7c15L) ^ (d * 0xbf58476d1ce4e5b9L)
+    java.lang.Long.hashCode(h)
+  }
+
+  @inline private def same(keys: Array[Long], o: Int, a: Long, b: Long,
+      c: Long, d: Long, n: Int): Boolean =
+    keys(o) == a && keys(o + 1) == b && keys(o + 2) == c &&
+      (n == 3 || keys(o + 3) == d)
+
   /** Build from flattened keys (rows*n words) and per-row taxa. */
   def apply(flat: Array[Long], taxa: Array[Int], n: Int): XWideTaxonMap = {
     require(n == 3 || n == 4, s"idLongs must be 3 or 4, got $n")
@@ -389,13 +394,9 @@ object XWideTaxonMap {
     while (r < rows) {
       val a = flat(r * n); val b = flat(r * n + 1); val c = flat(r * n + 2)
       val d = if (n == 4) flat(r * n + 3) else 0L
-      var h = (a * 0x9e3779b97f4a7c15L) ^ (b * 0xbf58476d1ce4e5b9L)
-      h = (h * 0x9e3779b97f4a7c15L) ^ (c * 0xbf58476d1ce4e5b9L)
-      if (n == 4) h = (h * 0x9e3779b97f4a7c15L) ^ (d * 0xbf58476d1ce4e5b9L)
-      var i = java.lang.Long.hashCode(h) & (cap - 1)
-      def same(o: Int): Boolean = keys(o) == a && keys(o + 1) == b &&
-        keys(o + 2) == c && (n == 3 || keys(o + 3) == d)
-      while (used(i) && !same(i * n)) i = (i + 1) & (cap - 1)
+      var i = hash4(a, b, c, d, n) & (cap - 1)
+      while (used(i) && !same(keys, i * n, a, b, c, d, n))
+        i = (i + 1) & (cap - 1)
       used(i) = true
       System.arraycopy(flat, r * n, keys, i * n, n)
       vals(i) = taxa(r)

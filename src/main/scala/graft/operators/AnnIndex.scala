@@ -90,7 +90,12 @@ object AnnIndex {
     import spark.implicits._
     val bcCoarse = spark.sparkContext.broadcast(model.coarse)
     val bcBooks = spark.sparkContext.broadcast(model.books)
+    val dim = model.dim
     val encoded = base.filter(_._2 != null).map { case (id, v) =>
+      // fail loudly on a batch whose vectors don't match the model: a
+      // smaller dim would otherwise encode silently-wrong prefix codes
+      require(v.length == dim,
+        s"vector $id has dim ${v.length}, the index model expects $dim")
       val co = bcCoarse.value
       val qvl = Similarity.quantizeJvm(v)
       val cell = Similarity.nearestSub(qvl, 0, qvl.length, co)
@@ -140,6 +145,8 @@ object AnnIndex {
     val table = spark.read.parquet(s"$dir/vectors")
     Similarity.shardedKnn(queries, queryBound) { qArr =>
       import spark.implicits._
+      for ((qid, qv) <- qArr) require(qv.length == dim,
+        s"query $qid has dim ${qv.length}, the index model expects $dim")
       val nP = math.min(nProbe, nCells)
       val qProbes = qArr.map { case (_, qv) =>
         Similarity.probeCells(Similarity.quantizeJvm(qv), coarse, nP)

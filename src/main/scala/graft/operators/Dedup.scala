@@ -487,6 +487,14 @@ object Dedup {
         .filter(col("src") =!= col("dst")).distinct()
         .persist(lvl)
       gCount = gNext.count()
+      // unlike the distributed branch, gNext's lineage does NOT pass
+      // through totalNext (edges contract via the broadcast map), so the
+      // count above did not materialize it — force it with its own narrow
+      // map-only job BEFORE dropping the predecessor's blocks, or the
+      // final labels would recompute the whole loop from the caller's raw
+      // pairs (and a non-deterministic upstream could then diverge from
+      // the edge set the loop converged on)
+      totalNext.count()
       gCached.unpersist(blocking = false)
       totalCached.unpersist(blocking = false)
       gCached = gNext

@@ -131,6 +131,12 @@ object Similarity {
     *
     * `scan(qArr)` must return the final per-query top-k frame for exactly
     * the queries in qArr plus a cleanup dropping the shard's broadcasts.
+    * On the UNSHARDED path the cleanup deliberately never runs: the
+    * returned frame is lazy and its tasks reference the broadcasts, so
+    * destroying them before the caller's action would break it — their
+    * lifetime is the frame's, reclaimed by the ContextCleaner once the
+    * caller drops the reference (serving loops that retain many result
+    * frames retain their broadcasts with them, ~O(bound·dim) each).
     * Hash shards are a memory TARGET, not a hard cap (uniform ±sqrt
     * deviation). localCheckpoint truncates lineage: an executor loss while
     * shard results are held fails the job instead of recomputing — swap in

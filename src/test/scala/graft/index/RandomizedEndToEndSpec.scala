@@ -134,6 +134,39 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nC > 40, s"only $nC classified after respace")
   }
 
+  test("extra-wide: respaced 3-long index + respaced spans classify " +
+    "consistently") {
+    val rng = new Random(97)
+    def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+    val tax = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g"), (4, 2, "species", "s4"), (5, 2, "species", "s5")))
+    import spark.implicits._
+    val bcTax = spark.sparkContext.broadcast(tax)
+    val params = IndexParams(k = 104, m = 96, spaces = 5, buckets = 4)
+    val index = new XWideMinimizerIndex(104, 96, bcTax, spaces = 5)
+    val genomes = Map(4 -> dna(2500), 5 -> dna(2500))
+    val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
+    val respaced = IndexOps.respaceXWide(records, params, 12, bcTax).cache()
+    assert(respaced.count() <= records.count())
+    val reads = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 200)
+      InputFragment(s"rx$i|src=$t", 0L, g.substring(s, s + 200), None)
+    }
+    val spans = index.spans(spark.createDataset(reads))
+    val wideSpans = IndexOps.respaceSpansXWide(spans, params, 12)
+    val classified = index.classify(wideSpans, respaced, minHitGroups = 1)
+      .collect()
+    var nC = 0
+    for (c <- classified if c.classified) {
+      nC += 1
+      val src = c.title.split("src=")(1).toInt
+      assert(tax.hasAncestor(src, c.taxon))
+    }
+    assert(nC > 40, s"only $nC classified after extra-wide respace")
+  }
+
   test("wide: spaced build classifies; respaced wide index + spans consistent") {
     val rng = new Random(83)
     def dna(n: Int) = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
