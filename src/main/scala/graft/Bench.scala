@@ -207,7 +207,44 @@ object Bench {
       timePipeline("curate_text_hashed", out => Array("curate",
         "--docs", s"$sfDir/documents.parquet",
         "--output", out.toString, "--p", cpus,
-        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed")))
+        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed")),
+      // the ANN serving lifecycle as the user runs it (r12): ann_build
+      // times train + encode + persist; ann_probe times a probe-only
+      // query batch against an index PREBUILT outside its clock — the
+      // amortization claim (probes never pay training) as two tracked
+      // numbers
+      timePipeline("ann_build", out => Array("annBuild",
+        "--embeddings", s"$sfDir/embeddings.parquet",
+        "--output", out.resolve("idx").toString, "--p", cpus,
+        "--cells", "16", "--train", "4096")),
+      {
+        val scratch = java.nio.file.Files.createTempDirectory("graft-annbench")
+        try {
+          // prebuild OUTSIDE the probe's clock; a failed prebuild reports
+          // the probe lane as failed instead of crashing the bench
+          graft.Main.main(Array("annBuild",
+            "--embeddings", s"$sfDir/embeddings.parquet",
+            "--output", scratch.resolve("idx").toString, "--p", cpus,
+            "--cells", "16", "--train", "4096"))
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .limit(64).write.mode("overwrite")
+            .parquet(scratch.resolve("q.parquet").toString)
+          timePipeline("ann_probe", out => Array("annQuery",
+            "--index", scratch.resolve("idx").toString,
+            "--queries", scratch.resolve("q.parquet").toString,
+            "--k", "10", "--nprobe", "4", "--rerank", "64",
+            "--output", out.toString, "--p", cpus))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann_probe prebuild FAILED: $e")
+          "ann_probe" -> -1.0
+        } finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }
+      })
 
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a

@@ -121,8 +121,18 @@ object AnnIndex {
       nProbe: Int = 3, rerank: Int = 32,
       queryBound: Int = Similarity.DefaultQueryShardBound): DataFrame = {
     val spark = queries.sparkSession
+    queryLoaded(queries, readModel(spark, s"$dir/model.tsv"),
+      spark.read.parquet(s"$dir/vectors"), k, nProbe, rerank, queryBound)
+  }
+
+  /** [[query]] against an already-loaded model + vectors frame — the
+    * serving form: load once, probe many (the streaming probe and any
+    * driver loop reuse the same model and table plan across calls). */
+  def queryLoaded(queries: Dataset[(Long, Array[Float])], model: Model,
+      table: DataFrame, k: Int, nProbe: Int = 3, rerank: Int = 32,
+      queryBound: Int = Similarity.DefaultQueryShardBound): DataFrame = {
+    val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val model = readModel(spark, s"$dir/model.tsv")
     val coarse = model.coarse
     val books = model.books
     val nCells = model.nCells
@@ -142,7 +152,6 @@ object AnnIndex {
       while (i < sub) { d += coarse(c)(s * sub + i) * books(s)(j)(i); i += 1 }
       d
     }
-    val table = spark.read.parquet(s"$dir/vectors")
     Similarity.shardedKnn(queries, queryBound) { qArr =>
       import spark.implicits._
       for ((qid, qv) <- qArr) require(qv.length == dim,
@@ -243,6 +252,31 @@ object AnnIndex {
         bcN2.destroy(); bcCN.destroy()
       })
     }
+  }
+
+  /** Streaming probe of a built index — the online serving loop: query
+    * vectors stream in, each micro-batch probes the static cell-
+    * partitioned codes with exactly the batch [[query]] kernel. The model
+    * sidecar and the vectors frame load ONCE before the stream starts
+    * (per-batch work is the probe scan + bounded re-rank only); results
+    * are batch-equal to [[query]] over the same rows (spec-asserted),
+    * following the [[graft.streaming.StreamingClassifier]] foreachBatch
+    * stream-static topology. */
+  def queryStream(queries: Dataset[(Long, Array[Float])], dir: String,
+      k: Int, nProbe: Int = 3, rerank: Int = 32,
+      queryBound: Int = Similarity.DefaultQueryShardBound)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[(Long, Array[Float])] = {
+    require(queries.isStreaming, "queries must be a streaming Dataset")
+    val spark = queries.sparkSession
+    val model = readModel(spark, s"$dir/model.tsv")
+    val table = spark.read.parquet(s"$dir/vectors")
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: Dataset[(Long, Array[Float])], batchId: Long) =>
+        sink(batchId,
+          queryLoaded(batch, model, table, k, nProbe, rerank, queryBound))
+      }
   }
 
   /** The sidecar format: header line `ann <dim> <nCells> <subspaces>

@@ -108,6 +108,36 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 8, s"append lost the planted neighbors: $hits of 10")
   }
 
+  test("streaming probe: each micro-batch is batch-equal to query() on " +
+    "the same rows, with the model loaded once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("annidx-st").toString
+    AnnIndex.build(spark.createDataset(base), dir, nCells = 8, subspaces = 8,
+      centroids = 16, trainN = 64)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
+    val q = AnnIndex.queryStream(stream.toDS(), dir, k = 3, nProbe = 3,
+        rerank = 24) { (batchId, knn) =>
+      results.synchronized { results(batchId) = rows(knn) }
+    }.start()
+    try {
+      val batch1 = base.filter(_._1 < 5)
+      val batch2 = base.filter(t => t._1 >= 5 && t._1 < 10)
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      assert(results.size == 2)
+      for ((batch, id) <- Seq(batch1 -> 0L, batch2 -> 1L)) {
+        val viaBatch = rows(AnnIndex.query(spark.createDataset(batch), dir,
+          k = 3, nProbe = 3, rerank = 24))
+        assert(results(id) == viaBatch, s"batch $id diverges from query()")
+      }
+    } finally q.stop()
+  }
+
   test("query answers from the index alone: the corpus source is gone and " +
     "no training path runs") {
     import spark.implicits._
