@@ -39,6 +39,7 @@ object Stress {
       case "stream" => stream(spark)
       case "estream" => estream(spark)
       case "classify" => classify(spark)
+      case "xclassify" => xclassify(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
         emb(spark, interleaved = false)
@@ -275,7 +276,21 @@ object Stress {
     * read to land on its source taxon or an ancestor (the reference's own
     * acceptance criterion), with >= 99% exact source hits — chance 31-mer
     * collisions between random genomes are the only lift source. */
-  def classify(spark: SparkSession): Unit = {
+  def classify(spark: SparkSession): Unit =
+    classifyWith(spark, "classify",
+      bcTax => new index.MinimizerIndex(index.IndexParams(buckets = 32), bcTax))
+
+  /** [[classify]] at the extra-wide width (m = 96, three-long keys): the
+    * same closed-form truth through the SAME KeyedIndex face — the
+    * ceil(m/32)-key path proven at 200k reads / 10 MB library volume,
+    * not just the oracle-scale g14 lane. */
+  def xclassify(spark: SparkSession): Unit =
+    classifyWith(spark, "xclassify",
+      bcTax => new index.XWideMinimizerIndex(104, 96, bcTax))
+
+  private def classifyWith(spark: SparkSession, label: String,
+      mkIndex: org.apache.spark.broadcast.Broadcast[taxa.Taxonomy]
+        => index.KeyedIndex): Unit = {
     import spark.implicits._
     val nTaxa = 500
     val genomeLen = 20000
@@ -296,11 +311,10 @@ object Stress {
     }
     val genomes = (2 to nTaxa + 1).map(t => (t, dna(t)))
     val bcGen = spark.sparkContext.broadcast(genomes.toArray)
-    val params = index.IndexParams(buckets = 32)
     val bcTax = spark.sparkContext.broadcast(tax)
-    val idx = new index.MinimizerIndex(params, bcTax)
+    val idx = mkIndex(bcTax)
     val tb0 = System.nanoTime()
-    val records = idx.makeRecords(
+    val records = idx.buildRecords(
       spark.createDataset(genomes)).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRec = records.count()
@@ -313,7 +327,7 @@ object Stress {
         gs(g)._2.substring(off, off + readLen), None)
     }
     val tc0 = System.nanoTime()
-    val out = idx.classify(idx.spans(reads), records)
+    val out = idx.classifyDF(idx.spansDF(reads), records)
       .select(col("title"), col("classified"), col("taxon"))
       .as[(String, Boolean, Int)]
       .map { case (title, classified, taxon) =>
@@ -326,7 +340,7 @@ object Stress {
     val tClassify = (System.nanoTime() - tc0) / 1e9
     records.unpersist(blocking = false)
     val (exact, ok, n) = (out.getLong(0), out.getLong(1), out.getLong(2))
-    println(f"[stress classify] $nRec%d records built $tBuild%.1f s; " +
+    println(f"[stress $label%s] $nRec%d records built $tBuild%.1f s; " +
       f"$n%d reads classified $tClassify%.1f s; exact ${exact.toDouble / n}%.4f, " +
       f"source-or-ancestor ${ok.toDouble / n}%.4f")
     assert(n == nReads, s"classified $n of $nReads")
