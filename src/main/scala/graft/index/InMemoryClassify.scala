@@ -11,7 +11,12 @@ import graft.taxa.Taxonomy
   * span the full Long range (0 and -1 are both legal keys).
   */
 final class LongTaxonMap private (used: Array[Boolean], keys: Array[Long],
-    vals: Array[Int]) extends Serializable {
+    vals: Array[Int]) extends KeyTaxonTable {
+
+  /** Width-normalized probe ([[KeyTaxonTable]]): only the first word is a
+    * key at width 1. */
+  @inline override def get(a: Long, b: Long, c: Long, d: Long): Int = get(a)
+
   @inline def get(key: Long): Int = {
     val cap = keys.length
     var i = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (cap - 1)
@@ -68,7 +73,11 @@ object LongTaxonMap {
 
 /** Two-long-key variant for wide (m > 32) indexes. */
 final class WideTaxonMap private (used: Array[Boolean], keysHi: Array[Long],
-    keysLo: Array[Long], vals: Array[Int]) extends Serializable {
+    keysLo: Array[Long], vals: Array[Int]) extends KeyTaxonTable {
+
+  /** Width-normalized probe ([[KeyTaxonTable]]): two key words at width 2. */
+  @inline override def get(a: Long, b: Long, c: Long, d: Long): Int = get(a, b)
+
   @inline def get(hi: Long, lo: Long): Int = {
     val cap = keysHi.length
     var i = java.lang.Long.hashCode(

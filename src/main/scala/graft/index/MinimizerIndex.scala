@@ -1,11 +1,9 @@
 package graft.index
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.kmers._
-import graft.sources.InputFragment
-import graft.taxa.{Sentinels, Taxonomy}
+import graft.taxa.Taxonomy
 
 /** Index construction parameters, persisted as a sidecar next to the records
   * (spec: reference kmers/IndexParams.scala). Defaults are Kraken 2's. */
@@ -38,21 +36,6 @@ final case class IndexParams(
   def scanner: SupermerScanner = new SupermerScanner(k, priority)
 }
 
-/** A classification-time span: a super-mer stripped of sequence payload
-  * (spec: reference slacken/package.scala:41-62).
-  * @param id1      minimizer priority (join key)
-  * @param distinct minimizer differs from the previous valid span's (feeds the
-  *                 Kraken 2 minimum-hit-groups rule)
-  * @param kmers    number of k-mers in the span
-  * @param flag     SEQUENCE=1 / AMBIGUOUS=2 / MATE_PAIR_BORDER=3
-  * @param ordinal  position of the span within its read (order reconstruction
-  *                 after shuffles)
-  * @param seqLen   total fragment length (constant per title)
-  */
-final case class OrdinalSpan(
-    id1: Long, distinct: Boolean, kmers: Int, flag: Int, ordinal: Int,
-    title: String, seqLen: Int)
-
 /** A span joined to the index: resolved LCA taxon + k-mer count. */
 final case class TaxonHit(ordinal: Int, taxon: Int, kmers: Int, distinct: Boolean)
 
@@ -63,29 +46,18 @@ final case class ClassifiedRead(
     s"${if (classified) "C" else "U"}\t$title\t$taxon\t$length\t$hits"
 }
 
-/** The minimizer -> LCA-taxon key-value index and the classification pipeline
-  * over it (spec: reference slacken/KeyValueIndex.scala, Classifier.scala —
-  * re-architected: single-Long minimizer keys for m<=32, depth-based LCA,
-  * no k-mer payload ever shuffled).
-  *
-  * Scale design:
-  *  - records are bucketed by id1 so every classification join is a
-  *    one-sided shuffle (only the read spans move);
-  *  - the LCA groupBy gets map-side partial aggregation from the Aggregator;
-  *  - ambiguous spans carry random minimizers for load balance;
-  *  - the taxonomy is a broadcast array structure, never a join.
-  */
-final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
-    extends KeyedIndex {
-
-  import Sentinels._
+/** The single-long minimizer -> LCA-taxon index (m <= 32; spec: reference
+  * slacken/KeyValueIndex.scala, Classifier.scala — re-architected:
+  * single-Long minimizer keys, depth-based LCA, no k-mer payload ever
+  * shuffled). The whole Dataset-level pipeline lives in [[LongKeyIndex]];
+  * this class contributes the m <= 32 scanner kernel and the single-long
+  * broadcast table. */
+final class MinimizerIndex(params: IndexParams,
+    override val bcTax: Broadcast[Taxonomy]) extends LongKeyIndex {
 
   def paramsOf: IndexParams = params
-  override def taxonomyOf: Broadcast[Taxonomy] = bcTax
 
-  // ---------------- KeyedIndex (width-independent face) ----------------
-
-  override def keyCols: Seq[String] = Seq("id1")
+  override def words: Int = 1
 
   override def kOf: Int = params.k
 
@@ -97,332 +69,20 @@ final class MinimizerIndex(params: IndexParams, bcTax: Broadcast[Taxonomy])
     sharedScanner.scan(segment)
       .map(sm => KeyedSupermer(sm.minimizer, 0L, sm.start, sm.kmers))
 
-  override def spansDF(reads: Dataset[InputFragment]): DataFrame =
-    spans(reads).toDF()
+  override protected def buildTable(flat: Array[Long], taxa: Array[Int])
+      : KeyTaxonTable =
+    LongTaxonMap(Array.tabulate(taxa.length)(i => (flat(i), taxa(i))))
 
-  override def buildRecords(library: Dataset[(Int, String)]): DataFrame =
-    makeRecords(library)
+  override protected def sidecarParams(buckets: Int): IndexParams =
+    params.copy(buckets = buckets)
 
-  override def buildLeafPairs(library: Dataset[(Int, String)]): DataFrame = {
-    val spark = library.sparkSession
-    import spark.implicits._
-    val scanner = params.scanner
-    val kk = params.k
-    val tax = bcTax
-    library.flatMap { case (taxon, seq) =>
-      // same validity gate as makeRecords: undefined label taxa contribute
-      // no pairs (no silent ROOT lift)
-      if (!tax.value.isDefined(taxon)) Iterator.empty
-      else SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
-        if (!run.valid || run.seq.length < kk) Iterator.empty
-        else scanner.scan(run.seq).map(sm => (sm.minimizer, taxon))
-      }
-    }.toDF("id1", "taxon").distinct()
-  }
+  /** Persist with this index's configured bucket count. */
+  def writeRecords(records: DataFrame, path: String): Unit =
+    writeRecords(records, path, params.buckets)
 
-  override def foldLeafPairs(pairs: DataFrame, extraCols: Seq[String] = Nil)
-      : DataFrame = {
-    val spark = pairs.sparkSession
-    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
-    pairs.groupBy((extraCols ++ keyCols).map(col): _*)
-      .agg(graft.taxa.LcaAggregate.lcaAgg(lcaName, col("taxon")).as("taxon"))
-  }
-
-  override def classifyDF(spans: DataFrame, records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
-    ClassifyKernel.resolve(
-      ClassifyKernel.group(spans.join(records, keyCols, "left")),
-      bcTax, confidence, minHitGroups)
-
-  override def timedSpanMass(reads: Dataset[(java.sql.Timestamp, InputFragment)])
-      : DataFrame = {
-    val spark = reads.sparkSession
-    import spark.implicits._
-    reads.mapPartitions { it =>
-      val scanner = params.scanner
-      it.flatMap { case (ts, f) =>
-        fragmentSpans(f, scanner).map(s => (ts, s.id1, s.kmers))
-      }
-    }.toDF("ts", "id1", "kmers")
-  }
-
-  // ---------------- span extraction (executor-local kernel) ----------------
-
-  /** Split one fragment into ordinal spans: valid segments through the
-    * supermer scanner; ambiguous segments (len >= k) as single pseudo-spans
-    * with random minimizers; a border sentinel between mates. */
-  def fragmentSpans(f: InputFragment): Iterator[OrdinalSpan] =
-    fragmentSpans(f, params.scanner)
-
-  def fragmentSpans(f: InputFragment, scanner: SupermerScanner): Iterator[OrdinalSpan] = {
-    val k = params.k
-    val rnd = java.util.concurrent.ThreadLocalRandom.current()
-    val totalLen = f.nucleotides.length + f.nucleotides2.map(_.length).getOrElse(0)
-
-    def segSpans(seq: String): Iterator[(Long, Int, Int)] =
-      SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
-        if (run.seq.length < k) Iterator.empty
-        else if (run.valid)
-          scanner.scan(run.seq).map(sm => (sm.minimizer, sm.kmers, SEQUENCE_FLAG))
-        else
-          Iterator((rnd.nextLong(), run.seq.length - (k - 1), AMBIGUOUS_FLAG))
-      }
-
-    val all: Iterator[(Long, Int, Int)] = f.nucleotides2 match {
-      case Some(nt2) =>
-        segSpans(f.nucleotides) ++
-          Iterator((rnd.nextLong(), 0, MATE_PAIR_BORDER_FLAG)) ++ segSpans(nt2)
-      case None => segSpans(f.nucleotides)
-    }
-
-    var last = 0L
-    var first = true
-    all.zipWithIndex.map { case ((min, kmers, flag), ordinal) =>
-      val isSeq = flag == SEQUENCE_FLAG
-      val distinct = isSeq && (first || min != last)
-      if (isSeq) { last = min; first = false }
-      OrdinalSpan(min, distinct, kmers, flag, ordinal, f.header, totalLen)
-    }
-  }
-
-  def spans(reads: Dataset[InputFragment]): Dataset[OrdinalSpan] = {
-    val spark = reads.sparkSession
-    import spark.implicits._
-    reads.mapPartitions { it =>
-      // one scanner per task, not per fragment
-      val scanner = params.scanner
-      it.flatMap(f => fragmentSpans(f, scanner))
-    }
-  }
-
-  // ---------------- index build ----------------
-
-  /** Build index records from a labeled genome library:
-    * flatMap minimizers -> groupBy(id1) -> LCA fold (partial agg map-side).
-    *
-    * @param saltBuckets optional skew hardening for 100 TB libraries:
-    *   low-complexity DNA concentrates a few minimizers into giant groups;
-    *   with salting the fold runs in two stages — groupBy(id1, salt) then
-    *   groupBy(id1) — which is legal because LCA is associative and
-    *   commutative (SURVEY §7.4 risk 5). 0 = single-stage (default).
-    */
-  def makeRecords(library: Dataset[(Int, String)], saltBuckets: Int = 0): DataFrame = {
-    val spark = library.sparkSession
-    import spark.implicits._
-    val scanner = params.scanner
-    val k = params.k
-    // native TypedImperativeAggregate: Int buffer, no Encoder roundtrip
-    // (the Aggregator-based TaxonLcaAggregator remains as the documented
-    // user-level API; both fold with the same broadcast LCA)
-    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
-    val lcaAgg = (c: org.apache.spark.sql.Column) =>
-      graft.taxa.LcaAggregate.lcaAgg(lcaName, c)
-    val tax = bcTax
-    val pairs = library
-      .flatMap { case (taxon, seq) =>
-        // validity gate (spec: reference slacken/KeyValueIndex.scala:105-121):
-        // a label taxon absent from the taxonomy (stale seqid2taxid entry)
-        // contributes NO records — without this, its minimizers would fold to
-        // ROOT and silently degrade every shared minimizer's LCA
-        if (!tax.value.isDefined(taxon)) Iterator.empty
-        else SupermerScanner.splitByAmbiguity(seq).flatMap { run =>
-          if (!run.valid || run.seq.length < k) Iterator.empty
-          else scanner.scan(run.seq).map(sm => (sm.minimizer, taxon))
-        }
-      }
-      .toDF("id1", "taxon")
-    foldRecords(pairs, lcaAgg, saltBuckets)
-  }
-
-  /** The LCA fold: groupBy(id1), optionally in two salted stages (legal
-    * because LCA is associative and commutative). */
-  private def foldRecords(pairs: DataFrame,
-      lcaAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      saltBuckets: Int): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    if (saltBuckets <= 0)
-      pairs.groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
-    else
-      pairs
-        .withColumn("salt", pmod(hash($"taxon"), lit(saltBuckets)))
-        .groupBy($"id1", $"salt").agg(lcaAgg($"taxon").as("taxon"))
-        .groupBy($"id1").agg(lcaAgg($"taxon").as("taxon"))
-  }
-
-  /** Split a string library into 2-bit packed valid runs: (taxon, packed
-    * bytes, base length). Ambiguous runs and runs shorter than k contribute
-    * no k-mers and are dropped here. Pack BEFORE any wide transformation
-    * (label join, repartition) so genome payloads move at 2 bits/base
-    * instead of UTF-8 text (spec: reference NTBitArray library payload). */
-  def packLibrary(library: Dataset[(Int, String)]): Dataset[(Int, Array[Byte], Int)] = {
-    val spark = library.sparkSession
-    import spark.implicits._
-    val kk = params.k
-    library.flatMap { case (taxon, seq) =>
-      SupermerScanner.splitByAmbiguity(seq).collect {
-        case run if run.valid && run.seq.length >= kk =>
-          (taxon, Dna.pack2bit(run.seq), run.seq.length)
-      }
-    }
-  }
-
-  /** [[makeRecords]] over a 2-bit packed library (see [[packLibrary]]):
-    * identical records, but the scan reads the packed bytes through a
-    * zero-copy view — no unpacked string is ever materialized. */
-  def makeRecordsPacked(library: Dataset[(Int, Array[Byte], Int)],
-      saltBuckets: Int = 0): DataFrame = {
-    val spark = library.sparkSession
-    import spark.implicits._
-    val scanner = params.scanner
-    val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
-    val lcaAgg = (c: org.apache.spark.sql.Column) =>
-      graft.taxa.LcaAggregate.lcaAgg(lcaName, c)
-    val tax = bcTax
-    val pairs = library
-      .flatMap { case (taxon, packed, len) =>
-        if (!tax.value.isDefined(taxon)) Iterator.empty
-        else scanner.scan(new Dna.Packed(packed, len))
-          .map(sm => (sm.minimizer, taxon))
-      }
-      .toDF("id1", "taxon")
-    foldRecords(pairs, lcaAgg, saltBuckets)
-  }
-
-  // ---------------- classification ----------------
-
-  /** Join spans against records (left; the bucketed record side does not
-    * shuffle), then the shared kernel: sentinel projection, per-read regroup,
-    * LCA resolution. */
-  def classify(spans: Dataset[OrdinalSpan], records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
-    ClassifyKernel.resolve(
-      ClassifyKernel.group(spans.join(records, Seq("id1"), "left")),
-      bcTax, confidence, minHitGroups)
-
-  /** Classification as a pure map — ZERO shuffles: collect the records into
-    * an open-addressing [[LongTaxonMap]], broadcast it, and scan + lookup +
-    * resolve every read inside ONE mapPartitions (spans of a read are
-    * generated contiguously and already ordinal-ordered, so no regroup is
-    * needed). This is the reference tool family's resident-hash-table
-    * execution model expressed in Spark; use it when the index fits
-    * driver/executor memory — [[classify]]'s one-sided bucketed join remains
-    * the scale path when it does not. Output is row-identical to
-    * [[classify]] (shared [[ClassifyKernel]] semantics). */
-  override def inMemoryClassifier(records: DataFrame): InMemoryClassifier = {
-    val spark = records.sparkSession
-    import spark.implicits._
-    val table = LongTaxonMap(
-      records.select(col("id1"), col("taxon")).as[(Long, Int)].collect())
-    val bc = spark.sparkContext.broadcast(table)
-    val p = params
-    val tax = bcTax
-    val outer = this
-    new InMemoryClassifier {
-      override def tableBytes: Long = table.byteSize
-      override def close(): Unit = bc.destroy()
-
-      private def fragHits(f: InputFragment,
-          scanner: SupermerScanner, tbl: LongTaxonMap): Vector[TaxonHit] =
-        outer.fragmentSpans(f, scanner).map { s =>
-          val t = s.flag match {
-            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-            case _ => tbl.get(s.id1)
-          }
-          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-        }.toVector
-
-      def classify(reads: Dataset[InputFragment], confidence: Double,
-          minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
-        val session = reads.sparkSession
-        import session.implicits._
-        reads.mapPartitions { it =>
-          val scanner = p.scanner
-          val resolver = new graft.taxa.LcaResolver(tax.value)
-          val tbl = bc.value
-          it.flatMap { f =>
-            val hits = fragHits(f, scanner, tbl)
-            // a read with no spans has no group row in the join path either
-            if (hits.isEmpty) None
-            else {
-              val seqLen = f.nucleotides.length +
-                f.nucleotides2.map(_.length).getOrElse(0)
-              Some(ClassifyKernel.resolveLocal(f.header, hits, seqLen,
-                resolver, confidence, minHitGroups, detail))
-            }
-          }
-        }
-      }
-
-      def classifySweep(reads: Dataset[InputFragment],
-          confidences: Seq[Double], minHitGroups: Int, detail: Boolean)
-          : Dataset[(Double, ClassifiedRead)] = {
-        val session = reads.sparkSession
-        import session.implicits._
-        reads.mapPartitions { it =>
-          val scanner = p.scanner
-          val resolver = new graft.taxa.LcaResolver(tax.value)
-          val tbl = bc.value
-          it.flatMap { f =>
-            val hits = fragHits(f, scanner, tbl)
-            if (hits.isEmpty) Iterator.empty
-            else {
-              val seqLen = f.nucleotides.length +
-                f.nucleotides2.map(_.length).getOrElse(0)
-              confidences.iterator.map(c => c -> ClassifyKernel.resolveLocal(
-                f.header, hits, seqLen, resolver, c, minHitGroups, detail))
-            }
-          }
-        }
-      }
-    }
-  }
-
-  /** Classify at several confidence thresholds, computing the expensive
-    * join+regroup ONCE and reusing the cached per-read hit dataset for every
-    * threshold (spec: R4 multi-threshold sweep, Classifier.scala:156-170).
-    * Loan pattern: the cached hit dataset lives exactly as long as `use`
-    * runs — it is unpersisted on the way out, so sweeps cannot leak cache. */
-  def classifyMultiThreshold[T](spans: Dataset[OrdinalSpan], records: DataFrame,
-      confidences: Seq[Double], minHitGroups: Int = 2, detail: Boolean = true)
-      (use: Seq[(Double, Dataset[ClassifiedRead])] => T): T = {
-    val grouped = ClassifyKernel.group(spans.join(records, Seq("id1"), "left"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try use(confidences.map { conf =>
-      conf -> ClassifyKernel.resolve(grouped, bcTax, conf, minHitGroups, detail)
-    })
-    finally grouped.unpersist(blocking = false)
-  }
-
-  // ---------------- persistence (bucketed parquet) ----------------
-
-  /** Persist records bucketed by id1 so classification joins never shuffle
-    * the index side (spec: reference KeyValueIndex.scala:125-159). */
-  def writeRecords(records: DataFrame, path: String): Unit = {
-    val spark = records.sparkSession
-    val table = MinimizerIndex.tableName(path)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    records.write
-      .bucketBy(params.buckets, "id1")
-      .sortBy("id1")
-      .option("path", path)
-      .mode(SaveMode.Overwrite)
-      .saveAsTable(table)
-    IndexParams.write(spark, params, path)
-  }
-
-  /** Reopen bucketed records via DDL (bucket metadata makes the sort-merge
-    * join one-sided; shuffle.partitions should equal `buckets`). */
+  /** Reopen with this index's configured bucket count. */
   def loadRecords(spark: SparkSession, path: String): DataFrame =
-    MinimizerIndex.loadRecords(spark, path, params.buckets)
-
-  // ---------------- reports ----------------
-
-  /** Per-taxon read counts -> Kraken-style report rows, driver-side
-    * (clade aggregation; spec: reference slacken/KrakenReport.scala). */
-  def report(classified: Dataset[ClassifiedRead]): KrakenReport =
-    ClassifyKernel.report(classified, bcTax)
+    loadRecords(spark, path, params.buckets)
 }
 
 object MinimizerIndex {
