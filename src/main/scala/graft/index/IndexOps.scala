@@ -128,51 +128,23 @@ object IndexOps {
   }
 
   /** Widen span keys to match a respaced index: span priorities already have
-    * the original spacing applied, so ANDing with the wider mask makes the
-    * join keys consistent with [[respace]]d records — classification against
-    * a respaced index without re-extracting spans. */
-  def respaceSpans(spans: Dataset[OrdinalSpan], params: IndexParams,
-      newSpaces: Int): Dataset[OrdinalSpan] = {
-    require(newSpaces >= params.spaces,
-      s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    // all-ones base mask for the same reason as [[respace]]: preserve the
-    // DEMOTE flag of frequency-ordered priorities
-    var mask = -1L
-    var i = 0
-    while (i < newSpaces) {
-      mask &= ~(3L << (2 * (2 * i + 1)))
-      i += 1
-    }
-    val spark = spans.sparkSession
-    import spark.implicits._
-    val m = mask
-    spans.map(s => s.copy(id1 = s.id1 & m))
-  }
-
-  /** [[respaceSpans]] for wide spans: both key words AND with their
-    * keep-masks, matching [[respaceWide]]d records. */
-  def respaceSpansWide(spans: Dataset[WideOrdinalSpan], params: IndexParams,
-      newSpaces: Int): Dataset[WideOrdinalSpan] = {
-    require(newSpaces >= params.spaces,
-      s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    import graft.kmers.WideRandomXorPriority
-    // all-ones base: preserve the wide DEMOTE flag (see respaceWide)
-    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces)
-    val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
-    val spark = spans.sparkSession
-    import spark.implicits._
-    spans.map(s => s.copy(id1 = s.id1 & mHi, id2 = s.id2 & mLo))
-  }
-
-  /** [[respaceSpans]] for extra-wide spans: every key word ANDs with its
-    * keep-mask, matching [[respaceXWide]]d records. */
-  def respaceSpansXWide(spans: Dataset[XWideOrdinalSpan], params: IndexParams,
-      newSpaces: Int): Dataset[XWideOrdinalSpan] = {
+    * the original spacing applied, so ANDing with the wider per-word keep
+    * masks makes the join keys consistent with [[respace]]d records —
+    * classification against a respaced index without re-extracting spans.
+    * Width-generic over [[KeyedOrdinalSpan]]: [[graft.kmers.XWidePriority
+    * .spaceKeepMasks]] yields one untruncated keep mask per populated key
+    * word (leading word first — the all-ones base preserves an in-band
+    * frequency DEMOTE flag at every width); words above the index width
+    * keep an all-ones mask, matching the span padding of 0. */
+  def respaceSpans(spans: Dataset[KeyedOrdinalSpan], params: IndexParams,
+      newSpaces: Int): Dataset[KeyedOrdinalSpan] = {
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
     val masks = graft.kmers.XWidePriority.spaceKeepMasks(params.m, newSpaces)
-    val m1 = masks(0); val m2 = masks(1); val m3 = masks(2)
-    val m4 = if (masks.length == 4) masks(3) else -1L
+    val m1 = masks(0)
+    val m2 = if (masks.length > 1) masks(1) else -1L
+    val m3 = if (masks.length > 2) masks(2) else -1L
+    val m4 = if (masks.length > 3) masks(3) else -1L
     val spark = spans.sparkSession
     import spark.implicits._
     spans.map(s => s.copy(id1 = s.id1 & m1, id2 = s.id2 & m2,
@@ -272,7 +244,7 @@ object IndexOps {
     * for a cheaper two-level aggregation (no ordinal sort, no big structs;
     * spec: A3/SQLClassifier design note in SURVEY §2.10). Returns per-taxon
     * read counts directly. */
-  def classifyReport(index: MinimizerIndex, spans: Dataset[OrdinalSpan],
+  def classifyReport(index: KeyedIndex, spans: Dataset[KeyedOrdinalSpan],
       records: DataFrame, confidence: Double = 0.0, minHitGroups: Int = 2)
       : DataFrame = {
     val spark = spans.sparkSession
@@ -280,8 +252,11 @@ object IndexOps {
     import graft.taxa.Sentinels._
     val bc = index.taxonomyOf
 
-    // level 1: per (read, taxon) k-mer totals — much smaller than per-span
-    val perTaxon = spans.join(records, Seq("id1"), "left")
+    // level 1: per (read, taxon) k-mer totals — much smaller than per-span.
+    // Join on the index's FULL key (keyCols, not id1 alone): at m > 32 the
+    // minimizer spans several words and an id1-only join would cross-match
+    // spans with records that share only the leading word.
+    val perTaxon = spans.join(records, index.keyCols, "left")
       .select($"title",
         when($"flag" === AMBIGUOUS_FLAG, lit(AMBIGUOUS_SPAN))
           .when($"flag" === MATE_PAIR_BORDER_FLAG, lit(MATE_PAIR_BORDER))

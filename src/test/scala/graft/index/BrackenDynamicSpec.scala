@@ -449,6 +449,33 @@ class IndexOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(typed == sqlPath)
   }
 
+  test("SQL report path agrees with the typed path at wide and extra-wide " +
+    "key widths (regression: the report join must use the FULL keyCols)") {
+    import spark.implicits._
+    val wideGenomes = Map(4 -> randomDna(2500), 5 -> randomDna(2500))
+    val wideLib = spark.createDataset(wideGenomes.toSeq)
+    val reads = (0 until 80).map { i =>
+      val t = if (i % 2 == 0) 4 else 5
+      val g = wideGenomes(t)
+      val s = rng.nextInt(g.length - 200)
+      InputFragment(s"w$i", 0L, g.substring(s, s + 200), None)
+    }
+    val ds = spark.createDataset(reads)
+    for (idx <- Seq[LongKeyIndex](
+        new WideMinimizerIndex(k = 45, m = 33, bcTax),
+        new XWideMinimizerIndex(k = 104, m = 96, bcTax))) {
+      val records = idx.buildRecords(wideLib).cache()
+      val spans = idx.spans(ds).cache()
+      val typed = idx.classify(spans, records)
+        .groupBy($"taxon").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sqlPath = IndexOps.classifyReport(idx, spans, records)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(typed == sqlPath, s"report mismatch at ${idx.keyCols}")
+      records.unpersist(); spans.unpersist()
+    }
+  }
+
   test("multi-sample classification splits counts by sample regex") {
     import spark.implicits._
     val records = index.makeRecords(lib)

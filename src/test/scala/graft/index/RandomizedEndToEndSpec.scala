@@ -155,7 +155,7 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
       InputFragment(s"rx$i|src=$t", 0L, g.substring(s, s + 200), None)
     }
     val spans = index.spans(spark.createDataset(reads))
-    val wideSpans = IndexOps.respaceSpansXWide(spans, params, 12)
+    val wideSpans = IndexOps.respaceSpans(spans, params, 12)
     val classified = index.classify(wideSpans, respaced, minHitGroups = 1)
       .collect()
     var nC = 0
@@ -201,7 +201,7 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val records = plain.buildRecords(lib).cache()
     val respaced = IndexOps.respaceWide(records, params, 7, bcTax).cache()
     val spans = plain.spans(ds)
-    val wideSpans = IndexOps.respaceSpansWide(spans, params, 7)
+    val wideSpans = IndexOps.respaceSpans(spans, params, 7)
     val classified = plain.classify(wideSpans, respaced).collect()
     var nC = 0
     for (c <- classified if c.classified) {
