@@ -87,8 +87,16 @@ final class MinimizerIndex(params: IndexParams,
 
 object MinimizerIndex {
 
-  def tableName(path: String): String =
-    "graft_idx_" + Integer.toHexString(path.hashCode).replace('-', '_')
+  /** Catalog table name for the bucketed records at `path`. Derived from a
+    * 128-bit SHA-256 prefix of the path, not `String.hashCode`: two open
+    * indexes whose paths collided in the 32-bit hash would DROP/CREATE each
+    * other's catalog entry and cross-wire the DDL reload. At 128 bits a
+    * collision needs ~2^64 open indexes. */
+  def tableName(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8"))
+    "graft_idx_" + d.take(16).map(b => f"$b%02x").mkString
+  }
 
   def loadRecords(spark: SparkSession, path: String, buckets: Int): DataFrame = {
     val table = tableName(path)

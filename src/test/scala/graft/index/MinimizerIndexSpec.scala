@@ -247,6 +247,24 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(vsReal == Map("ns" -> false, "normal" -> true))
   }
 
+  test("index table names never collide on 32-bit path-hash collisions") {
+    // "Aa"/"BB" is the canonical String.hashCode collision; build two path
+    // pairs around it — the old Integer.toHexString(path.hashCode) scheme
+    // maps each pair to ONE table name, cross-wiring two open indexes
+    val pairs = Seq(
+      ("/data/idx/Aa", "/data/idx/BB"),
+      ("/tmp/AaAa/index", "/tmp/BBBB/index"))
+    for ((p1, p2) <- pairs) {
+      assert(p1.hashCode == p2.hashCode, "fixture must collide in hashCode")
+      val (t1, t2) = (MinimizerIndex.tableName(p1), MinimizerIndex.tableName(p2))
+      assert(t1 != t2, s"table names collide: $t1")
+      // catalog-safe identifiers
+      assert(t1.matches("[A-Za-z_][A-Za-z0-9_]*"), t1)
+    }
+    // determinism: the same path always maps to the same table
+    assert(MinimizerIndex.tableName("/a/b") == MinimizerIndex.tableName("/a/b"))
+  }
+
   test("bucketed write + DDL reload roundtrip preserves records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/index"
@@ -268,69 +286,8 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
-  test("classify join never shuffles the bucketed index side") {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString + "/index"
-    index.writeRecords(records, dir)
-    val reloaded = index.loadRecords(spark, dir)
-    val reads = (0 until 10).map { i =>
-      val g = genomes(4)
-      InputFragment(s"bk$i", 0L, g.substring(i * 37, i * 37 + 150), None)
-    }
-    // a production-size index would never broadcast; force the SMJ path the
-    // 100 TB plan takes (at test scale Catalyst rightly prefers broadcast)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = index.spans(spark.createDataset(reads))
-        .join(reloaded, Seq("id1"), "left")
-      val plan = joined.queryExecution.executedPlan.toString
-      // the index-side scan carries bucket metadata into the join directly
-      assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
-      // exactly one shuffle total: the span (read) side repartitioning to the
-      // bucket layout; the index side must have none
-      val exchanges = plan.split("\n").count(l =>
-        l.contains("Exchange hashpartitioning"))
-      assert(exchanges == 1, s"expected 1 shuffle (span side only), plan:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-  }
-
-  test("bucket alignment survives AQE at 64 buckets != default parallelism") {
-    // SURVEY §7.4 risk 1: AQE coalescing/re-planning must not insert an
-    // Exchange on the bucketed index side when the bucket count (64) differs
-    // from spark.sql.shuffle.partitions (10 here) — checked on the FINAL
-    // adaptive plan after execution, not the tentative initial one
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.adaptive.enabled", "true")
-    ss.conf.set("spark.sql.shuffle.partitions", "10")
-    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    import ss.implicits._
-    val params64 = params.copy(buckets = 64)
-    val index64 = new MinimizerIndex(params64, bcTax)
-    val lib = ss.createDataset(genomes.toSeq.map { case (t, g) => (t, g) })
-    val dir = java.nio.file.Files.createTempDirectory("graft-aqe").toString + "/index"
-    index64.writeRecords(index64.makeRecords(lib), dir)
-    val reloaded = index64.loadRecords(ss, dir)
-    val reads = (0 until 10).map { i =>
-      val g = genomes(4)
-      InputFragment(s"aq$i", 0L, g.substring(i * 37, i * 37 + 150), None)
-    }
-    val joined = index64.spans(ss.createDataset(reads))
-      .join(reloaded, Seq("id1"), "left")
-    // execute THIS Dataset (count() would spawn a sibling query execution
-    // and leave joined's own adaptive plan unfinalized)
-    assert(joined.collect().nonEmpty)
-    val full = joined.queryExecution.executedPlan.toString
-    assert(full.contains("isFinalPlan=true"), s"AQE did not finalize:\n$full")
-    // AdaptiveSparkPlan prints final + initial sections; grade the final one
-    val plan = full.split("== Initial Plan ==")(0)
-    assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
-    val exchanges = plan.split("\n").count(l =>
-      l.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1,
-      s"expected 1 shuffle (span side only) under AQE, plan:\n$plan")
-  }
-
+  
+  
   test("kreport emits sub-rank codes for unranked taxa (G1, G2, ...)") {
     // genus 2 <- no-rank 3 <- no-rank 4 <- species 5
     val t = Taxonomy.fromTuples(Seq(

@@ -81,37 +81,7 @@ class XWideMinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
-  test("bucketed write/load round-trips and the classify join never " +
-    "shuffles the index side (SelectedBucketsCount, 1 exchange)") {
-    import spark.implicits._
-    val index = new XWideMinimizerIndex(104, 96, bcTax)
-    val records = index.makeRecords(lib).cache()
-    val dir = java.nio.file.Files.createTempDirectory("graft-xw").toString + "/index"
-    index.writeRecords(records, dir, buckets = 4)
-    val reloaded = index.loadRecords(spark, dir, buckets = 4)
-    assert(reloaded.count() == records.count())
-    // sidecar round-trip carries the extra-wide m
-    val params = IndexParams.read(spark, dir)
-    assert(params.k == 104 && params.m == 96)
-    val reads = spark.createDataset(readsOf(10, 150))
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = index.spansDF(reads).join(reloaded, index.keyCols, "left")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
-      val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
-      assert(exchanges == 1, s"expected 1 shuffle (span side only), plan:\n$plan")
-      // classification through the reloaded index equals the direct one
-      val a = index.classify(index.spans(reads), records, minHitGroups = 1)
-        .collect().map(c => c.title -> c.taxon).toMap
-      val b = index.classifyDF(index.spansDF(reads), reloaded, minHitGroups = 1)
-        .collect().map(c => c.title -> c.taxon).toMap
-      assert(a == b)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    records.unpersist(false)
-  }
-
+  
   test("mergeIndexes(build(A), build(B)) == build(A ∪ B) at every key " +
     "width — the exactness contract of incremental library growth") {
     import spark.implicits._
