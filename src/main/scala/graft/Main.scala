@@ -56,6 +56,11 @@ import graft.taxa.Taxonomy
   *   annQuery  --index idx --queries q.parquet [--k 10] [--nprobe 3]
   *             [--rerank 32] [--query-bound N] --output out  (probe-only
   *             top-k; writes out/knn parquet, never re-trains)
+  *   annCheck  --index idx [--queries q.parquet] [--sample 64] [--k 10]
+  *             [--nprobe 3] [--rerank 32] [--threshold 0.9]  (recall-drift
+  *             gauge after annAppend: probe recall@k of the latest-nid
+  *             sample vs exact brute force; prints rebuild RECOMMENDED
+  *             below threshold)
   *   curate    --docs docs.parquet --output out [--min-tokens 5]
   *             [--max-tokens 100000] [--min-alpha 0.0]
   *             [--near-dup-threshold 0.7|off] [--span-n 8; 0 = off]
@@ -109,7 +114,9 @@ object Main {
         "subspaces", "centroids", "train", "iters", "init")),
       "annQuery" -> (common ++ Set("index", "queries", "k", "nprobe",
         "rerank", "query-bound", "output")),
-      "annAppend" -> (common ++ Set("index", "embeddings")))
+      "annAppend" -> (common ++ Set("index", "embeddings")),
+      "annCheck" -> (common ++ Set("index", "queries", "sample", "k",
+        "nprobe", "rerank", "threshold")))
   }
 
   /** Read a small driver-side text file through the Hadoop FileSystem API —
@@ -1314,6 +1321,29 @@ object Main {
         res.write.mode("overwrite").parquet(outDir + "/knn")
         val n = spark.read.parquet(outDir + "/knn").count()
         println(s"annQuery: wrote $n neighbor rows to $outDir/knn")
+
+      case "annCheck" =>
+        // Recall-drift gauge after annAppend (graft.operators.AnnIndex
+        // .recallCheck): probe recall@k of a sampled (or explicit) query
+        // set vs exact brute force; exits 0 either way but prints a
+        // rebuild-RECOMMENDED line when recall sinks below --threshold.
+        val spark = session(buckets)
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val qOpt = opts.get("queries").map(p =>
+          spark.read.parquet(p)
+            .select(col("vec_id").cast("long"), col("embedding"))
+            .as[(Long, Array[Float])])
+        val rep = graft.operators.AnnIndex.recallCheck(spark, opts("index"),
+          sampleN = opts.getOrElse("sample", "64").toInt,
+          k = opts.getOrElse("k", "10").toInt,
+          nProbe = opts.getOrElse("nprobe", "3").toInt,
+          rerank = opts.getOrElse("rerank", "32").toInt,
+          threshold = opts.getOrElse("threshold", "0.9").toDouble,
+          queries = qOpt)
+        println(f"annCheck: recall@${rep.k} = ${rep.recall}%.4f over " +
+          f"${rep.sampled} queries (threshold ${rep.threshold}%.2f) — " +
+          (if (rep.rebuildRecommended) "rebuild RECOMMENDED" else "healthy"))
 
       case "streamDedup" =>
         // Streaming near-dup suppression over a FILE topology — the

@@ -82,6 +82,54 @@ object AnnIndex {
     model
   }
 
+  /** Result of [[recallCheck]]: measured probe recall@k of a query sample
+    * against exact brute force, and whether it sank below the threshold. */
+  case class RecallReport(sampled: Int, k: Int, recall: Double,
+      threshold: Double, rebuildRecommended: Boolean)
+
+  /** Recall-drift gauge for a served index: [[append]] never retrains the
+    * quantizers, so a drifted batch (vectors far from every trained cell)
+    * degrades ANN recall SILENTLY — huge residuals collapse to
+    * near-identical PQ codes and the ADC pre-rank stops discriminating.
+    * This makes the degradation a measured number: probe recall@k of a
+    * small query sample versus exact brute-force cosine over the stored
+    * corpus, with `rebuildRecommended` set when recall < `threshold`.
+    *
+    * The sample defaults to the `sampleN` HIGHEST-nid stored vectors — the
+    * most recently appended rows under the monotone nid assignment most
+    * loaders use — so "check after append" gauges exactly the batch that
+    * could have drifted; pass `queries` to gauge an explicit set instead.
+    *
+    * Cost: one probe (`nProbe/nCells` of the corpus, code column only) +
+    * one full-corpus scan with `sampleN` dot products per row — a gauge,
+    * not a per-query tax; run it after appends, not per probe. */
+  def recallCheck(spark: SparkSession, dir: String, sampleN: Int = 64,
+      k: Int = 10, nProbe: Int = 3, rerank: Int = 32, threshold: Double = 0.9,
+      queries: Option[Dataset[(Long, Array[Float])]] = None): RecallReport = {
+    import spark.implicits._
+    val table = spark.read.parquet(s"$dir/vectors")
+    val q = queries.getOrElse {
+      table.select(col("nid").cast("long"), col("vec"))
+        .orderBy(col("nid").desc).limit(sampleN)
+        .as[(Long, Array[Float])]
+    }.cache()
+    try {
+      val nQ = q.count().toInt
+      val approx = query(q, dir, k, nProbe, rerank)
+        .select(col("qid"), col("nid"))
+      val exact = Similarity.bruteForceKnn(
+        q.toDF("id", "vec"),
+        table.select(col("nid").cast("long").as("id"), col("vec")), k)
+        .select(col("qid"), col("nid"))
+      // recall@k = |approx ∩ exact| / |exact| (exact has k rows per query
+      // except on corpora smaller than k+1, hence the measured denominator)
+      val hit = approx.join(exact, Seq("qid", "nid")).count()
+      val denom = exact.count()
+      val recall = if (denom == 0) 1.0 else hit.toDouble / denom
+      RecallReport(nQ, k, recall, threshold, recall < threshold)
+    } finally q.unpersist(false)
+  }
+
   /** The one narrow encode pass + cell-partitioned write shared by
     * [[build]] (overwrite) and [[append]] (append). */
   private def encodeWrite(model: Model, base: Dataset[(Long, Array[Float])],

@@ -1245,6 +1245,28 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits2 = (0L until 10L).count(q => got2.get(q).contains(q + 900L))
     assert(hits2 >= 8, s"appended batch unreachable: $hits2 of 10")
+
+    // annCheck after a DRIFTED append: 300 tightly-clustered far-away
+    // vectors whose PQ codes collapse — the recall gauge must trip the
+    // rebuild flag on its default latest-nid sample
+    val drifted = (0 until 300).map { i =>
+      ((2000 + i).toLong,
+        Array.fill(64)(50.0f + 0.5f * rng.nextGaussian().toFloat))
+    }
+    spark.createDataset(drifted).toDF("vec_id", "embedding")
+      .write.parquet(dir.resolve("emb3.parquet").toString)
+    Main.main(Array("annAppend", "--index", idx,
+      "--embeddings", dir.resolve("emb3.parquet").toString, "--p", "4"))
+    val checkOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(checkOut)) {
+      Main.main(Array("annCheck", "--index", idx, "--sample", "20",
+        "--k", "5", "--nprobe", "2", "--rerank", "8",
+        "--threshold", "0.8", "--p", "4"))
+    }
+    val line = checkOut.toString
+    assert(line.contains("recall@5"), s"no recall line in: $line")
+    assert(line.contains("rebuild RECOMMENDED"),
+      s"drifted append did not trip the CLI flag: $line")
   }
 
   test("CLI: curate survives a corpus the gates filter to nothing") {

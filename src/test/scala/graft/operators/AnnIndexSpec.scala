@@ -163,4 +163,45 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val hits = (0L until 10L).count(q => got.get(q).contains(q + 500L))
     assert(hits >= 8, s"probe-only found just $hits of 10 planted neighbors")
   }
+
+  test("recallCheck gauges healthy recall on the trained distribution and " +
+    "flags rebuild-recommended after a drifted append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anndrift").toString
+    val rng = new scala.util.Random(31)
+    // 4 well-separated axis-block clusters of 60: coarse cells align with
+    // clusters, so the trained index answers its own distribution well
+    val clustered = for (c <- 0 until 4; i <- 0 until 60) yield {
+      val v = Array.tabulate(16)(d =>
+        (if (d / 4 == c) 1.0f else 0.05f) + 0.05f * rng.nextGaussian().toFloat)
+      ((c * 60 + i).toLong, v)
+    }
+    AnnIndex.build(spark.createDataset(clustered), dir, nCells = 4,
+      subspaces = 4, centroids = 16, trainN = 240, iters = 3)
+    // healthy: default sample = highest nids (cluster 3); their true
+    // neighbors share the cell, candidates cover the whole cluster
+    val healthy = AnnIndex.recallCheck(spark, dir, sampleN = 20, k = 5,
+      nProbe = 2, rerank = 64, threshold = 0.8)
+    assert(healthy.sampled == 20)
+    assert(healthy.recall > 0.8, s"healthy recall ${healthy.recall}")
+    assert(!healthy.rebuildRecommended)
+    // drifted append: 300 vectors in a tight far-away cluster. Residuals
+    // against every trained centroid are huge, so PQ codes collapse to
+    // near-identical values and the ADC pre-rank stops discriminating —
+    // with rerank < cluster size the true neighbors rarely survive to the
+    // exact re-rank. This is the silent degradation the gauge exists for.
+    val drifted = (0 until 300).map { i =>
+      ((1000 + i).toLong,
+        Array.tabulate(16)(_ => 50.0f + 0.5f * rng.nextGaussian().toFloat))
+    }
+    AnnIndex.append(spark.createDataset(drifted), dir)
+    // default sample picks the appended batch (highest nids)
+    val drifty = AnnIndex.recallCheck(spark, dir, sampleN = 20, k = 5,
+      nProbe = 2, rerank = 8, threshold = 0.8)
+    assert(drifty.sampled == 20)
+    assert(drifty.recall < healthy.recall,
+      s"drifted recall ${drifty.recall} not below healthy ${healthy.recall}")
+    assert(drifty.rebuildRecommended,
+      s"drifted batch did not trip the flag (recall ${drifty.recall})")
+  }
 }
