@@ -201,14 +201,16 @@ object Multimodal {
     * Images use the real [[ImageCodecs]]; PCM audio the real
     * [[AudioCodecs]]. */
   object StubCodecs {
-    /** ??? real impl: decode pixels; stub: dims derived from content hash. */
+    /** Stand-in for pixel decode (unsupported codecs — see README
+      * "Unsupported media codecs"): dims derived from a content hash. */
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
       val h = TextAnalysis.mix64(java.util.Arrays.hashCode(bytes).toLong)
       (64 + ((h & 0xff) * 8).toInt, 64 + (((h >> 8) & 0xff) * 8).toInt)
     }
 
-    /** ??? real impl: CNN/CLIP features; stub: 16-dim rolling-hash profile
-      * of the raw bytes (deterministic, content-sensitive). */
+    /** Stand-in for learned (CNN/CLIP) features, which need a model
+      * runtime this library deliberately does not ship: a 16-dim
+      * rolling-hash byte profile (deterministic, content-sensitive). */
     def extractFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
       val acc = new Array[Float](dim)
       var i = 0
@@ -220,8 +222,9 @@ object Multimodal {
       acc.map(_ / n)
     }
 
-    /** ??? real impl: resize via resampling; stub: byte decimation keeping
-      * every stride-th byte (preserves determinism + size contract). */
+    /** Stand-in for resample-based resize on unsupported codecs: byte
+      * decimation keeping every stride-th byte (preserves determinism +
+      * the size contract). */
     def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
       if (bytes.length <= targetBytes) bytes
       else {
