@@ -309,6 +309,16 @@ object Bench {
         }
       })
 
+    // Streaming lanes (r13 verdict ask #9): per-micro-batch latency of the
+    // three streaming surfaces at a pinned per-trigger row count
+    // (StreamingBench scaladoc documents the protocol). Medians land as
+    // pipelines rows; the full per-lane detail (rows/batch, per-batch
+    // times) rides the "streaming" object.
+    val streamLanes = graft.operators.StreamingBench.run(spark, sfDir)
+    val streamingFailed = streamLanes.count(_._2.medianSec < 0)
+    val pipelinesAll: Map[String, Double] = pipelines ++
+      streamLanes.map { case (k, l) => s"${k}_batch" -> l.medianSec }
+
     // Optimizer-rule A/B (r8): v02_knn_brute keeps the declarative
     // aggregate(zip_with(...)) dot products on purpose — it is the query a
     // user writes without knowing the native expressions exist. Timing it
@@ -414,7 +424,14 @@ object Bench {
     val rewriteJson = rewriteAb.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
-    val pipelinesJson = pipelines.toSeq.sortBy(_._1).map { case (k, v) =>
+    val streamingJson = streamLanes.map { case (k, l) =>
+      "\"" + k + "\":{\"rows_per_batch\":" + l.rowsPerBatch +
+        ",\"batches\":" + l.batches +
+        ",\"batch_median\":" + num(l.medianSec) +
+        ",\"batch_min\":" + num(l.minSec) +
+        ",\"reps_sec\":" + l.repsSec.map(num).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val pipelinesJson = pipelinesAll.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
     val sf = sfDir.replaceAll(".*sf", "")
@@ -424,13 +441,13 @@ object Bench {
     val failed = results.count(_._2._1 < 0)
     // a broken pipeline entry must not hide inside an artifact claiming
     // failed:0 — same contract as failed_stages
-    val pipelinesFailed = pipelines.values.count(_ < 0)
+    val pipelinesFailed = pipelinesAll.values.count(_ < 0)
     // round_over_round_stat PINS which stat to compare across rounds (r11
     // verdict: r10->r11 deltas were read off mixed stats): min-of-reps is
     // the noise-resistant choice and has been carried in value_min /
     // queries_min since r9 — compare THOSE keys, judged against
     // queries_iqr; "value"/"queries" stay medians for legacy continuity.
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
