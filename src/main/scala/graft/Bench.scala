@@ -106,7 +106,16 @@ object Bench {
     // re-gate checks /proc/loadavg before every rep and waits (within a
     // bounded total budget) for a spike to decay; waits are counted in the
     // artifact so a gated-but-loud run stays diagnosable.
-    val lanes = SparkEntry.benchQueries.toIndexedSeq
+    // SPARK_GRAFT_BENCH_ONLY=g03,t06,ann_build — run only lanes whose name
+    // starts with a listed prefix (headline, staged, pipelines and
+    // streaming sections alike). For targeted sweeps (the sf1.0 step-up)
+    // where timing every lane at 10x data would burn hours for numbers
+    // nobody reads; unset = everything, the driver's per-round default.
+    val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val lanes = SparkEntry.benchQueries.toIndexedSeq.filter(l => selected(l._1))
     val orderSeed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED",
       System.nanoTime().toString).toLong
     val orderRng = new scala.util.Random(orderSeed)
@@ -189,7 +198,8 @@ object Bench {
     case class StagedResult(build: Double, classifyMed: Double,
       classifyMin: Double, buildRetries: Int, load1Start: Double,
       load1End: Double)
-    val stages = graft.operators.GenomicQueries.stagedBench(spark, sfDir).map {
+    val stages = graft.operators.GenomicQueries.stagedBench(spark, sfDir)
+      .filter { case (name, _) => selected(name) }.map {
       case (name, prepare) =>
         try {
           val l0 = load1()
@@ -252,35 +262,43 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    val pipelines: Map[String, Double] = Map(
+    // a lane deselected by SPARK_GRAFT_BENCH_ONLY never runs (None row)
+    def pipelineLane(name: String)(mk: => (String, Double))
+        : Option[(String, Double)] =
+      if (selected(name)) Some(mk) else None
+    val pipelines: Map[String, Double] = Seq(
       // embedding curation: prune -> SemDeDup -> sample -> parquet
-      timePipeline("curate_embeddings", out => Array("curateEmbeddings",
+      pipelineLane("curate_embeddings")(
+        timePipeline("curate_embeddings", out => Array("curateEmbeddings",
         "--embeddings", s"$sfDir/embeddings.parquet",
         "--output", out.toString, "--p", cpus, "--k", "8",
-        "--sample", "1000")),
+        "--sample", "1000"))),
       // text curation: quality gate -> exact dedup -> MinHash near-dup ->
       // span strip -> parquet (the flagship text-pillar user command)
-      timePipeline("curate_text", out => Array("curate",
+      pipelineLane("curate_text")(
+        timePipeline("curate_text", out => Array("curate",
         "--docs", s"$sfDir/documents.parquet",
         "--output", out.toString, "--p", cpus,
-        "--near-dup-threshold", "0.7")),
+        "--near-dup-threshold", "0.7"))),
       // same pipeline with the hashed-cosine near-dup test (the t38/t39
       // bridge as a user command) — tracked so the two candidate tests'
       // costs stay comparable round over round
-      timePipeline("curate_text_hashed", out => Array("curate",
+      pipelineLane("curate_text_hashed")(
+        timePipeline("curate_text_hashed", out => Array("curate",
         "--docs", s"$sfDir/documents.parquet",
         "--output", out.toString, "--p", cpus,
-        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed")),
+        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed"))),
       // the ANN serving lifecycle as the user runs it (r12): ann_build
       // times train + encode + persist; ann_probe times a probe-only
       // query batch against an index PREBUILT outside its clock — the
       // amortization claim (probes never pay training) as two tracked
       // numbers
-      timePipeline("ann_build", out => Array("annBuild",
-        "--embeddings", s"$sfDir/embeddings.parquet",
-        "--output", out.resolve("idx").toString, "--p", cpus,
-        "--cells", "16", "--train", "4096")),
-      {
+      pipelineLane("ann_build")(
+        timePipeline("ann_build", out => Array("annBuild",
+          "--embeddings", s"$sfDir/embeddings.parquet",
+          "--output", out.resolve("idx").toString, "--p", cpus,
+          "--cells", "16", "--train", "4096"))),
+      pipelineLane("ann_probe") {
         val scratch = java.nio.file.Files.createTempDirectory("graft-annbench")
         try {
           // prebuild OUTSIDE the probe's clock; a failed prebuild reports
@@ -307,7 +325,7 @@ object Bench {
               .foreach(p => java.nio.file.Files.deleteIfExists(p))
           } catch { case _: Throwable => () }
         }
-      })
+      }).flatten.toMap
 
     // Streaming lanes (r13 verdict ask #9): per-micro-batch latency of the
     // three streaming surfaces at a pinned per-trigger row count
@@ -315,6 +333,7 @@ object Bench {
     // pipelines rows; the full per-lane detail (rows/batch, per-batch
     // times) rides the "streaming" object.
     val streamLanes = graft.operators.StreamingBench.run(spark, sfDir)
+      .filter { case (name, _) => selected(name) }
     val streamingFailed = streamLanes.count(_._2.medianSec < 0)
     val pipelinesAll: Map[String, Double] = pipelines ++
       streamLanes.map { case (k, l) => s"${k}_batch" -> l.medianSec }
