@@ -164,7 +164,7 @@ object Main {
     * downstream subcommand is width-generic over the full reference
     * parameter space. */
   private def keyedIndexFor(params: IndexParams,
-      bcTax: org.apache.spark.broadcast.Broadcast[Taxonomy]): KeyedIndex =
+      bcTax: org.apache.spark.broadcast.Broadcast[Taxonomy]): LongKeyIndex =
     if (params.m > 64)
       new XWideMinimizerIndex(params.k, params.m, bcTax, params.spaces,
         params.demoted.getOrElse(Array.emptyLongArray))
@@ -633,12 +633,8 @@ object Main {
         // taxon-side statistics and respace are width-agnostic
         val (statsIdx, loaded) = openKeyed(spark, idxPath, params, bcTax)
         var records = loaded
-        for (s <- opts.get("respace")) {
-          records =
-            if (params.m > 64) IndexOps.respaceXWide(records, params, s.toInt, bcTax)
-            else if (params.m > 32) IndexOps.respaceWide(records, params, s.toInt, bcTax)
-            else IndexOps.respace(records, params, s.toInt, bcTax)
-        }
+        for (s <- opts.get("respace"))
+          records = IndexOps.respace(records, params, s.toInt, bcTax)
         // memoize per-taxon counts beside the index unless respaced (counts
         // of a respaced view differ from the stored index's)
         val perTaxon =
@@ -668,26 +664,14 @@ object Main {
         for (s <- spacings) {
           val outLoc = opts("output") + s"_s$s"
           val (_, records) = openKeyed(spark, idxPath, params, bcTax)
-          // carry the demotion set through: dropping it would rewrite the
-          // sidecar as ordering=xor and desync classify-time minimizer
-          // selection from the stored (still frequency-ordered) keys
-          if (params.m > 64) {
-            val respaced = IndexOps.respaceXWide(records, params, s, bcTax)
-            new XWideMinimizerIndex(params.k, params.m, bcTax, s,
-                params.demoted.getOrElse(Array.emptyLongArray))
-              .writeRecords(respaced, outLoc, params.buckets)
-          } else if (params.m > 32) {
-            val respaced = IndexOps.respaceWide(records, params, s, bcTax)
-            new WideMinimizerIndex(params.k, params.m, bcTax, s,
-                params.demoted.getOrElse(Array.emptyLongArray))
-              .writeRecords(respaced, outLoc, params.buckets)
-          } else {
-            val respaced = IndexOps.respace(records, params, s, bcTax)
-            // records = None: respacing re-folds to FEWER records; the stale
-            // count is not re-measured here
-            new MinimizerIndex(params.copy(spaces = s, records = None), bcTax)
-              .writeRecords(respaced, outLoc)
-          }
+          val respaced = IndexOps.respace(records, params, s, bcTax)
+          // the derived index keeps the demotion set (dropping it would
+          // rewrite the sidecar as ordering=xor and desync classify-time
+          // minimizer selection from the stored frequency-ordered keys) but
+          // not the record count: respacing re-folds to FEWER records and
+          // the stale count is not re-measured here
+          keyedIndexFor(params.copy(spaces = s, records = None), bcTax)
+            .writeRecords(respaced, outLoc, params.buckets)
           // copy from the RESOLVED taxonomy dir: an index built without an
           // embedded taxonomy (pre-self-containment, or external) would
           // otherwise silently produce a non-self-contained output

@@ -63,58 +63,17 @@ object IndexOps {
 
   /** Re-space an index to a wider spaced-seed mask without rescanning the
     * library: widening only clears additional minimizer positions, so it is
-    * a pure column expression (bitwise AND) + LCA re-aggregation
-    * (spec: P11/A1 respace variant, KeyValueIndex.scala:368-379). */
+    * a pure column expression (bitwise AND per key word) + LCA
+    * re-aggregation (spec: P11/A1 respace variant,
+    * KeyValueIndex.scala:368-379). Width-generic like [[respaceSpans]]:
+    * [[graft.kmers.XWidePriority.spaceKeepMasks]] yields one untruncated
+    * keep mask per populated key word (leading word first). The all-ones
+    * base matters: bits above the populated priority range are zero in
+    * plain keys but carry the frequency-ordering DEMOTE flag in
+    * frequency-ordered indexes — clearing them would desync the keys from
+    * classify-time span priorities. */
   def respace(records: DataFrame, params: IndexParams, newSpaces: Int,
       bcTax: Broadcast[Taxonomy]): DataFrame = {
-    require(newSpaces >= params.spaces,
-      s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    // start from all-ones, not merMask(m): bits above 2m are zero in plain
-    // keys but carry the FrequencyPriority DEMOTE flag in frequency-ordered
-    // indexes — clearing it here would desync the keys from classify-time
-    // span priorities
-    var mask = -1L
-    var i = 0
-    while (i < newSpaces) {
-      mask &= ~(3L << (2 * (2 * i + 1)))
-      i += 1
-    }
-    val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
-    records
-      .select(col("id1").bitwiseAND(lit(mask)).as("id1"), col("taxon"))
-      .groupBy(col("id1"))
-      .agg(lcaAgg(col("taxon")).as("taxon"))
-  }
-
-  /** [[respace]] for wide (m > 32) indexes: the spaced positions span the
-    * word boundary, so each key word ANDs with its own keep-mask
-    * (id1 = high word: positions >= 32; id2 = low word: positions < 32),
-    * then the LCA re-aggregation runs on the two-long key. */
-  def respaceWide(records: DataFrame, params: IndexParams, newSpaces: Int,
-      bcTax: Broadcast[Taxonomy]): DataFrame = {
-    require(params.m > 32, s"respaceWide needs m>32, got ${params.m}")
-    require(newSpaces >= params.spaces,
-      s"can only widen spacing (${params.spaces} -> $newSpaces)")
-    import graft.kmers.WideRandomXorPriority
-    // no & hiMask: hi bits above the populated range are zero in plain keys
-    // but carry the wide DEMOTE flag in frequency-ordered indexes
-    val mHi = WideRandomXorPriority.spaceMaskHi(newSpaces)
-    val mLo = WideRandomXorPriority.spaceMaskLo(newSpaces)
-    val lcaAgg = udaf(graft.taxa.TaxonLcaAggregator(bcTax))
-    records
-      .select(col("id1").bitwiseAND(lit(mHi)).as("id1"),
-        col("id2").bitwiseAND(lit(mLo)).as("id2"), col("taxon"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(lcaAgg(col("taxon")).as("taxon"))
-  }
-
-  /** [[respace]] for extra-wide (m > 64) indexes: per-word keep masks from
-    * [[graft.kmers.XWidePriority.spaceKeepMasks]] (untruncated, preserving
-    * an in-band demote flag like [[respaceWide]]), LCA re-fold on the
-    * idLongs-column key. */
-  def respaceXWide(records: DataFrame, params: IndexParams, newSpaces: Int,
-      bcTax: Broadcast[Taxonomy]): DataFrame = {
-    require(params.m > 64, s"respaceXWide needs m>64, got ${params.m}")
     require(newSpaces >= params.spaces,
       s"can only widen spacing (${params.spaces} -> $newSpaces)")
     val masks = graft.kmers.XWidePriority.spaceKeepMasks(params.m, newSpaces)

@@ -146,7 +146,7 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val index = new XWideMinimizerIndex(104, 96, bcTax, spaces = 5)
     val genomes = Map(4 -> dna(2500), 5 -> dna(2500))
     val records = index.makeRecords(spark.createDataset(genomes.toSeq)).cache()
-    val respaced = IndexOps.respaceXWide(records, params, 12, bcTax).cache()
+    val respaced = IndexOps.respace(records, params, 12, bcTax).cache()
     assert(respaced.count() <= records.count())
     val reads = (0 until 60).map { i =>
       val t = if (i % 2 == 0) 4 else 5
@@ -199,7 +199,7 @@ class RandomizedEndToEndSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plain = new WideMinimizerIndex(k = 45, m = 33, bcTax)
     val params = IndexParams(k = 45, m = 33, spaces = 0, buckets = 4)
     val records = plain.buildRecords(lib).cache()
-    val respaced = IndexOps.respaceWide(records, params, 7, bcTax).cache()
+    val respaced = IndexOps.respace(records, params, 7, bcTax).cache()
     val spans = plain.spans(ds)
     val wideSpans = IndexOps.respaceSpans(spans, params, 7)
     val classified = plain.classify(wideSpans, respaced).collect()
