@@ -327,15 +327,53 @@ abstract class LongKeyIndex extends KeyedIndex {
       override def tableBytes: Long = table.byteSize
       override def close(): Unit = bc.destroy()
 
+      /** The probe loop is duplicated per concrete table type on purpose:
+        * each branch's closure owns a statically-typed `get` call site on a
+        * final class, which stays monomorphic (and inlinable) even when one
+        * JVM exercises several index widths back-to-back — benchmarks and
+        * sweeps would otherwise turn the shared interface call site
+        * megamorphic and slow the zero-shuffle path the width-specialized
+        * originals avoided (ADVICE r13). The type dispatch itself runs once
+        * per fragment, not per span. */
       private def fragHits(f: InputFragment, tbl: KeyTaxonTable): Vector[TaxonHit] =
-        outer.fragmentSpans(f).map { s =>
-          val t = s.flag match {
-            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-            case _ => tbl.get(s.id1, s.id2, s.id3, s.id4)
-          }
-          TaxonHit(s.ordinal, t, s.kmers, s.distinct)
-        }.toVector
+        tbl match {
+          case t: LongTaxonMap =>
+            outer.fragmentSpans(f).map { s =>
+              val x = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+              }
+              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+            }.toVector
+          case t: WideTaxonMap =>
+            outer.fragmentSpans(f).map { s =>
+              val x = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+              }
+              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+            }.toVector
+          case t: XWideTaxonMap =>
+            outer.fragmentSpans(f).map { s =>
+              val x = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+              }
+              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+            }.toVector
+          case t =>
+            outer.fragmentSpans(f).map { s =>
+              val x = s.flag match {
+                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+              }
+              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+            }.toVector
+        }
 
       def classify(reads: Dataset[InputFragment], confidence: Double,
           minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
