@@ -1473,4 +1473,56 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept.nonEmpty && kept.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
+
+  test("CLI: build + classify on the reference's real published data " +
+    "(barley + cow-rumen library, Tara-ocean reads)") {
+    spark
+    val td = "/root/reference/testData"
+    val dir = Files.createTempDirectory("graft-cli-realdata")
+
+    // labels derived from the REAL fasta headers: barley chr1H -> 4, every
+    // cow-rumen read accession -> 5 (9,845 of them)
+    val rumenHeaders = sources.Sequences
+      .fasta(spark, s"$td/SRR094926_10k.fasta").collect().map(_.header)
+    assert(rumenHeaders.length === 9845)
+    write(dir.resolve("labels.tsv"),
+      "chr1H\t4\n" + rumenHeaders.map(h => s"$h\t5").mkString("\n") + "\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tHordeum vulgare chr1H\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tcow rumen metagenome\t|\t\t|\tscientific name\t|\n")
+
+    // one library from BOTH real files via a glob (the text source expands
+    // it; 9,846 sequences, 1.6 M bases, 18.8% N in the barley half)
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--library", s"$td/*_10k.fasta",
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    assert(Files.exists(java.nio.file.Paths.get(idx, "_index.properties")))
+
+    // classify the 10k real ocean reads straight from the reference dir
+    val out = dir.resolve("out").toString
+    Main.main(Array("classify", "--index", idx,
+      "--reads", s"$td/ERR599052_10k.fastq",
+      "--min-hit-groups", "1",
+      "--output", out))
+
+    val rows = index.MappingComparison.readKrakenOutput(spark, out)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // 8 of the 10,000 reads are < k and reference-faithfully absent
+    assert(rows.length === 9992)
+    assert(rows.map(_._1).distinct.length === 9992)
+    val classified = rows.count(_._2 != 0)
+    // unrelated ocean reads against a barley+rumen library: some hits
+    // (rumen and ocean share microbial k-mer space), nowhere near the bulk
+    assert(classified > 0 && classified < 5000,
+      s"implausible classified count: $classified")
+    assert(rows.forall { case (_, t) => Set(0, 1, 2, 4, 5).contains(t) })
+  }
 }
