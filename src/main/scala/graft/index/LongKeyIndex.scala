@@ -327,63 +327,21 @@ abstract class LongKeyIndex extends KeyedIndex {
       override def tableBytes: Long = table.byteSize
       override def close(): Unit = bc.destroy()
 
-      /** The probe loop is duplicated per concrete table type on purpose:
-        * each branch's closure owns a statically-typed `get` call site on a
-        * final class, which stays monomorphic (and inlinable) even when one
-        * JVM exercises several index widths back-to-back — benchmarks and
-        * sweeps would otherwise turn the shared interface call site
-        * megamorphic and slow the zero-shuffle path the width-specialized
-        * originals avoided (ADVICE r13). The type dispatch itself runs once
-        * per fragment, not per span. */
-      private def fragHits(f: InputFragment, tbl: KeyTaxonTable): Vector[TaxonHit] =
-        tbl match {
-          case t: LongTaxonMap =>
-            outer.fragmentSpans(f).map { s =>
-              val x = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
-              }
-              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
-            }.toVector
-          case t: WideTaxonMap =>
-            outer.fragmentSpans(f).map { s =>
-              val x = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
-              }
-              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
-            }.toVector
-          case t: XWideTaxonMap =>
-            outer.fragmentSpans(f).map { s =>
-              val x = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
-              }
-              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
-            }.toVector
-          case t =>
-            outer.fragmentSpans(f).map { s =>
-              val x = s.flag match {
-                case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
-                case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
-                case _ => t.get(s.id1, s.id2, s.id3, s.id4)
-              }
-              TaxonHit(s.ordinal, x, s.kmers, s.distinct)
-            }.toVector
-        }
-
       def classify(reads: Dataset[InputFragment], confidence: Double,
           minHitGroups: Int, detail: Boolean): Dataset[ClassifiedRead] = {
         val session = reads.sparkSession
         import session.implicits._
+        // Copy the captures into method locals: the lambda below must not
+        // reference fields of this anonymous classifier (which holds the
+        // whole collected `table` for tableBytes) or the table would ride
+        // every task binary on top of the broadcast that exists to avoid
+        // exactly that.
+        val lbc = bc; val ltax = tax; val lidx = outer
         reads.mapPartitions { it =>
-          val resolver = new graft.taxa.LcaResolver(tax.value)
-          val tbl = bc.value
+          val resolver = new graft.taxa.LcaResolver(ltax.value)
+          val tbl = lbc.value
           it.flatMap { f =>
-            val hits = fragHits(f, tbl)
+            val hits = lidx.fragHits(f, tbl)
             // a read with no spans has no group row in the join path either
             if (hits.isEmpty) None
             else {
@@ -401,11 +359,12 @@ abstract class LongKeyIndex extends KeyedIndex {
           : Dataset[(Double, ClassifiedRead)] = {
         val session = reads.sparkSession
         import session.implicits._
+        val lbc = bc; val ltax = tax; val lidx = outer
         reads.mapPartitions { it =>
-          val resolver = new graft.taxa.LcaResolver(tax.value)
-          val tbl = bc.value
+          val resolver = new graft.taxa.LcaResolver(ltax.value)
+          val tbl = lbc.value
           it.flatMap { f =>
-            val hits = fragHits(f, tbl)
+            val hits = lidx.fragHits(f, tbl)
             if (hits.isEmpty) Iterator.empty
             else {
               val seqLen = f.nucleotides.length +
@@ -418,6 +377,58 @@ abstract class LongKeyIndex extends KeyedIndex {
       }
     }
   }
+
+  /** Scan one fragment and probe the broadcast table. Lives on the index
+    * (which executors already hold for the scanner kernel), NOT on the
+    * classifier object, so the classify closures never capture the
+    * collected table.
+    *
+    * The probe loop is duplicated per concrete table type on purpose: each
+    * branch owns a statically-typed `get` call site on a final class, which
+    * stays monomorphic (and inlinable) even when one JVM exercises several
+    * index widths back-to-back — benchmarks and sweeps would otherwise turn
+    * the shared interface call site megamorphic and slow the zero-shuffle
+    * path the width-specialized originals avoided (ADVICE r13). The type
+    * dispatch itself runs once per fragment, not per span. */
+  private[index] def fragHits(f: InputFragment, tbl: KeyTaxonTable): Vector[TaxonHit] =
+    tbl match {
+      case t: LongTaxonMap =>
+        fragmentSpans(f).map { s =>
+          val x = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+          }
+          TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+        }.toVector
+      case t: WideTaxonMap =>
+        fragmentSpans(f).map { s =>
+          val x = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+          }
+          TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+        }.toVector
+      case t: XWideTaxonMap =>
+        fragmentSpans(f).map { s =>
+          val x = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+          }
+          TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+        }.toVector
+      case t =>
+        fragmentSpans(f).map { s =>
+          val x = s.flag match {
+            case AMBIGUOUS_FLAG => AMBIGUOUS_SPAN
+            case MATE_PAIR_BORDER_FLAG => MATE_PAIR_BORDER
+            case _ => t.get(s.id1, s.id2, s.id3, s.id4)
+          }
+          TaxonHit(s.ordinal, x, s.kmers, s.distinct)
+        }.toVector
+    }
 
   /** Per-taxon read counts -> Kraken-style report, driver-side clade
     * aggregation (shared kernel). */
