@@ -143,6 +143,16 @@ object Bench {
     }
     val repTimes = collection.mutable.Map.empty[String, IndexedSeq[Double]]
     val failedLanes = collection.mutable.Set.empty[String]
+    // High-IQR lanes (r14: t37 reps 9.76/4.27/3.43 — IQR 6.33 s against a
+    // 3.43 s min, pure in-lane warmup of the contraction loop) get ONE
+    // discarded warmup execution before the timed rounds so min and median
+    // converge. Kept to a named set: a blanket warmup would double the
+    // sweep's wall clock for lanes that don't need it.
+    val warmupLanes = Set("t37_cc_contraction")
+    for ((name, q) <- lanes if warmupLanes(name)) {
+      regate()
+      try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     for (r <- 0 until reps; (name, q) <- orderRng.shuffle(lanes)
          if !failedLanes(name)) {
       regate()
@@ -332,8 +342,11 @@ object Bench {
     // (StreamingBench scaladoc documents the protocol). Medians land as
     // pipelines rows; the full per-lane detail (rows/batch, per-batch
     // times) rides the "streaming" object.
-    val streamLanes = graft.operators.StreamingBench.run(spark, sfDir)
-      .filter { case (name, _) => selected(name) }
+    // selection passed INTO run: a lane deselected by
+    // SPARK_GRAFT_BENCH_ONLY never executes (no index build, no ANN
+    // train, no micro-batches) — same contract as the other sections
+    val streamLanes =
+      graft.operators.StreamingBench.run(spark, sfDir, selected = selected)
     val streamingFailed = streamLanes.count(_._2.medianSec < 0)
     val pipelinesAll: Map[String, Double] = pipelines ++
       streamLanes.map { case (k, l) => s"${k}_batch" -> l.medianSec }
@@ -459,8 +472,11 @@ object Bench {
     // ship inside an artifact that claims failed:0
     val failed = results.count(_._2._1 < 0)
     // a broken pipeline entry must not hide inside an artifact claiming
-    // failed:0 — same contract as failed_stages
-    val pipelinesFailed = pipelinesAll.values.count(_ < 0)
+    // failed:0 — same contract as failed_stages. Counted over the
+    // PRE-merge map: streaming lanes have their own failed_streaming
+    // counter, so a failed stream must not double-report here (and
+    // failed_pipelines keeps its round-over-round meaning)
+    val pipelinesFailed = pipelines.values.count(_ < 0)
     // round_over_round_stat PINS which stat to compare across rounds (r11
     // verdict: r10->r11 deltas were read off mixed stats): min-of-reps is
     // the noise-resistant choice and has been carried in value_min /

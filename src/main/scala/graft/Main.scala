@@ -418,7 +418,6 @@ object Main {
         spark.conf.set("spark.sql.shuffle.partitions", params.buckets.toString)
         val tax = loadTaxonomy(spark, opts.getOrElse("taxonomy", idxPath + "/taxonomy"))
         val bcTax = spark.sparkContext.broadcast(tax)
-        val sampleRegex = opts.getOrElse("sample-regex", "^(.*)$")
         val minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt
         // -c accepts a comma-separated threshold list (reference cached
         // sweep, Classifier.scala:156-170)
@@ -429,11 +428,11 @@ object Main {
             outPath: String): Unit = {
           val cached = classified
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          IndexOps.writePerSampleOutput(cached, sampleRegex, outPath)
+          IndexOps.writePerSampleOutput(cached, opts.get("sample-regex"), outPath)
           // one kreport per sample when a regex is given, plus the overall
           // report on stdout (reference Classifier.scala:229-251)
-          if (opts.contains("sample-regex"))
-            IndexOps.writePerSampleReports(cached, sampleRegex,
+          for (re <- opts.get("sample-regex"))
+            IndexOps.writePerSampleReports(cached, re,
               outPath + "_reports", bcTax)
           ClassifyKernel.report(cached, bcTax).lines.foreach(println)
           cached.unpersist()
@@ -543,7 +542,7 @@ object Main {
             println(s"sample $s: selected ${taxa.size} taxa")
           val cached = classified
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          IndexOps.writePerSampleOutput(cached, opts("sample-regex"),
+          IndexOps.writePerSampleOutput(cached, Some(opts("sample-regex")),
             opts("output"))
           // per-sample kreports, same as classify --sample-regex
           IndexOps.writePerSampleReports(cached, opts("sample-regex"),
@@ -556,7 +555,7 @@ object Main {
             rank = rank, threshold = threshold, goldSet = goldSet)
           println(s"selected ${selected.size} taxa")
           IndexOps.writePerSampleOutput(classified,
-            opts.getOrElse("sample-regex", "^(.*)$"), opts("output"))
+            opts.get("sample-regex"), opts("output"))
           // optional bracken weights against the DYNAMIC sub-index (reference
           // Dynamic.scala:339-344): tailored to the selected-taxa set
           for (rl <- opts.get("bracken-read-len")) {

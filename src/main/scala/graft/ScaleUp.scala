@@ -100,11 +100,24 @@ object ScaleUp {
           "slice(embedding, 1, (k * 7) % size(embedding)))"))
       .drop("k"), "embeddings")
 
-    for (t <- Seq("region", "nation", "supplier", "part", "lineitem",
-        "events"))
+    // events scale as 10x USERS (fresh event_id + user_id spaces per copy,
+    // per-user activity/timestamps kept): the event lanes (as-of join,
+    // sessionization, interval join) partition by user_id, so this is the
+    // scale direction a real workload grows in. Verbatim copies would
+    // instead collide on (user_id, ts) and explode equal-key join groups —
+    // a different (and unrealistic) computation.
+    val events = rd("events")
+    val eidSpace = idSpace("event_id", events)
+    val uidSpace = idSpace("user_id", events)
+    wr(copies(events)
+      .withColumn("event_id", col("event_id") + col("k") * eidSpace)
+      .withColumn("user_id", col("user_id") + col("k") * uidSpace)
+      .drop("k"), "events")
+
+    for (t <- Seq("region", "nation", "supplier", "part", "lineitem"))
       wr(rd(t), t)
 
     println(s"ScaleUp: wrote $dst at ${factor}x of $src " +
-      s"(customer/orders/documents/embeddings scaled, rest verbatim)")
+      s"(customer/orders/documents/embeddings/events scaled, rest verbatim)")
   }
 }

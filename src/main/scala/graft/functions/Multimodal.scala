@@ -194,8 +194,130 @@ object Multimodal {
       }
   }
 
+  /** REAL video-container parsing: an ISO-BMFF (MP4/ISO base media file
+    * format, ISO/IEC 14496-12) box walker in plain JVM code — no codec
+    * library needed because the container METADATA (brand, movie timescale
+    * and duration from `moov/mvhd`, presentation dimensions from
+    * `moov/trak/tkhd`) lives in fixed public-spec box layouts. Frame PIXEL
+    * decode still needs a real codec (see README "Unsupported media
+    * codecs"); everything a curation pipeline filters on — duration,
+    * resolution, track count — parses for real here. */
+  object VideoCodecs {
+
+    /** Parsed MP4 header facts. Fixed-point 16.16 tkhd width/height are
+      * reported as their integer part. */
+    final case class Mp4Info(brand: String, timescale: Long,
+        durationS: Option[Double], nTracks: Int,
+        width: Option[Int], height: Option[Int])
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+
+    /** Iterate (type, payloadStart, payloadEnd) of the boxes between
+      * `from` and `to`, honoring 64-bit largesize and size==0 (“to end of
+      * file”) per the spec; malformed sizes end the walk instead of
+      * throwing (corrupt blobs are data, not bugs, at pipeline scale). */
+    private def boxes(b: Array[Byte], lo: Int, hi: Int)
+        : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var off = lo
+      def hasNext: Boolean = off + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size = u32(b, off)
+        val tag = new String(b, off + 4, 4, "ASCII")
+        val (payload, end) =
+          if (size == 1 && off + 16 <= hi) {
+            val ls = u64(b, off + 8)
+            (off + 16, if (ls < 16 || off + ls > hi) hi else (off + ls).toInt)
+          } else if (size == 0) (off + 8, hi)
+          else if (size < 8 || off + size > hi) (off + 8, hi)
+          else (off + 8, (off + size).toInt)
+        off = math.max(end, off + 8)
+        (tag, payload, end)
+      }
+    }
+
+    /** Parse the MP4 header boxes, or None when the blob is not ISO-BMFF. */
+    def parseMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (bytes == null || bytes.length < 12 ||
+        new String(bytes, 4, 4, "ASCII") != "ftyp") return None
+      val brand = new String(bytes, 8, 4, "ASCII")
+      var timescale = 0L
+      var duration: Option[Double] = None
+      var nTracks = 0
+      var width: Option[Int] = None
+      var height: Option[Int] = None
+      for ((tag, p, e) <- boxes(bytes, 0, bytes.length) if tag == "moov";
+           (child, cp, ce) <- boxes(bytes, p, e)) child match {
+        case "mvhd" if ce - cp >= 24 =>
+          val v = bytes(cp) & 0xff
+          // after version+flags: v0 ctime/mtime are u32, v1 are u64
+          val (ts, dur) =
+            if (v == 1 && ce - cp >= 32) (u32(bytes, cp + 20), u64(bytes, cp + 24))
+            else (u32(bytes, cp + 12), u32(bytes, cp + 16))
+          timescale = ts
+          if (ts > 0) duration = Some(dur.toDouble / ts)
+        case "trak" =>
+          nTracks += 1
+          for ((g, gp, ge) <- boxes(bytes, cp, ce)
+               if g == "tkhd" && ge - gp >= 84) {
+            val v = bytes(gp) & 0xff
+            // width/height close the box: 16.16 fixed point, after the
+            // version-dependent times/ids, reserved words and 36-byte matrix
+            val wOff = if (v == 1) gp + 88 else gp + 76
+            if (ge - gp >= (if (v == 1) 96 else 84)) {
+              val w = (u32(bytes, wOff) >> 16).toInt
+              val h = (u32(bytes, wOff + 4) >> 16).toInt
+              // the first visual track wins (audio tracks carry 0x0)
+              if (w > 0 && h > 0 && width.isEmpty) {
+                width = Some(w); height = Some(h)
+              }
+            }
+          }
+        case _ => ()
+      }
+      Some(Mp4Info(brand, timescale, duration, nTracks, width, height))
+    }
+
+    /** Minimal valid ISO-BMFF writer (ftyp + moov{mvhd,trak{tkhd}}) — the
+      * inverse of [[parseMp4]] for the fields it reports. Lets pipelines
+      * and tests materialize real parseable video headers without a codec
+      * dependency (payload `mdat` is caller-provided opaque bytes). */
+    def encodeMp4Header(brand: String, timescale: Long, durationTicks: Long,
+        width: Int, height: Int, mdat: Array[Byte] = Array.emptyByteArray)
+        : Array[Byte] = {
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(tag: String, payload: Array[Byte]): Array[Byte] =
+        be32(payload.length + 8L) ++ tag.getBytes("ASCII") ++ payload
+      val ftyp = box("ftyp", brand.getBytes("ASCII") ++ be32(0) ++
+        brand.getBytes("ASCII"))
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(durationTicks) ++ be32(0x00010000L) ++
+        Array[Byte](0x01, 0, 0, 0) ++ new Array[Byte](8) ++
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x40000000L)) ++ new Array[Byte](24) ++ be32(2))
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(durationTicks) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x40000000L)) ++
+        be32(width.toLong << 16) ++ be32(height.toLong << 16))
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      ftyp ++ moov ++ (if (mdat.isEmpty) Array.emptyByteArray
+                       else box("mdat", mdat))
+    }
+  }
+
   /** STUB CODECS — deterministic stand-ins for the remaining decoders
-    * (video, compressed audio the JRE has no provider for). The shapes
+    * (video frame-pixel decode, compressed audio the JRE has no provider
+    * for). The shapes
     * (dimensions from header-ish bytes, fixed-size feature vectors) mirror
     * what a real codec would produce so downstream plumbing is realistic.
     * Images use the real [[ImageCodecs]]; PCM audio the real
@@ -248,11 +370,34 @@ object Multimodal {
       .map { case (id, bytes) =>
         val fmt = sniffFormat(bytes)
         val (w, h) =
-          (if (imageFormats(fmt)) ImageCodecs.dims(bytes) else None)
+          (if (imageFormats(fmt)) ImageCodecs.dims(bytes)
+           else if (fmt == "mp4")
+             VideoCodecs.parseMp4(bytes).flatMap(i => i.width.zip(i.height))
+           else None)
             .getOrElse(StubCodecs.decodeDims(bytes))
         (id, bytes, fmt, bytes.length.toLong, w, h)
       }
       .toDF("media_id", "bytes", "format", "n_bytes", "width", "height")
+  }
+
+  /** Video schema: (media_id, format, n_bytes, brand, timescale,
+    * duration_s, n_tracks, width, height) — REAL ISO-BMFF header metadata
+    * ([[VideoCodecs.parseMp4]]); rows that are not MP4 keep nulls in the
+    * video columns (schema-stable, same contract as [[describeAudio]]). */
+  def describeVideo(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val fmt = sniffFormat(bytes)
+        val info = if (fmt == "mp4") VideoCodecs.parseMp4(bytes) else None
+        (id, fmt, bytes.length.toLong, info.map(_.brand),
+          info.map(_.timescale), info.flatMap(_.durationS),
+          info.map(_.nTracks), info.flatMap(_.width), info.flatMap(_.height))
+      }
+      .toDF("media_id", "format", "n_bytes", "brand", "timescale",
+        "duration_s", "n_tracks", "width", "height")
   }
 
   /** Feature extraction over binary columns. Batch shape matters at scale:

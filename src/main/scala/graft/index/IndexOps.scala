@@ -123,7 +123,7 @@ object IndexOps {
     * Property-proven: merge(build(A), build(B)) == build(A ∪ B) at every
     * key width (IndexOpsSpec). */
   def mergeIndexes(a: DataFrame, b: DataFrame, bcTax: Broadcast[Taxonomy],
-      keyCols: Seq[String] = Seq("id1")): DataFrame = {
+      keyCols: Seq[String]): DataFrame = {
     val spark = a.sparkSession
     val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
     a.select((keyCols :+ "taxon").map(col): _*)
@@ -173,7 +173,7 @@ object IndexOps {
     * [[KeyedIndex.keyCols]]); counts per (depth delta) bucket
     * (spec: J7, analysis/MinimizerMigration.scala:44-71). */
   def compareIndexes(a: DataFrame, b: DataFrame,
-      bcTax: Broadcast[Taxonomy], keyCols: Seq[String] = Seq("id1")): DataFrame = {
+      bcTax: Broadcast[Taxonomy], keyCols: Seq[String]): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val depthUdf = udf((t: Int) => {
@@ -248,13 +248,13 @@ object IndexOps {
   /** Multi-sample classification: extract a sample id from read titles by
     * regex; per-(sample, taxon) report counts in one aggregation
     * (spec: P4 + A4, Classifier.scala:297-301,396-399). */
-  def classifyMultiSample(index: MinimizerIndex, reads: Dataset[InputFragment],
+  def classifyMultiSample(index: KeyedIndex, reads: Dataset[InputFragment],
       records: DataFrame, sampleRegex: String, confidence: Double = 0.0,
       minHitGroups: Int = 2): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
-    val classified = index.classify(index.spans(reads), records, confidence,
-      minHitGroups)
+    val classified = index.classifyDF(index.spansDF(reads), records,
+      confidence, minHitGroups)
     classified
       .withColumn("sample",
         coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),
@@ -292,14 +292,22 @@ object IndexOps {
 
   /** Per-read output sink: gzip text partitioned by sample, bounded file
     * count (spec: S12, Classifier.scala:199-210). */
-  def writePerSampleOutput(classified: Dataset[ClassifiedRead], sampleRegex: String,
-      path: String, maxPartitions: Int = 1000): Unit = {
+  def writePerSampleOutput(classified: Dataset[ClassifiedRead],
+      sampleRegex: Option[String], path: String,
+      maxPartitions: Int = 1000): Unit = {
     val spark = classified.sparkSession
     import spark.implicits._
+    // No regex = single-sample mode: everything lands in one `sample=all`
+    // partition (the reference's layout). Keying the partitionBy on the
+    // raw title here would fan every read into its own directory — a
+    // filesystem metadata storm at any real read count.
+    val sampleCol = sampleRegex match {
+      case Some(re) =>
+        coalesce(nullif(regexp_extract($"title", re, 1), lit("")), lit("other"))
+      case None => lit("all")
+    }
     classified
-      .withColumn("sample",
-        coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),
-          lit("other")))
+      .withColumn("sample", sampleCol)
       .withColumn("value", concat_ws("\t",
         when($"classified", "C").otherwise("U"),
         $"title", $"taxon", $"length", $"hits"))

@@ -448,8 +448,8 @@ object Dedup {
       // chain's min in ONE application), and apply via broadcast joins.
       // Label chains strictly decrease, so the compression terminates.
       // Per round: one collect job + one narrow count job, versus the
-      // distributed branch's ~9 exchanges — measured 4.9 s -> sub-3 s on
-      // the t37 bench graph.
+      // distributed branch's ~9 exchanges — measured 4.9 s -> 3.4 s
+      // (min-of-reps, BENCH_r14 sf0.1) on the t37 bench graph.
       val nbr = g.select(col("src").as("id"), col("dst").as("nb"))
         .unionAll(g.select(col("dst").as("id"), col("src").as("nb")))
       val lArr = nbr.groupBy("id")

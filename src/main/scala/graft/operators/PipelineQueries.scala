@@ -1051,6 +1051,41 @@ object PipelineQueries {
     }, Some(Q.golden("m03_frames_sf001.tsv", "media_id" -> "BIGINT",
       "frame_idx" -> "BIGINT", "frame_md5" -> "VARCHAR"))),
 
+    // multimodal VIDEO metadata end to end: deterministic ISO-BMFF (MP4)
+    // headers assembled per document (mix64-derived timescale/duration/
+    // dims, real public-spec box layout via VideoCodecs.encodeMp4Header),
+    // then the REAL parse path — sniff (ftyp) -> box walk -> mvhd
+    // timescale+duration, tkhd 16.16 dims. The duration/resolution/track
+    // metadata a curation pipeline filters on parses from real container
+    // bytes; only frame-pixel decode stays stubbed (README "Unsupported
+    // media codecs"). golden_m04.py re-derives every field analytically.
+    Q("m04_video_meta", (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).map { case (id, text) =>
+        var h = graft.functions.TextAnalysis.mix64(text.hashCode.toLong ^ 0x51deaL)
+        val timescale = 600L + java.lang.Long.remainderUnsigned(h, 90000L)
+        h = graft.functions.TextAnalysis.mix64(h)
+        val durTicks = java.lang.Long.remainderUnsigned(h, 10000000L)
+        h = graft.functions.TextAnalysis.mix64(h)
+        val w = (16L * (1L + java.lang.Long.remainderUnsigned(h, 256L))).toInt
+        h = graft.functions.TextAnalysis.mix64(h)
+        val ht = (16L * (1L + java.lang.Long.remainderUnsigned(h, 256L))).toInt
+        h = graft.functions.TextAnalysis.mix64(h)
+        val mdat = new Array[Byte](64 + (h & 0xff).toInt)
+        (id, graft.functions.Multimodal.VideoCodecs.encodeMp4Header(
+          "isom", timescale, durTicks, w, ht, mdat))
+      }.toDF("id", "data")
+      graft.functions.Multimodal.describeVideo(media, "id", "data")
+        .select($"media_id", $"format", $"n_bytes", $"brand",
+          $"timescale", round($"duration_s", 6).as("duration_s"),
+          $"n_tracks", $"width", $"height")
+        .orderBy($"media_id")
+    }, Some(Q.golden("m04_video_sf001.tsv", "media_id" -> "BIGINT",
+      "format" -> "VARCHAR", "n_bytes" -> "BIGINT", "brand" -> "VARCHAR",
+      "timescale" -> "BIGINT", "duration_s" -> "DOUBLE",
+      "n_tracks" -> "INTEGER", "width" -> "INTEGER",
+      "height" -> "INTEGER"))),
+
     Q("v05_cosine_dedup", (s, dir) => {
       import s.implicits._
       // random 64-dim embeddings rarely exceed ~0.3 cosine; 0.25 keeps the

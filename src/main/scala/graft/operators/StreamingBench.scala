@@ -32,13 +32,17 @@ object StreamingBench {
     Lane(rowsPerBatch, times.length, s(s.length / 2), s.head, times)
   }
 
-  def run(spark: SparkSession, sfDir: String, batches: Int = 5)
-      : Seq[(String, Lane)] = {
+  /** Runs the streaming lanes whose name passes `selected`. The filter is
+    * applied BEFORE a lane's thunk is invoked, so a deselected lane pays
+    * nothing — no index build, no ANN train, no micro-batches (the sf1.0
+    * targeted-sweep contract of SPARK_GRAFT_BENCH_ONLY). */
+  def run(spark: SparkSession, sfDir: String, batches: Int = 5,
+      selected: String => Boolean = _ => true): Seq[(String, Lane)] = {
     Seq(
       "stream_classify" -> (() => classifyLane(spark, sfDir, batches)),
       "stream_dedup" -> (() => dedupLane(spark, sfDir, batches)),
       "ann_probe_stream" -> (() => annLane(spark, sfDir, batches))
-    ).map { case (name, lane) =>
+    ).filter { case (name, _) => selected(name) }.map { case (name, lane) =>
       name -> (try lane() catch { case e: Throwable =>
         System.err.println(s"[bench] streaming $name FAILED: $e")
         e.printStackTrace()
@@ -63,6 +67,9 @@ object StreamingBench {
     val records = index.makeRecords(lib)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     records.count()
+    // build the broadcast classifier ONCE and hand it to the stream (the
+    // prebuilt overload) — building it here AND inside the stream would
+    // collect + broadcast the key-taxon table twice
     val mem = index.inMemoryClassifier(records)
     // deterministic read batches cycled from a bounded genome sample
     val genomes = lib.limit(512).collect()
@@ -75,8 +82,8 @@ object StreamingBench {
           None)
       }
     val stream = MemoryStream[InputFragment]
-    val query = StreamingClassifier.classifyStreamInMemory(index,
-      stream.toDS(), records, minHitGroups = 1) { (_, classified) =>
+    val query = StreamingClassifier.classifyStreamInMemory(mem,
+      stream.toDS(), confidence = 0.0, minHitGroups = 1) { (_, classified) =>
       classified.write.format("noop").mode("overwrite").save()
     }.start()
     try stats(rowsPerBatch, (0 until batches).map { b =>

@@ -46,9 +46,19 @@ object StreamingClassifier {
     * deployment: one resident index, an unbounded read stream). */
   def classifyStreamInMemory(index: KeyedIndex, reads: Dataset[InputFragment],
       records: DataFrame, confidence: Double = 0.0, minHitGroups: Int = 2)(
+      sink: (Long, Dataset[ClassifiedRead]) => Unit): DataStreamWriter[InputFragment] =
+    classifyStreamInMemory(index.inMemoryClassifier(records), reads,
+      confidence, minHitGroups)(sink)
+
+  /** [[classifyStreamInMemory]] over a PREBUILT classifier: the caller owns
+    * the broadcast table's lifetime (build once, `close()` after the stream
+    * stops) — the shape a long-lived serving deployment needs, and the one
+    * that avoids collecting + broadcasting the key-taxon table twice when
+    * the caller already holds a classifier. */
+  def classifyStreamInMemory(mem: graft.index.InMemoryClassifier,
+      reads: Dataset[InputFragment], confidence: Double, minHitGroups: Int)(
       sink: (Long, Dataset[ClassifiedRead]) => Unit): DataStreamWriter[InputFragment] = {
     require(reads.isStreaming, "reads must be a streaming Dataset")
-    val mem = index.inMemoryClassifier(records)
     reads.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[InputFragment], batchId: Long) =>

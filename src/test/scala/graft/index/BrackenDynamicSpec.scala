@@ -5,6 +5,7 @@ import graft.SparkSessionTestWrapper
 import graft.kmers.SupermerScanner
 import graft.sources.InputFragment
 import graft.taxa.{LcaResolver, Taxonomy}
+import org.apache.spark.sql.functions.regexp_extract
 import scala.util.Random
 
 class BrackenSpec extends AnyFunSuite with SparkSessionTestWrapper {
@@ -492,6 +493,33 @@ class IndexOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bySample.map(_._3).sum == 60)
   }
 
+  test("multi-sample classification is width-generic (wide m=33 keys)") {
+    // regression for the r14 narrow-type straggler: classifyMultiSample
+    // took MinimizerIndex, so a wide/xwide caller had to copy the body
+    import spark.implicits._
+    val wideGenomes = Map(4 -> randomDna(2500), 5 -> randomDna(2500))
+    val idx = new WideMinimizerIndex(k = 45, m = 33, bcTax)
+    val records = idx.buildRecords(spark.createDataset(wideGenomes.toSeq))
+    val reads = (0 until 60).map { i =>
+      val sample = s"S${i % 3}"
+      val g = wideGenomes(if (i % 2 == 0) 4 else 5)
+      val s = rng.nextInt(g.length - 200)
+      InputFragment(s"${sample}R$i", 0L, g.substring(s, s + 200), None)
+    }
+    val ds = spark.createDataset(reads)
+    val bySample = IndexOps.classifyMultiSample(idx, ds, records, "(S\\d+)R")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(bySample.map(_._1).distinct.sorted.toSeq == Seq("S0", "S1", "S2"))
+    assert(bySample.map(_._3).sum == 60)
+    // per-(sample, taxon) counts must equal the single-sample classify
+    // regrouped — the multisample path adds the sample split, nothing else
+    val direct = idx.classify(idx.spans(ds), records)
+      .withColumn("sample", regexp_extract($"title", "(S\\d+)R", 1))
+      .groupBy($"sample", $"taxon").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(bySample.sorted.toSeq == direct.sorted.toSeq)
+  }
+
   test("per-sample output sink writes kraken-format gzip text") {
     import spark.implicits._
     val records = index.makeRecords(lib)
@@ -502,7 +530,7 @@ class IndexOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     val classified = index.classify(index.spans(spark.createDataset(reads)), records)
     val out = java.nio.file.Files.createTempDirectory("graft-out").toString + "/reads"
-    IndexOps.writePerSampleOutput(classified, "(S\\d+)R", out, maxPartitions = 2)
+    IndexOps.writePerSampleOutput(classified, Some("(S\\d+)R"), out, maxPartitions = 2)
     val back = spark.read.text(out + "/sample=S0").collect()
     assert(back.nonEmpty)
     assert(back.head.getString(0).matches("[CU]\t.*\t-?[0-9]+\t[0-9]+\t.*"))

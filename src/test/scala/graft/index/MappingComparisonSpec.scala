@@ -88,7 +88,7 @@ class MappingComparisonSpec extends AnyFunSuite with SparkSessionTestWrapper {
     import spark.implicits._
     val c = classified(("read a", 4), ("read b", 0))
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/out"
-    IndexOps.writePerSampleOutput(c, "^(.*)$", dir, maxPartitions = 1)
+    IndexOps.writePerSampleOutput(c, None, dir, maxPartitions = 1)
     val back = MappingComparison.readKrakenOutput(spark, dir + "/sample=*")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(back == Map("read a" -> 4, "read b" -> 0))

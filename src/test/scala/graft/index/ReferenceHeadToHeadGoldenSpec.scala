@@ -1,0 +1,95 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionTestWrapper
+import graft.sources.Sequences
+import graft.taxa.Taxonomy
+
+/** End-to-end classification-accuracy head-to-head against the REFERENCE
+  * ENGINE'S OWN MEASURED OUTPUT on its shipped test data.
+  *
+  * The golden numbers below were produced by running the reference engine
+  * itself in this sandbox (compiled from /root/reference sources via
+  * tools/refbaseline/run_baseline.sh — see BASELINE.md "Measured
+  * head-to-head") on exactly the inputs this spec rebuilds:
+  *
+  *   library  = SRR094926_10k.fasta (9,845 cow-rumen reads, labels
+  *              alternating 455631/526997 in file order)
+  *              + Akashinriki_10k.fasta chr1H -> 9606
+  *   reads    = ERR599052_10k.fastq (10,000 Tara-ocean reads)
+  *   params   = k=35, m=31, spaces=7 (the reference build command's own
+  *              defaults), confidence 0, minHitGroups 2
+  *
+  * Reference output (kreport + per-read kraken lines, sample=all):
+  *   index records:     348,619
+  *   output rows:       9,992 (the 8 reads shorter than k produce no row)
+  *   unclassified:      9,988
+  *   classified:        ERR599052.3    -> 455631
+  *                      ERR599052.7563 -> 9606
+  *                      ERR599052.8389 -> 455631
+  *                      ERR599052.8892 -> 455631
+  *
+  * Matching ALL of these pins graft to the reference bit-for-bit on real
+  * published sequencing data: same minimizer set (record count), same
+  * per-read decisions, same short-read semantics.
+  */
+class ReferenceHeadToHeadGoldenSpec extends AnyFunSuite
+    with SparkSessionTestWrapper {
+
+  private val dir = "/root/reference/testData"
+
+  test("graft reproduces the reference engine's measured classification " +
+    "on its shipped data (k=35, m=31, s=7)") {
+    import spark.implicits._
+    val ss = spark
+
+    // Taxonomy = the reference's hardcoded tiny test taxonomy (its test
+    // sources' TestData.taxonomy): two strains + one species under root.
+    val tax = Taxonomy.fromTuples(Seq(
+      (455631, 1, "strain", "Clostridioides difficile QCD-66c26"),
+      (526997, 1, "strain", "Bacillus mycoides DSM 2048"),
+      (9606, 1, "species", "Homo sapiens")))
+    val bcTax = ss.sparkContext.broadcast(tax)
+
+    // Labels assigned in FILE order (the same deterministic rule the
+    // head-to-head harness uses): SRR reads alternate the two strains,
+    // barley chr1H is 9606. Read locally so ordering is unambiguous.
+    def headers(path: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().filter(_.startsWith(">"))
+        .map(_.drop(1).takeWhile(_ != ' ')).toVector
+      finally src.close()
+    }
+    val srrLabels = headers(s"$dir/SRR094926_10k.fasta").zipWithIndex.map {
+      case (h, i) => (h, if (i % 2 == 0) 455631 else 526997)
+    }
+    val labels = (srrLabels :+ ("chr1H" -> 9606)).toMap
+
+    val lib = (Sequences.fasta(ss, s"$dir/SRR094926_10k.fasta") union
+        Sequences.fasta(ss, s"$dir/Akashinriki_10k.fasta"))
+      .map(f => (labels(f.header), f.nucleotides))
+      .repartition(8)
+
+    val index = new MinimizerIndex(
+      IndexParams(k = 35, m = 31, spaces = 7, buckets = 8), bcTax)
+    val records = index.makeRecords(lib).persist()
+    try {
+      // same minimizer-LCA set as the reference's measured build
+      assert(records.count() === 348619L)
+
+      val reads = Sequences.fastq(ss, s"$dir/ERR599052_10k.fastq")
+      val out = index.classify(index.spans(reads), records,
+          confidence = 0.0, minHitGroups = 2)
+        .collect()
+      assert(out.length === 9992)
+      assert(out.count(!_.classified) === 9988)
+      val classified = out.filter(_.classified)
+        .map(c => c.title -> c.taxon).sorted.toSeq
+      assert(classified === Seq(
+        "ERR599052.3" -> 455631,
+        "ERR599052.7563" -> 9606,
+        "ERR599052.8389" -> 455631,
+        "ERR599052.8892" -> 455631))
+    } finally { records.unpersist(); bcTax.destroy() }
+  }
+}

@@ -334,6 +334,28 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("m04 video metadata matches the analytic box-layout golden") {
+    // golden from tools/golden_m04.py: timescale/duration/dims/mdat length
+    // are fully determined BEFORE the ISO-BMFF round trip (java hashCode +
+    // mix64 chain) and the box sizes are fixed by the public spec
+    // (n_bytes = 244 + mdat), so pure-Python field math independently
+    // verifies the encodeMp4Header -> sniff -> box-walk parse path
+    assume(new java.io.File(sfDir).isDirectory)
+    val url = getClass.getResource("/golden/m04_video_sf001.tsv")
+    assert(url != null)
+    val src = scala.io.Source.fromURL(url)
+    val expected = try src.getLines().map { l =>
+      val f = l.split("\t")
+      (f(0).toLong, f(1), f(2).toLong, f(3), f(4).toLong, f(5).toDouble,
+        f(6).toInt, f(7).toInt, f(8).toInt)
+    }.toVector finally src.close()
+    val got = SparkEntrySpecAccess.run("m04_video_meta", spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getDouble(5), r.getInt(6),
+        r.getInt(7), r.getInt(8))).toVector
+    assert(got == expected)
+  }
+
   test("t08 SimHash pairs match the independent golden") {
     assume(new java.io.File(sfDir).isDirectory)
     val url = getClass.getResource("/golden/t08_simhash_sf001.tsv")

@@ -77,7 +77,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "v07_pq_knn" -> ((3, 0)), "v08_int8_knn" -> ((2, 0)),
     "v09_cosine_pairs_exact" -> ((1, 1)), "v10_ivfpq_knn" -> ((1, 0)),
     "m01_media_features" -> ((1, 0)), "m02_audio_features" -> ((1, 0)),
-    "m03_frame_sample" -> ((1, 0)),
+    "m03_frame_sample" -> ((1, 0)), "m04_video_meta" -> ((1, 0)),
     "c01_kmeans" -> ((1, 0)), "c02_semantic_dedup" -> ((1, 0)),
     "c03_cluster_sample" -> ((2, 0)), "c04_centroid_outliers" -> ((2, 0)),
     "c05_kmeans_sampled" -> ((1, 0)), "c06_kmeans_scatter" -> ((1, 0)),

@@ -82,7 +82,7 @@ class IndexCompareSpec extends AnyFunSuite with graft.SparkSessionTestWrapper {
     import spark.implicits._
     val a = Seq((1L, 4), (2L, 4), (3L, 5)).toDF("id1", "taxon")
     val b = Seq((1L, 4), (2L, 2), (4L, 5)).toDF("id1", "taxon") // 2L lifted, 3L gone, 4L new
-    val got = IndexOps.compareIndexes(a, b, bcTax).collect()
+    val got = IndexOps.compareIndexes(a, b, bcTax, Seq("id1")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got(0) == 1)   // 1L unchanged
     assert(got(-1) == 1)  // 2L species(2) -> genus(1)

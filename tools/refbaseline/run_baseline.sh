@@ -1,0 +1,226 @@
+#!/bin/bash
+# Measured head-to-head: the reference engine (Slacken, compiled from
+# /root/reference sources) vs graft, on IDENTICAL inputs derived only from
+# the reference's own shipped test data, same JVM, same Spark jars, same
+# master (local[32]), same shuffle-partition/bucket count (32), same
+# k/m/spaces (35/31/7 — the reference build command's own defaults).
+#
+# The reference's two unavailable dependencies (org.rogach:scallop CLI
+# parser, it.unimi.dsi:fastutil) are shimmed with the minimal
+# public-API-compatible implementations in tools/refbaseline/shim/ (this
+# sandbox has no network, so the real artifacts cannot be resolved), and
+# two imports are rewritten for the Scala 2.13 / Spark 4 toolchain both
+# engines share (scala-collection-compat no-ops on 2.13; one
+# spark.sqlContext.implicits -> spark.implicits). Nothing about the
+# reference's algorithms or plans is modified.
+#
+# Stages timed (full CLI wall clock per run, JVM + session startup
+# included on both sides — both pay the same ~10 s floor):
+#   build:    genome library + taxonomy -> minimizer-LCA index on disk
+#   classify: fastq reads -> per-read classifications + kraken report
+# Tiers:
+#   t1: shipped data verbatim (SRR094926_10k.fasta + Akashinriki_10k.fasta
+#       as the 3-taxon library; ERR599052_10k.fastq as reads)
+#   t2: the same data replicated REP_FACTOR x with fresh sequence ids
+#       (library) / repeated records (reads) — identical files, both engines
+# Output: /tmp/refbench/out/headtohead.json (+ per-run logs)
+set -euo pipefail
+
+REPO=${REPO:-/root/repo}
+REF=${REF:-/root/reference}
+WORK=${WORK:-/tmp/refbench}
+BUILD=${BUILD:-/tmp/refbuild}
+REPS=${REPS:-3}
+REP_FACTOR=${REP_FACTOR:-64}
+HEAP=${HEAP:-20g}
+CPUS=${CPUS:-32}
+BUCKETS=${BUCKETS:-32}
+
+SPARKCP=$(ls /opt/spark/jars/*.jar | tr '\n' ':')
+CC=<redacted-local-cache-path>
+CPJ="$CC/scala-compiler/2.13.17/scala-compiler-2.13.17.jar:$CC/scala-reflect/2.13.17/scala-reflect-2.13.17.jar:$CC/scala-library/2.13.17/scala-library-2.13.17.jar"
+
+JVM_FLAGS=(
+  -Xmx$HEAP
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+  -Djdk.reflect.useDirectMethodHandleAccessor=false
+  -Dspark.master=local[$CPUS]
+  -Dspark.ui.enabled=false
+  -Dspark.sql.shuffle.partitions=$BUCKETS
+  -Dlog4j2.level=warn
+)
+
+# ---------------------------------------------------------------- compile
+compile_reference() {
+  echo "[refbaseline] compiling reference at $BUILD"
+  rm -rf "$BUILD"
+  mkdir -p "$BUILD/classes" "$BUILD/jsrc/com/jnpersson/fastdoop"
+  cp -r "$REF/src/main/scala" "$BUILD/srcs"
+  cp "$REF/src/main/java/com/jnpersson/fastdoop/PartialSequence.java" \
+    "$BUILD/jsrc/com/jnpersson/fastdoop/"
+  cp "$REPO"/tools/refbaseline/shim/*.scala "$BUILD/"
+  # Scala 2.13 / Spark 4 toolchain compat (both engines share it):
+  # scala-collection-compat is an empty façade on 2.13, and
+  # spark.sqlContext stopped being a stable import path in Spark 4.
+  sed -i 's/^import scala.collection.compat.immutable.ArraySeq$/import scala.collection.immutable.ArraySeq/' \
+    "$BUILD/srcs/com/jnpersson/kmers/SplitterFormat.scala"
+  sed -i '/^import scala.collection.compat._$/d' \
+    "$BUILD/srcs/com/jnpersson/slacken/BrackenWeights.scala" \
+    "$BUILD/srcs/com/jnpersson/kmers/input/FileInputs.scala"
+  sed -i 's/import spark.sqlContext.implicits._/import spark.implicits._/' \
+    "$BUILD/srcs/com/jnpersson/slacken/Minimizers.scala"
+  (cd "$BUILD" &&
+    javac -d classes -cp "$SPARKCP" jsrc/com/jnpersson/fastdoop/PartialSequence.java &&
+    java -cp "$CPJ" scala.tools.nsc.Main -classpath "$SPARKCP:classes" \
+      -d classes -release 17 \
+      $(find srcs -name '*.scala') fastutil.scala scallop.scala globalmentor.scala)
+  echo "[refbaseline] reference compiled"
+}
+
+# ------------------------------------------------------------------- data
+gen_data() {
+  echo "[refbaseline] generating shared inputs at $WORK/data"
+  rm -rf "$WORK"
+  mkdir -p "$WORK/data/taxonomy" "$WORK/data/t1/lib/library" \
+    "$WORK/data/t2/lib/library" "$WORK/out" "$WORK/scratch_ref" \
+    "$WORK/scratch_graft"
+
+  # Tiny taxonomy matching the reference's own hardcoded test taxonomy
+  # (reference src/test .../Testing.scala TestData.taxonomy): two strains
+  # and one species, all direct children of root.
+  cat > "$WORK/data/taxonomy/nodes.dmp" <<'EOF'
+1	|	1	|	no rank	|
+455631	|	1	|	strain	|
+526997	|	1	|	strain	|
+9606	|	1	|	species	|
+EOF
+  cat > "$WORK/data/taxonomy/names.dmp" <<'EOF'
+1	|	root	|		|	scientific name	|
+455631	|	Clostridioides difficile QCD-66c26	|		|	scientific name	|
+526997	|	Bacillus mycoides DSM 2048	|		|	scientific name	|
+9606	|	Homo sapiens	|		|	scientific name	|
+EOF
+  : > "$WORK/data/taxonomy/merged.dmp"
+
+  # t1 library: every shipped sequence, labels derived deterministically —
+  # Akashinriki chr1H -> 9606, SRR reads alternate 455631/526997.
+  cat "$REF/testData/SRR094926_10k.fasta" "$REF/testData/Akashinriki_10k.fasta" \
+    > "$WORK/data/t1/lib/library/genomes.fna"
+  awk '/^>/{
+    split(substr($0,2), h, " ");
+    if (h[1] == "chr1H") t = 9606; else { t = (n % 2 == 0) ? 455631 : 526997; n++ }
+    print h[1] "\t" t
+  }' "$WORK/data/t1/lib/library/genomes.fna" > "$WORK/data/t1/lib/seqid2taxid.map"
+  cp "$REF/testData/ERR599052_10k.fastq" "$WORK/data/t1/reads.fastq"
+
+  # t2: REP_FACTOR x replication. Library copies get fresh sequence ids
+  # (suffix _rN) so every copy contributes records; reads replicate as-is
+  # (classification treats records independently).
+  for ((r = 0; r < REP_FACTOR; r++)); do
+    awk -v r=$r '/^>/{ split(substr($0,2), h, " "); print ">" h[1] "_r" r; next } { print }' \
+      "$WORK/data/t1/lib/library/genomes.fna"
+  done > "$WORK/data/t2/lib/library/genomes.fna"
+  for ((r = 0; r < REP_FACTOR; r++)); do
+    awk -v r=$r '{ print $1 "_r" r "\t" $2 }' "$WORK/data/t1/lib/seqid2taxid.map"
+  done > "$WORK/data/t2/lib/seqid2taxid.map"
+  # reads replicate with UNIQUE titles per copy (suffix _rN on the @ line):
+  # kraken-style classification keys reads by title, so verbatim duplicates
+  # would collapse into one logical read with N-fold hit multiplicity on
+  # the per-title regroup — a different computation, not 64x the data
+  for ((r = 0; r < REP_FACTOR; r++)); do
+    awk -v r=$r 'NR % 4 == 1 { split($0, h, " "); print h[1] "_r" r; next } { print }' \
+      "$WORK/data/t1/reads.fastq"
+  done > "$WORK/data/t2/reads.fastq"
+  du -sh "$WORK"/data/t*/lib/library/genomes.fna "$WORK"/data/t*/reads.fastq
+}
+
+# ------------------------------------------------------------------- runs
+run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
+  local name=$1 cwd=$2 log=$3; shift 3
+  local t0 t1
+  t0=$(date +%s.%N)
+  (cd "$cwd" && "$@") >> "$log" 2>&1
+  t1=$(date +%s.%N)
+  echo "$(echo "$t1 $t0" | awk '{printf "%.2f", $1-$2}')"
+}
+
+ref_cmd() { # scratch-cwd log args...
+  local cwd=$1 log=$2; shift 2
+  run_timed ref "$cwd" "$log" java "${JVM_FLAGS[@]}" \
+    -Dderby.system.home="$WORK/scratch_ref" \
+    -Dspark.sql.warehouse.dir="$WORK/scratch_ref/warehouse" \
+    -cp "$SPARKCP:$BUILD/classes" com.jnpersson.slacken.Slacken \
+    --partitions $BUCKETS "$@"
+}
+
+graft_cmd() { # scratch-cwd log args...
+  local cwd=$1 log=$2; shift 2
+  SPARK_MASTER=local[$CPUS] run_timed graft "$cwd" "$log" \
+    java "${JVM_FLAGS[@]}" \
+    -Dderby.system.home="$WORK/scratch_graft" \
+    -Dspark.sql.warehouse.dir="$WORK/scratch_graft/warehouse" \
+    -cp "$SPARKCP:$REPO/target/scala-2.13/classes" graft.Main \
+    "$@" -p $BUCKETS
+}
+
+main() {
+  if [[ -z ${SKIP_COMPILE:-} ]]; then compile_reference; fi
+  gen_data
+  echo "[refbaseline] building graft classes"
+  (cd "$REPO" && sbt -batch compile > "$WORK/out/sbt_compile.log" 2>&1)
+
+  declare -A TIMES
+  for tier in ${TIERS:-t1 t2}; do
+    D=$WORK/data/$tier
+    tierReps=$REPS
+    [[ $tier == t2 ]] && tierReps=${REPS_T2:-$REPS}
+    for rep in $(seq 1 $tierReps); do
+      for eng in ref graft; do
+        rm -rf "$WORK/idx_${eng}_$tier" "$WORK/out_${eng}_$tier" \
+          "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
+        if [[ $eng == ref ]]; then
+          b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_${tier}_build_$rep.log" \
+            build -k 35 -m 31 --spaces 7 \
+            --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+            --index "$WORK/idx_ref_$tier")
+          c=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_${tier}_classify_$rep.log" \
+            classify --index "$WORK/idx_ref_$tier" \
+            --output "$WORK/out_ref_$tier" -c 0.0 "$D/reads.fastq")
+        else
+          b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_${tier}_build_$rep.log" \
+            build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+            --library "$D/lib/library/genomes.fna" \
+            --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_$tier")
+          c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_${tier}_classify_$rep.log" \
+            classify --index "$WORK/idx_graft_$tier" --reads "$D/reads.fastq" \
+            --output "$WORK/out_graft_$tier")
+        fi
+        TIMES[${eng}_${tier}_build_$rep]=$b
+        TIMES[${eng}_${tier}_classify_$rep]=$c
+        echo "[refbaseline] $eng $tier rep$rep: build=${b}s classify=${c}s"
+      done
+    done
+  done
+
+  {
+    echo -n '{"reps":'$REPS',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7"'
+    for key in "${!TIMES[@]}"; do echo -n ",\"$key\":${TIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead.json"
+  cat "$WORK/out/headtohead.json"
+}
+
+main "$@"
