@@ -286,7 +286,6 @@ class MinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
-
   test("kreport emits sub-rank codes for unranked taxa (G1, G2, ...)") {
     // genus 2 <- no-rank 3 <- no-rank 4 <- species 5
     val t = Taxonomy.fromTuples(Seq(

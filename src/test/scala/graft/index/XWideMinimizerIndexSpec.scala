@@ -81,7 +81,6 @@ class XWideMinimizerIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
-
   test("mergeIndexes(build(A), build(B)) == build(A ∪ B) at every key " +
     "width — the exactness contract of incremental library growth") {
     import spark.implicits._
