@@ -86,7 +86,8 @@ object Main {
       "classify" -> (common ++ Set("index", "reads", "reads2", "c",
         "min-hit-groups", "sample-regex", "in-memory", "output")),
       "classify2" -> (common ++ Set("index", "library", "library-fai", "labels",
-        "reads", "reads2", "rank", "threshold", "bracken-read-len", "gold",
+        "reads", "reads2", "rank", "threshold", "criterion", "c",
+        "init-confidence", "min-hit-groups", "bracken-read-len", "gold",
         "sample-regex", "per-sample", "output", "k")),
       "bracken" -> (common ++ Set("index", "library", "library-fai", "labels",
         "read-len", "chunks", "checkpoint", "output", "k")),
@@ -523,6 +524,20 @@ object Main {
         }
         val rank = { val r = opts.getOrElse("rank", "species"); parseRank(r); r }
         val threshold = opts.getOrElse("threshold", "100").toLong
+        // --criterion reads|total|distinct: the first-pass taxon-evidence
+        // heuristic (reference -R / -C / -D, Slacken.scala:211-217);
+        // --init-confidence applies to the `reads` first pass only
+        // (reference --init-confidence, default 0.15 there)
+        val criterion = opts.getOrElse("criterion", "distinct") match {
+          case "reads" => ClassifiedReads
+          case "total" => TotalMinimizers
+          case "distinct" => DistinctMinimizers
+          case other => throw new IllegalArgumentException(
+            s"--criterion must be reads|total|distinct (got $other)")
+        }
+        val confidence = opts.getOrElse("c", "0.0").toDouble
+        val minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt
+        val initConfidence = opts.get("init-confidence").map(_.toDouble)
         if (boolOpt(opts, "per-sample").getOrElse(false)) {
           // --per-sample (opt-in, needs --sample-regex): every sample gets
           // its own taxon selection and tailored sub-index, in one
@@ -552,10 +567,29 @@ object Main {
         } else {
           val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
             loadReads(spark, opts), loadLibrary(spark, opts), records,
-            rank = rank, threshold = threshold, goldSet = goldSet)
+            criterion = criterion, rank = rank, threshold = threshold,
+            confidence = confidence, minHitGroups = minHitGroups,
+            goldSet = goldSet, initConfidence = initConfidence)
           println(s"selected ${selected.size} taxa")
-          IndexOps.writePerSampleOutput(classified,
+          // persist the detected taxon set for later inspection, like the
+          // reference (Dynamic.scala:325 writes output + "_taxonSet.txt");
+          // graft's set is the post-descendant-expansion selection
+          locally {
+            val p = new org.apache.hadoop.fs.Path(opts("output") + "_taxonSet.txt")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val sw = new java.io.PrintWriter(fs.create(p, true), false,
+              java.nio.charset.StandardCharsets.UTF_8)
+            try selected.toSeq.sorted.foreach(t => sw.println(t))
+            finally sw.close()
+          }
+          val cached = classified
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          IndexOps.writePerSampleOutput(cached,
             opts.get("sample-regex"), opts("output"))
+          // overall kreport on stdout, same as classify (the reference's
+          // classify2 also ends in classifyHitsAndWrite -> kreport)
+          ClassifyKernel.report(cached, bcTax).lines.foreach(println)
+          cached.unpersist()
           // optional bracken weights against the DYNAMIC sub-index (reference
           // Dynamic.scala:339-344): tailored to the selected-taxa set
           for (rl <- opts.get("bracken-read-len")) {

@@ -104,11 +104,12 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
-      goldSet: Option[Set[Int]] = None)
+      goldSet: Option[Set[Int]] = None,
+      initConfidence: Option[Double] = None)
       : (Dataset[ClassifiedRead], collection.BitSet, () => Unit) = {
     val (classified, taxa, _, _, cleanup) = classify2Full(reads, library,
       staticRecords, criterion, rank, threshold, confidence, minHitGroups,
-      goldSet)
+      goldSet, initConfidence)
     (classified, taxa, cleanup)
   }
 
@@ -117,11 +118,16 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     * bracken weights or persist the dynamic index without rebuilding.
     * The last element releases the internal caches (spans + dynamic
     * records) — call it once every derived output is materialized. */
+  /** @param initConfidence confidence for the FIRST pass only (the
+    *   ClassifiedReads evidence scan) — the reference's --init-confidence
+    *   (Slacken.scala:219-221, default 0.15 there); None = reuse
+    *   `confidence`, the pre-existing behavior. */
   def classify2Full(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
       staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
-      goldSet: Option[Set[Int]] = None)
+      goldSet: Option[Set[Int]] = None,
+      initConfidence: Option[Double] = None)
       : (Dataset[ClassifiedRead], collection.BitSet,
         Dataset[(Int, String)], DataFrame, () => Unit) = {
     val spark = reads.sparkSession
@@ -134,8 +140,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       case None =>
         // forward the caller's classify params so the ClassifiedReads
         // criterion counts first-pass reads at the same thresholds the final
-        // pass uses (and classify2MultiSample on one sample stays equivalent)
-        val ev = evidence(spans, staticRecords, criterion, confidence,
+        // pass uses (and classify2MultiSample on one sample stays equivalent);
+        // initConfidence overrides the first-pass confidence only
+        val ev = evidence(spans, staticRecords, criterion,
+          initConfidence.getOrElse(confidence),
           minHitGroups).as[(Int, Long)].collect()
         selectTaxa(ev, rank, threshold)
     }

@@ -228,6 +228,121 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for (l <- lines) assert(l.matches("-?[0-9]+\t[0-9]+:[0-9]+:[0-9.]+( .*)?"), l)
   }
 
+  test("CLI: classify2 --criterion reads honors --init-confidence on the " +
+      "first pass only and writes the detected taxon set") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-c2")
+    val genomes = Map(4 -> dna(3000), 5 -> dna(3000))
+    write(dir.resolve("lib.fasta"),
+      s">s4\n${genomes(4)}\n>s5\n${genomes(5)}\n")
+    write(dir.resolve("labels.tsv"), "s4\t4\ns5\t5\n")
+    write(dir.resolve("tax/nodes.dmp"),
+      "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n" +
+        "4\t|\t2\t|\tspecies\t|\n5\t|\t2\t|\tspecies\t|\n")
+    write(dir.resolve("tax/names.dmp"),
+      "1\t|\troot\t|\t\t|\tscientific name\t|\n" +
+        "2\t|\tgenus g\t|\t\t|\tscientific name\t|\n" +
+        "4\t|\tspecies four\t|\t\t|\tscientific name\t|\n" +
+        "5\t|\tspecies five\t|\t\t|\tscientific name\t|\n")
+    val idx = dir.resolve("idx").toString
+    Main.main(Array("build", "--k", "35", "--m", "31", "--s", "7", "--p", "4",
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--output", idx))
+    val fqSb = new StringBuilder
+    for (i <- 0 until 30) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 150)
+      fqSb.append(s"@cr$i\n${g.substring(s, s + 150)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("reads.fastq"), fqSb.toString)
+
+    def taxonSet(out: String): Set[Int] = {
+      val p = java.nio.file.Paths.get(out + "_taxonSet.txt")
+      assert(Files.exists(p), s"missing $p")
+      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
+        .asScala.filter(_.nonEmpty).map(_.toInt).toSet
+    }
+    def classifiedCount(out: String): Int =
+      Files.list(java.nio.file.Paths.get(out, "sample=all"))
+        .toArray.map(_.toString).filter(_.endsWith(".gz"))
+        .map { f =>
+          val in = new java.util.zip.GZIPInputStream(
+            java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
+          try scala.io.Source.fromInputStream(in).getLines()
+            .count(_.startsWith("C\t"))
+          finally in.close()
+        }.sum
+
+    // reads criterion at a passable threshold: both species detected,
+    // second pass classifies everything the static pass could
+    val outA = dir.resolve("c2a").toString
+    Main.main(Array("classify2", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--reads", dir.resolve("reads.fastq").toString,
+      "--criterion", "reads", "--threshold", "3",
+      "--init-confidence", "0.0", "--min-hit-groups", "1",
+      "--output", outA))
+    assert(taxonSet(outA) == Set(4, 5))
+    assert(classifiedCount(outA) == 30)
+
+    // chimeric reads (half random, half genome) classify with confidence
+    // ~0.35 — above 0.0, below 0.9. With --init-confidence 0.9 the FIRST
+    // pass starves (no evidence) even though the final -c stays 0.0:
+    // nothing selected, nothing classified — pins the knob as
+    // first-pass-only. The control below re-runs at init 0.0 and selects.
+    val noisySb = new StringBuilder
+    for (i <- 0 until 30) {
+      val t = if (i % 2 == 0) 4 else 5
+      val g = genomes(t)
+      val s = rng.nextInt(g.length - 75)
+      noisySb.append(s"@nr$i\n${dna(75)}${g.substring(s, s + 75)}\n+\n")
+        .append("I" * 150).append('\n')
+    }
+    write(dir.resolve("noisy.fastq"), noisySb.toString)
+    val outB = dir.resolve("c2b").toString
+    Main.main(Array("classify2", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--reads", dir.resolve("noisy.fastq").toString,
+      "--criterion", "reads", "--threshold", "1",
+      "--init-confidence", "0.9", "--c", "0.0", "--min-hit-groups", "1",
+      "--output", outB))
+    assert(taxonSet(outB) == Set.empty[Int])
+    assert(classifiedCount(outB) == 0)
+
+    // control: same noisy reads, init 0.0 -> both species selected and the
+    // chimeras classify in the second pass
+    val outC = dir.resolve("c2c").toString
+    Main.main(Array("classify2", "--index", idx,
+      "--taxonomy", dir.resolve("tax").toString,
+      "--library", dir.resolve("lib.fasta").toString,
+      "--labels", dir.resolve("labels.tsv").toString,
+      "--reads", dir.resolve("noisy.fastq").toString,
+      "--criterion", "reads", "--threshold", "3",
+      "--init-confidence", "0.0", "--min-hit-groups", "1",
+      "--output", outC))
+    assert(taxonSet(outC) == Set(4, 5))
+    assert(classifiedCount(outC) == 30)
+
+    // unknown criterion fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("classify2", "--index", idx,
+        "--taxonomy", dir.resolve("tax").toString,
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--reads", dir.resolve("reads.fastq").toString,
+        "--criterion", "bogus", "--output", dir.resolve("c2d").toString))
+    }
+    assert(e.getMessage.contains("criterion"))
+  }
+
   test("CLI: extra-wide (m=96, three-long keys) build -> classify -> " +
     "stats --respace -> bracken, end to end through the sidecar dispatch") {
     spark
