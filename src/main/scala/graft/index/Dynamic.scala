@@ -64,18 +64,36 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
 
   /** Threshold clade-aggregated evidence at a rank; expand with descendants
     * (spec: Dynamic.scala:189-201, CountFilter). Driver-side tree math on
-    * collected per-taxon counts (small). */
+    * collected per-taxon counts (small).
+    *
+    * Reference-exact semantics (proven against the running reference engine
+    * in the classify2 head-to-head, tools/refbaseline): candidates are the
+    * taxa with DIRECT first-pass evidence only (CountFilter iterates
+    * TreeAggregator.keys, KrakenReport.scala:27-41 — ancestors accumulate
+    * clade totals but are not themselves candidates), kept when their
+    * lineage depth is at/below the rank cutoff and their CLADE total (own +
+    * descendants' evidence) reaches the threshold; descendants of every
+    * kept taxon are pulled in afterwards (Dynamic.scala:377). A species
+    * ancestor with no direct evidence is NOT selected even when its strains'
+    * combined evidence passes the threshold — each strain must pass on its
+    * own clade. */
   def selectTaxa(evidenceCounts: Array[(Int, Long)], rank: String,
       threshold: Long): collection.BitSet = {
     val tax = bcTax.value
-    val rc = Taxonomy.rankCode(rank)
-    val atRank = collection.mutable.Map.empty[Int, Long]
+    val minDepth = Taxonomy.rankCode(rank).toInt
+    val clade = collection.mutable.Map.empty[Int, Long]
     for ((t, c) <- evidenceCounts if t > 0 && tax.isDefined(t)) {
-      val anc = tax.ancestorAtRank(t, rc)
-      if (anc != Taxonomy.NONE)
-        atRank(anc) = atRank.getOrElse(anc, 0L) + c
+      var cur = t
+      while (cur != Taxonomy.NONE) {
+        clade(cur) = clade.getOrElse(cur, 0L) + c
+        cur = tax.parents(cur)
+      }
     }
-    val selected = atRank.collect { case (t, c) if c >= threshold => t }
+    val selected = evidenceCounts.collect {
+      case (t, _) if t > 0 && tax.isDefined(t) &&
+        tax.rankDepth(t) >= minDepth &&
+        clade.getOrElse(t, 0L) >= threshold => t
+    }
     collection.immutable.BitSet.empty ++ tax.withDescendants(selected.toSeq)
   }
 

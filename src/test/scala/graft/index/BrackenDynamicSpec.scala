@@ -189,6 +189,56 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("selectTaxa is reference-exact: clade-thresholded over DIRECTLY " +
+      "evidenced taxa only, never a rank ancestor without its own evidence") {
+    // strains 40/41 under species 4; 60 under species 6
+    val t2 = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g1"), (3, 1, "genus", "g2"),
+      (4, 2, "species", "s4"), (6, 3, "species", "s6"),
+      (40, 4, "strain", "s4a"), (41, 4, "strain", "s4b"),
+      (60, 6, "strain", "s6a")))
+    val d2 = new DynamicClassifier(params,
+      spark.sparkContext.broadcast(t2))
+
+    // combined strain evidence (30+30) passes 50 but NEITHER strain's own
+    // clade does, and species 4 has no direct evidence: selection is EMPTY
+    // (the reference's CountFilter iterates direct-count keys only —
+    // verified against the running reference engine in the head-to-head)
+    assert(d2.selectTaxa(Array(40 -> 30L, 41 -> 30L), "species", 50).isEmpty)
+
+    // direct species evidence passes: species + its strains come in via
+    // descendant expansion
+    assert(d2.selectTaxa(Array(4 -> 60L), "species", 50)
+      == collection.BitSet(4, 40, 41))
+
+    // a strain passing on its own clade selects the strain (not its
+    // sibling, not the species)
+    assert(d2.selectTaxa(Array(40 -> 60L, 41 -> 30L), "species", 50)
+      == collection.BitSet(40))
+
+    // sub-threshold direct species evidence is topped up by descendant
+    // evidence through the CLADE total: 20 at the species + 40 at a strain
+    // selects the species (clade 60) and the evidenced strain (clade 40
+    // falls short on its own... but it is a descendant of the species)
+    assert(d2.selectTaxa(Array(4 -> 20L, 40 -> 40L), "species", 50)
+      == collection.BitSet(4, 40, 41))
+
+    // evidence above the rank cutoff never selects: genus-level evidence
+    // is not a candidate at species rank
+    assert(d2.selectTaxa(Array(2 -> 500L), "species", 50).isEmpty)
+
+    // rank-skipping lineage: a strain directly under a GENUS has lineage
+    // depth genus (< species) — excluded, matching reference
+    // Taxonomy.depth's parent-fallback for nonstandard ranks
+    val t3 = Taxonomy.fromTuples(Seq(
+      (2, 1, "genus", "g1"), (20, 2, "strain", "odd")))
+    val d3 = new DynamicClassifier(params,
+      spark.sparkContext.broadcast(t3))
+    assert(d3.selectTaxa(Array(20 -> 500L), "species", 50).isEmpty)
+    assert(d3.selectTaxa(Array(20 -> 500L), "genus", 50)
+      == collection.BitSet(20))
+  }
+
   test("gold-set mode replaces heuristic selection; metrics score it") {
     import spark.implicits._
     val staticRecords = dyn.index.buildRecords(lib)

@@ -146,6 +146,98 @@ EOF
   du -sh "$WORK"/data/t*/lib/library/genomes.fna "$WORK"/data/t*/reads.fastq
 }
 
+# t3: the classify2 (two-step dynamic classification) tier. Same t2-scale
+# data, but under a HIERARCHICAL taxonomy (strains under species under a
+# genus) — the shipped flat taxonomy has no species ancestor for the two
+# strains, so species-rank taxon selection would be degenerate there.
+# With -R 100 (the reference classify2 default) the expected selection is
+# exactly one species clade: cdiff gets ~192 first-pass reads (>= 100),
+# human 64 (< 100), bmyc 0 — so the second pass MUST drop the human reads
+# that the static pass classified. A real selection, not a no-op.
+gen_data_t3() {
+  echo "[refbaseline] generating t3 (classify2) inputs"
+  local D=$WORK/data/t3
+  mkdir -p "$D/taxonomy" "$D/lib"
+  cat > "$D/taxonomy/nodes.dmp" <<'EOF'
+1	|	1	|	no rank	|
+100	|	1	|	genus	|
+200	|	100	|	species	|
+300	|	100	|	species	|
+455631	|	200	|	strain	|
+526997	|	300	|	strain	|
+9606	|	1	|	species	|
+EOF
+  cat > "$D/taxonomy/names.dmp" <<'EOF'
+1	|	root	|		|	scientific name	|
+100	|	genus one	|		|	scientific name	|
+200	|	Clostridioides difficile	|		|	scientific name	|
+300	|	Bacillus mycoides	|		|	scientific name	|
+455631	|	Clostridioides difficile QCD-66c26	|		|	scientific name	|
+526997	|	Bacillus mycoides DSM 2048	|		|	scientific name	|
+9606	|	Homo sapiens	|		|	scientific name	|
+EOF
+  : > "$D/taxonomy/merged.dmp"
+  cp -r "$WORK/data/t2/lib/library" "$D/lib/library"
+  cp "$WORK/data/t2/lib/seqid2taxid.map" "$D/lib/seqid2taxid.map"
+  cp "$WORK/data/t2/reads.fastq" "$D/reads.fastq"
+}
+
+# Two-step dynamic classification head-to-head. Builds a t3 index per
+# engine (timed), then REPS_C2 reps of classify2 on identical inputs with
+# identical parameters: reads-criterion threshold 100, init confidence 0.0,
+# rank species, final confidence 0.0, min hit groups 2.
+classify2_stage() {
+  gen_data_t3
+  local D=$WORK/data/t3
+  declare -A C2TIMES
+  for rep in $(seq 1 ${REPS_C2:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_t3" "$WORK/out2_${eng}_t3"* \
+        "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_t3_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$D/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_t3")
+        c=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_t3_classify2_$rep.log" \
+          classify2 --index "$WORK/idx_ref_t3" --library "$D/lib" \
+          --reads ${R_THRESH:-100} --init-confidence 0.0 --rank species \
+          --output "$WORK/out2_ref_t3" "$D/reads.fastq")
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_t3_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_t3")
+        c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_t3_classify2_$rep.log" \
+          classify2 --index "$WORK/idx_graft_t3" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" \
+          --reads "$D/reads.fastq" --criterion reads --threshold ${R_THRESH:-100} \
+          --init-confidence 0.0 --rank species \
+          --output "$WORK/out2_graft_t3")
+      fi
+      C2TIMES[${eng}_t3_build_$rep]=$b
+      C2TIMES[${eng}_t3_classify2_$rep]=$c
+      echo "[refbaseline] $eng t3 rep$rep: build=${b}s classify2=${c}s"
+    done
+  done
+
+  # correctness: per-read decisions and (descendant-expanded) taxon sets
+  python3 "$REPO/tools/refbaseline/compare_classify2.py" \
+    "$D/taxonomy/nodes.dmp" \
+    "$WORK/out2_ref_t3_c0.0" "$WORK/out2_ref_t3_taxonSet.txt" \
+    "$WORK/out2_graft_t3" "$WORK/out2_graft_t3_taxonSet.txt" \
+    | tee "$WORK/out/classify2_compare.txt"
+
+  {
+    echo -n '{"stage":"classify2","reps":'${REPS_C2:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,R='${R_THRESH:-100}',init_conf=0.0,rank=species"'
+    for key in "${!C2TIMES[@]}"; do echo -n ",\"$key\":${C2TIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_classify2.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_classify2.json"
+  cat "$WORK/out/headtohead_classify2.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -221,6 +313,8 @@ main() {
   } > "$WORK/out/headtohead.json"
   echo "[refbaseline] wrote $WORK/out/headtohead.json"
   cat "$WORK/out/headtohead.json"
+
+  if [[ ${CLASSIFY2:-0} == 1 ]]; then classify2_stage; fi
 }
 
 main "$@"
