@@ -432,11 +432,16 @@ object Bench {
     // (cluster sample), g13 (m=64 frequency classify).
     // r11: t37 (distributed CC contraction), c04 (centroid outliers).
     // r12: g14 (extra-wide m=96 classify), c07 (SemDeDup at k=1024).
+    // r15: g04/g10 (two-step dynamic classification, single- and
+    // multi-sample), q35 (as-of join), q38 (interval join) — promoted to
+    // the bench so the sf1.0 step-up sweep has same-lane sf0.1 datapoints.
     val added = Set("g11_mem_classify", "g12_mem_wide_classify",
       "t21_span_dedup", "t28_span_rewrite", "c01_kmeans", "t34_bloom_decon",
       "c02_semantic_dedup", "c03_cluster_sample", "g13_wide64_freq_classify",
       "t37_cc_contraction", "c04_centroid_outliers",
-      "g14_xwide_classify", "c07_semantic_dedup_k1024")
+      "g14_xwide_classify", "c07_semantic_dedup_k1024",
+      "g04_classify2", "g10_multisample_classify2",
+      "q35_asof_join", "q38_interval_join")
     val comparable = results.collect {
       case (k, (med, _, _)) if !added(k) && med >= 0 => med
     }.sum

@@ -290,7 +290,7 @@ object GenomicQueries {
         .localCheckpoint(true)
       release()
       counts
-    }, Some(Q.goldenTaxonReads("g04_classify2_sf001.tsv"))),
+    }, Some(Q.goldenTaxonReads("g04_classify2_sf001.tsv")), bench = true),
 
     // bracken-style abundance weights: self-classify genome windows
     Q("g05_bracken", (s, dir) => {
@@ -377,7 +377,7 @@ object GenomicQueries {
       release()
       counts
     }, Some(Q.golden("g10_multisample2_sf001.tsv", "sample" -> "VARCHAR",
-      "taxon" -> "BIGINT", "n_reads" -> "BIGINT"))),
+      "taxon" -> "BIGINT", "n_reads" -> "BIGINT")), bench = true),
 
     // wide-minimizer path (m=40 > 32: two-long keys) end to end, through the
     // unified per-read protocol (ordinals, flags, paired-end mate border)

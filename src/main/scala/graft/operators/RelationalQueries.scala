@@ -678,7 +678,7 @@ object RelationalQueries {
         |  SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'error' GROUP BY 1, 2) p
         |  ON f.user_id = p.user_id AND f.ts >= p.ts
-        |ORDER BY event_id""".stripMargin)),
+        |ORDER BY event_id""".stripMargin), bench = true),
 
     // ---- semi-structured extraction: pull a typed field out of the JSON
     // props column and aggregate on it — metadata extraction stays a narrow
@@ -786,6 +786,6 @@ object RelationalQueries {
         | CAST(count(e.tns) AS BIGINT) AS n_concurrent
         |FROM sess s LEFT JOIN ev e
         |  ON e.tns BETWEEN s.t0 AND s.t1 AND e.user_id <> s.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true)
   )
 }

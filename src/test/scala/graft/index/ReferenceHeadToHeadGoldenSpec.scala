@@ -92,4 +92,70 @@ class ReferenceHeadToHeadGoldenSpec extends AnyFunSuite
         "ERR599052.8892" -> 455631))
     } finally { records.unpersist(); bcTax.destroy() }
   }
+
+  /** Two-step dynamic classification pinned to the reference engine's
+    * measured classify2 output on the same shipped data under a
+    * HIERARCHICAL taxonomy (strains under species under a genus — the
+    * flat test taxonomy has no species ancestor for the strains, which
+    * would make species-rank selection degenerate).
+    *
+    * Reference measured (tools/refbaseline run, tier t3 at rep_factor 1,
+    * criterion ClassifiedReadCount(2, 0.0), rank species, c=0.0,
+    * minHitGroups=2): detected set = {455631} ("produced 1 taxa at rank
+    * Species, expanded with descendants to 1"); 9,992 output rows; the
+    * THREE cdiff reads stay classified and the human read ERR599052.7563
+    * — classified by the static pass — is DROPPED because its species
+    * clade has only 1 first-pass read (< 2). */
+  test("graft reproduces the reference engine's measured classify2 " +
+    "(dynamic two-step) output, including the dropped under-threshold taxon") {
+    import spark.implicits._
+    val ss = spark
+
+    val tax = Taxonomy.fromTuples(Seq(
+      (100, 1, "genus", "genus one"),
+      (200, 100, "species", "Clostridioides difficile"),
+      (300, 100, "species", "Bacillus mycoides"),
+      (455631, 200, "strain", "Clostridioides difficile QCD-66c26"),
+      (526997, 300, "strain", "Bacillus mycoides DSM 2048"),
+      (9606, 1, "species", "Homo sapiens")))
+    val bcTax = ss.sparkContext.broadcast(tax)
+
+    def headers(path: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().filter(_.startsWith(">"))
+        .map(_.drop(1).takeWhile(_ != ' ')).toVector
+      finally src.close()
+    }
+    val srrLabels = headers(s"$dir/SRR094926_10k.fasta").zipWithIndex.map {
+      case (h, i) => (h, if (i % 2 == 0) 455631 else 526997)
+    }
+    val labels = (srrLabels :+ ("chr1H" -> 9606)).toMap
+
+    val lib = (Sequences.fasta(ss, s"$dir/SRR094926_10k.fasta") union
+        Sequences.fasta(ss, s"$dir/Akashinriki_10k.fasta"))
+      .map(f => (labels(f.header), f.nucleotides))
+      .repartition(8)
+
+    val index = new MinimizerIndex(
+      IndexParams(k = 35, m = 31, spaces = 7, buckets = 8), bcTax)
+    val dyn = new DynamicClassifier(index, bcTax)
+    val staticRecords = index.makeRecords(lib).persist()
+    try {
+      val reads = Sequences.fastq(ss, s"$dir/ERR599052_10k.fastq")
+      val (classifiedDs, selected, release) = dyn.classify2(
+        reads, lib, staticRecords,
+        criterion = ClassifiedReads, rank = "species", threshold = 2,
+        confidence = 0.0, minHitGroups = 2, initConfidence = Some(0.0))
+      val out = classifiedDs.collect()
+      release()
+      assert(selected == collection.BitSet(455631))
+      assert(out.length === 9992)
+      val classified = out.filter(_.classified)
+        .map(c => c.title -> c.taxon).sorted.toSeq
+      assert(classified === Seq(
+        "ERR599052.3" -> 455631,
+        "ERR599052.8389" -> 455631,
+        "ERR599052.8892" -> 455631))
+    } finally { staticRecords.unpersist(); bcTax.destroy() }
+  }
 }
