@@ -238,6 +238,56 @@ classify2_stage() {
   cat "$WORK/out/headtohead_classify2.json"
 }
 
+# Bracken-weights head-to-head (reference `bracken-build` vs graft
+# `bracken`) on the t1 library at read length 100. Each engine's own CLI
+# default path (the reference CLI hardcodes gradual=true; graft's default
+# is its direct path — both are what a user gets). Output normalized by
+# compare_bracken.py: (dest, source, read-count) triples must be identical.
+bracken_stage() {
+  local D=$WORK/data/t1
+  declare -A BKTIMES
+  for rep in $(seq 1 ${REPS_BK:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_bk"* "$WORK/bk_${eng}"* "$WORK/scratch_$eng" \
+        && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_bk")
+        w=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk_weights_$rep.log" \
+          bracken-build --index "$WORK/idx_ref_bk" --library "$D/lib" \
+          --read-len 100)
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_bk")
+        w=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk_weights_$rep.log" \
+          bracken --index "$WORK/idx_graft_bk" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" \
+          --read-len 100 --output "$WORK/bk_graft")
+      fi
+      BKTIMES[${eng}_bk_build_$rep]=$b
+      BKTIMES[${eng}_bk_weights_$rep]=$w
+      echo "[refbaseline] $eng bracken rep$rep: build=${b}s weights=${w}s"
+    done
+  done
+
+  python3 "$REPO/tools/refbaseline/compare_bracken.py" \
+    "$WORK/idx_ref_bk_bracken/database100mers.kmer_distrib" \
+    "$WORK/bk_graft" | tee "$WORK/out/bracken_compare.txt"
+
+  {
+    echo -n '{"stage":"bracken","reps":'${REPS_BK:-3}',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,readLen=100"'
+    for key in "${!BKTIMES[@]}"; do echo -n ",\"$key\":${BKTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_bracken.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_bracken.json"
+  cat "$WORK/out/headtohead_bracken.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -315,6 +365,7 @@ main() {
   cat "$WORK/out/headtohead.json"
 
   if [[ ${CLASSIFY2:-0} == 1 ]]; then classify2_stage; fi
+  if [[ ${BRACKEN:-0} == 1 ]]; then bracken_stage; fi
 }
 
 main "$@"
