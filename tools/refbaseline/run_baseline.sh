@@ -244,7 +244,32 @@ classify2_stage() {
 # is its direct path — both are what a user gets). Output normalized by
 # compare_bracken.py: (dest, source, read-count) triples must be identical.
 bracken_stage() {
-  local D=$WORK/data/t1
+  # Dedicated 10-taxon tier: the reference's bracken-build crashes on
+  # taxon sets smaller than 5 (BrackenWeights.scala:366 chunks the set
+  # with grouped(taxa.size / 5) — integer-zero for size < 5 throws
+  # "size=0 and step=0"). A genuine reference defect on tiny libraries;
+  # 10 taxa keeps it on its intended path. Same genomes as t1, labels
+  # spread across 10 species under root.
+  local D=$WORK/data/bk
+  mkdir -p "$D/taxonomy" "$D/lib"
+  {
+    printf '1\t|\t1\t|\tno rank\t|\n'
+    for i in $(seq 101 110); do printf '%s\t|\t1\t|\tspecies\t|\n' $i; done
+  } > "$D/taxonomy/nodes.dmp"
+  {
+    printf '1\t|\troot\t|\t\t|\tscientific name\t|\n'
+    for i in $(seq 101 110); do
+      printf '%s\t|\tspecies %s\t|\t\t|\tscientific name\t|\n' $i $i
+    done
+  } > "$D/taxonomy/names.dmp"
+  : > "$D/taxonomy/merged.dmp"
+  cp -r "$WORK/data/t1/lib/library" "$D/lib/library"
+  awk '/^>/{
+    split(substr($0,2), h, " ");
+    if (h[1] == "chr1H") t = 110; else { t = 101 + (n % 9); n++ }
+    print h[1] "\t" t
+  }' "$D/lib/library/genomes.fna" > "$D/lib/seqid2taxid.map"
+
   declare -A BKTIMES
   for rep in $(seq 1 ${REPS_BK:-3}); do
     for eng in ref graft; do
@@ -253,14 +278,14 @@ bracken_stage() {
       if [[ $eng == ref ]]; then
         b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk_build_$rep.log" \
           build -k 35 -m 31 --spaces 7 \
-          --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+          --taxonomy "$D/taxonomy" --library "$D/lib" \
           --index "$WORK/idx_ref_bk")
         w=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk_weights_$rep.log" \
           bracken-build --index "$WORK/idx_ref_bk" --library "$D/lib" \
           --read-len 100)
       else
         b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk_build_$rep.log" \
-          build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+          build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
           --library "$D/lib/library/genomes.fna" \
           --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_bk")
         w=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk_weights_$rep.log" \
