@@ -313,6 +313,91 @@ bracken_stage() {
   cat "$WORK/out/headtohead_bracken.json"
 }
 
+# Paired-end classification head-to-head. Mate pairs derived from the
+# shipped reads: each t2 read splits into R1 = first half, R2 = second
+# half, titles suffixed /1 and /2 (both engines must strip the suffix to
+# join mates; the reference joins by header — InputReader.scala:104-120 —
+# and classifies R1 + mate border + R2 as ONE record). Same t2 index and
+# flat taxonomy as the classify tier.
+paired_stage() {
+  local D=$WORK/data/t2
+  echo "[refbaseline] generating paired reads from t2"
+  awk 'NR % 4 == 1 { t = $1 }
+       NR % 4 == 2 { n = length($0); h = int(n / 2);
+         print t "/1"; print substr($0, 1, h); print "+"
+         qline1 = sprintf("%0" h "d", 0); gsub(/0/, "I", qline1); print qline1 }' \
+    "$D/reads.fastq" > "$D/reads_1.fastq"
+  awk 'NR % 4 == 1 { t = $1 }
+       NR % 4 == 2 { n = length($0); h = int(n / 2);
+         print t "/2"; print substr($0, h + 1); print "+"
+         q = sprintf("%0" (n - h) "d", 0); gsub(/0/, "I", q); print q }' \
+    "$D/reads.fastq" > "$D/reads_2.fastq"
+
+  declare -A PTIMES
+  for rep in $(seq 1 ${REPS_PE:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_pe" "$WORK/outpe_${eng}"* "$WORK/scratch_$eng" \
+        && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_pe_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_pe")
+        c=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_pe_classify_$rep.log" \
+          classify --index "$WORK/idx_ref_pe" --paired \
+          --output "$WORK/outpe_ref" -c 0.0 \
+          "$D/reads_1.fastq" "$D/reads_2.fastq")
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_pe_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_pe")
+        c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_pe_classify_$rep.log" \
+          classify --index "$WORK/idx_graft_pe" \
+          --reads "$D/reads_1.fastq" --reads2 "$D/reads_2.fastq" \
+          --output "$WORK/outpe_graft")
+      fi
+      PTIMES[${eng}_pe_build_$rep]=$b
+      PTIMES[${eng}_pe_classify_$rep]=$c
+      echo "[refbaseline] $eng paired rep$rep: build=${b}s classify=${c}s"
+    done
+  done
+
+  # decisions compare: reuse the classify2 comparator's per-read logic by
+  # comparing (status, title, taxon) from both per-read output dirs
+  python3 - "$WORK/outpe_ref_c0.0" "$WORK/outpe_graft" <<'PYEOF' \
+    | tee "$WORK/out/paired_compare.txt"
+import sys, glob, gzip, os
+def rows(d):
+    out = []
+    for f in sorted(glob.glob(os.path.join(d, "sample=*", "*"))):
+        if f.endswith(("_SUCCESS", ".crc")) or os.path.isdir(f): continue
+        op = gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            for l in fh:
+                p = l.rstrip("\n").split("\t")
+                if len(p) >= 3: out.append((p[0], p[1], p[2]))
+    return sorted(out)
+a, b = rows(sys.argv[1]), rows(sys.argv[2])
+if a == b:
+    print(f"paired per-read: MATCH ({len(a)} pairs, "
+          f"{sum(1 for r in a if r[0]=='C')} classified)")
+    sys.exit(0)
+print(f"paired per-read: MISMATCH (ref {len(a)}, graft {len(b)})")
+for r in sorted(set(a) - set(b))[:5]: print("  ref-only:  ", r)
+for r in sorted(set(b) - set(a))[:5]: print("  graft-only:", r)
+sys.exit(1)
+PYEOF
+
+  {
+    echo -n '{"stage":"paired","reps":'${REPS_PE:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,paired"'
+    for key in "${!PTIMES[@]}"; do echo -n ",\"$key\":${PTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_paired.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_paired.json"
+  cat "$WORK/out/headtohead_paired.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -391,6 +476,7 @@ main() {
 
   if [[ ${CLASSIFY2:-0} == 1 ]]; then classify2_stage; fi
   if [[ ${BRACKEN:-0} == 1 ]]; then bracken_stage; fi
+  if [[ ${PAIRED:-0} == 1 ]]; then paired_stage; fi
 }
 
 main "$@"
