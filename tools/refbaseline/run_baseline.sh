@@ -398,6 +398,60 @@ PYEOF
   cat "$WORK/out/headtohead_paired.json"
 }
 
+# Respace head-to-head: build both engines' t1 indexes at s=7, respace
+# each to s=11 (the reference's dimensionality-reduction path:
+# KeyValueIndex.respace re-masks stored minimizers and re-folds LCAs),
+# then compare BOTH the base and the respaced indexes by full on-disk
+# CONTENT (multiset of (key, taxon) rows — compare_index.py over the
+# bucketed parquet both engines write).
+respace_stage() {
+  local D=$WORK/data/t1
+  declare -A RSTIMES
+  for rep in $(seq 1 ${REPS_RS:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_rs"* "$WORK/scratch_$eng" \
+        && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_rs_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_rs_s7")
+        r=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_rs_respace_$rep.log" \
+          respace --index "$WORK/idx_ref_rs_s7" --spaces 11 \
+          --output "$WORK/idx_ref_rs_s7")
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_rs_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_rs_s7")
+        r=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_rs_respace_$rep.log" \
+          respace --index "$WORK/idx_graft_rs_s7" --s 11 \
+          --output "$WORK/idx_graft_rs")
+      fi
+      RSTIMES[${eng}_rs_build_$rep]=$b
+      RSTIMES[${eng}_rs_respace_$rep]=$r
+      echo "[refbaseline] $eng respace rep$rep: build=${b}s respace=${r}s"
+    done
+  done
+
+  {
+    echo "== base (s=7) index content =="
+    python3 "$REPO/tools/refbaseline/compare_index.py" \
+      "$WORK/idx_ref_rs_s7" "$WORK/idx_graft_rs_s7"
+    echo "== respaced (s=11) index content =="
+    python3 "$REPO/tools/refbaseline/compare_index.py" \
+      "$WORK/idx_ref_rs_s11" "$WORK/idx_graft_rs_s11"
+  } | tee "$WORK/out/respace_compare.txt"
+
+  {
+    echo -n '{"stage":"respace","reps":'${REPS_RS:-3}',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7->11"'
+    for key in "${!RSTIMES[@]}"; do echo -n ",\"$key\":${RSTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_respace.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_respace.json"
+  cat "$WORK/out/headtohead_respace.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -477,6 +531,7 @@ main() {
   if [[ ${CLASSIFY2:-0} == 1 ]]; then classify2_stage; fi
   if [[ ${BRACKEN:-0} == 1 ]]; then bracken_stage; fi
   if [[ ${PAIRED:-0} == 1 ]]; then paired_stage; fi
+  if [[ ${RESPACE:-0} == 1 ]]; then respace_stage; fi
 }
 
 main "$@"
