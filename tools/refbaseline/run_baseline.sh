@@ -81,6 +81,13 @@ compile_reference() {
     "$BUILD/srcs/com/jnpersson/kmers/input/FileInputs.scala"
   sed -i 's/import spark.sqlContext.implicits._/import spark.implicits._/' \
     "$BUILD/srcs/com/jnpersson/slacken/Minimizers.scala"
+  # Spark 4 names a UDF-of-aliased-column output "UDF(array(id1) AS
+  # minimizer)" instead of resolving the inner alias, so the reference's
+  # respace (KeyValueIndex.scala:376) can no longer look the column up by
+  # name — restore the name with an explicit outer alias (no algorithm
+  # change; respace crashes with UNRESOLVED_COLUMN without this).
+  sed -i 's/records.select(applySpaceUdf(minimizerColumnFromIdColumns), \$"taxon")/records.select(applySpaceUdf(minimizerColumnFromIdColumns).as("minimizer"), \$"taxon")/' \
+    "$BUILD/srcs/com/jnpersson/slacken/KeyValueIndex.scala"
   (cd "$BUILD" &&
     javac -d classes -cp "$SPARKCP" jsrc/com/jnpersson/fastdoop/PartialSequence.java &&
     java -cp "$CPJ" scala.tools.nsc.Main -classpath "$SPARKCP:classes" \
@@ -437,10 +444,10 @@ respace_stage() {
   {
     echo "== base (s=7) index content =="
     python3 "$REPO/tools/refbaseline/compare_index.py" \
-      "$WORK/idx_ref_rs_s7" "$WORK/idx_graft_rs_s7"
+      "$WORK/idx_ref_rs_s7" "$WORK/idx_graft_rs_s7" 2
     echo "== respaced (s=11) index content =="
     python3 "$REPO/tools/refbaseline/compare_index.py" \
-      "$WORK/idx_ref_rs_s11" "$WORK/idx_graft_rs_s11"
+      "$WORK/idx_ref_rs_s11" "$WORK/idx_graft_rs_s11" 2
   } | tee "$WORK/out/respace_compare.txt"
 
   {
