@@ -459,6 +459,109 @@ respace_stage() {
   cat "$WORK/out/headtohead_respace.json"
 }
 
+# Multi-sample classification head-to-head: the t2 reads carry a _rN
+# suffix per replication copy, so "_r([0-9]+)$" partitions them into
+# REP_FACTOR samples. Both engines classify once with the regex, write
+# per-sample per-read output AND per-sample kreports; the compare checks
+# the (sample, status, title, taxon) quads and every per-sample kreport
+# line for line.
+multisample_stage() {
+  local D=$WORK/data/t2
+  local REGEX='_r([0-9]+)$'
+  declare -A MTIMES
+  for rep in $(seq 1 ${REPS_MS:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_ms" "$WORK/outms_${eng}"* "$WORK/scratch_$eng" \
+        && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_ms_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$WORK/data/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_ms")
+        c=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_ms_classify_$rep.log" \
+          classify --index "$WORK/idx_ref_ms" --sample-regex "$REGEX" \
+          --output "$WORK/outms_ref" -c 0.0 "$D/reads.fastq")
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_ms_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_ms")
+        c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_ms_classify_$rep.log" \
+          classify --index "$WORK/idx_graft_ms" --reads "$D/reads.fastq" \
+          --sample-regex "$REGEX" --output "$WORK/outms_graft")
+      fi
+      MTIMES[${eng}_ms_build_$rep]=$b
+      MTIMES[${eng}_ms_classify_$rep]=$c
+      echo "[refbaseline] $eng multisample rep$rep: build=${b}s classify=${c}s"
+    done
+  done
+
+  python3 - "$WORK/outms_ref_c0.0" "$WORK/outms_graft" \
+    "$WORK/outms_ref_c0.0" "$WORK/outms_graft_reports" <<'PYEOF' \
+    | tee "$WORK/out/multisample_compare.txt"
+import sys, glob, gzip, os, re
+refd, gd, refrep, grep_ = sys.argv[1:5]
+def quads(d):
+    out = []
+    for sd in sorted(glob.glob(os.path.join(d, "sample=*"))):
+        s = os.path.basename(sd).split("=", 1)[1]
+        for f in sorted(glob.glob(os.path.join(sd, "*"))):
+            if f.endswith(("_SUCCESS", ".crc")) or os.path.isdir(f): continue
+            op = gzip.open if f.endswith(".gz") else open
+            with op(f, "rt") as fh:
+                for l in fh:
+                    p = l.rstrip("\n").split("\t")
+                    if len(p) >= 3: out.append((s, p[0], p[1], p[2]))
+    return sorted(out)
+ok = True
+a, b = quads(refd), quads(gd)
+if a == b:
+    ns = len({q[0] for q in a})
+    print(f"multisample per-read: MATCH ({len(a)} rows, {ns} samples, "
+          f"{sum(1 for q in a if q[1]=='C')} classified)")
+else:
+    ok = False
+    print(f"multisample per-read: MISMATCH (ref {len(a)}, graft {len(b)})")
+    for r in sorted(set(a) - set(b))[:5]: print("  ref-only:  ", r)
+    for r in sorted(set(b) - set(a))[:5]: print("  graft-only:", r)
+def reports(d, pat):
+    # normalize the reference's presentation extras: its default
+    # (non-compatible) format adds a "#Perc..." header and pads the percent
+    # with %6.2f; graft emits the kraken2-compatible format (no header, no
+    # padding). Content is compared after stripping both.
+    out = {}
+    for f in glob.glob(os.path.join(d, pat)):
+        s = re.sub(r"[._]kreport\.txt$", "", os.path.basename(f))
+        out[s] = [l.rstrip("\n").lstrip(" ") for l in open(f)
+                  if l.strip() and not l.startswith("#")]
+    return out
+ra = reports(refrep, "*_kreport.txt")
+rb = reports(grep_, "*.kreport.txt")
+if set(ra) != set(rb):
+    ok = False
+    print(f"kreports: sample sets differ ref={sorted(ra)[:5]}... graft={sorted(rb)[:5]}...")
+else:
+    bad = [s for s in ra if ra[s] != rb[s]]
+    if bad:
+        ok = False
+        print(f"kreports: {len(bad)} of {len(ra)} differ, e.g. {bad[:3]}")
+        s = bad[0]
+        for x, y in zip(ra[s], rb[s]):
+            if x != y: print(f"  {s}: ref {x!r} vs graft {y!r}"); break
+    else:
+        print(f"kreports: MATCH ({len(ra)} samples, line for line)")
+sys.exit(0 if ok else 1)
+PYEOF
+
+  {
+    echo -n '{"stage":"multisample","reps":'${REPS_MS:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,sample-regex"'
+    for key in "${!MTIMES[@]}"; do echo -n ",\"$key\":${MTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_multisample.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_multisample.json"
+  cat "$WORK/out/headtohead_multisample.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -539,6 +642,7 @@ main() {
   if [[ ${BRACKEN:-0} == 1 ]]; then bracken_stage; fi
   if [[ ${PAIRED:-0} == 1 ]]; then paired_stage; fi
   if [[ ${RESPACE:-0} == 1 ]]; then respace_stage; fi
+  if [[ ${MULTISAMPLE:-0} == 1 ]]; then multisample_stage; fi
 }
 
 main "$@"
