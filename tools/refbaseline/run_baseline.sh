@@ -562,6 +562,79 @@ PYEOF
   cat "$WORK/out/headtohead_multisample.json"
 }
 
+# Gold-set classify2: the detection heuristic is REPLACED by a supplied
+# taxon list (reference --gold-set + --classify-with-gold; graft --gold).
+# Gold = species 200 -> both engines must classify against the cdiff
+# clade only. Reuses the t3 tier.
+gold_stage() {
+  gen_data_t3
+  local D=$WORK/data/t3
+  printf '200\n' > "$D/gold.txt"
+  declare -A GTIMES
+  for rep in $(seq 1 ${REPS_GOLD:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_gold" "$WORK/outgold_${eng}"* \
+        "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_gold_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$D/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_gold")
+        c=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_gold_classify2_$rep.log" \
+          classify2 --index "$WORK/idx_ref_gold" --library "$D/lib" \
+          --gold-set "$D/gold.txt" --classify-with-gold \
+          --output "$WORK/outgold_ref" "$D/reads.fastq")
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_gold_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_gold")
+        c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_gold_classify2_$rep.log" \
+          classify2 --index "$WORK/idx_graft_gold" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" \
+          --reads "$D/reads.fastq" --gold "$D/gold.txt" \
+          --output "$WORK/outgold_graft")
+      fi
+      GTIMES[${eng}_gold_build_$rep]=$b
+      GTIMES[${eng}_gold_classify2_$rep]=$c
+      echo "[refbaseline] $eng gold rep$rep: build=${b}s classify2=${c}s"
+    done
+  done
+
+  python3 - "$WORK/outgold_ref_c0.0" "$WORK/outgold_graft" <<'PYEOF' \
+    | tee "$WORK/out/gold_compare.txt"
+import sys, glob, gzip, os
+def rows(d):
+    out = []
+    for f in sorted(glob.glob(os.path.join(d, "sample=*", "*"))):
+        if f.endswith(("_SUCCESS", ".crc")) or os.path.isdir(f): continue
+        op = gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            for l in fh:
+                p = l.rstrip("\n").split("\t")
+                if len(p) >= 3: out.append((p[0], p[1], p[2]))
+    return sorted(out)
+a, b = rows(sys.argv[1]), rows(sys.argv[2])
+if a == b:
+    print(f"gold classify2 per-read: MATCH ({len(a)} reads, "
+          f"{sum(1 for r in a if r[0]=='C')} classified)")
+    sys.exit(0)
+print(f"gold classify2 per-read: MISMATCH (ref {len(a)}, graft {len(b)})")
+for r in sorted(set(a) - set(b))[:5]: print("  ref-only:  ", r)
+for r in sorted(set(b) - set(a))[:5]: print("  graft-only:", r)
+sys.exit(1)
+PYEOF
+
+  {
+    echo -n '{"stage":"gold","reps":'${REPS_GOLD:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,gold={200}"'
+    for key in "${!GTIMES[@]}"; do echo -n ",\"$key\":${GTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_gold.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_gold.json"
+  cat "$WORK/out/headtohead_gold.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -643,6 +716,7 @@ main() {
   if [[ ${PAIRED:-0} == 1 ]]; then paired_stage; fi
   if [[ ${RESPACE:-0} == 1 ]]; then respace_stage; fi
   if [[ ${MULTISAMPLE:-0} == 1 ]]; then multisample_stage; fi
+  if [[ ${GOLD:-0} == 1 ]]; then gold_stage; fi
 }
 
 main "$@"
