@@ -93,6 +93,67 @@ class ReferenceHeadToHeadGoldenSpec extends AnyFunSuite
     } finally { records.unpersist(); bcTax.destroy() }
   }
 
+  /** Paired-end classification pinned to the reference engine's measured
+    * output: mate pairs derived from the shipped reads (R1 = first half,
+    * R2 = second half, /1 and /2 title suffixes — both engines strip the
+    * suffix and join mates by header, then classify R1 + mate border + R2
+    * as ONE record).
+    *
+    * Reference measured (tools/refbaseline PAIRED=1 at rep_factor 1):
+    * 10,000 pairs, exactly TWO classified — ERR599052.8389 and
+    * ERR599052.8892, both to 455631 (halving drops the other two
+    * single-end positives below the hit threshold). */
+  test("graft reproduces the reference engine's measured paired-end " +
+    "classification on derived mate pairs") {
+    import spark.implicits._
+    val ss = spark
+
+    val tax = Taxonomy.fromTuples(Seq(
+      (455631, 1, "strain", "Clostridioides difficile QCD-66c26"),
+      (526997, 1, "strain", "Bacillus mycoides DSM 2048"),
+      (9606, 1, "species", "Homo sapiens")))
+    val bcTax = ss.sparkContext.broadcast(tax)
+
+    def headers(path: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().filter(_.startsWith(">"))
+        .map(_.drop(1).takeWhile(_ != ' ')).toVector
+      finally src.close()
+    }
+    val srrLabels = headers(s"$dir/SRR094926_10k.fasta").zipWithIndex.map {
+      case (h, i) => (h, if (i % 2 == 0) 455631 else 526997)
+    }
+    val labels = (srrLabels :+ ("chr1H" -> 9606)).toMap
+    val lib = (Sequences.fasta(ss, s"$dir/SRR094926_10k.fasta") union
+        Sequences.fasta(ss, s"$dir/Akashinriki_10k.fasta"))
+      .map(f => (labels(f.header), f.nucleotides))
+      .repartition(8)
+
+    val index = new MinimizerIndex(
+      IndexParams(k = 35, m = 31, spaces = 7, buckets = 8), bcTax)
+    val records = index.makeRecords(lib).persist()
+    try {
+      val singles = Sequences.fastq(ss, s"$dir/ERR599052_10k.fastq")
+      val r1 = singles.map { f =>
+        f.copy(header = f.header + "/1",
+          nucleotides = f.nucleotides.substring(0, f.nucleotides.length / 2))
+      }
+      val r2 = singles.map { f =>
+        f.copy(header = f.header + "/2",
+          nucleotides = f.nucleotides.substring(f.nucleotides.length / 2))
+      }
+      val out = index.classify(index.spans(Sequences.paired(r1, r2)),
+          records, confidence = 0.0, minHitGroups = 2)
+        .collect()
+      assert(out.length === 10000)
+      val classified = out.filter(_.classified)
+        .map(c => c.title -> c.taxon).sorted.toSeq
+      assert(classified === Seq(
+        "ERR599052.8389" -> 455631,
+        "ERR599052.8892" -> 455631))
+    } finally { records.unpersist(); bcTax.destroy() }
+  }
+
   /** Two-step dynamic classification pinned to the reference engine's
     * measured classify2 output on the same shipped data under a
     * HIERARCHICAL taxonomy (strains under species under a genus — the
