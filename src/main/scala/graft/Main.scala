@@ -552,7 +552,9 @@ object Main {
           val (classified, perSample, cleanup) = dyn.classify2MultiSample(
             loadReads(spark, opts), opts("sample-regex"),
             loadLibrary(spark, opts), records,
-            rank = rank, threshold = threshold)
+            criterion = criterion, rank = rank, threshold = threshold,
+            confidence = confidence, minHitGroups = minHitGroups,
+            initConfidence = initConfidence)
           for ((s, taxa) <- perSample.toSeq.sortBy(_._1))
             println(s"sample $s: selected ${taxa.size} taxa")
           val cached = classified

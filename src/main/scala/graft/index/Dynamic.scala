@@ -135,8 +135,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     * sub-library and the dynamic records (cached), so callers can derive
     * bracken weights or persist the dynamic index without rebuilding.
     * The last element releases the internal caches (spans + dynamic
-    * records) — call it once every derived output is materialized. */
-  /** @param initConfidence confidence for the FIRST pass only (the
+    * records) — call it once every derived output is materialized.
+    * @param initConfidence confidence for the FIRST pass only (the
     *   ClassifiedReads evidence scan) — the reference's --init-confidence
     *   (Slacken.scala:219-221, default 0.15 there); None = reuse
     *   `confidence`, the pre-existing behavior. */
@@ -207,7 +207,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       library: Dataset[(Int, String)], staticRecords: DataFrame,
       criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
-      confidence: Double = 0.0, minHitGroups: Int = 2)
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      initConfidence: Option[Double] = None)
       : (Dataset[ClassifiedRead], Map[String, collection.BitSet], () => Unit) = {
     val spark = reads.sparkSession
     import spark.implicits._
@@ -241,7 +242,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
       case ClassifiedReads =>
-        index.classifyDF(spans, staticRecords, confidence, minHitGroups)
+        // initConfidence overrides the first-pass confidence only, like
+        // the single-sample path
+        index.classifyDF(spans, staticRecords,
+            initConfidence.getOrElse(confidence), minHitGroups)
           .filter(_.classified).toDF()
           .groupBy(sampleOf.as("sample"), col("taxon"))
           .agg(count(lit(1)).cast("long").as("count"))
