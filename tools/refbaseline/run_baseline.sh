@@ -37,8 +37,22 @@ CPUS=${CPUS:-32}
 BUCKETS=${BUCKETS:-32}
 
 SPARKCP=$(ls /opt/spark/jars/*.jar | tr '\n' ':')
-CC=<redacted-local-cache-path>
-CPJ="$CC/scala-compiler/2.13.17/scala-compiler-2.13.17.jar:$CC/scala-reflect/2.13.17/scala-reflect-2.13.17.jar:$CC/scala-library/2.13.17/scala-library-2.13.17.jar"
+# Scala toolchain jars: take SCALA_JARS (colon-separated) if set, else
+# discover them by name anywhere under the local coursier cache — no
+# assumption about which repository the cache was populated from.
+SCALA_VER=${SCALA_VER:-2.13.17}
+find_scala_jar() {
+  find "${COURSIER_CACHE:-$HOME/.cache/coursier}" -name "$1" 2>/dev/null | head -1
+}
+if [ -n "${SCALA_JARS:-}" ]; then
+  CPJ="$SCALA_JARS"
+else
+  CPJ="$(find_scala_jar scala-compiler-$SCALA_VER.jar):$(find_scala_jar scala-reflect-$SCALA_VER.jar):$(find_scala_jar scala-library-$SCALA_VER.jar)"
+  if [ "${CPJ//:/}" = "" ]; then
+    echo "scala $SCALA_VER jars not found in ${COURSIER_CACHE:-$HOME/.cache/coursier}; set SCALA_JARS=compiler.jar:reflect.jar:library.jar" >&2
+    exit 1
+  fi
+fi
 
 JVM_FLAGS=(
   -Xmx$HEAP
