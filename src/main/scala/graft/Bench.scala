@@ -146,11 +146,14 @@ object Bench {
     // High-IQR lanes (r14: t37 reps 9.76/4.27/3.43 — IQR 6.33 s against a
     // 3.43 s min, pure in-lane warmup of the contraction loop; r15 sf1.0:
     // q38 reps 34.2/32.3/18.7 — same first-execution shape on the
-    // sessionize window + interval join) get ONE
+    // sessionize window + interval join; r15: g02 reps 7.24/1.66/1.29/5.33
+    // and g13 med 9.41 vs min 6.83, cold first-execution of the index
+    // build + post-regate spike) get ONE
     // discarded warmup execution before the timed rounds so min and median
     // converge. Kept to a named set: a blanket warmup would double the
     // sweep's wall clock for lanes that don't need it.
-    val warmupLanes = Set("t37_cc_contraction", "q38_interval_join")
+    val warmupLanes = Set("t37_cc_contraction", "q38_interval_join",
+      "g02_lca_index", "g13_wide64_freq_classify")
     for ((name, q) <- lanes if warmupLanes(name)) {
       regate()
       try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }

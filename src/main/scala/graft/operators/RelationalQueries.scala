@@ -735,7 +735,13 @@ object RelationalQueries {
     // sessions explode into the day buckets they cover, events carry ONE
     // bucket, and the match is an equi-join on bucket with a residual
     // range filter — never a cartesian range join, and no double-count
-    // because each event lives in exactly one bucket. The oracle is
+    // because each event lives in exactly one bucket. The bucket alone
+    // would put every event of a calendar day in one join partition (a
+    // straggler at 100x on a hot day — r15 verdict), so the key is
+    // composite (bucket, salt): the small aggregated session side
+    // replicates over all SALT values, each event picks one deterministic
+    // salt, and a hot day fans out across SALT partitions while each
+    // (session, event) pair still meets exactly once. The oracle is
     // DuckDB's plain range join over the same session derivation. ----
     Q("q38_interval_join", (s, dir) => {
       import s.implicits._
@@ -751,11 +757,14 @@ object RelationalQueries {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_idx")
         .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+      val SALT = 8
       val sessB = sess.select($"user_id", $"session_idx", $"t0", $"t1",
         explode(expr(s"sequence(t0 DIV ${DAY}L, t1 DIV ${DAY}L)")).as("bucket"))
+        .select($"*", explode(expr(s"sequence(0, ${SALT - 1})")).as("salt"))
       val evB = ev.select($"user_id".as("e_user"), $"ts",
-        expr(s"ts DIV ${DAY}L").as("bucket"))
-      val matched = sessB.join(evB, Seq("bucket"))
+        expr(s"ts DIV ${DAY}L").as("bucket"),
+        pmod(xxhash64($"user_id", $"ts"), lit(SALT)).cast("int").as("salt"))
+      val matched = sessB.join(evB, Seq("bucket", "salt"))
         .filter($"ts".between($"t0", $"t1") && $"e_user" =!= $"user_id")
         .groupBy($"user_id", $"session_idx")
         .agg(count(lit(1)).as("n_concurrent"))
