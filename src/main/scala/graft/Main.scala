@@ -526,9 +526,12 @@ object Main {
         val threshold = opts.getOrElse("threshold", "100").toLong
         // --criterion reads|total|distinct: the first-pass taxon-evidence
         // heuristic (reference -R / -C / -D, Slacken.scala:211-217);
-        // --init-confidence applies to the `reads` first pass only
-        // (reference --init-confidence, default 0.15 there)
-        val criterion = opts.getOrElse("criterion", "distinct") match {
+        // --init-confidence applies to the `reads` first pass only.
+        // CLI defaults ALIGNED with the reference for drop-in parity
+        // (r15 advice): criterion = classified-read count, init-confidence
+        // 0.15 (Slacken.scala:217,248-250) — a user running the reference's
+        // default command line gets the reference's default selection.
+        val criterion = opts.getOrElse("criterion", "reads") match {
           case "reads" => ClassifiedReads
           case "total" => TotalMinimizers
           case "distinct" => DistinctMinimizers
@@ -537,7 +540,8 @@ object Main {
         }
         val confidence = opts.getOrElse("c", "0.0").toDouble
         val minHitGroups = opts.getOrElse("min-hit-groups", "2").toInt
-        val initConfidence = opts.get("init-confidence").map(_.toDouble)
+        val initConfidence =
+          Some(opts.getOrElse("init-confidence", "0.15").toDouble)
         if (boolOpt(opts, "per-sample").getOrElse(false)) {
           // --per-sample (opt-in, needs --sample-regex): every sample gets
           // its own taxon selection and tailored sub-index, in one
@@ -567,23 +571,29 @@ object Main {
           cached.unpersist()
           cleanup()
         } else {
-          val (classified, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
+          val (classified, baseSelection, selected, subLib, dynRecords,
+            cleanup) = dyn.classify2Full(
             loadReads(spark, opts), loadLibrary(spark, opts), records,
             criterion = criterion, rank = rank, threshold = threshold,
             confidence = confidence, minHitGroups = minHitGroups,
             goldSet = goldSet, initConfidence = initConfidence)
           println(s"selected ${selected.size} taxa")
-          // persist the detected taxon set for later inspection, like the
-          // reference (Dynamic.scala:325 writes output + "_taxonSet.txt");
-          // graft's set is the post-descendant-expansion selection
-          locally {
-            val p = new org.apache.hadoop.fs.Path(opts("output") + "_taxonSet.txt")
+          // persist the detected taxon set like the reference
+          // (Dynamic.scala:325 writes output + "_taxonSet.txt"). The file
+          // holds the PRE-expansion selection, byte-compatible with the
+          // reference's format (r15 advice: external tooling consuming that
+          // file must see the same semantics under the same name); the
+          // descendant-expanded set goes to _taxonSetExpanded.txt.
+          def writeTaxa(suffix: String, taxa: Seq[Int]): Unit = {
+            val p = new org.apache.hadoop.fs.Path(opts("output") + suffix)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val sw = new java.io.PrintWriter(fs.create(p, true), false,
               java.nio.charset.StandardCharsets.UTF_8)
-            try selected.toSeq.sorted.foreach(t => sw.println(t))
+            try taxa.foreach(t => sw.println(t))
             finally sw.close()
           }
+          writeTaxa("_taxonSet.txt", baseSelection)
+          writeTaxa("_taxonSetExpanded.txt", selected.toSeq.sorted)
           val cached = classified
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           IndexOps.writePerSampleOutput(cached,

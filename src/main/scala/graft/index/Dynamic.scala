@@ -78,7 +78,16 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     * combined evidence passes the threshold — each strain must pass on its
     * own clade. */
   def selectTaxa(evidenceCounts: Array[(Int, Long)], rank: String,
-      threshold: Long): collection.BitSet = {
+      threshold: Long): collection.BitSet =
+    collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(
+      selectTaxaBase(evidenceCounts, rank, threshold))
+
+  /** The PRE-expansion selection — the directly-evidenced taxa passing the
+    * clade threshold, before descendants are pulled in. This is the set the
+    * reference persists to `_taxonSet.txt` (Dynamic.scala:325), so byte
+    * compatibility with its output format needs this, not the expansion. */
+  def selectTaxaBase(evidenceCounts: Array[(Int, Long)], rank: String,
+      threshold: Long): Seq[Int] = {
     val tax = bcTax.value
     val minDepth = Taxonomy.rankCode(rank).toInt
     val clade = collection.mutable.Map.empty[Int, Long]
@@ -89,12 +98,11 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
         cur = tax.parents(cur)
       }
     }
-    val selected = evidenceCounts.collect {
+    evidenceCounts.collect {
       case (t, _) if t > 0 && tax.isDefined(t) &&
         tax.rankDepth(t) >= minDepth &&
         clade.getOrElse(t, 0L) >= threshold => t
-    }
-    collection.immutable.BitSet.empty ++ tax.withDescendants(selected.toSeq)
+    }.toSeq.distinct.sorted
   }
 
   /** Precision/recall of a selected taxon set against a gold-standard set at
@@ -125,17 +133,18 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       goldSet: Option[Set[Int]] = None,
       initConfidence: Option[Double] = None)
       : (Dataset[ClassifiedRead], collection.BitSet, () => Unit) = {
-    val (classified, taxa, _, _, cleanup) = classify2Full(reads, library,
+    val (classified, _, taxa, _, _, cleanup) = classify2Full(reads, library,
       staticRecords, criterion, rank, threshold, confidence, minHitGroups,
       goldSet, initConfidence)
     (classified, taxa, cleanup)
   }
 
-  /** [[classify2]] plus the sample-tailored artifacts: the selected
-    * sub-library and the dynamic records (cached), so callers can derive
-    * bracken weights or persist the dynamic index without rebuilding.
-    * The last element releases the internal caches (spans + dynamic
-    * records) — call it once every derived output is materialized.
+  /** [[classify2]] plus the sample-tailored artifacts: the PRE-expansion
+    * selection (what the reference persists to `_taxonSet.txt`), the
+    * selected sub-library and the dynamic records (cached), so callers can
+    * derive bracken weights or persist the dynamic index without
+    * rebuilding. The last element releases the internal caches (spans +
+    * dynamic records) — call it once every derived output is materialized.
     * @param initConfidence confidence for the FIRST pass only (the
     *   ClassifiedReads evidence scan) — the reference's --init-confidence
     *   (Slacken.scala:219-221, default 0.15 there); None = reuse
@@ -146,15 +155,14 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None,
       initConfidence: Option[Double] = None)
-      : (Dataset[ClassifiedRead], collection.BitSet,
+      : (Dataset[ClassifiedRead], Seq[Int], collection.BitSet,
         Dataset[(Int, String)], DataFrame, () => Unit) = {
     val spark = reads.sparkSession
     import spark.implicits._
 
     val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
-    val taxa = goldSet match {
-      case Some(g) =>
-        collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(g.toSeq)
+    val base: Seq[Int] = goldSet match {
+      case Some(g) => g.toSeq.sorted
       case None =>
         // forward the caller's classify params so the ClassifiedReads
         // criterion counts first-pass reads at the same thresholds the final
@@ -163,8 +171,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
         val ev = evidence(spans, staticRecords, criterion,
           initConfidence.getOrElse(confidence),
           minHitGroups).as[(Int, Long)].collect()
-        selectTaxa(ev, rank, threshold)
+        selectTaxaBase(ev, rank, threshold)
     }
+    val taxa: collection.BitSet =
+      collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(base)
     val bcTaxa = spark.sparkContext.broadcast(taxa)
 
     // rebuild restricted to selected taxa: filter BEFORE extraction
@@ -181,7 +191,7 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       dynRecords.unpersist(blocking = false)
       ()
     }
-    (result, taxa, subLibrary, dynRecords, cleanup)
+    (result, base, taxa, subLibrary, dynRecords, cleanup)
   }
 
   /** Per-sample two-step classification over MANY samples in one

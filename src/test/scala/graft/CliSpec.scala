@@ -266,9 +266,11 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
         .asScala.filter(_.nonEmpty).map(_.toInt).toSet
     }
-    def classifiedCount(out: String): Int =
-      Files.list(java.nio.file.Paths.get(out, "sample=all"))
-        .toArray.map(_.toString).filter(_.endsWith(".gz"))
+    def classifiedCount(out: String): Int = {
+      // close the Files.list stream (it holds a directory handle)
+      val ls = Files.list(java.nio.file.Paths.get(out, "sample=all"))
+      val files = try ls.toArray.map(_.toString) finally ls.close()
+      files.filter(_.endsWith(".gz"))
         .map { f =>
           val in = new java.util.zip.GZIPInputStream(
             java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
@@ -276,6 +278,7 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
             .count(_.startsWith("C\t"))
           finally in.close()
         }.sum
+    }
 
     // reads criterion at a passable threshold: both species detected,
     // second pass classifies everything the static pass could
@@ -595,7 +598,9 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "--labels", dir.resolve("labels.tsv").toString,
         "--reads", dir.resolve("msreads.fastq").toString,
         "--sample-regex", "^([^_]+)_", "--per-sample",
-        "--threshold", "70",
+        // explicit criterion: the threshold is calibrated in distinct
+        // minimizers (the CLI default is reference-aligned `reads`)
+        "--criterion", "distinct", "--threshold", "70",
         "--output", outMS))
     }
     val msOut = msStdout.toString("UTF-8")

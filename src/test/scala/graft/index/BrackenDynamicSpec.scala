@@ -270,9 +270,10 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("dynamic bracken weights cover only the selected sub-library") {
     import spark.implicits._
     val staticRecords = dyn.index.buildRecords(lib)
-    val (_, selected, subLib, dynRecords, cleanup) = dyn.classify2Full(
-      spark.createDataset(reads), lib, staticRecords,
-      criterion = DistinctMinimizers, rank = "species", threshold = 50)
+    val (_, baseSelection, selected, subLib, dynRecords, cleanup) =
+      dyn.classify2Full(
+        spark.createDataset(reads), lib, staticRecords,
+        criterion = DistinctMinimizers, rank = "species", threshold = 50)
     val w = dyn.dynamicWeights(subLib, dynRecords, readLen = 100)
       .as[(Int, Int, Long)].collect()
     cleanup()
@@ -285,6 +286,9 @@ class DynamicClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for ((src, dest, _) <- w if dest != Taxonomy.NONE)
       assert(tax.hasAncestor(src, dest) || tax.hasAncestor(dest, src))
     assert(selected.contains(4) && selected.contains(6))
+    // the pre-expansion selection is exactly the evidenced species — what
+    // classify2 persists to _taxonSet.txt (reference byte compatibility)
+    assert(baseSelection == Seq(4, 6))
   }
 
   test("multi-sample classify2 equals per-sample classify2, sample by sample") {

@@ -7,9 +7,11 @@ Usage: compare_classify2.py nodes.dmp ref_out_dir ref_taxonset graft_out_dir
 - per-read decisions: both engines write kraken-style per-read lines
   (status \t title \t taxon \t ...) gzipped under <out>/sample=all/.
   Compared as the full multiset of (status, title, taxon).
-- taxon sets: the reference writes its PRE-expansion selection, graft the
-  POST-descendant-expansion set; the reference's set is expanded with
-  descendants from nodes.dmp before comparison.
+- taxon sets: BOTH engines write the PRE-expansion selection to
+  _taxonSet.txt (graft matched the reference's file semantics in r16; its
+  expanded set moved to _taxonSetExpanded.txt). Compared raw, and also
+  after expanding both with descendants from nodes.dmp (the comparison
+  that matters for classification equivalence).
 
 Exits 0 iff both comparisons match.
 """
@@ -85,14 +87,22 @@ def main():
             print(f"  graft-only: {r}")
 
     kids = children_map(nodes)
-    ref_taxa = with_descendants(read_taxon_set(ref_set_f), kids)
-    graft_taxa = read_taxon_set(graft_set_f)
-    if ref_taxa == graft_taxa:
-        print(f"taxon set: MATCH ({sorted(graft_taxa)})")
+    ref_raw = read_taxon_set(ref_set_f)
+    graft_raw = read_taxon_set(graft_set_f)
+    if ref_raw == graft_raw:
+        print(f"taxon set (pre-expansion): MATCH ({sorted(graft_raw)})")
     else:
         ok = False
-        print(f"taxon set: MISMATCH ref+desc={sorted(ref_taxa)} "
-              f"graft={sorted(graft_taxa)}")
+        print(f"taxon set (pre-expansion): MISMATCH ref={sorted(ref_raw)} "
+              f"graft={sorted(graft_raw)}")
+    ref_taxa = with_descendants(ref_raw, kids)
+    graft_taxa = with_descendants(graft_raw, kids)
+    if ref_taxa == graft_taxa:
+        print(f"taxon set (expanded): MATCH ({sorted(graft_taxa)})")
+    else:
+        ok = False
+        print(f"taxon set (expanded): MISMATCH ref+desc={sorted(ref_taxa)} "
+              f"graft+desc={sorted(graft_taxa)}")
 
     sys.exit(0 if ok else 1)
 

@@ -649,6 +649,193 @@ PYEOF
   cat "$WORK/out/headtohead_gold.json"
 }
 
+# Per-sample classify2 head-to-head (graft extension vs the honest
+# reference equivalent). graft's classify2 --per-sample selects taxa and
+# tailors a sub-index PER SAMPLE in one distributed pass; the reference
+# has no such mode, so its honest counterpart is a SERIAL loop of
+# reference classify2 over each sample's reads separately (same
+# selection semantics per sample, paid once per sample). Tier: the t3
+# hierarchical taxonomy with the 64-sample t2 reads (_rN suffix = sample).
+# Threshold 2 per sample (each sample holds one 10k-read copy: ~3 cdiff
+# first-pass reads >= 2, 1 human read < 2 — a real per-sample selection,
+# same shape as the pinned t1 classify2 golden).
+persample_stage() {
+  gen_data_t3
+  local D=$WORK/data/t3
+  local REGEX='_r([0-9]+)$'
+  local THRESH=${R_THRESH_PS:-2}
+  local NS=$REP_FACTOR
+
+  echo "[refbaseline] splitting t3 reads into $NS per-sample fastqs"
+  rm -rf "$D/persample" && mkdir -p "$D/persample"
+  awk -v outdir="$D/persample" '
+    NR % 4 == 1 { t = $0; sub(/.*_r/, "", t); f = outdir "/s" t ".fastq" }
+    { print >> f }' "$D/reads.fastq"
+
+  declare -A PSTIMES
+  # one index per engine, reused across reps (build timed once)
+  for eng in ref graft; do
+    rm -rf "$WORK/idx_${eng}_ps" "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
+    if [[ $eng == ref ]]; then
+      b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_ps_build.log" \
+        build -k 35 -m 31 --spaces 7 \
+        --taxonomy "$D/taxonomy" --library "$D/lib" \
+        --index "$WORK/idx_ref_ps")
+    else
+      b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_ps_build.log" \
+        build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
+        --library "$D/lib/library/genomes.fna" \
+        --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_ps")
+    fi
+    PSTIMES[${eng}_ps_build]=$b
+    echo "[refbaseline] $eng per-sample index build=${b}s"
+  done
+
+  # graft: REPS_PS reps of the one-pass per-sample classify2
+  for rep in $(seq 1 ${REPS_PS:-3}); do
+    rm -rf "$WORK/outps_graft"*
+    c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_ps_classify2_$rep.log" \
+      classify2 --index "$WORK/idx_graft_ps" \
+      --library "$D/lib/library/genomes.fna" \
+      --labels "$D/lib/seqid2taxid.map" \
+      --reads "$D/reads.fastq" --criterion reads --threshold $THRESH \
+      --init-confidence 0.0 --rank species \
+      --sample-regex "$REGEX" --per-sample \
+      --output "$WORK/outps_graft")
+    PSTIMES[graft_ps_classify2_$rep]=$c
+    echo "[refbaseline] graft per-sample rep$rep: classify2=${c}s"
+  done
+
+  # reference: serial per-sample loop, REPS_PS_REF reps (default 1 — the
+  # loop is ~NS full classify2 runs; its cost IS the honest number)
+  for rep in $(seq 1 ${REPS_PS_REF:-1}); do
+    rm -rf "$WORK/outps_ref"*
+    t0=$(date +%s.%N)
+    for s in $(seq 0 $((NS - 1))); do
+      ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_ps_classify2_${rep}_s$s.log" \
+        classify2 --index "$WORK/idx_ref_ps" --library "$D/lib" \
+        --reads $THRESH --init-confidence 0.0 --rank species \
+        --output "$WORK/outps_ref_s$s" "$D/persample/s$s.fastq" > /dev/null
+    done
+    t1=$(date +%s.%N)
+    PSTIMES[ref_ps_classify2_$rep]=$(echo "$t1 $t0" | awk '{printf "%.2f", $1-$2}')
+    echo "[refbaseline] ref per-sample rep$rep (serial x$NS): ${PSTIMES[ref_ps_classify2_$rep]}s"
+  done
+
+  # correctness: union of the reference's per-sample decisions ==
+  # graft's per-sample quads (sample extracted from the title suffix)
+  python3 - "$WORK" "$NS" <<'PYEOF' | tee "$WORK/out/persample_compare.txt"
+import sys, glob, gzip, os, re
+work, ns = sys.argv[1], int(sys.argv[2])
+def rows(d):
+    out = []
+    for f in sorted(glob.glob(os.path.join(d, "sample=*", "*"))):
+        if f.endswith(("_SUCCESS", ".crc")) or os.path.isdir(f): continue
+        op = gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            for l in fh:
+                p = l.rstrip("\n").split("\t")
+                if len(p) >= 3: out.append((p[0], p[1], p[2]))
+    return out
+ref = []
+for s in range(ns):
+    d = glob.glob(os.path.join(work, f"outps_ref_s{s}_c*"))
+    if not d:
+        print(f"per-sample: MISSING reference output for sample {s}"); sys.exit(1)
+    ref.extend(rows(d[0]))
+graft = rows(os.path.join(work, "outps_graft"))
+ref.sort(); graft.sort()
+if ref == graft:
+    print(f"per-sample per-read: MATCH ({len(ref)} reads, "
+          f"{sum(1 for r in ref if r[0]=='C')} classified, {ns} samples)")
+    sys.exit(0)
+print(f"per-sample per-read: MISMATCH (ref {len(ref)}, graft {len(graft)})")
+for r in sorted(set(ref) - set(graft))[:5]: print("  ref-only:  ", r)
+for r in sorted(set(graft) - set(ref))[:5]: print("  graft-only:", r)
+sys.exit(1)
+PYEOF
+
+  {
+    echo -n '{"stage":"persample","reps_graft":'${REPS_PS:-3}',"reps_ref":'${REPS_PS_REF:-1}',"samples":'$NS',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,R='$THRESH',init_conf=0.0,rank=species,per-sample"'
+    for key in "${!PSTIMES[@]}"; do echo -n ",\"$key\":${PSTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_persample.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_persample.json"
+  cat "$WORK/out/headtohead_persample.json"
+}
+
+# Bracken weights at t2 scale: the r15 bracken tier was t1-size; this one
+# replicates the 10-taxon bk library REP_FACTOR x with fresh sequence ids
+# (same protocol as the t2 classify tier), so the weights computation sees
+# 64x the genome volume. Reuses compare_bracken.py for output equality.
+bracken_t2_stage() {
+  local D=$WORK/data/bk2
+  mkdir -p "$D/taxonomy" "$D/lib/library"
+  {
+    printf '1\t|\t1\t|\tno rank\t|\n'
+    for i in $(seq 101 110); do printf '%s\t|\t1\t|\tspecies\t|\n' $i; done
+  } > "$D/taxonomy/nodes.dmp"
+  {
+    printf '1\t|\troot\t|\t\t|\tscientific name\t|\n'
+    for i in $(seq 101 110); do
+      printf '%s\t|\tspecies %s\t|\t\t|\tscientific name\t|\n' $i $i
+    done
+  } > "$D/taxonomy/names.dmp"
+  : > "$D/taxonomy/merged.dmp"
+  for ((r = 0; r < REP_FACTOR; r++)); do
+    awk -v r=$r '/^>/{ split(substr($0,2), h, " "); print ">" h[1] "_r" r; next } { print }' \
+      "$WORK/data/t1/lib/library/genomes.fna"
+  done > "$D/lib/library/genomes.fna"
+  awk '/^>/{
+    split(substr($0,2), h, " ");
+    if (h[1] ~ /^chr1H/) t = 110; else { t = 101 + (n % 9); n++ }
+    print h[1] "\t" t
+  }' "$D/lib/library/genomes.fna" > "$D/lib/seqid2taxid.map"
+  du -sh "$D/lib/library/genomes.fna"
+
+  declare -A BK2TIMES
+  for rep in $(seq 1 ${REPS_BK2:-3}); do
+    for eng in ref graft; do
+      rm -rf "$WORK/idx_${eng}_bk2"* "$WORK/bk2_${eng}"* "$WORK/scratch_$eng" \
+        && mkdir -p "$WORK/scratch_$eng"
+      if [[ $eng == ref ]]; then
+        b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk2_build_$rep.log" \
+          build -k 35 -m 31 --spaces 7 \
+          --taxonomy "$D/taxonomy" --library "$D/lib" \
+          --index "$WORK/idx_ref_bk2")
+        w=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_bk2_weights_$rep.log" \
+          bracken-build --index "$WORK/idx_ref_bk2" --library "$D/lib" \
+          --read-len 100)
+      else
+        b=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk2_build_$rep.log" \
+          build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_bk2")
+        w=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_bk2_weights_$rep.log" \
+          bracken --index "$WORK/idx_graft_bk2" \
+          --library "$D/lib/library/genomes.fna" \
+          --labels "$D/lib/seqid2taxid.map" \
+          --read-len 100 --output "$WORK/bk2_graft")
+      fi
+      BK2TIMES[${eng}_bk2_build_$rep]=$b
+      BK2TIMES[${eng}_bk2_weights_$rep]=$w
+      echo "[refbaseline] $eng bracken-t2 rep$rep: build=${b}s weights=${w}s"
+    done
+  done
+
+  python3 "$REPO/tools/refbaseline/compare_bracken.py" \
+    "$WORK/idx_ref_bk2_bracken/database100mers.kmer_distrib" \
+    "$WORK/bk2_graft" | tee "$WORK/out/bracken_t2_compare.txt"
+
+  {
+    echo -n '{"stage":"bracken_t2","reps":'${REPS_BK2:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,readLen=100,64x"'
+    for key in "${!BK2TIMES[@]}"; do echo -n ",\"$key\":${BK2TIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_bracken_t2.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_bracken_t2.json"
+  cat "$WORK/out/headtohead_bracken_t2.json"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -678,7 +865,60 @@ graft_cmd() { # scratch-cwd log args...
     "$@" -p $BUCKETS
 }
 
+# REFBASELINE_SMOKE=1: CI-light re-verification that the toolchain still
+# works — compiles the shimmed reference from sources, rebuilds both
+# engines' t1 indexes, runs one classify each, and checks the per-read
+# decisions still match bit for bit. No timing race, minutes not hours.
+# Catches toolchain drift (Spark/scala upgrades breaking the shim or the
+# reference compile) before anyone trusts a full race.
+smoke() {
+  if [[ -z ${SKIP_COMPILE:-} ]]; then compile_reference; fi
+  REP_FACTOR=2 gen_data   # t1 is what smoke uses; keep the t2 gen tiny
+  echo "[refbaseline] building graft classes"
+  (cd "$REPO" && sbt -batch compile > "$WORK/out/sbt_compile.log" 2>&1)
+  local D=$WORK/data/t1
+  rm -rf "$WORK"/idx_{ref,graft}_smoke "$WORK"/out_{ref,graft}_smoke* \
+    "$WORK"/scratch_{ref,graft}
+  mkdir -p "$WORK/scratch_ref" "$WORK/scratch_graft"
+  ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_smoke.log" \
+    build -k 35 -m 31 --spaces 7 --taxonomy "$WORK/data/taxonomy" \
+    --library "$D/lib" --index "$WORK/idx_ref_smoke" > /dev/null
+  ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_smoke.log" \
+    classify --index "$WORK/idx_ref_smoke" \
+    --output "$WORK/out_ref_smoke" -c 0.0 "$D/reads.fastq" > /dev/null
+  graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_smoke.log" \
+    build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+    --library "$D/lib/library/genomes.fna" \
+    --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_smoke" > /dev/null
+  graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_smoke.log" \
+    classify --index "$WORK/idx_graft_smoke" --reads "$D/reads.fastq" \
+    --output "$WORK/out_graft_smoke" > /dev/null
+  python3 - "$WORK/out_ref_smoke_c0.0" "$WORK/out_graft_smoke" <<'PYEOF'
+import sys, glob, gzip, os
+def rows(d):
+    out = []
+    for f in sorted(glob.glob(os.path.join(d, "sample=*", "*"))):
+        if f.endswith(("_SUCCESS", ".crc")) or os.path.isdir(f): continue
+        op = gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            for l in fh:
+                p = l.rstrip("\n").split("\t")
+                if len(p) >= 3: out.append((p[0], p[1], p[2]))
+    return sorted(out)
+a, b = rows(sys.argv[1]), rows(sys.argv[2])
+if a == b and a:
+    print(f"[refbaseline] SMOKE OK: {len(a)} per-read decisions identical "
+          f"({sum(1 for r in a if r[0]=='C')} classified)")
+    sys.exit(0)
+print(f"[refbaseline] SMOKE FAIL: ref {len(a)} rows, graft {len(b)} rows")
+for r in sorted(set(a) - set(b))[:5]: print("  ref-only:  ", r)
+for r in sorted(set(b) - set(a))[:5]: print("  graft-only:", r)
+sys.exit(1)
+PYEOF
+}
+
 main() {
+  if [[ ${REFBASELINE_SMOKE:-0} == 1 ]]; then smoke; return; fi
   if [[ -z ${SKIP_COMPILE:-} ]]; then compile_reference; fi
   gen_data
   echo "[refbaseline] building graft classes"
@@ -731,6 +971,8 @@ main() {
   if [[ ${RESPACE:-0} == 1 ]]; then respace_stage; fi
   if [[ ${MULTISAMPLE:-0} == 1 ]]; then multisample_stage; fi
   if [[ ${GOLD:-0} == 1 ]]; then gold_stage; fi
+  if [[ ${PERSAMPLE:-0} == 1 ]]; then persample_stage; fi
+  if [[ ${BRACKEN_T2:-0} == 1 ]]; then bracken_t2_stage; fi
 }
 
 main "$@"
