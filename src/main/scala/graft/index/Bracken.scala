@@ -128,16 +128,17 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
       c.i
     }
     val enter = new Cursor; val exit = new Cursor
-    var enteredRun = -1; var exitedRun = -1
+    var enteredRun = -1
 
-    def add(p: Int): Unit = {
+    def add(p: Int): Int = {
       val ri = runAt(enter, p)
       val r = runs(ri)
       counts(r.taxon) = counts.getOrElse(r.taxon, 0) + 1
       if (ri != enteredRun && r.distinct && r.taxon != Taxonomy.NONE) hitGroups += 1
       enteredRun = ri
+      r.taxon
     }
-    def remove(p: Int): Unit = {
+    def remove(p: Int): Int = {
       val ri = runAt(exit, p)
       val r = runs(ri)
       val u = counts(r.taxon) - 1
@@ -145,42 +146,84 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
       // run fully passed once its last position exits
       if (p == r.start + r.count - 1 && r.distinct && r.taxon != Taxonomy.NONE)
         hitGroups -= 1
-      exitedRun = ri
+      r.taxon
     }
 
     var p = 0
     while (p < kmersPerWindow) { add(p); p += 1 }
 
+    // Resolve memoization — the 64x head-to-head (r16) caught this path at
+    // ~5 us/window against the reference's ~0.6 us: most slides exit and
+    // enter the SAME taxon run (runs span whole super-mers), leaving the
+    // count multiset and hit-group count untouched, so the classification
+    // cannot change. Recompute only when the slide crossed a boundary that
+    // moved a count (tIn != tOut) or toggled a hit group — O(#runs)
+    // resolves per fragment instead of O(#windows).
     val nWindows = seq.length - readLen + 1
+    var lastDest = Taxonomy.NONE
+    var dirty = true
     Iterator.range(0, nWindows).map { start =>
       if (start > 0) {
-        remove(start - 1)
-        add(start + kmersPerWindow - 1)
+        val hg0 = hitGroups
+        val tOut = remove(start - 1)
+        val tIn = add(start + kmersPerWindow - 1)
+        if (tIn != tOut || hitGroups != hg0) dirty = true
       }
-      val scoring = counts.filter(kv => kv._1 != Taxonomy.NONE)
-      val dest =
-        if (hitGroups < 2 || scoring.isEmpty) Taxonomy.NONE
-        else resolver.resolveTree(scoring, 0.0)
-      dest
+      if (dirty) {
+        val scoring = counts.filter(kv => kv._1 != Taxonomy.NONE)
+        lastDest =
+          if (hitGroups < 2 || scoring.isEmpty) Taxonomy.NONE
+          else resolver.resolveTree(scoring, 0.0)
+        dirty = false
+      }
+      lastDest
     }.map((_, 1))
   }
 
-  /** Full weight pipeline: fragments -> distinct minimizers -> LCA join
-    * (one-sided on the bucketed index) -> regroup -> window classify ->
-    * (source, dest, count). */
+  /** Full weight pipeline: fragments -> content-weighted dedup -> distinct
+    * minimizers -> LCA join (one-sided on the bucketed index) -> regroup ->
+    * window classify -> (source, dest, count).
+    *
+    * Two shapes matter at scale (both caught by the r16 64x head-to-head,
+    * where this stage ran 212 s against the reference's 34 s):
+    *  - CONTENT-WEIGHTED DEDUP: the fragment key is a content digest, so
+    *    identical (taxon, content) fragments — replicated genomes, common
+    *    in real libraries as identical plasmids/rRNA operons and total in
+    *    the replicated tier — collapse to ONE window computation carrying
+    *    a multiplicity, multiplied back into the counts. Exact, not an
+    *    approximation: identical input windows classify identically.
+    *  - PRIMITIVE-ARRAY COLLECT: the per-fragment minimizer->LCA map rides
+    *    the shuffle as parallel Array[Long]/Array[Int] columns (a memcopy
+    *    through the Tungsten array codec), not a Seq[tuple5] whose decoder
+    *    boxes five fields per element (the measured 170 s hotspot:
+    *    BrackenProfile, 165M boxed elements at the 64x tier). The parallel
+    *    collect_lists index-align because all aggregates in one groupBy
+    *    consume the group's rows in the same order. */
   def weights(library: Dataset[(Int, String)], records: DataFrame, readLen: Int,
       maxFragment: Int = 100000): DataFrame = {
     val spark = library.sparkSession
     import spark.implicits._
     val frags = fragments(library, readLen, maxFragment)
       .toDF("taxon", "seq", "header", "location")
+    // one row per distinct fragment CONTENT (header digests taxon+content),
+    // weight = how many library rows carry it. BOTH consumers (the mins
+    // scan and the window join) read the deduped frame: scanning the
+    // pre-dedup frame instead would be plan-prettier (one groupBy subtree)
+    // but pushes the duplicate entries into the LCA join + collect and the
+    // per-fragment map builds — measured 23.3 s vs 4.6 s at the 64x tier
+    // (BrackenProfile). The subtree appears twice in the STATIC plan; at
+    // runtime the exchange is reused (ReuseExchangeAndSubquery / AQE stage
+    // cache), so the second occurrence costs nothing.
+    val fragsU = frags.groupBy($"header", $"location")
+      .agg(first($"taxon").as("taxon"), first($"seq").as("seq"),
+        count(lit(1)).as("weight"))
 
     // distinct minimizer keys per fragment (four-long normalized; the DF
     // keeps only the index's real key columns)
     val idx = index
     val kk = k
     val nKeys = idx.keyCols.size
-    val mins = frags.select($"header", $"location", $"seq").as[(String, Long, String)]
+    val mins = fragsU.select($"header", $"location", $"seq").as[(String, Long, String)]
       .flatMap { case (h, loc, seq) =>
         val set = mutable.HashSet.empty[(Long, Long, Long, Long)]
         SupermerScanner.splitByAmbiguity(seq).foreach { run =>
@@ -197,21 +240,35 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
       if (i <= nKeys) col(s"id$i") else lit(0L)
     val lcas = minsKeyed.join(records, idx.keyCols, "left")
       .groupBy($"header", $"location")
-      .agg(collect_list(struct(
-        keyOrZero(1).as("k1"), keyOrZero(2).as("k2"),
-        keyOrZero(3).as("k3"), keyOrZero(4).as("k4"),
-        coalesce($"taxon", lit(Taxonomy.NONE)).as("taxon"))).as("lcas"))
+      .agg(collect_list(keyOrZero(1)).as("mk1"),
+        collect_list(keyOrZero(2)).as("mk2"),
+        collect_list(keyOrZero(3)).as("mk3"),
+        collect_list(keyOrZero(4)).as("mk4"),
+        collect_list(coalesce($"taxon", lit(Taxonomy.NONE))).as("mtaxa"))
 
     val bc = bcTax
-    frags.join(lcas, Seq("header", "location"), "left")
-      .select($"taxon", $"seq", $"lcas")
-      .as[(Int, String, Seq[(Long, Long, Long, Long, Int)])]
-      .flatMap { case (source, seq, lcaTuples) =>
-        val lcaOf = Option(lcaTuples).getOrElse(Seq.empty)
-          .map(t => (t._1, t._2, t._3, t._4) -> t._5).toMap
+    fragsU.join(lcas, Seq("header", "location"), "left")
+      .select($"taxon", $"seq", $"weight", $"mk1", $"mk2", $"mk3", $"mk4", $"mtaxa")
+      .as[(Int, String, Long, Array[Long], Array[Long], Array[Long],
+        Array[Long], Array[Int])]
+      .flatMap { case (source, seq, weight, k1s, k2s, k3s, k4s, taxa) =>
+        val lcaOf = mutable.HashMap.empty[(Long, Long, Long, Long), Int]
+        if (k1s != null) {
+          var i = 0
+          while (i < k1s.length) {
+            lcaOf((k1s(i), k2s(i), k3s(i), k4s(i))) = taxa(i)
+            i += 1
+          }
+        }
         val resolver = new LcaResolver(bc.value)
+        // aggregate per fragment BEFORE the encoder: a fragment has at most
+        // a handful of distinct destinations, so this emits one Tungsten
+        // row per (fragment, dest) instead of one per window
+        val perDest = mutable.Map.empty[Int, Long]
         windowClassificationsKeyed(seq, lcaOf, readLen, resolver)
-          .map { case (dest, c) => (source, dest, c) }
+          .foreach { case (dest, c) =>
+            perDest(dest) = perDest.getOrElse(dest, 0L) + c }
+        perDest.iterator.map { case (dest, c) => (source, dest, c * weight) }
       }
       .toDF("source", "dest", "n")
       .groupBy($"source", $"dest")

@@ -13,6 +13,14 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // second arg: a single lane name — print its full formatted plan
+    // instead of the census (for localizing a budget regression)
+    for (lane <- args.lift(1)) {
+      val ss = SparkSessionTestWrapper.session.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.all(lane).fn(ss, dir).explain("formatted")
+      return
+    }
     val base = SparkSessionTestWrapper.session
     println("lane\tshuffles\tnested_loop_joins")
     for ((name, q) <- SparkEntry.all) {
