@@ -225,21 +225,33 @@ object IndexOps {
       .agg(sum($"kmers").cast("int").as("kmers"),
         sum(when($"distinct" && $"taxon" > 0, 1).otherwise(0)).as("groups"))
 
-    // level 2: per read — taxa counts as pairs, order-free
+    // level 2: per read — taxa counts as PARALLEL PRIMITIVE ARRAYS, not an
+    // array<struct>: the struct decoder boxes both fields per element,
+    // which is exactly the shape the r16 bracken head-to-head measured as
+    // a 170 s hotspot at its 64x tier. Aligned because all aggregates in
+    // one groupBy consume the group's rows in the same order.
     val perRead = perTaxon
       .groupBy($"title")
-      .agg(collect_list(struct($"taxon", $"kmers")).as("pairs"),
+      .agg(collect_list($"taxon").as("taxa"),
+        collect_list($"kmers").as("kmerCounts"),
         sum($"groups").cast("int").as("hitGroups"))
-      .as[(String, Seq[(Int, Int)], Int)]
+      .select($"taxa", $"kmerCounts", $"hitGroups")
+      .as[(Array[Int], Array[Int], Int)]
 
     perRead.mapPartitions { it =>
       // one resolver (and its internal hash table) per task, not per read —
       // mirrors the typed path (ClassifyKernel); per-row allocation here was
       // the round-3 weak spot in the path marketed as the cheap plan
       val resolver = new LcaResolver(bc.value)
-      it.map { case (_, pairs, hitGroups) =>
+      it.map { case (taxa, kmerCounts, hitGroups) =>
         if (hitGroups < minHitGroups) Taxonomy.NONE
-        else resolver.classify(pairs, confidence)
+        else {
+          val pairs = new Array[(Int, Int)](taxa.length)
+          var i = 0
+          while (i < taxa.length) { pairs(i) = (taxa(i), kmerCounts(i)); i += 1 }
+          resolver.classify(scala.collection.immutable.ArraySeq.unsafeWrapArray(pairs),
+            confidence)
+        }
       }
     }.toDF("taxon")
       .groupBy($"taxon").agg(count(lit(1)).cast("long").as("n_reads"))

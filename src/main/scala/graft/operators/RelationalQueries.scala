@@ -735,14 +735,19 @@ object RelationalQueries {
     // sessions explode into the day buckets they cover, events carry ONE
     // bucket, and the match is an equi-join on bucket with a residual
     // range filter — never a cartesian range join, and no double-count
-    // because each event lives in exactly one bucket. The bucket alone
-    // would put every event of a calendar day in one join partition (a
-    // straggler at 100x on a hot day — r15 verdict), so the key is
-    // composite (bucket, salt): the small aggregated session side
-    // replicates over all SALT values, each event picks one deterministic
-    // salt, and a hot day fans out across SALT partitions while each
-    // (session, event) pair still meets exactly once. The oracle is
-    // DuckDB's plain range join over the same session derivation. ----
+    // because each event lives in exactly one bucket.
+    // Salting was TRIED and REJECTED on measurement (r16): a composite
+    // (bucket, salt∈0..7) key with the session side exploded over the
+    // salt range — the r15-suggested cure for a hot calendar day landing
+    // in one join partition — made this lane 2x slower at sf0.1
+    // (4.2 -> 8.3 s) and 6.5x slower at sf1.0 (18.7 -> 121 s): the
+    // replicated session rows inflate the sort-merge groups on every
+    // HEALTHY day, a constant tax far exceeding the straggler it insures
+    // against. The hot-day case is AQE's job: skew-join splitting
+    // (spark.sql.adaptive.skewJoin, on by default) divides an oversized
+    // bucket partition at runtime without taxing the uniform case. The
+    // oracle is DuckDB's plain range join over the same session
+    // derivation. ----
     Q("q38_interval_join", (s, dir) => {
       import s.implicits._
       val DAY = 86400L * 1000000000L
@@ -757,14 +762,11 @@ object RelationalQueries {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_idx")
         .agg(min($"ts").as("t0"), max($"ts").as("t1"))
-      val SALT = 8
       val sessB = sess.select($"user_id", $"session_idx", $"t0", $"t1",
         explode(expr(s"sequence(t0 DIV ${DAY}L, t1 DIV ${DAY}L)")).as("bucket"))
-        .select($"*", explode(expr(s"sequence(0, ${SALT - 1})")).as("salt"))
       val evB = ev.select($"user_id".as("e_user"), $"ts",
-        expr(s"ts DIV ${DAY}L").as("bucket"),
-        pmod(xxhash64($"user_id", $"ts"), lit(SALT)).cast("int").as("salt"))
-      val matched = sessB.join(evB, Seq("bucket", "salt"))
+        expr(s"ts DIV ${DAY}L").as("bucket"))
+      val matched = sessB.join(evB, Seq("bucket"))
         .filter($"ts".between($"t0", $"t1") && $"e_user" =!= $"user_id")
         .groupBy($"user_id", $"session_idx")
         .agg(count(lit(1)).as("n_concurrent"))
