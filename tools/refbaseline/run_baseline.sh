@@ -828,7 +828,7 @@ bracken_t2_stage() {
     "$WORK/bk2_graft" | tee "$WORK/out/bracken_t2_compare.txt"
 
   {
-    echo -n '{"stage":"bracken_t2","reps":'${REPS_BK2:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,readLen=100,64x"'
+    echo -n '{"stage":"bracken_t2","reps":'${REPS_BK2:-3}',"rep_factor":'$REP_FACTOR',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,readLen=100,'$REP_FACTOR'x"'
     for key in "${!BK2TIMES[@]}"; do echo -n ",\"$key\":${BK2TIMES[$key]}"; done
     echo '}'
   } > "$WORK/out/headtohead_bracken_t2.json"
