@@ -219,4 +219,75 @@ class ReferenceHeadToHeadGoldenSpec extends AnyFunSuite
         "ERR599052.8892" -> 455631))
     } finally { staticRecords.unpersist(); bcTax.destroy() }
   }
+
+  /** Per-sample classify2 pinned to the reference engine's measured
+    * output. The r16 head-to-head (PERSAMPLE=1, 64 samples) proved the
+    * union of serial reference classify2 runs — one per sample's reads —
+    * equals graft's one-pass classify2MultiSample exactly (639,488 reads,
+    * 192 classified). Here each sample carries the SAME shipped reads
+    * (suffixed _rN), so the reference-measured expectation per sample is
+    * the classify2 golden above: {455631} selected, the three cdiff reads
+    * classified, the under-threshold human read dropped. Two identical
+    * samples also exercise the shared-selection-group sub-index path. */
+  test("graft reproduces the reference engine's measured per-sample " +
+    "classify2 output (one-pass multi-sample vs serial reference runs)") {
+    import spark.implicits._
+    val ss = spark
+
+    val tax = Taxonomy.fromTuples(Seq(
+      (100, 1, "genus", "genus one"),
+      (200, 100, "species", "Clostridioides difficile"),
+      (300, 100, "species", "Bacillus mycoides"),
+      (455631, 200, "strain", "Clostridioides difficile QCD-66c26"),
+      (526997, 300, "strain", "Bacillus mycoides DSM 2048"),
+      (9606, 1, "species", "Homo sapiens")))
+    val bcTax = ss.sparkContext.broadcast(tax)
+
+    def headers(path: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().filter(_.startsWith(">"))
+        .map(_.drop(1).takeWhile(_ != ' ')).toVector
+      finally src.close()
+    }
+    val srrLabels = headers(s"$dir/SRR094926_10k.fasta").zipWithIndex.map {
+      case (h, i) => (h, if (i % 2 == 0) 455631 else 526997)
+    }
+    val labels = (srrLabels :+ ("chr1H" -> 9606)).toMap
+
+    val lib = (Sequences.fasta(ss, s"$dir/SRR094926_10k.fasta") union
+        Sequences.fasta(ss, s"$dir/Akashinriki_10k.fasta"))
+      .map(f => (labels(f.header), f.nucleotides))
+      .repartition(8)
+
+    val index = new MinimizerIndex(
+      IndexParams(k = 35, m = 31, spaces = 7, buckets = 8), bcTax)
+    val dyn = new DynamicClassifier(index, bcTax)
+    val staticRecords = index.makeRecords(lib).persist()
+    try {
+      val singles = Sequences.fastq(ss, s"$dir/ERR599052_10k.fastq")
+      val reads = (0 until 2).map(r =>
+        singles.map(f => f.copy(header = f.header + s"_r$r")))
+        .reduce(_ union _)
+      val (classifiedDs, perSample, release) = dyn.classify2MultiSample(
+        reads, "_r([0-9]+)$", lib, staticRecords,
+        criterion = ClassifiedReads, rank = "species", threshold = 2,
+        confidence = 0.0, minHitGroups = 2, initConfidence = Some(0.0))
+      val out = classifiedDs.collect()
+      release()
+      // each sample independently selects exactly the cdiff clade
+      assert(perSample.keySet == Set("0", "1"))
+      for ((s, sel) <- perSample)
+        assert(sel == collection.BitSet(455631), s"sample $s")
+      assert(out.length === 2 * 9992)
+      val classified = out.filter(_.classified)
+        .map(c => c.title -> c.taxon).sorted.toSeq
+      assert(classified === Seq(
+        "ERR599052.3_r0" -> 455631,
+        "ERR599052.3_r1" -> 455631,
+        "ERR599052.8389_r0" -> 455631,
+        "ERR599052.8389_r1" -> 455631,
+        "ERR599052.8892_r0" -> 455631,
+        "ERR599052.8892_r1" -> 455631))
+    } finally { staticRecords.unpersist(); bcTax.destroy() }
+  }
 }
