@@ -196,9 +196,10 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     *    the shuffle as parallel Array[Long]/Array[Int] columns (a memcopy
     *    through the Tungsten array codec), not a Seq[tuple5] whose decoder
     *    boxes five fields per element (the measured 170 s hotspot:
-    *    BrackenProfile, 165M boxed elements at the 64x tier). The parallel
-    *    collect_lists index-align because all aggregates in one groupBy
-    *    consume the group's rows in the same order. */
+    *    BrackenProfile, 165M boxed elements at the 64x tier). Since r17 the
+    *    five arrays come from ONE CollectAligned aggregate, so their
+    *    index-alignment is structural rather than an artifact of Spark's
+    *    cross-aggregate row-order behavior. */
   def weights(library: Dataset[(Int, String)], records: DataFrame, readLen: Int,
       maxFragment: Int = 100000): DataFrame = {
     val spark = library.sparkSession
@@ -211,9 +212,13 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     // pre-dedup frame instead would be plan-prettier (one groupBy subtree)
     // but pushes the duplicate entries into the LCA join + collect and the
     // per-fragment map builds — measured 23.3 s vs 4.6 s at the 64x tier
-    // (BrackenProfile). The subtree appears twice in the STATIC plan; at
-    // runtime the exchange is reused (ReuseExchangeAndSubquery / AQE stage
-    // cache), so the second occurrence costs nothing.
+    // (BrackenProfile). The subtree runs TWICE at runtime — column pruning
+    // gives the two consumers different aggregate shapes (first(taxon)+
+    // first(seq)+count vs first(seq) only), so the exchange is NOT
+    // reusable (verified: tools/WeightsPlanProbe, 0 ReusedExchange nodes
+    // in the executed plan). The duplicate cheap payload shuffle is still
+    // a net win vs scanning the pre-dedup frame; PlanBudgetSpec's g05
+    // budget (6 exchanges) documents the same.
     val fragsU = frags.groupBy($"header", $"location")
       .agg(first($"taxon").as("taxon"), first($"seq").as("seq"),
         count(lit(1)).as("weight"))
@@ -238,13 +243,22 @@ final class Bracken(val index: KeyedIndex, bcTax: Broadcast[Taxonomy]) extends S
     // LCA lookup via the index (records side pre-bucketed: no index shuffle)
     def keyOrZero(i: Int) =
       if (i <= nKeys) col(s"id$i") else lit(0L)
+    // ONE CollectAligned aggregate emits the five parallel primitive arrays
+    // from a single buffer — structurally aligned, unlike r16's five
+    // parallel collect_lists which leaned on Spark's undocumented
+    // cross-aggregate row-order behavior. Decode stays a memcopy
+    // (UnsafeArrayData.fromPrimitiveArray per field, no boxed structs).
+    val hitsFn = graft.functions.CollectAligned.register(spark,
+      Seq("mk1", "mk2", "mk3", "mk4", "mtaxa"))
     val lcas = minsKeyed.join(records, idx.keyCols, "left")
       .groupBy($"header", $"location")
-      .agg(collect_list(keyOrZero(1)).as("mk1"),
-        collect_list(keyOrZero(2)).as("mk2"),
-        collect_list(keyOrZero(3)).as("mk3"),
-        collect_list(keyOrZero(4)).as("mk4"),
-        collect_list(coalesce($"taxon", lit(Taxonomy.NONE))).as("mtaxa"))
+      .agg(graft.functions.CollectAligned(hitsFn,
+        keyOrZero(1), keyOrZero(2), keyOrZero(3), keyOrZero(4),
+        coalesce($"taxon", lit(Taxonomy.NONE))).as("hits"))
+      .select($"header", $"location",
+        $"hits.mk1".as("mk1"), $"hits.mk2".as("mk2"),
+        $"hits.mk3".as("mk3"), $"hits.mk4".as("mk4"),
+        $"hits.mtaxa".as("mtaxa"))
 
     val bc = bcTax
     fragsU.join(lcas, Seq("header", "location"), "left")

@@ -225,17 +225,21 @@ object IndexOps {
       .agg(sum($"kmers").cast("int").as("kmers"),
         sum(when($"distinct" && $"taxon" > 0, 1).otherwise(0)).as("groups"))
 
-    // level 2: per read — taxa counts as PARALLEL PRIMITIVE ARRAYS, not an
-    // array<struct>: the struct decoder boxes both fields per element,
-    // which is exactly the shape the r16 bracken head-to-head measured as
-    // a 170 s hotspot at its 64x tier. Aligned because all aggregates in
-    // one groupBy consume the group's rows in the same order.
+    // level 2: per read — taxa counts as parallel PRIMITIVE arrays from ONE
+    // native aggregate (CollectAligned), not an array<struct>: the struct
+    // decoder boxes both fields per element, which is exactly the shape the
+    // r16 bracken head-to-head measured as a 170 s hotspot at its 64x tier.
+    // One aggregate makes the alignment structural — r16's parallel
+    // collect_list pair relied on Spark's undocumented cross-aggregate
+    // row-order behavior (then pinned by ParallelCollectAlignmentSpec).
+    val hitsFn = graft.functions.CollectAligned.register(spark,
+      Seq("taxa", "kmerCounts"))
     val perRead = perTaxon
       .groupBy($"title")
-      .agg(collect_list($"taxon").as("taxa"),
-        collect_list($"kmers").as("kmerCounts"),
+      .agg(graft.functions.CollectAligned(hitsFn, $"taxon", $"kmers").as("hits"),
         sum($"groups").cast("int").as("hitGroups"))
-      .select($"taxa", $"kmerCounts", $"hitGroups")
+      .select($"hits.taxa".as("taxa"), $"hits.kmerCounts".as("kmerCounts"),
+        $"hitGroups")
       .as[(Array[Int], Array[Int], Int)]
 
     perRead.mapPartitions { it =>
