@@ -323,16 +323,33 @@ object Main {
         val bcTax = spark.sparkContext.broadcast(tax)
         // --salt N: two-stage LCA fold for skewed (low-complexity) libraries
         val salt = opts.getOrElse("salt", "0").toInt
+        val freqFraction = opts.getOrElse("freq-sample", "0.2").toDouble
+        val freqTop = opts.getOrElse("freq-top", "4096").toInt
+        val freqSeed = 42L
+        val librarySpec = opts.getOrElse("library-fai", opts("library"))
+        // -o frequency derivation, memoized on disk: a REBUILD into the
+        // same output path with the same (m, fraction, topN, seed, library
+        // spec) reloads the persisted demotion set instead of re-running
+        // the counting scan over the whole library (the scan is the
+        // dominant build cost at large m — 20.8 s of the g13 sf1.0 build)
+        def frequencyDemoted(packedLib:
+            org.apache.spark.sql.Dataset[(Int, Array[Byte], Int)]): Array[Long] =
+          FrequencyOrdering.readIfParamsMatch(spark, opts("output"), m,
+              freqFraction, freqTop, freqSeed, librarySpec) match {
+            case Some(d) =>
+              println(s"reusing persisted demotion set (${d.length} longs)")
+              d
+            case None =>
+              FrequencyOrdering.topMers(packedLib, m, freqFraction, freqTop,
+                freqSeed)
+          }
         if (m > 64) {
           // extra-wide path: ceil(m/32)-long keys up to the reference's
           // 4-long maximum (m <= 128), same packed build + sidecar protocol
           val s = opts.getOrElse("s", "0").toInt
           val packedLib = loadPackedLibrary(spark, opts, k)
           val demoted = opts.getOrElse("o", "xor") match {
-            case "frequency" =>
-              FrequencyOrdering.topCanonicalXWideMers(packedLib, m,
-                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
-                topN = opts.getOrElse("freq-top", "4096").toInt)
+            case "frequency" => frequencyDemoted(packedLib)
             case "xor" => Array.emptyLongArray
             case other => sys.error(s"unknown ordering: $other (xor|frequency)")
           }
@@ -358,10 +375,7 @@ object Main {
           // rides in a spare hi-word bit; at m = 64 the scanner consults the
           // demotion set at compare time instead — all wide widths work)
           val demoted = opts.getOrElse("o", "xor") match {
-            case "frequency" =>
-              FrequencyOrdering.topCanonicalWideMers(packedLib, m,
-                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
-                topN = opts.getOrElse("freq-top", "4096").toInt)
+            case "frequency" => frequencyDemoted(packedLib)
             case "xor" => Array.emptyLongArray
             case other => sys.error(s"unknown ordering: $other (xor|frequency)")
           }
@@ -385,9 +399,7 @@ object Main {
           val demoted = opts.getOrElse("o", "xor") match {
             case "frequency" =>
               require(m <= 31, s"-o frequency needs m <= 31, got $m")
-              Some(FrequencyOrdering.topCanonicalMers(packedLib, m,
-                fraction = opts.getOrElse("freq-sample", "0.2").toDouble,
-                topN = opts.getOrElse("freq-top", "4096").toInt))
+              Some(frequencyDemoted(packedLib))
             case "xor" => None
             case other => sys.error(s"unknown ordering: $other (xor|frequency)")
           }
@@ -406,6 +418,12 @@ object Main {
             opts("output"), writeDemotionSidecar = false)
           println(s"index written: $n records")
         }
+        // derivation provenance, written LAST (the bucketed table write
+        // wipes the output dir on overwrite): a params file, when present,
+        // always describes the _freq_ordering payload beside it
+        if (opts.getOrElse("o", "xor") == "frequency")
+          FrequencyOrdering.writeParams(spark, opts("output"), m,
+            freqFraction, freqTop, freqSeed, librarySpec)
         // the index is self-contained: classify/stats/report default to
         // <index>/taxonomy, so no --taxonomy flag is needed downstream
         copyTaxonomy(spark, opts("taxonomy"), opts("output"))
@@ -592,8 +610,15 @@ object Main {
             try taxa.foreach(t => sw.println(t))
             finally sw.close()
           }
-          writeTaxa("_taxonSet.txt", baseSelection)
-          writeTaxa("_taxonSetExpanded.txt", selected.toSeq.sorted)
+          // gold mode writes NO taxon-set file, matching the reference: its
+          // Dynamic.scala only persists the set in the DETECTION path
+          // (findTaxonSet); with a user-supplied gold list there is nothing
+          // detected to persist (r16 advice — the byte-compatibility claim
+          // is scoped to the detection path)
+          if (goldSet.isEmpty) {
+            writeTaxa("_taxonSet.txt", baseSelection)
+            writeTaxa("_taxonSetExpanded.txt", selected.toSeq.sorted)
+          }
           val cached = classified
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           IndexOps.writePerSampleOutput(cached,

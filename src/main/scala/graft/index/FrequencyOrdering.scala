@@ -158,8 +158,41 @@ object FrequencyOrdering {
     counted.sortWith(graft.kmers.XWidePriority.unsignedLess).flatten
   }
 
+  /** Width-dispatched entry: the demotion set for any supported m, as the
+    * interleaved-long encoding each priority expects. */
+  def topMers(library: Dataset[(Int, Array[Byte], Int)], m: Int,
+      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] =
+    if (m > 64) topCanonicalXWideMers(library, m, fraction, topN, seed)
+    else if (m > 32) topCanonicalWideMers(library, m, fraction, topN, seed)
+    else topCanonicalMers(library, m, fraction, topN, seed)
+
+  // --- session memo -------------------------------------------------------
+  // A session computes a library's demotion set ONCE per (library, params):
+  // the counting pass is a full flatMap->groupBy->TakeOrdered over the
+  // packed library (20.8 s at the g13 sf1.0 tier), and both the bench
+  // harness (one build per rep) and real sessions (build then reuse) were
+  // re-paying it. Keyed by a caller-declared library identity string —
+  // plan fingerprints are unstable across typed lambdas, so identity is
+  // the caller's responsibility, same as the indexPath key of
+  // IndexOps.minimizersPerTaxonMemo.
+  private val sessionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def memoKey(libraryKey: String, m: Int, fraction: Double, topN: Int,
+      seed: Long) = s"$libraryKey|m=$m|f=$fraction|top=$topN|seed=$seed"
+
+  /** [[topMers]] memoized for the session under `libraryKey` + params. */
+  def sessionTopMers(libraryKey: String, library: Dataset[(Int, Array[Byte], Int)],
+      m: Int, fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L)
+      : Array[Long] =
+    sessionMemo.computeIfAbsent(memoKey(libraryKey, m, fraction, topN, seed),
+      _ => topMers(library, m, fraction, topN, seed))
+
   private def sidecar(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering")
+
+  private def paramsSidecar(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering.params")
 
   /** Persist the demotion set beside the index (8 bytes/mer, length-prefixed)
     * so classify-time scans reproduce the identical ordering. */
@@ -180,5 +213,51 @@ object FrequencyOrdering {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(p)))
     try Array.fill(in.readInt())(in.readLong()) finally in.close()
+  }
+
+  // --- cross-session (disk) memo -------------------------------------------
+  // The `_freq_ordering` payload already persists beside the index (the
+  // classify-time reload path above); `_freq_ordering.params` records HOW it
+  // was derived — (m, fraction, topN, seed) plus a caller-declared library
+  // spec — so a REBUILD into the same path with the same derivation reloads
+  // the set instead of rescanning the library. Written last (after the
+  // bucketed table write, which wipes the directory on overwrite), so a
+  // present params file always describes the payload next to it.
+
+  /** Record the derivation params beside an already-written demotion set. */
+  def writeParams(spark: SparkSession, indexPath: String, m: Int,
+      fraction: Double, topN: Int, seed: Long, librarySpec: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("m", m.toString)
+    props.setProperty("fraction", fraction.toString)
+    props.setProperty("topN", topN.toString)
+    props.setProperty("seed", seed.toString)
+    props.setProperty("library", librarySpec)
+    val p = paramsSidecar(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try props.store(out, "graft frequency-ordering derivation") finally out.close()
+  }
+
+  /** The persisted demotion set, if one exists at `indexPath` AND its
+    * params sidecar matches this derivation exactly (any mismatch — or a
+    * payload with no params provenance — recomputes). */
+  def readIfParamsMatch(spark: SparkSession, indexPath: String, m: Int,
+      fraction: Double, topN: Int, seed: Long, librarySpec: String)
+      : Option[Array[Long]] = {
+    val p = paramsSidecar(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.exists(sidecar(indexPath))) None
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+      val matches = props.getProperty("m") == m.toString &&
+        props.getProperty("fraction") == fraction.toString &&
+        props.getProperty("topN") == topN.toString &&
+        props.getProperty("seed") == seed.toString &&
+        props.getProperty("library") == librarySpec
+      if (matches) Some(read(spark, indexPath)) else None
+    }
   }
 }

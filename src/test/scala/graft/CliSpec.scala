@@ -550,6 +550,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for ((title, taxon) <- classified2 if taxon != 0)
       assert(taxon == 4, s"$title classified to $taxon outside the gold clade")
     assert(classified2.count(_._2 == 4) > 10)
+    // gold mode writes NO taxon-set file (reference only persists the set
+    // in the detection path — r16 advice)
+    assert(!Files.exists(java.nio.file.Paths.get(out2 + "_taxonSet.txt")),
+      "gold mode must not write _taxonSet.txt")
 
     // -o frequency: the demotion set persists beside the index and classify
     // reproduces the identical ordering (keys match -> reads classify TP)
@@ -572,6 +576,36 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(classifiedF.length == 30)
     assert(classifiedF.count(_._2 != 0) > 25,
       "frequency-ordered index failed to classify the clean reads")
+
+    // rebuild into the same output with the same derivation: the persisted
+    // demotion set is reloaded (params sidecar matches) instead of
+    // re-running the counting scan; the rebuilt index is unchanged
+    val rebuildOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(rebuildOut)) {
+      Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+        "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "64",
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--taxonomy", dir.resolve("tax").toString,
+        "--output", idxF))
+    }
+    assert(rebuildOut.toString.contains("reusing persisted demotion set"),
+      "rebuild did not reload the memoized demotion set")
+    assert(index.IndexParams.read(spark, idxF).demoted.map(_.toSeq)
+      == pf.demoted.map(_.toSeq))
+    // a different derivation must NOT reuse it
+    val idxF2 = dir.resolve("idxf2").toString
+    val freshOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(freshOut)) {
+      Main.main(Array("build", "--k", "35", "--m", "31", "--p", "4",
+        "--o", "frequency", "--freq-sample", "1.0", "--freq-top", "32",
+        "--library", dir.resolve("lib.fasta").toString,
+        "--labels", dir.resolve("labels.tsv").toString,
+        "--taxonomy", dir.resolve("tax").toString,
+        "--output", idxF2))
+    }
+    assert(!freshOut.toString.contains("reusing persisted demotion set"))
+    assert(index.IndexParams.read(spark, idxF2).demoted.exists(_.length == 32))
 
     // multi-sample classify2: --per-sample switches taxon selection to
     // per-sample — sample ma is species 4 plus ONE species-5 contaminant

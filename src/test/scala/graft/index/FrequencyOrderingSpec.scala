@@ -197,4 +197,51 @@ class FrequencyOrderingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spansMax(index) <= spansMax(xorIndex),
       "frequency ordering must not increase the worst span bucket")
   }
+
+  test("demotion set round-trips through the params-validated disk memo") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("freqmemo").toString
+    val demoted = Array.fill(64)(rng.nextLong()).sorted
+    FrequencyOrdering.write(spark, tmp, demoted)
+    FrequencyOrdering.writeParams(spark, tmp, m = 31, fraction = 0.2,
+      topN = 4096, seed = 42L, librarySpec = "lib.fna")
+    // exact params -> reload
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 31, 0.2, 4096,
+      42L, "lib.fna").map(_.toSeq).contains(demoted.toSeq))
+    // ANY derivation-param mismatch -> recompute (None)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 32, 0.2, 4096,
+      42L, "lib.fna").isEmpty)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 31, 0.5, 4096,
+      42L, "lib.fna").isEmpty)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 31, 0.2, 512,
+      42L, "lib.fna").isEmpty)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 31, 0.2, 4096,
+      7L, "lib.fna").isEmpty)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp, 31, 0.2, 4096,
+      42L, "other.fna").isEmpty)
+    // a payload with no params provenance is never reused
+    val tmp2 = java.nio.file.Files.createTempDirectory("freqmemo2").toString
+    FrequencyOrdering.write(spark, tmp2, demoted)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, tmp2, 31, 0.2, 4096,
+      42L, "lib.fna").isEmpty)
+  }
+
+  test("sessionTopMers computes once per (key, params) and matches topMers") {
+    import spark.implicits._
+    val lib = spark.createDataset(Seq(
+      (1, Dna.pack2bit(dna(400)), 400), (2, Dna.pack2bit(dna(400)), 400)))
+    val direct = FrequencyOrdering.topMers(lib, 15, fraction = 1.0, topN = 16)
+    val key = s"spec:${rng.nextLong()}"
+    val first = FrequencyOrdering.sessionTopMers(key, lib, 15,
+      fraction = 1.0, topN = 16)
+    assert(first.toSeq == direct.toSeq)
+    // second call must return the CACHED array (same reference), not rescan
+    val second = FrequencyOrdering.sessionTopMers(key, lib, 15,
+      fraction = 1.0, topN = 16)
+    assert(second eq first)
+    // a different param under the same key is a different memo entry
+    val other = FrequencyOrdering.sessionTopMers(key, lib, 15,
+      fraction = 1.0, topN = 8)
+    assert(!(other eq first) && other.length <= 8)
+  }
 }
