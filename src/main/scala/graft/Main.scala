@@ -813,6 +813,41 @@ object Main {
         IndexOps.compareIndexes(load(idxPath, params), load(refPath, refParams),
             bcTax, keyCols)
           .write.option("sep", "\t").mode("overwrite").csv(opts("output"))
+        // the reference command's own two outputs (MinimizerMigration.run):
+        // matched-only rank-step histogram + a kreport of the subject taxa
+        // whose records collapsed to root/cellular-organisms in the
+        // reference index
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val pairs = IndexOps.migrationPairs(load(idxPath, params),
+          load(refPath, refParams), bcTax, keyCols)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.groupBy(col("steps"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("steps"))
+          .write.option("sep", "\t").mode("overwrite")
+          .csv(opts("output") + "_migration")
+        val cellular = 131567 // NCBI "cellular organisms", reference-pinned
+        val toRoot = pairs
+          .filter((col("taxon_b") === Taxonomy.ROOT || col("taxon_b") === cellular)
+            && col("taxon_a") =!= Taxonomy.ROOT && col("taxon_a") =!= cellular)
+          .groupBy(col("taxon_a")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        pairs.unpersist()
+        val rp = new org.apache.hadoop.fs.Path(
+          opts("output") + "_taxaToRoot_report.txt")
+        val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rw = new java.io.PrintWriter(rfs.create(rp, true), false,
+          java.nio.charset.StandardCharsets.UTF_8)
+        // headered (non-compatible) kreport format, like the reference's
+        // MinimizerMigration output: header line, and the root line prints
+        // even when nothing migrated (percent NaN on an empty total)
+        try {
+          rw.println("#Perc\tAggregate\tIn taxon\tRank\tTaxon\tName")
+          if (toRoot.isEmpty)
+            rw.println(f"${Double.NaN}%6.2f\t0\t0\tR\t${Taxonomy.ROOT}\t" +
+              tax.names(Taxonomy.ROOT))
+          else new KrakenReport(tax, toRoot).lines.foreach(rw.println)
+        } finally rw.close()
 
       case "mergeIndex" =>
         // incremental library growth: union + per-key LCA re-fold of two

@@ -193,6 +193,30 @@ object IndexOps {
       .orderBy(col("steps"))
   }
 
+  /** Reference-semantics migration pairs (spec: MinimizerMigration
+    * .scala:44-71): MATCHED minimizers only (inner null-safe key join),
+    * steps = rank-ladder depth in the subject `a` minus depth in the
+    * reference `b` — how many rank levels each record moved UP the tree in
+    * the fuller index. Sentinels follow the reference: −100 for an
+    * undefined subject depth, −200 for an undefined reference depth.
+    * [[compareIndexes]] stays the richer full-outer diagnostic (it also
+    * counts minimizers present on one side only); this one exists so
+    * `compareIndex` output is comparable 1:1 with the reference command. */
+  def migrationPairs(a: DataFrame, b: DataFrame,
+      bcTax: Broadcast[Taxonomy], keyCols: Seq[String]): DataFrame = {
+    val depthUdf = udf((t: Int) => bcTax.value.rankDepth(t))
+    val left = a.select(keyCols.map(col) :+ col("taxon").as("taxon_a"): _*)
+    val right = b.select(keyCols.map(col) :+ col("taxon").as("taxon_b"): _*)
+    left.join(right,
+        keyCols.map(kc => left(kc) <=> right(kc)).reduce(_ && _))
+      .select(col("taxon_a"), col("taxon_b"),
+        depthUdf(col("taxon_a")).as("d_a"), depthUdf(col("taxon_b")).as("d_b"))
+      .select(col("taxon_a"), col("taxon_b"),
+        when(col("d_a") === -1, lit(-100))
+          .when(col("d_b") === -1, lit(-200))
+          .otherwise(col("d_a") - col("d_b")).as("steps"))
+  }
+
   /** Numeric summary (count/mean/stddev/min/quartiles/max) of per-taxon
     * record counts — index balance at a glance (spec: A14,
     * IndexStatistics.scala:79 `.summary()`). */

@@ -788,6 +788,20 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .flatMap(f => scala.jdk.CollectionConverters
         .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
     assert(cmpLines.length == 1 && cmpLines.head.startsWith("0\t"))
+    // reference-semantics outputs: self-comparison -> every matched
+    // minimizer at rank-steps 0, and an EMPTY taxaToRoot kreport (no taxon
+    // moved into the root set)
+    val migLines = Files.list(java.nio.file.Paths.get(cmp + "_migration"))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(migLines.length == 1 && migLines.head.startsWith("0\t"))
+    assert(migLines.head.split("\t")(1) == cmpLines.head.split("\t")(1),
+      "matched-only count must equal the full-outer steps=0 count on self-compare")
+    val toRootRep = Files.readAllLines(
+      java.nio.file.Paths.get(cmp + "_taxaToRoot_report.txt"))
+    assert(!toRootRep.stream().anyMatch(_.contains("species")),
+      "self-compare must not report root migration")
 
     // wide frequency-ordered build: the two-word demotion set persists and
     // classify reproduces the identical ordering end to end

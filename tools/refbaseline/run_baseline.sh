@@ -836,6 +836,135 @@ bracken_t2_stage() {
   cat "$WORK/out/headtohead_bracken_t2.json"
 }
 
+# Index-statistics head-to-head (reference `stats` vs graft `stats`) on the
+# t1 index. The reference prints its summary (tree size, stored/leaf taxa,
+# total/leaf records) and, with --histogram, rank-depth histograms; graft
+# writes its per-taxon minimizer counts as TSV. compare_indexstats.py
+# derives the reference's numbers independently from graft's OUTPUT plus
+# nodes.dmp and requires exact equality.
+indexstats_stage() {
+  local D=$WORK/data/t1
+  rm -rf "$WORK/idx_ref_is" "$WORK/idx_graft_is" "$WORK"/stats_graft* \
+    "$WORK/scratch_ref" "$WORK/scratch_graft"
+  mkdir -p "$WORK/scratch_ref" "$WORK/scratch_graft"
+  declare -A ISTIMES
+  ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_is_build.log" \
+    build -k 35 -m 31 --spaces 7 --taxonomy "$WORK/data/taxonomy" \
+    --library "$D/lib" --index "$WORK/idx_ref_is" > /dev/null
+  graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_is_build.log" \
+    build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
+    --library "$D/lib/library/genomes.fna" \
+    --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_is" > /dev/null
+  for rep in $(seq 1 ${REPS_IS:-3}); do
+    # fresh stats memo per rep on the graft side: the on-disk _taxon_counts
+    # memo is part of graft's design, but the RACE times the cold scan
+    rm -rf "$WORK/idx_graft_is/_taxon_counts" "$WORK/stats_graft"
+    s=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_is_stats_$rep.log" \
+      stats --index "$WORK/idx_ref_is")
+    g=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_is_stats_$rep.log" \
+      stats --index "$WORK/idx_graft_is" --output "$WORK/stats_graft")
+    ISTIMES[ref_is_stats_$rep]=$s
+    ISTIMES[graft_is_stats_$rep]=$g
+    echo "[refbaseline] indexstats rep$rep: ref=${s}s graft=${g}s"
+  done
+  # equality payload: the reference's own printed numbers + histograms
+  ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_is_histogram.log" \
+    stats --index "$WORK/idx_ref_is" --histogram > /dev/null
+
+  {
+    echo -n '{"stage":"indexstats","reps":'${REPS_IS:-3}',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,t1"'
+    for key in "${!ISTIMES[@]}"; do echo -n ",\"$key\":${ISTIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_indexstats.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_indexstats.json"
+  cat "$WORK/out/headtohead_indexstats.json"
+
+  python3 "$REPO/tools/refbaseline/compare_indexstats.py" \
+    "$WORK/out/ref_is_stats_1.log" "$WORK/out/ref_is_histogram.log" \
+    "$WORK/stats_graft" "$WORK/data/taxonomy/nodes.dmp" \
+    | tee "$WORK/out/indexstats_compare.txt"
+}
+
+# Index-comparison head-to-head (reference `compareIndex` /
+# MinimizerMigration vs graft `compareIndex`): subject = index built from
+# the FIRST HALF of the t1 genomes, reference = index from all of them,
+# under the hierarchical t3-style taxonomy (rank-depth migration is
+# degenerate on the flat t1 taxonomy — strains inherit root's depth 0).
+# Equality: the rank-step histogram (reference's show() vs graft's
+# _migration TSV) and the _taxaToRoot_report.txt kreports, line for line.
+compareidx_stage() {
+  local D=$WORK/data/cmpidx
+  rm -rf "$D" && mkdir -p "$D/taxonomy" "$D/libA/library" "$D/libB/library"
+  cat > "$D/taxonomy/nodes.dmp" <<'EOF'
+1	|	1	|	no rank	|
+100	|	1	|	genus	|
+200	|	100	|	species	|
+300	|	100	|	species	|
+455631	|	200	|	strain	|
+526997	|	300	|	strain	|
+9606	|	1	|	species	|
+EOF
+  cat > "$D/taxonomy/names.dmp" <<'EOF'
+1	|	root	|		|	scientific name	|
+100	|	genus one	|		|	scientific name	|
+200	|	Clostridioides difficile	|		|	scientific name	|
+300	|	Bacillus mycoides	|		|	scientific name	|
+455631	|	Clostridioides difficile QCD-66c26	|		|	scientific name	|
+526997	|	Bacillus mycoides DSM 2048	|		|	scientific name	|
+9606	|	Homo sapiens	|		|	scientific name	|
+EOF
+  : > "$D/taxonomy/merged.dmp"
+  cp "$WORK/data/t1/lib/library/genomes.fna" "$D/libB/library/genomes.fna"
+  cp "$WORK/data/t1/lib/seqid2taxid.map" "$D/libB/seqid2taxid.map"
+  # subject library: the first half of the records (deterministic)
+  local total
+  total=$(grep -c '^>' "$D/libB/library/genomes.fna")
+  awk -v keep=$((total / 2)) '/^>/{n++} n <= keep { print }' \
+    "$D/libB/library/genomes.fna" > "$D/libA/library/genomes.fna"
+  cp "$D/libB/seqid2taxid.map" "$D/libA/seqid2taxid.map"
+
+  rm -rf "$WORK"/idx_{ref,graft}_cmp{A,B} "$WORK"/cmp_{ref,graft}* \
+    "$WORK/scratch_ref" "$WORK/scratch_graft"
+  mkdir -p "$WORK/scratch_ref" "$WORK/scratch_graft"
+  for side in A B; do
+    ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_cmp_build$side.log" \
+      build -k 35 -m 31 --spaces 7 --taxonomy "$D/taxonomy" \
+      --library "$D/lib$side" --index "$WORK/idx_ref_cmp$side" > /dev/null
+    graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_cmp_build$side.log" \
+      build -k 35 -m 31 -s 7 --taxonomy "$D/taxonomy" \
+      --library "$D/lib$side/library/genomes.fna" \
+      --labels "$D/lib$side/seqid2taxid.map" \
+      --output "$WORK/idx_graft_cmp$side" > /dev/null
+  done
+
+  declare -A CITIMES
+  for rep in $(seq 1 ${REPS_CI:-3}); do
+    rm -rf "$WORK"/cmp_graft*
+    r=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_cmpidx_$rep.log" \
+      compareIndex --index "$WORK/idx_ref_cmpA" \
+      --reference "$WORK/idx_ref_cmpB" --output "$WORK/cmp_ref")
+    g=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_cmpidx_$rep.log" \
+      compareIndex --index "$WORK/idx_graft_cmpA" \
+      --reference "$WORK/idx_graft_cmpB" --output "$WORK/cmp_graft")
+    CITIMES[ref_cmpidx_$rep]=$r
+    CITIMES[graft_cmpidx_$rep]=$g
+    echo "[refbaseline] compareIndex rep$rep: ref=${r}s graft=${g}s"
+  done
+
+  {
+    echo -n '{"stage":"compareidx","reps":'${REPS_CI:-3}',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,halfT1-vs-fullT1,hier-taxonomy"'
+    for key in "${!CITIMES[@]}"; do echo -n ",\"$key\":${CITIMES[$key]}"; done
+    echo '}'
+  } > "$WORK/out/headtohead_compareidx.json"
+  echo "[refbaseline] wrote $WORK/out/headtohead_compareidx.json"
+  cat "$WORK/out/headtohead_compareidx.json"
+
+  python3 "$REPO/tools/refbaseline/compare_migration.py" \
+    "$WORK/out/ref_cmpidx_1.log" "$WORK/cmp_ref_taxaToRoot_report.txt" \
+    "$WORK/cmp_graft_migration" "$WORK/cmp_graft_taxaToRoot_report.txt" \
+    | tee "$WORK/out/compareidx_compare.txt"
+}
+
 # ------------------------------------------------------------------- runs
 run_timed() { # name cwd log... -> prints seconds; args after log are the cmd
   local name=$1 cwd=$2 log=$3; shift 3
@@ -930,7 +1059,9 @@ main() {
     tierReps=$REPS
     [[ $tier == t2 ]] && tierReps=${REPS_T2:-$REPS}
     for rep in $(seq 1 $tierReps); do
-      for eng in ref graft; do
+      # ENGINES="graft" races one engine only (e.g. a graft topology probe
+      # against already-recorded reference numbers)
+      for eng in ${ENGINES:-ref graft}; do
         rm -rf "$WORK/idx_${eng}_$tier" "$WORK/out_${eng}_$tier" \
           "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
         if [[ $eng == ref ]]; then
@@ -946,8 +1077,12 @@ main() {
             build -k 35 -m 31 -s 7 --taxonomy "$WORK/data/taxonomy" \
             --library "$D/lib/library/genomes.fna" \
             --labels "$D/lib/seqid2taxid.map" --output "$WORK/idx_graft_$tier")
+          # GRAFT_CLASSIFY_FLAGS: extra classify flags for topology races,
+          # e.g. "--in-memory false" forces the one-sided bucketed
+          # sort-merge join (the 100 TB path) instead of the broadcast table
           c=$(graft_cmd "$WORK/scratch_graft" "$WORK/out/graft_${tier}_classify_$rep.log" \
             classify --index "$WORK/idx_graft_$tier" --reads "$D/reads.fastq" \
+            ${GRAFT_CLASSIFY_FLAGS:-} \
             --output "$WORK/out_graft_$tier")
         fi
         TIMES[${eng}_${tier}_build_$rep]=$b
@@ -973,6 +1108,8 @@ main() {
   if [[ ${GOLD:-0} == 1 ]]; then gold_stage; fi
   if [[ ${PERSAMPLE:-0} == 1 ]]; then persample_stage; fi
   if [[ ${BRACKEN_T2:-0} == 1 ]]; then bracken_t2_stage; fi
+  if [[ ${INDEXSTATS:-0} == 1 ]]; then indexstats_stage; fi
+  if [[ ${COMPAREIDX:-0} == 1 ]]; then compareidx_stage; fi
 }
 
 main "$@"
