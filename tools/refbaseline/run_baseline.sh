@@ -673,8 +673,11 @@ persample_stage() {
     { print >> f }' "$D/reads.fastq"
 
   declare -A PSTIMES
-  # one index per engine, reused across reps (build timed once)
-  for eng in ref graft; do
+  # one index per engine, reused across reps (build timed once).
+  # PS_ENGINES=graft runs a graft-only SCALE probe (e.g. the sf1-style
+  # 10x step-up, where the reference's serial loop would take hours);
+  # the cross-engine compare is skipped since there is nothing to compare.
+  for eng in ${PS_ENGINES:-ref graft}; do
     rm -rf "$WORK/idx_${eng}_ps" "$WORK/scratch_$eng" && mkdir -p "$WORK/scratch_$eng"
     if [[ $eng == ref ]]; then
       b=$(ref_cmd "$WORK/scratch_ref" "$WORK/out/ref_ps_build.log" \
@@ -708,6 +711,7 @@ persample_stage() {
 
   # reference: serial per-sample loop, REPS_PS_REF reps (default 1 — the
   # loop is ~NS full classify2 runs; its cost IS the honest number)
+  if [[ ${PS_ENGINES:-ref graft} == *ref* ]]; then
   for rep in $(seq 1 ${REPS_PS_REF:-1}); do
     rm -rf "$WORK/outps_ref"*
     t0=$(date +%s.%N)
@@ -721,9 +725,11 @@ persample_stage() {
     PSTIMES[ref_ps_classify2_$rep]=$(echo "$t1 $t0" | awk '{printf "%.2f", $1-$2}')
     echo "[refbaseline] ref per-sample rep$rep (serial x$NS): ${PSTIMES[ref_ps_classify2_$rep]}s"
   done
+  fi
 
   # correctness: union of the reference's per-sample decisions ==
   # graft's per-sample quads (sample extracted from the title suffix)
+  if [[ ${PS_ENGINES:-ref graft} == *ref* ]]; then
   python3 - "$WORK" "$NS" <<'PYEOF' | tee "$WORK/out/persample_compare.txt"
 import sys, glob, gzip, os, re
 work, ns = sys.argv[1], int(sys.argv[2])
@@ -754,6 +760,7 @@ for r in sorted(set(ref) - set(graft))[:5]: print("  ref-only:  ", r)
 for r in sorted(set(graft) - set(ref))[:5]: print("  graft-only:", r)
 sys.exit(1)
 PYEOF
+  fi
 
   {
     echo -n '{"stage":"persample","reps_graft":'${REPS_PS:-3}',"reps_ref":'${REPS_PS_REF:-1}',"samples":'$NS',"cpus":'$CPUS',"buckets":'$BUCKETS',"heap":"'$HEAP'","params":"k=35,m=31,s=7,R='$THRESH',init_conf=0.0,rank=species,per-sample"'
