@@ -181,12 +181,18 @@ object FrequencyOrdering {
   private def memoKey(libraryKey: String, m: Int, fraction: Double, topN: Int,
       seed: Long) = s"$libraryKey|m=$m|f=$fraction|top=$topN|seed=$seed"
 
-  /** [[topMers]] memoized for the session under `libraryKey` + params. */
+  /** [[topMers]] memoized for the session under `libraryKey` + params.
+    * Bounded: a long-lived session cycling through many libraries clears
+    * the cache rather than growing without limit (a demotion set is up to
+    * topN * words longs — 2 MB at topN=65536/m=128 — and recomputing one
+    * is cheap next to holding hundreds). */
   def sessionTopMers(libraryKey: String, library: Dataset[(Int, Array[Byte], Int)],
       m: Int, fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L)
-      : Array[Long] =
+      : Array[Long] = {
+    if (sessionMemo.size > 64) sessionMemo.clear()
     sessionMemo.computeIfAbsent(memoKey(libraryKey, m, fraction, topN, seed),
       _ => topMers(library, m, fraction, topN, seed))
+  }
 
   private def sidecar(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_freq_ordering")
