@@ -91,6 +91,30 @@ class ParallelCollectAlignmentSpec extends AnyFunSuite with SparkSessionTestWrap
     }
   }
 
+  test("collect_aligned survives the sort-based aggregation fallback") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation when a
+    // partition holds more distinct groups than the fallback threshold —
+    // a DIFFERENT execution path (buffers serialized between sort runs).
+    // Force it with threshold 2 and verify against the hash-path result.
+    val ss = spark.newSession()
+    import ss.implicits._
+    ss.conf.set("spark.sql.shuffle.partitions", "5")
+    val rows = (0 until 20000).map(i => (i % 501, i.toLong, i * 3))
+    val df = ss.createDataset(rows).toDF("g", "k", "v").repartition(7)
+    val fn = CollectAligned.register(ss, Seq("ks", "vs"))
+    def run(): Map[Int, Seq[(Long, Int)]] =
+      df.groupBy($"g").agg(CollectAligned(fn, $"k", $"v").as("h"))
+        .select($"g", $"h.ks", $"h.vs")
+        .as[(Int, Array[Long], Array[Int])]
+        .collect()
+        .map { case (g, ks, vs) => g -> ks.zip(vs).sorted.toSeq }.toMap
+    val hashPath = run()
+    ss.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    val sortPath = run()
+    assert(sortPath == hashPath)
+    assert(sortPath.values.map(_.size).sum == 20000)
+  }
+
   test("a null input fails loudly instead of silently mis-aligning") {
     val ss = spark.newSession()
     import ss.implicits._
