@@ -252,14 +252,14 @@ object Main {
 
   private def loadLibrary(spark: SparkSession, opts: Map[String, String]) = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.broadcast
-    // the label table (one short row per sequence) is orders of magnitude
-    // smaller than the genomes: broadcasting it keeps genome payloads from
-    // ever shuffling in this join
-    val labels = Sequences.labels(spark, opts("labels"))
+    // the label table (one short row per sequence) is usually orders of
+    // magnitude smaller than the genomes, so a SIZE-GATED broadcast keeps
+    // genome payloads from shuffling; past the gate (input-controlled
+    // table size!) the hint is dropped — see Sequences.labelsHinted
+    val labels = Sequences.labelsHinted(spark, opts("labels"))
     libraryFasta(spark, opts)
       .toDF("header", "location", "nucleotides", "nucleotides2")
-      .join(broadcast(labels), "header")
+      .join(labels, "header")
       .select($"taxon", $"nucleotides").as[(Int, String)]
   }
 
@@ -269,16 +269,15 @@ object Main {
   private def loadPackedLibrary(spark: SparkSession, opts: Map[String, String],
       k: Int): org.apache.spark.sql.Dataset[(Int, Array[Byte], Int)] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.broadcast
     import graft.kmers.{Dna, SupermerScanner}
-    val labels = Sequences.labels(spark, opts("labels"))
+    val labels = Sequences.labelsHinted(spark, opts("labels"))
     val runs = libraryFasta(spark, opts).flatMap { f =>
       SupermerScanner.splitByAmbiguity(f.nucleotides).collect {
         case run if run.valid && run.seq.length >= k =>
           (f.header, Dna.pack2bit(run.seq), run.seq.length)
       }
     }.toDF("header", "packed", "len")
-    runs.join(broadcast(labels), "header")
+    runs.join(labels, "header")
       .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
   }
 

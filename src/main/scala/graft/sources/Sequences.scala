@@ -146,6 +146,35 @@ object Sequences {
       .toDF("header", "taxon")
       .select(col("header"), col("taxon").cast("int"))
 
+  /** TSV bytes under which [[labelsHinted]] adds a broadcast hint. ~32 MB
+    * of seqid2taxid TSV is ~2M labels — a few-hundred-MB hash relation,
+    * comfortably broadcastable. */
+  val MaxBroadcastLabelBytes: Long = 32L * 1024 * 1024
+
+  /** [[labels]] with a SIZE-GATED broadcast hint. The label table is one
+    * row per library sequence, so its size is input-controlled: a forced
+    * broadcast (the r1–r16 shape) builds the whole table as a driver/
+    * executor hash relation, which at 100 TB library scale (tens of
+    * millions of sequences) stops fitting. Gate on the file size — cheap,
+    * no Spark job: small tables keep the broadcast win, big ones join
+    * without a hint so the payload shuffles at 2 bits/base instead (which
+    * is why the library is packed BEFORE this join). Measured at the 640x
+    * tier (6.3M labels, 107 MB TSV): forced broadcast 5.5 s vs unhinted
+    * shuffle 3.9 s — past the gate the broadcast is not even a win. */
+  def labelsHinted(spark: SparkSession, path: String,
+      maxBroadcastBytes: Long = MaxBroadcastLabelBytes): DataFrame = {
+    val df = labels(spark, path)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes <= maxBroadcastBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** Sample-id extraction from read headers by regex capture group
     * (spec: reference slacken/Classifier.scala:297-301). */
   def withSample(df: DataFrame, regex: Option[String], titleCol: String = "title"): DataFrame =

@@ -57,7 +57,10 @@ object BuildProfile {
     val lb = Sequences.labels(spark, labels)
     val packedLib = packed.join(broadcast(lb), "header")
       .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
-    time("3 + label join")(println("  labeled: " + packedLib.count()))
+    time("3 + label join (broadcast)")(println("  labeled: " + packedLib.count()))
+    val packedLibShuffle = packed.join(lb, "header")
+      .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
+    time("3b + label join (shuffle)")(println("  labeled: " + packedLibShuffle.count()))
 
     val tax = graft.taxa.Taxonomy.fromTuples(
       Sequences.labels(spark, labels).select($"taxon").distinct()

@@ -166,6 +166,28 @@ class SequencesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq == Seq(("seq1", 42), ("seq2", 77)))
   }
 
+  test("labelsHinted broadcasts only under the size gate") {
+    import spark.implicits._
+    val labels = tmpFile("labels_gate.tsv", "seq1\t42\nseq2\t77\n")
+    val seqs = Seq(("seq1", "ACGT"), ("seq2", "TTTT")).toDF("header", "dna")
+    def planOf(lb: org.apache.spark.sql.DataFrame): String =
+      seqs.join(lb, "header").queryExecution.executedPlan.toString
+    // small file -> broadcast hash join
+    assert(planOf(Sequences.labelsHinted(spark, labels))
+      .contains("BroadcastHashJoin"))
+    // over the gate -> no broadcast hint; with auto-broadcast disabled the
+    // plan must fall to a shuffle join (the scale-safe path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val seqs2 = ss.createDataFrame(Seq(("seq1", "ACGT"))).toDF("header", "dna")
+    val gated = seqs2.join(
+      Sequences.labelsHinted(ss, labels, maxBroadcastBytes = 1L), "header")
+    assert(!gated.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // both shapes return the same rows
+    assert(gated.count() == 1)
+  }
+
   test("sample extraction by regex with fallback") {
     import spark.implicits._
     val df = Seq("S0R5/1", "S1R2/1", "weird").toDF("title")
