@@ -557,6 +557,35 @@ object GenomicQueries {
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
-    }, Some(Q.goldenTaxonReads("g03_classify_sf001.tsv")), bench = true)
+    }, Some(Q.goldenTaxonReads("g03_classify_sf001.tsv")), bench = true),
+
+    // index migration (J7 reference semantics, MinimizerMigration.scala:
+    // 44-71): subject = the plain nation-labeled index; reference = the
+    // same library PLUS every 7th genome relabeled to the next nation —
+    // those minimizers' LCAs fold up to the shared region (rank steps
+    // 8 - 2 = 6) or to root (8 - 0 = 8) in the reference, everything else
+    // stays put (0). `steps` counts rank-LADDER levels (nation=species
+    // depth 8, region=kingdom 2, root 0), exactly the reference's
+    // Taxonomy.depth semantics. Oracle: independent Python kernel
+    // (tools/golden_g15.py) re-derives both folds and the histogram.
+    Q("g15_index_migration", (s, dir) => {
+      import s.implicits._
+      val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
+      val index = new MinimizerIndex(params, bcTax)
+      val full = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
+      val dup = t(s, dir, "customer")
+        .filter($"c_custkey" % 7 === 0)
+        .select(((($"c_nationkey" + 1) % 25) + 10).cast("int").as("taxon"),
+          dnaCol(col("c_name")).as("dna"))
+        .as[(Int, String)]
+      graft.index.IndexOps.migrationPairs(
+          index.makeRecords(full), index.makeRecords(full.union(dup)),
+          bcTax, index.keyCols)
+        .groupBy($"steps")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select($"steps".cast("long").as("steps"), $"n")
+        .orderBy($"steps")
+    }, Some(Q.golden("g15_migration_sf001.tsv",
+      "steps" -> "BIGINT", "n" -> "BIGINT")))
   )
 }

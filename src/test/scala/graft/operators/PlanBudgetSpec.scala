@@ -96,7 +96,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "g07_wide_classify" -> ((4, 0)), "g08_multisample" -> ((4, 0)),
     "g09_freq_classify" -> ((4, 0)), "g10_multisample_classify2" -> ((0, 0)),
     "g11_mem_classify" -> ((2, 0)), "g12_mem_wide_classify" -> ((2, 0)),
-    "g13_wide64_freq_classify" -> ((4, 0)), "g14_xwide_classify" -> ((4, 0)))
+    "g13_wide64_freq_classify" -> ((4, 0)), "g14_xwide_classify" -> ((4, 0)),
+    // g15: two LCA-fold aggregations (one exchange each), the null-safe
+    // migration join (one side re-partitions for the <=> key), and the
+    // steps-histogram aggregation — 4 total, no nested loops (PlanDump)
+    "g15_index_migration" -> ((4, 0)))
 
   test("every registered lane has a pinned plan budget") {
     val missing = SparkEntry.all.keySet -- budgets.keySet
