@@ -28,7 +28,11 @@ class AqePlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val lanes = Seq(
     "t06_minhash_lsh" -> 2,
     "t21_span_dedup" -> 3,
-    "c02_semantic_dedup" -> 1)
+    "c02_semantic_dedup" -> 1,
+    // the flagship classify path: AQE must not demote the one-sided
+    // bucketed sort-merge join into something that re-shuffles the index
+    // side or adds a nested loop (r17 guard — the 100 TB classify topology)
+    "g03_classify" -> 4)
 
   /** Walk an executed adaptive plan, descending into materialized query
     * stages (QueryStageExec.plan is not a `children` edge) but NOT into
