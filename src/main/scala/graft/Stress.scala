@@ -40,12 +40,14 @@ object Stress {
       case "estream" => estream(spark)
       case "classify" => classify(spark)
       case "xclassify" => xclassify(spark)
+      case "collect" => collectAligned(spark)
       case "all" =>
         cc(spark); span(spark); emb(spark, interleaved = true)
         emb(spark, interleaved = false)
         emb(spark, interleaved = false, scatter = true)
         lsh(spark); knn(spark)
         stream(spark); estream(spark); classify(spark)
+        collectAligned(spark)
       case other => sys.error(s"unknown stress '$other'")
     }
     spark.stop()
@@ -287,6 +289,47 @@ object Stress {
   def xclassify(spark: SparkSession): Unit =
     classifyWith(spark, "xclassify",
       bcTax => new index.XWideMinimizerIndex(104, 96, bcTax))
+
+  /** CollectAligned at volume: 20M rows -> 1M groups, five parallel
+    * primitive columns (100M field values through partial aggregation,
+    * buffer serialization and the memcopy decode — the shape whose boxed
+    * predecessor was the r16 165M-element hotspot). Every emitted
+    * quintuple is checked against its closed form distributively; the
+    * reduce returns the violation count (must be 0). */
+  def collectAligned(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val groups = 1000000L
+    val perGroup = 20L
+    val fn = functions.CollectAligned.register(spark,
+      Seq("k1", "k2", "k3", "k4", "t"))
+    val df = spark.range(groups * perGroup).select(
+      expr(s"id div $perGroup").as("g"),
+      col("id").as("k1"), (col("id") * 31).as("k2"), (col("id") * 7).as("k3"),
+      (-col("id")).as("k4"), (col("id") % 13).cast("int").as("t"))
+    val t0 = System.nanoTime()
+    val bad = df.groupBy($"g")
+      .agg(functions.CollectAligned(fn, $"k1", $"k2", $"k3", $"k4", $"t")
+        .as("h"))
+      .select($"g", $"h.k1", $"h.k2", $"h.k3", $"h.k4", $"h.t")
+      .as[(Long, Array[Long], Array[Long], Array[Long], Array[Long], Array[Int])]
+      .map { case (g, a, b, c, d, e) =>
+        var v = 0L
+        if (a.length != perGroup || b.length != a.length ||
+          c.length != a.length || d.length != a.length || e.length != a.length)
+          v += 1
+        var i = 0
+        while (i < a.length) {
+          if (b(i) != a(i) * 31 || c(i) != a(i) * 7 || d(i) != -a(i) ||
+            e(i) != (a(i) % 13).toInt || a(i) / perGroup != g) v += 1
+          i += 1
+        }
+        v
+      }.reduce(_ + _)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] collect_aligned: ${groups * perGroup}%,d rows -> " +
+      f"$groups%,d groups x 5 cols in $secs%.1f s, violations=$bad")
+    require(bad == 0, s"collect_aligned mis-aligned $bad quintuples")
+  }
 
   private def classifyWith(spark: SparkSession, label: String,
       mkIndex: org.apache.spark.broadcast.Broadcast[taxa.Taxonomy]
