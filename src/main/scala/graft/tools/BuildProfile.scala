@@ -62,6 +62,17 @@ object BuildProfile {
       .select($"taxon", $"packed", $"len").as[(Int, Array[Byte], Int)]
     time("3b + label join (shuffle)")(println("  labeled: " + packedLibShuffle.count()))
 
+    val taxEarly = graft.taxa.Taxonomy.fromTuples(
+      Sequences.labels(spark, labels).select($"taxon").distinct()
+        .as[Int].collect().toSeq.map(t => (t, 1, "species", s"taxid $t")))
+    val bcTaxEarly = spark.sparkContext.broadcast(taxEarly)
+    val idxEarly = new MinimizerIndex(
+      IndexParams(k = k, m = m, spaces = 7, buckets = 32), bcTaxEarly)
+    time("4a scan+fold over BROADCAST join")(println("  " +
+      idxEarly.makeRecordsPacked(packedLib, 0).count()))
+    time("4b scan+fold over SHUFFLE join")(println("  " +
+      idxEarly.makeRecordsPacked(packedLibShuffle, 0).count()))
+
     val tax = graft.taxa.Taxonomy.fromTuples(
       Sequences.labels(spark, labels).select($"taxon").distinct()
         .as[Int].collect().toSeq.map(t => (t, 1, "species", s"taxid $t")))
