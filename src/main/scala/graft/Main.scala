@@ -220,10 +220,21 @@ object Main {
     (cmd, opts.toMap)
   }
 
+  /** Master URL with standard Spark precedence: `-Dspark.master` (what
+    * spark-submit and manual `java -D` runs set) wins over the
+    * `SPARK_MASTER` env, which wins over a `local[SPARK_GRAFT_CPUS]`
+    * default. Factored pure for the CliSpec contract test — the r17
+    * builder mis-timed manual runs because the old explicit
+    * `.master(env-or-default)` silently overrode `-Dspark.master`. */
+  private[graft] def resolveMaster(
+      prop: Option[String] = sys.props.get("spark.master"),
+      env: Option[String] = sys.env.get("SPARK_MASTER"),
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): String =
+    prop.orElse(env).getOrElse(s"local[$cpus]")
+
   def session(buckets: Int): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .master(resolveMaster())
       .appName("graft")
       // shuffle partitions pinned to the index bucket count so bucketed
       // joins stay shuffle-free on the index side
@@ -325,7 +336,10 @@ object Main {
         val freqFraction = opts.getOrElse("freq-sample", "0.2").toDouble
         val freqTop = opts.getOrElse("freq-top", "4096").toInt
         val freqSeed = 42L
-        val librarySpec = opts.getOrElse("library-fai", opts("library"))
+        // path + content stamp: an in-place library edit invalidates the
+        // persisted demotion set (ADVICE r17)
+        val librarySpec = FrequencyOrdering.libraryContentSpec(spark,
+          opts.getOrElse("library-fai", opts("library")))
         // -o frequency derivation, memoized on disk: a REBUILD into the
         // same output path with the same (m, fraction, topN, seed, library
         // spec) reloads the persisted demotion set instead of re-running

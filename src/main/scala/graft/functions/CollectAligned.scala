@@ -110,14 +110,11 @@ case class CollectAligned(
   }
 
   override def serialize(buf: CollectAligned.Buffer): Array[Byte] = {
-    var bytes = 4
-    var i = 0
-    while (i < buf.isLong.length) {
-      bytes += buf.size * (if (buf.isLong(i)) 8 else 4); i += 1
-    }
+    val bytes =
+      CollectAligned.checkedSerializedBytes(buf.size, buf.isLong, fieldNames)
     val bb = ByteBuffer.allocate(bytes)
     bb.putInt(buf.size)
-    i = 0
+    var i = 0
     while (i < buf.isLong.length) {
       var j = 0
       if (buf.isLong(i)) while (j < buf.size) { bb.putLong(buf.longCols(i)(j)); j += 1 }
@@ -155,6 +152,27 @@ case class CollectAligned(
 }
 
 object CollectAligned {
+
+  /** Serialized size of a `size`-row buffer, computed in Long space. A
+    * degenerate group (one hot title from malformed input) past ~2^31
+    * buffer bytes used to overflow the Int math and die inside
+    * `ByteBuffer.allocate` with an undiagnosable negative-size error —
+    * now it fails with a message naming the aggregate and its columns
+    * (ADVICE r17). collect_list dies at the same scale, just opaquely. */
+  private[functions] def checkedSerializedBytes(size: Int,
+      isLong: Array[Boolean], fieldNames: Seq[String]): Int = {
+    var bytes = 4L
+    var i = 0
+    while (i < isLong.length) {
+      bytes += size.toLong * (if (isLong(i)) 8L else 4L); i += 1
+    }
+    if (bytes > Int.MaxValue)
+      throw new IllegalStateException(
+        s"collect_aligned group exceeds 2GB serialized ($bytes bytes, " +
+          s"$size rows over columns ${fieldNames.mkString(", ")}) — a " +
+          "group this hot needs pre-aggregation or a key salt upstream")
+    bytes.toInt
+  }
 
   /** Parallel growable primitive columns sharing one size — the alignment
     * invariant is that every append writes ALL columns at the same index. */

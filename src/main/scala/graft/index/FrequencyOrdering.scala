@@ -159,12 +159,20 @@ object FrequencyOrdering {
   }
 
   /** Width-dispatched entry: the demotion set for any supported m, as the
-    * interleaved-long encoding each priority expects. */
+    * interleaved-long encoding each priority expects. m=32 is rejected
+    * (ADVICE r17): the narrow single-long path needs a spare bit for the
+    * demote flag (Main's CLI guard is m <= 31) and the wide two-word keys
+    * start at m=33 — a silent m=32 dispatch would produce a demotion set
+    * no index can apply. */
   def topMers(library: Dataset[(Int, Array[Byte], Int)], m: Int,
-      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] =
+      fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L): Array[Long] = {
+    require(m != 32,
+      "m=32 unsupported for frequency ordering: the narrow path needs a " +
+        "spare demote bit (use m <= 31) and wide keys start at m=33")
     if (m > 64) topCanonicalXWideMers(library, m, fraction, topN, seed)
     else if (m > 32) topCanonicalWideMers(library, m, fraction, topN, seed)
     else topCanonicalMers(library, m, fraction, topN, seed)
+  }
 
   // --- session memo -------------------------------------------------------
   // A session computes a library's demotion set ONCE per (library, params):
@@ -175,23 +183,67 @@ object FrequencyOrdering {
   // plan fingerprints are unstable across typed lambdas, so identity is
   // the caller's responsibility, same as the indexPath key of
   // IndexOps.minimizersPerTaxonMemo.
+  // access-order LRU bounded at 64 entries: eviction drops the least
+  // recently USED entry one at a time (ADVICE r17: the old ConcurrentHashMap
+  // full clear() wiped the hot entry about to be re-requested, and its
+  // size-check/clear/computeIfAbsent sequence raced concurrent builders
+  // into redundant recomputes). All map ops hold the monitor briefly;
+  // the topMers computation itself runs UNLOCKED so concurrent builders of
+  // different libraries never serialize behind one 20 s counting scan.
   private val sessionMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size > 64
+    }
 
   private def memoKey(libraryKey: String, m: Int, fraction: Double, topN: Int,
       seed: Long) = s"$libraryKey|m=$m|f=$fraction|top=$topN|seed=$seed"
 
   /** [[topMers]] memoized for the session under `libraryKey` + params.
-    * Bounded: a long-lived session cycling through many libraries clears
-    * the cache rather than growing without limit (a demotion set is up to
-    * topN * words longs — 2 MB at topN=65536/m=128 — and recomputing one
-    * is cheap next to holding hundreds). */
+    * Bounded at 64 LRU entries: a long-lived session cycling through many
+    * libraries evicts the least recently used set rather than growing
+    * without limit (a demotion set is up to topN * words longs — 2 MB at
+    * topN=65536/m=128 — and recomputing one is cheap next to holding
+    * hundreds). Two builders racing the SAME cold key may both compute
+    * (memo effectiveness, not correctness — the first store wins and both
+    * callers get that array). */
   def sessionTopMers(libraryKey: String, library: Dataset[(Int, Array[Byte], Int)],
       m: Int, fraction: Double = 0.2, topN: Int = 4096, seed: Long = 42L)
       : Array[Long] = {
-    if (sessionMemo.size > 64) sessionMemo.clear()
-    sessionMemo.computeIfAbsent(memoKey(libraryKey, m, fraction, topN, seed),
-      _ => topMers(library, m, fraction, topN, seed))
+    val key = memoKey(libraryKey, m, fraction, topN, seed)
+    val cached = sessionMemo.synchronized(sessionMemo.get(key))
+    if (cached != null) cached
+    else {
+      val computed = topMers(library, m, fraction, topN, seed)
+      sessionMemo.synchronized {
+        val raced = sessionMemo.get(key)
+        if (raced != null) raced
+        else { sessionMemo.put(key, computed); computed }
+      }
+    }
+  }
+
+  /** A library identity string for the disk memo that folds in a CONTENT
+    * stamp (per-file byte length + modification time, @file-lists
+    * expanded), not just the path: rebuilding into the same output after
+    * the library changed in place — the most common rebuild trigger —
+    * must invalidate the persisted demotion set, or the anti-skew
+    * ordering silently stops reflecting the actual library (ADVICE r17).
+    * An unreadable path stamps as "unknown", which never matches a real
+    * stamp, so doubt recomputes rather than reuses. */
+  def libraryContentSpec(spark: SparkSession, rawSpec: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = graft.sources.Sequences.expandFileList(spark, Seq(rawSpec))
+    val stamps = paths.map { s =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getContentSummary(p).getLength
+        val mtime = fs.getFileStatus(p).getModificationTime
+        s"$len:$mtime"
+      } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    }
+    s"$rawSpec|${stamps.mkString(",")}"
   }
 
   private def sidecar(indexPath: String) =

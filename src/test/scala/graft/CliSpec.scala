@@ -1693,4 +1693,24 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"implausible classified count: $classified")
     assert(rows.forall { case (_, t) => Set(0, 1, 2, 4, 5).contains(t) })
   }
+
+  test("session master precedence: -Dspark.master > SPARK_MASTER > local default") {
+    // r17 footgun: the explicit .master(env-or-default) silently overrode
+    // -Dspark.master and mis-timed manual runs. Standard precedence now:
+    assert(Main.resolveMaster(Some("local[7]"), Some("local[9]"), "4")
+      == "local[7]")
+    assert(Main.resolveMaster(None, Some("local[9]"), "4") == "local[9]")
+    assert(Main.resolveMaster(None, None, "4") == "local[4]")
+    assert(Main.resolveMaster(None, None, "16") == "local[16]")
+    // the live default path reads the real JVM property: set it, resolve,
+    // restore — proves a manual `-Dspark.master=local[7]` run is honored
+    val before = sys.props.get("spark.master")
+    try {
+      sys.props("spark.master") = "local[7]"
+      assert(Main.resolveMaster() == "local[7]")
+    } finally before match {
+      case Some(v) => sys.props("spark.master") = v
+      case None => sys.props -= "spark.master"
+    }
+  }
 }

@@ -244,4 +244,68 @@ class FrequencyOrderingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       fraction = 1.0, topN = 8)
     assert(!(other eq first) && other.length <= 8)
   }
+
+  test("m=32 is rejected loudly (narrow needs a demote bit, wide starts at 33)") {
+    import spark.implicits._
+    val lib = spark.createDataset(Seq((1, Dna.pack2bit(dna(100)), 100)))
+    val e = intercept[IllegalArgumentException] {
+      FrequencyOrdering.topMers(lib, 32, fraction = 1.0, topN = 4)
+    }
+    assert(e.getMessage.contains("m=32 unsupported"))
+    // both boundary neighbors still dispatch fine
+    assert(FrequencyOrdering.topMers(lib, 31, fraction = 1.0, topN = 4).nonEmpty)
+    assert(FrequencyOrdering.topMers(lib, 33, fraction = 1.0, topN = 4).nonEmpty)
+  }
+
+  test("memo eviction keeps the hot entry (ADVICE r17: no full clear)") {
+    import spark.implicits._
+    val lib = spark.createDataset(Seq((1, Dna.pack2bit(dna(60)), 60)))
+    val hotKey = s"hot:${rng.nextLong()}"
+    val hot = FrequencyOrdering.sessionTopMers(hotKey, lib, 15,
+      fraction = 1.0, topN = 1)
+    // overflow the 64-entry bound with cold keys; the hot entry must
+    // survive every single-victim eviction and stay the SAME array
+    for (i <- 0 until 70) {
+      FrequencyOrdering.sessionTopMers(s"cold:$i:${rng.nextLong()}", lib, 15,
+        fraction = 1.0, topN = 1)
+      val again = FrequencyOrdering.sessionTopMers(hotKey, lib, 15,
+        fraction = 1.0, topN = 1)
+      assert(again eq hot,
+        s"hot memo entry was evicted after $i cold inserts")
+    }
+  }
+
+  test("disk memo invalidates when the library changes in place") {
+    val dir = java.nio.file.Files.createTempDirectory("freqstamp")
+    val libFile = dir.resolve("lib.fna")
+    java.nio.file.Files.writeString(libFile, ">seq1\nACGTACGTACGT\n")
+    val spec1 = FrequencyOrdering.libraryContentSpec(spark, libFile.toString)
+    assert(spec1.startsWith(libFile.toString + "|"))
+    val idx = dir.resolve("idx").toString
+    val demoted = Array.fill(8)(rng.nextLong()).sorted
+    FrequencyOrdering.write(spark, idx, demoted)
+    FrequencyOrdering.writeParams(spark, idx, m = 31, fraction = 0.2,
+      topN = 4096, seed = 42L, librarySpec = spec1)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, idx, 31, 0.2, 4096,
+      42L, spec1).map(_.toSeq).contains(demoted.toSeq))
+    // in-place content change (different length) -> stamp differs -> miss
+    java.nio.file.Files.writeString(libFile, ">seq1\nACGTACGTACGTACGTACGT\n")
+    val spec2 = FrequencyOrdering.libraryContentSpec(spark, libFile.toString)
+    assert(spec2 != spec1)
+    assert(FrequencyOrdering.readIfParamsMatch(spark, idx, 31, 0.2, 4096,
+      42L, spec2).isEmpty)
+    // same-length rewrite: caught whenever the filesystem advances mtime
+    // (millisecond granularity) — stamp includes both length and mtime
+    Thread.sleep(5)
+    java.nio.file.Files.writeString(libFile, ">seq1\nTGCATGCATGCATGCATGCA\n")
+    assert(FrequencyOrdering.libraryContentSpec(spark, libFile.toString) != spec2)
+    // an unreadable path stamps as unknown — never reused as a match
+    assert(FrequencyOrdering.libraryContentSpec(spark,
+      dir.resolve("missing.fna").toString).endsWith("|unknown"))
+    // @file-list expansion reaches the underlying files' stamps
+    val list = dir.resolve("libs.txt")
+    java.nio.file.Files.writeString(list, libFile.toString + "\n")
+    assert(FrequencyOrdering.libraryContentSpec(spark, "@" + list)
+      .contains(":"))
+  }
 }

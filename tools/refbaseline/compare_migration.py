@@ -15,6 +15,14 @@ import sys
 
 
 def parse_ref_histogram(path):
+    """Parse the reference's show()-printed steps histogram.
+
+    CAVEAT (ADVICE r17): show() truncates at 20 rows by default, so a
+    migration with >20 distinct step values yields a spurious (loud, not
+    silent) FAIL against graft's complete TSV. The raced index pair tops
+    out well under 20 bins; re-capture the reference histogram through a
+    non-truncating sink before racing a pair that could exceed that.
+    """
     out = {}
     in_table = False
     for line in open(path):
