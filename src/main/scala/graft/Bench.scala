@@ -212,7 +212,7 @@ object Bench {
     // diagnosable from the artifact alone.
     case class StagedResult(build: Double, classifyMed: Double,
       classifyMin: Double, buildRetries: Int, load1Start: Double,
-      load1End: Double)
+      load1End: Double, phases: Map[String, Double] = Map.empty)
     val stages = graft.operators.GenomicQueries.stagedBench(spark, sfDir)
       .filter { case (name, _) => selected(name) }.map {
       case (name, prepare) =>
@@ -221,6 +221,9 @@ object Bench {
           val b0 = System.nanoTime()
           var staged = prepare()
           var buildSec = (System.nanoTime() - b0) / 1e9
+          // phase breakdown follows the KEPT build time (a retried build's
+          // phases describe the retry, not the poisoned first attempt)
+          var phases = staged.phases
           var buildRetries = 0
           val suspectBuild = headlineMin.get(name).exists(h =>
             h > 0 && buildSec > 3 * h)
@@ -228,7 +231,8 @@ object Bench {
             staged.cleanup()
             val r0 = System.nanoTime()
             staged = prepare()
-            buildSec = math.min(buildSec, (System.nanoTime() - r0) / 1e9)
+            val retrySec = (System.nanoTime() - r0) / 1e9
+            if (retrySec < buildSec) { buildSec = retrySec; phases = staged.phases }
             buildRetries = 1
           }
           // cleanup in finally: a failing rep must not leak this entry's
@@ -239,7 +243,7 @@ object Bench {
             finally staged.cleanup()
           val sorted = times.sorted
           name -> StagedResult(buildSec, sorted(sorted.length / 2),
-            sorted.head, buildRetries, l0, load1())
+            sorted.head, buildRetries, l0, load1(), phases)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] staged $name FAILED: $e")
           e.printStackTrace()
@@ -456,7 +460,14 @@ object Bench {
     val addedJson = added.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val stagesJson = stages.map { case (k, r) =>
+      // build_phases: named sub-phase wall times of the KEPT build
+      // (ordering / records / reads / table) — r17 verdict ask #5, so a
+      // build-dominated regression names the regressing phase
+      val phasesJson = r.phases.map { case (p, v) =>
+        "\"" + p + "\":" + num(v)
+      }.mkString("{", ",", "}")
       "\"" + k + "\":{\"build\":" + num(r.build) +
+        ",\"build_phases\":" + phasesJson +
         ",\"classify\":" + num(r.classifyMed) +
         ",\"classify_min\":" + num(r.classifyMin) +
         ",\"build_retries\":" + r.buildRetries +

@@ -18,8 +18,23 @@ object GenomicQueries {
 
   /** Prepared state for one staged bench entry: [[classify]] builds a FRESH
     * classify-stage DataFrame per invocation (reps re-run the stage, never a
-    * cached result); [[cleanup]] drops the prepared caches. */
-  final case class StagedRun(classify: () => DataFrame, cleanup: () => Unit)
+    * cached result); [[cleanup]] drops the prepared caches. [[phases]]
+    * breaks the prepare (build) wall time into named sub-phases — e.g.
+    * "ordering" (frequency demotion-set derivation), "records" (index
+    * record build + materialize), "reads" (read derivation) — so a
+    * round-over-round build regression names the regressing phase instead
+    * of hiding inside a build-dominated total (r17 verdict ask #5). */
+  final case class StagedRun(classify: () => DataFrame, cleanup: () => Unit,
+      phases: Map[String, Double] = Map.empty)
+
+  /** Time one named build sub-phase into `phases` (accumulating). */
+  private def phased[T](phases: collection.mutable.Map[String, Double],
+      name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    phases(name) = phases.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+    r
+  }
 
   private val HEX2DNA: (String, String) = ("0123456789abcdef", "AAAACCCCGGGGTTTT")
 
@@ -100,50 +115,58 @@ object GenomicQueries {
       // the bucketed-join scale path, narrow keys: classify stage = span
       // extraction + one-sided join + per-read resolve + count
       "g03_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new MinimizerIndex(params, bcTax)
-        val records = materialize(index.makeRecords(lib))
-        val reads = readsDs(80, 44)
+        val records = phased(ph, "records")(materialize(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(80, 44))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             confidence = 0.0, minHitGroups = 1)),
           () => { records.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () })
+            bcTax.destroy(); () }, ph.toMap)
       }),
       // the same reads through the zero-shuffle broadcast-table path: the
       // table build (collect + open addressing + broadcast) is build stage
       "g11_mem_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new MinimizerIndex(params, bcTax)
-        val mem = index.inMemoryClassifier(index.makeRecords(lib))
-        val reads = readsDs(80, 44)
+        val mem = phased(ph, "table")(
+          index.inMemoryClassifier(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(80, 44))
         StagedRun(
           () => agg(mem.classify(reads, confidence = 0.0, minHitGroups = 1)),
           // close(): the broadcast open-addressing table would otherwise
           // stay pinned for the rest of the bench process
-          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () })
+          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () },
+          ph.toMap)
       }),
       // wide (m=40, two-long keys) join path
       "g07_wide_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
-        val records = materialize(index.makeRecords(lib))
-        val reads = readsDs(60, 56)
+        val records = phased(ph, "records")(materialize(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(60, 56))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             minHitGroups = 1)),
           () => { records.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () })
+            bcTax.destroy(); () }, ph.toMap)
       }),
       // wide in-memory path
       "g12_mem_wide_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
-        val mem = index.inMemoryClassifier(index.makeRecords(lib))
-        val reads = readsDs(60, 56)
+        val mem = phased(ph, "table")(
+          index.inMemoryClassifier(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(60, 56))
         StagedRun(
           () => agg(mem.classify(reads, minHitGroups = 1)),
-          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () })
+          () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () },
+          ph.toMap)
       }),
       // m=64 frequency-ordered path (r9 verdict): the two-long-key packing
       // plus the demoted-set broadcast is the 100x-relevant configuration
@@ -151,25 +174,28 @@ object GenomicQueries {
       // never timed. Build stage = frequency counting + demotion set +
       // record materialization; classify stage = wide spans ⋈ records.
       "g13_wide64_freq_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val packed = lib.map { case (tx, dna) =>
           (tx, graft.kmers.Dna.pack2bit(dna), dna.length)
         }
         // session-memoized (r16 verdict ask #3): the counting scan runs
         // once per (library, params) per session — the first rep pays it,
-        // later reps (and a real session's repeat builds) reload
-        val demoted = graft.index.FrequencyOrdering.sessionTopMers(
-          s"customerGenomes:$dir:wide64", packed, 64, fraction = 1.0,
-          topN = 65536)
+        // later reps (and a real session's repeat builds) reload. The
+        // "ordering" phase stamp makes the memo visible: ~0 on a hit.
+        val demoted = phased(ph, "ordering")(
+          graft.index.FrequencyOrdering.sessionTopMers(
+            s"customerGenomes:$dir:wide64", packed, 64, fraction = 1.0,
+            topN = 65536))
         val index = new graft.index.WideMinimizerIndex(k = 66, m = 64, bcTax,
           0, demoted)
-        val records = materialize(index.makeRecords(lib))
-        val reads = readsDs(40, 72)
+        val records = phased(ph, "records")(materialize(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(40, 72))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             minHitGroups = 1)),
           () => { records.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () })
+            bcTax.destroy(); () }, ph.toMap)
       }),
       // the 2-step dynamic path (the reference's flagship workflow — r11
       // verdict ask: oracled but never benched). Build stage = static
@@ -178,9 +204,11 @@ object GenomicQueries {
       // classify), its internal caches released inside the rep so reps
       // stay independent
       "g04_classify2" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val dyn = new graft.index.DynamicClassifier(params, bcTax)
-        val staticRecords = materialize(dyn.index.buildRecords(lib))
+        val staticRecords = phased(ph, "records")(
+          materialize(dyn.index.buildRecords(lib)))
         val reads = t(s, dir, "orders")
           .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
           .filter($"c_nationkey" % 2 === 0)
@@ -190,7 +218,7 @@ object GenomicQueries {
           .as[(Long, String)]
           .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
           .persist(StorageLevel.MEMORY_AND_DISK)
-        reads.count()
+        phased(ph, "reads")(reads.count())
         StagedRun(
           () => {
             val (classified, _, release) = dyn.classify2(reads, lib,
@@ -201,34 +229,36 @@ object GenomicQueries {
             counts
           },
           () => { staticRecords.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () })
+            bcTax.destroy(); () }, ph.toMap)
       }),
       // bracken weights (r11 verdict ask: oracled, never benched). Build
       // stage = LCA records; weights stage = fragment scan + one-sided LCA
       // join + O(1) window slide + per-(source,dest) count
       "g05_bracken" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new MinimizerIndex(params, bcTax)
         val bracken = new graft.index.Bracken(params, bcTax)
-        val records = materialize(index.makeRecords(lib))
+        val records = phased(ph, "records")(materialize(index.makeRecords(lib)))
         StagedRun(
           () => bracken.weights(lib, records, readLen = 64)
             .select($"source".cast("long").as("source"),
               $"dest".cast("long").as("dest"), $"reads")
             .orderBy($"source", $"dest"),
-          () => { records.unpersist(false); bcTax.destroy(); () })
+          () => { records.unpersist(false); bcTax.destroy(); () }, ph.toMap)
       }),
       // extra-wide (m=96, three-long keys) join path
       "g14_xwide_classify" -> (() => {
+        val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val index = new graft.index.XWideMinimizerIndex(k = 100, m = 96, bcTax)
-        val records = materialize(index.makeRecords(lib))
-        val reads = readsDs(16, 112)
+        val records = phased(ph, "records")(materialize(index.makeRecords(lib)))
+        val reads = phased(ph, "reads")(readsDs(16, 112))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
             minHitGroups = 1)),
           () => { records.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () })
+            bcTax.destroy(); () }, ph.toMap)
       }))
   }
 
