@@ -39,7 +39,7 @@ object GenomicQueries {
   private val HEX2DNA: (String, String) = ("0123456789abcdef", "AAAACCCCGGGGTTTT")
 
   /** 128 bp of deterministic DNA from a string column (4 chained md5s). */
-  private def dnaCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def dnaCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     translate(
       concat(md5(c.cast("binary")),
         md5(concat(c, lit("x")).cast("binary")),
@@ -48,7 +48,7 @@ object GenomicQueries {
       HEX2DNA._1, HEX2DNA._2)
 
   /** Taxonomy over the star dims: root <- regions (2..6) <- nations (10..34). */
-  private[operators] def starTaxonomy(s: SparkSession, dir: String): Taxonomy = {
+  private[graft] def starTaxonomy(s: SparkSession, dir: String): Taxonomy = {
     val nations = t(s, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey").collect()
     val regions = t(s, dir, "region").select("r_regionkey", "r_name").collect()

@@ -20,11 +20,18 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
+    """`only`: comma-separated lane-name prefixes — check just those lanes
+    (for partial dumps, e.g. the sf1.0 heavy-lane gate where Verify ran
+    with SPARK_GRAFT_VERIFY_ONLY)."""
+    prefixes = [p for p in (only or "").split(",") if p]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (ScaleUp's sf1.0 dirs): part files inside
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # GOLDEN-LANE queries read a pinned TSV (independent Python
@@ -34,6 +41,8 @@ def main(sf_dir, out_dir):
     n_golden = 0
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -87,4 +96,4 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))

@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# sf1.0 correctness gate (r17 verdict ask #2): the scale where plans change
+# (AQE skew splits, sort-fallbacks, memo reuse) is where perf is measured —
+# this runs the DuckDB differential there for the heavy bench lane set and
+# writes CORRECTNESS_sf1.json.
+#
+# Usage: tools/gate_sf1.sh [SF1_DIR]
+#   SF1_DIR (default /tmp/sf1.0) is created via graft.ScaleUp if missing.
+# Idempotent: golden TSVs (_sf10) are regenerated only when absent.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=${1:-/tmp/sf1.0}
+LANES="q35_,q38_,t06_,t21_,t28_,t34_,t37_,v10_,c02_,c07_,g03_,g04_,g10_,g13_,g14_"
+OUT=/tmp/verify_sf1
+
+if [ ! -e "$SF1/customer.parquet" ]; then
+  echo "[gate_sf1] synthesizing $SF1 via graft.ScaleUp"
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+    sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $SF1 10"
+fi
+
+# independent Python golden derivations for the golden g-lanes (hours-scale
+# is fine: pure-Python rederivation of 1.5M-read classification)
+[ -f src/test/resources/golden/g03_classify_sf10.tsv ] || \
+  python3 tools/golden_g03.py "$SF1" sf10
+[ -f src/test/resources/golden/g10_multisample2_sf10.tsv ] || \
+  python3 tools/golden_g04_g06_g08.py "$SF1" sf10
+[ -f src/test/resources/golden/g13_wide64_freq_sf10.tsv ] || \
+  python3 tools/golden_g13.py "$SF1" sf10
+[ -f src/test/resources/golden/g14_xwide_sf10.tsv ] || \
+  python3 tools/golden_g14.py "$SF1" sf10
+
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_GRAFT_VERIFY_ONLY="$LANES" \
+  sbt -batch "runMain graft.Verify $SF1 $OUT"
+
+LOG=$(mktemp)
+if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
+  STATUS=pass
+else
+  STATUS=fail
+fi
+python3 - "$LOG" "$STATUS" <<'PYEOF'
+import json, re, sys
+log, status = open(sys.argv[1]).read(), sys.argv[2]
+rows = {}
+for m in re.finditer(r"^(OK|FAIL)\s+(\S+)(?:\s+\((\d+) rows\))?(.*)$", log, re.M):
+    ok, name, n, note = m.groups()
+    rows[name] = {"ok": ok == "OK", "rows": int(n) if n else None,
+                  "golden": "[golden]" in (note or "")}
+out = {"sf": "1.0", "lanes": rows,
+       "ok": sum(1 for r in rows.values() if r["ok"]),
+       "fail": sum(1 for r in rows.values() if not r["ok"]),
+       "status": status,
+       "note": ("DuckDB differential at sf1.0 over the BENCH sf1 heavy-lane "
+                "set; golden lanes pinned by _sf10 TSVs from the independent "
+                "Python rederivations (tools/golden_*.py)")}
+json.dump(out, open("CORRECTNESS_sf1.json", "w"), indent=1)
+print("wrote CORRECTNESS_sf1.json:", out["ok"], "ok,", out["fail"], "fail")
+PYEOF
+[ "$STATUS" = pass ]
