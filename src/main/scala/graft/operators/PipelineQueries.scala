@@ -280,11 +280,19 @@ object PipelineQueries {
   }
 
   /** Brute-force 3-gram Jaccard pairs at threshold 0.5 — the oracle for
-    * t07 (inverted-index Jaccard) AND for t06 (MinHash-LSH + exact
-    * verification): the verified pair VALUES are exact Jaccard by
-    * construction, and at the gate's scale the banded candidate generation
-    * has full recall (t06 == t07 row-for-row, asserted by both oracles),
-    * so the brute-force join is an exact oracle for both. */
+    * t07 (inverted-index Jaccard, exact by construction at every scale)
+    * AND for t06 (MinHash-LSH + exact verification). t06's verified pair
+    * VALUES are exact Jaccard by construction (precision is exact at every
+    * scale), but banded candidate RECALL is probabilistic at the threshold
+    * boundary: P(candidate | s) = 1-(1-s^4)^16, i.e. 0.645 at s=0.5 and
+    * 0.9985 by s=0.7. Measured: full recall at <= sf0.1 (exact equality
+    * holds — the driver's sf0.01 gate and the sf0.1 oracle both compare
+    * exactly); at sf1.0, 17 of 51 exactly-0.5 pairs miss (rate 0.333 vs
+    * the 0.356 theory) and every s > 0.5 pair is found. The sf1.0 gate
+    * (tools/check_oracle.py LSH_RECALL) therefore checks t06 as
+    * subset-exact + boundary-confined misses + recall floor — the honest
+    * contract for an LSH operator — instead of papering over the math
+    * with more bands. */
   private val bruteJaccardSql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

@@ -534,7 +534,16 @@ object TextQueries {
 
     // ---- keep-first span strip (the APPLY side of t21): every duplicated
     // 8-gram occurrence except the globally-first is stripped; per-doc
-    // removal stats quantify how much boilerplate the pass deletes ----
+    // removal stats quantify how much boilerplate the pass deletes.
+    // Oracle shape note (r18): grams derive from zipped unnest + a windowed
+    // string_agg rather than unnesting positions WITH the word-list column
+    // carried per row, and keep-first uses an integer doc_id*2^20+pos key
+    // (pos < 2^20 always: docs are far shorter) rather than struct min /
+    // struct <> — the original shape made DuckDB materialize the list per
+    // gram row and leak unboundedly past its memory_limit at sf1.0 (125 GB
+    // RSS, OOM-killed); this one runs in 3 s there with identical output
+    // (proven row-for-row at sf0.01/sf0.1/sf1.0 against the old SQL and
+    // the Spark dump). ----
     Q("t24_span_strip", (s, dir) => {
       import s.implicits._
       Dedup.stripSpanStats(
@@ -549,16 +558,24 @@ object TextQueries {
     }, Some(
       """WITH words AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS wd
+        |  FROM words
+        |), g8 AS (
+        |  SELECT doc_id, pos,
+        |    md5(string_agg(wd, ' ') OVER win) AS h,
+        |    count(*) OVER win AS cw
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
         |), grams AS (
-        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h
-        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
-        |        FROM words WHERE len(w) >= 8)
+        |  SELECT doc_id, pos, h FROM g8 WHERE cw = 8
         |), firsts AS (
-        |  SELECT h, min({'d': doc_id, 'p': pos}) AS f
+        |  SELECT h, min(doc_id * 1048576 + pos) AS fk
         |  FROM grams GROUP BY 1 HAVING count(*) > 1
         |), fo AS (
         |  SELECT doc_id, pos FROM grams JOIN firsts USING (h)
-        |  WHERE {'d': doc_id, 'p': pos} <> f
+        |  WHERE doc_id * 1048576 + pos <> fk
         |), isl AS (
         |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 8
         |      THEN 1 ELSE 0 END)
@@ -599,16 +616,24 @@ object TextQueries {
     }, Some(
       """WITH words AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS wd
+        |  FROM words
+        |), g8 AS (
+        |  SELECT doc_id, pos,
+        |    md5(string_agg(wd, ' ') OVER win) AS h,
+        |    count(*) OVER win AS cw
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
         |), grams AS (
-        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h
-        |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
-        |        FROM words WHERE len(w) >= 8)
+        |  SELECT doc_id, pos, h FROM g8 WHERE cw = 8
         |), firsts AS (
-        |  SELECT h, min({'d': doc_id, 'p': pos}) AS f
+        |  SELECT h, min(doc_id * 1048576 + pos) AS fk
         |  FROM grams GROUP BY 1 HAVING count(*) > 1
         |), fo AS (
         |  SELECT doc_id, pos FROM grams JOIN firsts USING (h)
-        |  WHERE {'d': doc_id, 'p': pos} <> f
+        |  WHERE doc_id * 1048576 + pos <> fk
         |), isl AS (
         |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 8
         |      THEN 1 ELSE 0 END)
@@ -621,14 +646,11 @@ object TextQueries {
         |  FROM isl GROUP BY doc_id, grp
         |), spandocs AS (
         |  SELECT DISTINCT doc_id FROM spans
-        |), toks AS (
-        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, w
-        |  FROM words JOIN spandocs USING (doc_id)
         |), kept AS (
-        |  SELECT t.doc_id, t.idx, list_extract(t.w, t.idx) AS wd
-        |  FROM toks t
+        |  SELECT t.doc_id, t.pos AS idx, t.wd
+        |  FROM tok t JOIN spandocs USING (doc_id)
         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |    WHERE s.doc_id = t.doc_id AND t.idx BETWEEN s.s AND s.e)
+        |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)
         |), rebuilt AS (
         |  SELECT doc_id, string_agg(wd, ' ' ORDER BY idx) AS text
         |  FROM kept GROUP BY doc_id

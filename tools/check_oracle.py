@@ -16,6 +16,49 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Probabilistic-recall lanes. MinHash-LSH's contract is exact PRECISION
+# (every emitted pair is a true pair, with exact similarity values) but
+# boundary-limited RECALL: a pair at similarity s becomes a candidate with
+# P = 1-(1-s^rows)^bands, which for t06 (16 bands x 4 rows) is 0.645 at the
+# s=0.5 threshold and 0.9985 by s=0.7 — misses concentrate AT the boundary.
+# Measured at sf1.0: 17 of 51 exactly-0.5 pairs missed (rate 0.333 vs the
+# 0.356 theory), every pair at s > 0.5 found, zero false pairs. Exact
+# equality is still tried first (it holds at <= sf0.1, where measured
+# recall is full); only a pure row-count shortfall falls through to this
+# policy, which asserts: spark subset-of oracle with exact values on common
+# keys, every missed pair's similarity < miss_ceiling (a miss ABOVE the
+# boundary band means broken hashing, not LSH probability), and recall >=
+# recall_floor (a broken signature pipeline craters recall to ~0).
+LSH_RECALL = {
+    "t06_minhash_lsh": {"keys": ["id_a", "id_b"], "sim_col": "jaccard",
+                        "miss_ceiling": 0.65, "recall_floor": 0.98},
+}
+
+
+def lsh_recall_check(name, spark_df, duck_df, pol):
+    """Subset + boundary-miss + recall-floor check; returns (ok, note)."""
+    keys, sim = pol["keys"], pol["sim_col"]
+    merged = spark_df.merge(duck_df, on=keys, how="outer", indicator=True,
+                            suffixes=("_s", "_o"))
+    extra = merged[merged["_merge"] == "left_only"]
+    if len(extra):
+        return False, f"{len(extra)} false pairs (precision violated)"
+    common = merged[merged["_merge"] == "both"]
+    vdiff = np.abs(common[f"{sim}_s"].astype(float).values
+                   - common[f"{sim}_o"].astype(float).values)
+    if len(vdiff) and np.nanmax(vdiff) > 1e-9:
+        return False, f"value mismatch on common pairs (maxdiff={np.nanmax(vdiff):.3g})"
+    missed = merged[merged["_merge"] == "right_only"]
+    high = missed[missed[f"{sim}_o"].astype(float) >= pol["miss_ceiling"]]
+    if len(high):
+        return False, (f"{len(high)} misses at {sim} >= {pol['miss_ceiling']}"
+                       " (above the LSH boundary band — not probabilistic)")
+    recall = len(common) / max(len(duck_df), 1)
+    if recall < pol["recall_floor"]:
+        return False, f"recall {recall:.4f} < floor {pol['recall_floor']}"
+    return True, (f"[lsh-recall {len(common)}/{len(duck_df)}"
+                  f" misses@{sim}<{pol['miss_ceiling']}]")
+
 def norm(df):
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), ignore_index=True)
@@ -64,6 +107,16 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
             n_bad += 1; continue
         if len(spark_df) != len(duck_df):
+            if name in LSH_RECALL:
+                ok, note = lsh_recall_check(name, spark_df, duck_df,
+                                            LSH_RECALL[name])
+                if ok:
+                    print(f"OK   {name} ({len(spark_df)} rows) {note}")
+                    n_ok += 1
+                else:
+                    print(f"FAIL {name}: {note}")
+                    n_bad += 1
+                continue
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_bad += 1; continue
         a, b = norm(spark_df), norm(duck_df)

@@ -44,10 +44,14 @@ python3 - "$LOG" "$STATUS" <<'PYEOF'
 import json, re, sys
 log, status = open(sys.argv[1]).read(), sys.argv[2]
 rows = {}
-for m in re.finditer(r"^(OK|FAIL)\s+(\S+)(?:\s+\((\d+) rows\))?(.*)$", log, re.M):
+for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.*))?$", log, re.M):
     ok, name, n, note = m.groups()
     rows[name] = {"ok": ok == "OK", "rows": int(n) if n else None,
                   "golden": "[golden]" in (note or "")}
+    # non-exact compare modes (e.g. t06's [lsh-recall m/n ...]) and FAIL
+    # reasons travel into the artifact verbatim
+    if (note or "").strip() and "[golden]" not in note:
+        rows[name]["note"] = note.strip()
 out = {"sf": "1.0", "lanes": rows,
        "ok": sum(1 for r in rows.values() if r["ok"]),
        "fail": sum(1 for r in rows.values() if not r["ok"]),
