@@ -182,6 +182,68 @@ object Dedup {
     verifyJaccard(docs, lshCandidates(minhashSignatures(docs, shingleN, numHashes),
       bands, numHashes / bands, maxBucket, scope), shingleN, threshold, scope)
 
+  /** A banded-MinHash layout: `bands` bands of `rows` hashes each. Its
+    * analytic recall curve (before exact verification):
+    * P(candidate | jaccard = s) = 1 - (1 - s^rows)^bands. Verification
+    * makes precision exact, so this curve IS the pipeline's recall. */
+  final case class LshPlan(bands: Int, rows: Int) {
+    def numHashes: Int = bands * rows
+    /** Probability a pair at Jaccard `s` shares at least one band bucket. */
+    def candidateProb(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+  }
+
+  /** Choose the banding that guarantees `targetRecall` for pairs AT the
+    * dedup threshold — the worst-case true pair; recall only rises above
+    * it — within a `maxHashes` signature budget.
+    *
+    * Preference: the feasible plan with the MOST rows per band, because
+    * false-candidate volume (the verification join's input — the cost
+    * that scales with corpus size squared in the worst case) decays with
+    * rows fastest: a dissimilar pair at similarity s collides with
+    * probability ≈ bands * s^rows. Bands are then the minimum meeting the
+    * target: ceil(ln(1-R) / ln(1-t^rows)).
+    *
+    * Motivated by the r18 sf1.0 oracle find: the 16x4 default has
+    * candidateProb(0.5) = 0.644, and at sf1.0 exactly the theory's share
+    * of threshold-boundary pairs (17 of 51 at jaccard = 0.5) missed the
+    * candidate stage. lshPlan(0.5, 0.99, 256) instead yields 3-row bands
+    * with candidateProb(0.5) >= 0.99 — more candidates to verify, near-
+    * total boundary recall. That tradeoff should be an explicit choice,
+    * not an accident of the default. */
+  def lshPlan(threshold: Double, targetRecall: Double,
+      maxHashes: Int = 256): LshPlan = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall in (0,1): $targetRecall")
+    require(maxHashes >= 1, s"maxHashes >= 1: $maxHashes")
+    val lnMiss = math.log1p(-targetRecall) // ln(1-R) < 0
+    // bands needed grows superlinearly with rows, so numHashes = bands*rows
+    // is strictly increasing in rows and takeWhile finds every feasible plan
+    val feasible = Iterator.from(1).map { rows =>
+      val pr = math.pow(threshold, rows) // per-band match prob at threshold
+      (rows, math.max(1.0, math.ceil(lnMiss / math.log1p(-pr))))
+    }.takeWhile { case (rows, bandsD) => bandsD * rows <= maxHashes }
+      .map { case (rows, bandsD) => LshPlan(bandsD.toInt, rows) }
+      .toSeq
+    require(feasible.nonEmpty,
+      s"no banding reaches recall $targetRecall at threshold $threshold " +
+        s"within $maxHashes hashes (rows=1 alone needs " +
+        f"${math.ceil(lnMiss / math.log1p(-threshold))}%.0f bands)")
+    feasible.last
+  }
+
+  /** [[minhashDedup]] with the banding chosen by [[lshPlan]] for a recall
+    * target instead of hand-picked (numHashes, bands). */
+  def minhashDedupPlanned(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      threshold: Double = 0.7, targetRecall: Double = 0.99,
+      maxHashes: Int = 256, maxBucket: Int = DEFAULT_MAX_BUCKET,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val plan = lshPlan(threshold, targetRecall, maxHashes)
+    minhashDedup(docs, shingleN, plan.numHashes, plan.bands, threshold,
+      maxBucket, scope)
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over shingle hashes (sign of weighted bit sums). */

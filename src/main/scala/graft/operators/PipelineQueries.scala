@@ -284,8 +284,9 @@ object PipelineQueries {
     * AND for t06 (MinHash-LSH + exact verification). t06's verified pair
     * VALUES are exact Jaccard by construction (precision is exact at every
     * scale), but banded candidate RECALL is probabilistic at the threshold
-    * boundary: P(candidate | s) = 1-(1-s^4)^16, i.e. 0.645 at s=0.5 and
-    * 0.9985 by s=0.7. Measured: full recall at <= sf0.1 (exact equality
+    * boundary: P(candidate | s) = 1-(1-s^4)^16, i.e. 0.644 at s=0.5,
+    * 0.988 at s=0.7, 0.9998 by s=0.8. Measured: full recall at <= sf0.1
+    * (exact equality
     * holds — the driver's sf0.01 gate and the sf0.1 oracle both compare
     * exactly); at sf1.0, 17 of 51 exactly-0.5 pairs miss (rate 0.333 vs
     * the 0.356 theory) and every s > 0.5 pair is found. The sf1.0 gate
@@ -325,6 +326,21 @@ object PipelineQueries {
     Q("t07_ngram_jaccard", (s, dir) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }, Some(bruteJaccardSql)),
+
+    // ---- the recall-PLANNED variant of t06 (r18): banding chosen by
+    // Dedup.lshPlan(threshold = 0.5, targetRecall = 0.99, maxHashes = 256)
+    // -> 35 bands x 3 rows (105 hashes), candidateProb(0.5) = 0.9907 vs
+    // the 16x4 default's 0.644 — the boundary pairs the sf1.0 gate showed
+    // t06 missing are recovered by design, not luck. Same brute-force
+    // oracle; t40's sf1.0 check carries the same LSH_RECALL boundary
+    // contract in check_oracle (recall floor 0.99 — the plan's own
+    // guarantee). ----
+    Q("t40_minhash_planned", (s, dir) => {
+      import s.implicits._
+      Dedup.minhashDedupPlanned(docs(s, dir), shingleN = 3, threshold = 0.5,
+        targetRecall = 0.99, maxHashes = 256)
         .orderBy($"id_a", $"id_b")
     }, Some(bruteJaccardSql)),
 

@@ -288,6 +288,60 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val exact = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
     assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
   }
+
+  // ---------------- LSH planning (r18: the sf1.0 recall find) ------------
+
+  test("lshPlan meets the recall target at the threshold within the budget") {
+    for {
+      t <- Seq(0.3, 0.5, 0.7, 0.9)
+      r <- Seq(0.6, 0.9, 0.99)
+      budget <- Seq(64, 256)
+    } {
+      val plan = Dedup.lshPlan(t, r, budget)
+      assert(plan.numHashes <= budget, s"($t,$r,$budget): $plan over budget")
+      assert(plan.candidateProb(t) >= r - 1e-12,
+        s"($t,$r,$budget): $plan recall ${plan.candidateProb(t)}")
+      // the curve is monotone: recall only rises above the threshold
+      assert(plan.candidateProb(math.min(1.0, t + 0.1)) >=
+        plan.candidateProb(t))
+    }
+  }
+
+  test("lshPlan picks the deepest feasible bands with the fewest bands") {
+    val plan = Dedup.lshPlan(0.5, 0.99, 256)
+    // one more row per band cannot fit the budget
+    val prNext = math.pow(0.5, plan.rows + 1)
+    val bandsNext = math.ceil(math.log1p(-0.99) / math.log1p(-prNext))
+    assert(bandsNext * (plan.rows + 1) > 256)
+    // one fewer band misses the target: bands is minimal
+    if (plan.bands > 1)
+      assert(plan.copy(bands = plan.bands - 1).candidateProb(0.5) < 0.99)
+  }
+
+  test("the t06 default 16x4 has the 0.644 boundary recall the sf1.0 gate measured") {
+    val p = Dedup.LshPlan(16, 4)
+    assert(math.abs(p.candidateProb(0.5) - 0.644) < 0.002)
+    assert(math.abs(p.candidateProb(0.7) - 0.9876) < 0.001)
+    assert(p.candidateProb(0.8) > 0.9997)
+  }
+
+  test("lshPlan fails loudly when the budget cannot reach the target") {
+    val e = intercept[IllegalArgumentException](
+      Dedup.lshPlan(0.05, 0.9999, 4))
+    assert(e.getMessage.contains("no banding"))
+  }
+
+  test("minhashDedupPlanned at target 0.99 recalls the full threshold-0.5 oracle set") {
+    val expected = exactPairs(0.5)
+    assert(expected.nonEmpty)
+    val got = Dedup.minhashDedupPlanned(ds, shingleN = 3, threshold = 0.5,
+      targetRecall = 0.99, maxHashes = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(expected), s"false pairs: ${got -- expected}")
+    // deterministic on this fixture (seeded corpus, seeded hashes):
+    // candidateProb(0.5) = 0.9907 and the planted dups sit near 0.9
+    assert(expected.subsetOf(got), s"missed: ${expected -- got}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {

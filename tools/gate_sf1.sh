@@ -11,7 +11,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF1=${1:-/tmp/sf1.0}
-LANES="q35_,q38_,t06_,t21_,t28_,t34_,t37_,v10_,c02_,c07_,g03_,g04_,g10_,g13_,g14_"
+LANES="q35_,q38_,t06_,t21_,t28_,t34_,t37_,t40_,v10_,c02_,c07_,g03_,g04_,g10_,g13_,g14_"
 OUT=/tmp/verify_sf1
 
 if [ ! -e "$SF1/customer.parquet" ]; then
