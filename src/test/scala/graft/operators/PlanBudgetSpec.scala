@@ -54,6 +54,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "t01_dedup_exact" -> ((2, 0)), "t02_dedup_prefix_block" -> ((2, 0)),
     "t03_token_count" -> ((1, 0)), "t04_quality_score" -> ((1, 0)),
     "t05_word_freq" -> ((1, 0)), "t06_minhash_lsh" -> ((2, 0)),
+    // t40 is t06's pipeline with lshPlan-chosen banding: same plan shape,
+    // same budget — more bands change signature width, not the exchanges
+    "t40_minhash_planned" -> ((2, 0)),
     "t07_ngram_jaccard" -> ((3, 0)), "t08_simhash" -> ((2, 0)),
     "t09_langid" -> ((2, 0)), "t10_fingerprints" -> ((1, 0)),
     "t11_token_estimate" -> ((1, 0)), "t12_quality_metrics" -> ((1, 0)),
