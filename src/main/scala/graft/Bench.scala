@@ -44,6 +44,30 @@ object Bench {
     }
     val gateWaitedS = (System.nanoTime() - gateT0) / 1e9
 
+    // Host-speed canary (r18): a fixed single-thread CPU workload timed
+    // min-of-3, stamped into the artifact as canary_sec. Round-over-round
+    // totals on this shared host have shown UNIFORM 1.2-1.4x swings with
+    // loadavg ~0 (three back-to-back r18 runs: every lane, including ones
+    // untouched for ten rounds, moved by the same factor — CPU
+    // throttling/steal, not code). Dividing totals by the canary ratio
+    // separates host speed from engine speed; a non-uniform per-lane swing
+    // with a flat canary is a REAL regression.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 150000000) {
+        h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+        h ^= h >>> 27; h *= 0x94d049bb133111ebL
+        h ^= h >>> 31; h += i
+        i += 1
+      }
+      // fold the result into stderr so the loop cannot be dead-code'd
+      if (h == 42L) System.err.println("canary collision")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySec = Seq.fill(3)(canaryOnce()).min
+
     // one untimed warm-up action to JIT/codegen and prime the FS cache
     SparkEntry.benchQueries.headOption.foreach { case (_, q) =>
       try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
@@ -503,7 +527,7 @@ object Bench {
     // the noise-resistant choice and has been carried in value_min /
     // queries_min since r9 — compare THOSE keys, judged against
     // queries_iqr; "value"/"queries" stay medians for legacy continuity.
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -525,9 +549,9 @@ object Bench {
     // prefix — the other half of why "parsed" was null through r10. If
     // the bench set ever grows the line past the window, the per-query
     // map is dropped rather than risking a truncated-head line.
-    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sf"}"""
+    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"sf":"$sf"}""")
     spark.stop()
   }
 }
