@@ -7,9 +7,25 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Cross-JVM gate hook: SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs
+    // the same dump through real executor processes (separate JVMs, real
+    // serialization of CollectAligned/LcaAggregate buffers, real broadcast
+    // transport) instead of the in-process local[] backend.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder = if (master.startsWith("local-cluster")) {
+      // Executors are forked by the standalone Worker from SPARK_HOME and
+      // don't inherit this JVM's classpath; hand them ours (graft classes +
+      // the same /opt/spark jars — duplicates of the assembly are benign).
+      builder0
+        .config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+    } else builder0
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it as
@@ -63,6 +79,19 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/rows_only_by_design.json"),
       notes.mkString("{", ",", "}"))
+    // single source of the probabilistic-recall contract: the checker
+    // (tools/check_oracle.py) reads THIS dump — a lane can only enter the
+    // relaxed LSH path by being marked in the registry (Q.lshRecall)
+    val policies = SparkEntry.all.values.collect {
+      case qq if qq.lshRecall.isDefined =>
+        val p = qq.lshRecall.get
+        s"${q(qq.name)}: {${q("keys")}: [${p.keys.map(q).mkString(",")}], " +
+          s"${q("sim_col")}: ${q(p.simCol)}, " +
+          s"${q("miss_ceiling")}: ${p.missCeiling}, " +
+          s"${q("recall_floor")}: ${p.recallFloor}}"
+    }
+    Files.writeString(Paths.get(s"$outDir/lsh_recall_policy.json"),
+      policies.mkString("{", ",", "}"))
     spark.stop()
   }
 }
