@@ -40,8 +40,11 @@ import graft.taxa.Taxonomy
   *             (per-sequence super-mer stats at any width; the surface
   *             tools/test_golden_kernels.py fuzzes against)
   *   streamDedup --input dir --output dir [--feedback dir]
-  *             [--watermark "10 minutes"] [--ttl-ms N] [--bands 16]
-  *             (streaming near-dup suppression over JSON files; --feedback
+  *             [--watermark "10 minutes"] [--ttl-ms N]
+  *             [--threshold 0.7] [--target-recall 0.99 | --num-hashes N
+  *             --bands B]  (streaming near-dup suppression over JSON
+  *             files; banding is planned from threshold/target-recall
+  *             unless given explicitly; --feedback
   *             names a directory used as a file-backed correction queue —
   *             written by each micro-batch's survivor fold AND tailed as a
   *             second source by the same query; --mode span switches to
@@ -64,8 +67,11 @@ import graft.taxa.Taxonomy
   *   curate    --docs docs.parquet --output out [--min-tokens 5]
   *             [--max-tokens 100000] [--min-alpha 0.0]
   *             [--near-dup-threshold 0.7|off] [--span-n 8; 0 = off]
+  *             [--target-recall 0.99 | --num-hashes N --bands B]
   *             (batch corpus curation: quality gate -> exact dedup ->
-  *             optional MinHash near-dup -> keep-first span strip; writes
+  *             optional MinHash near-dup -> keep-first span strip; the
+  *             near-dup banding is planned from the threshold for the
+  *             recall target unless given explicitly; writes
   *             out/corpus parquet + out/summary.tsv per-stage counts)
   *
   * classify2 with --per-sample (requires --sample-regex; excludes --gold /
@@ -106,9 +112,11 @@ object Main {
       "display" -> (common ++ Set("report", "rank", "min-percent", "clades")),
       "streamDedup" -> (common ++ Set("input", "output", "feedback",
         "watermark", "ttl-ms", "shingle-n", "num-hashes", "bands",
+        "threshold", "target-recall",
         "max-files-per-trigger", "checkpoint", "mode", "span-n")),
       "curate" -> (common ++ Set("docs", "output", "min-tokens", "max-tokens",
-        "min-alpha", "near-dup-threshold", "near-dup-mode", "span-n")),
+        "min-alpha", "near-dup-threshold", "near-dup-mode", "span-n",
+        "num-hashes", "bands", "target-recall")),
       "curateEmbeddings" -> (common ++ Set("embeddings", "output", "k",
         "iters", "tau", "max-cluster-pop", "sample", "train", "init")),
       "annBuild" -> (common ++ Set("embeddings", "output", "cells",
@@ -231,6 +239,33 @@ object Main {
       env: Option[String] = sys.env.get("SPARK_MASTER"),
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): String =
     prop.orElse(env).getOrElse(s"local[$cpus]")
+
+  /** LSH banding for the dedup CLI surfaces. Explicit `--num-hashes` /
+    * `--bands` win (either fills the other from the legacy 64/16 default);
+    * otherwise the banding is PLANNED from the user's similarity threshold
+    * via [[graft.operators.Dedup.lshPlan]] so recall for pairs AT the
+    * threshold is a guaranteed target — default 0.99, `--target-recall`
+    * overrides — instead of an accident of a fixed default (the r18 sf1.0
+    * find: 16x4 misses ~36% of exactly-at-threshold pairs by theory).
+    * Mixing `--target-recall` with explicit banding is contradictory and
+    * fails loudly before any Spark work. */
+  private[graft] def resolveLshBanding(opts: Map[String, String],
+      threshold: Double): graft.operators.Dedup.LshPlan = {
+    val explicit = opts.contains("num-hashes") || opts.contains("bands")
+    if (explicit) {
+      require(!opts.contains("target-recall"),
+        "--target-recall conflicts with explicit --num-hashes/--bands: " +
+          "either name the banding or name the recall target, not both")
+      val nh = opts.getOrElse("num-hashes", "64").toInt
+      val b = opts.getOrElse("bands", "16").toInt
+      require(b >= 1 && nh >= b && nh % b == 0,
+        s"--num-hashes ($nh) must be a positive multiple of --bands ($b)")
+      graft.operators.Dedup.LshPlan(b, nh / b)
+    } else {
+      val recall = opts.getOrElse("target-recall", "0.99").toDouble
+      graft.operators.Dedup.lshPlan(threshold, recall)
+    }
+  }
 
   def session(buckets: Int): SparkSession = {
     SparkSession.builder()
@@ -1153,6 +1188,28 @@ object Main {
         val nearMode = opts.getOrElse("near-dup-mode", "minhash")
         require(nearMode == "minhash" || nearMode == "hashed",
           s"--near-dup-mode must be 'minhash' or 'hashed', got '$nearMode'")
+        val nearThr = opts.getOrElse("near-dup-threshold", "off")
+        // an explicit --near-dup-mode with the threshold left 'off' would
+        // silently skip the near-dup pass the user just asked for
+        require(!(opts.contains("near-dup-mode") && nearThr == "off"),
+          "--near-dup-mode was set but --near-dup-threshold is 'off'; " +
+            "pass a threshold (e.g. --near-dup-threshold 0.8) to enable the pass")
+        // LSH knobs only drive the minhash near-dup pass — silently ignoring
+        // them with the pass off or in 'hashed' mode (hyperplane LSH, not
+        // banded MinHash) would lie about what ran
+        for (knob <- Set("num-hashes", "bands", "target-recall")
+            .intersect(opts.keySet).headOption) {
+          require(nearThr != "off",
+            s"--$knob has no effect with --near-dup-threshold off")
+          require(nearMode == "minhash",
+            s"--$knob has no effect with --near-dup-mode hashed")
+        }
+        // resolved BEFORE any Spark work: a bad banding/recall combination
+        // must not cost a full quality+exact-dedup pass first
+        val lshBanding =
+          if (nearThr != "off" && nearMode == "minhash")
+            Some(resolveLshBanding(opts, nearThr.toDouble))
+          else None
         val in = spark.read.parquet(opts("docs"))
           .select(col("doc_id").cast("long"), col("text").cast("string"))
           .as[(Long, String)].persist(lvl)
@@ -1172,20 +1229,21 @@ object Main {
           .filter(col("rk") === 1).select(col("doc_id"), col("text"))
           .as[(Long, String)].persist(lvl)
         val nExact = exact.count()
-        val nearThr = opts.getOrElse("near-dup-threshold", "off")
-        // an explicit --near-dup-mode with the threshold left 'off' would
-        // silently skip the near-dup pass the user just asked for
-        require(!(opts.contains("near-dup-mode") && nearThr == "off"),
-          "--near-dup-mode was set but --near-dup-threshold is 'off'; " +
-            "pass a threshold (e.g. --near-dup-threshold 0.8) to enable the pass")
         val dedupScope = new graft.operators.Dedup.CacheScope
         val deduped =
           if (nearThr == "off") exact
           else if (nearMode == "hashed")
             graft.operators.Dedup.deduplicateHashedCosine(exact,
               threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
-          else graft.operators.Dedup.deduplicate(exact,
-            threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
+          else {
+            val plan = lshBanding.get
+            println(f"near-dup banding: ${plan.bands} bands x ${plan.rows} " +
+              f"rows (${plan.numHashes} hashes; candidate recall at " +
+              f"threshold ${plan.candidateProb(nearThr.toDouble)}%.4f)")
+            graft.operators.Dedup.deduplicate(exact,
+              numHashes = plan.numHashes, bands = plan.bands,
+              threshold = nearThr.toDouble, scope = dedupScope).persist(lvl)
+          }
         val nNear = deduped.count()
         // nNear materialized `deduped` into its own cache, so the dedup
         // pipeline's internal caches (banded buckets, shingle sets,
@@ -1481,7 +1539,8 @@ object Main {
         // knobs and span width are mode-specific)
         val disallowed = Map(
           "near" -> Set("span-n"),
-          "span" -> Set("feedback", "shingle-n", "num-hashes", "bands"))
+          "span" -> Set("feedback", "shingle-n", "num-hashes", "bands",
+            "threshold", "target-recall"))
         for (bad <- disallowed(mode).intersect(opts.keySet).headOption)
           sys.error(s"--$bad has no effect with --mode $mode")
         if (mode == "span") {
@@ -1517,12 +1576,27 @@ object Main {
             .as[graft.streaming.StreamingDedup.Feedback]
         }
         val outDir = opts("output")
+        // Banding: explicit --num-hashes/--bands win; otherwise PLANNED
+        // from --threshold (the similarity level to suppress at, default
+        // 0.7) for --target-recall (default 0.99). Streaming has no exact
+        // verification pass, so the band test IS the suppression decision:
+        // the planner's deepest-rows preference simultaneously lifts
+        // at-threshold recall AND cuts false suppression of dissimilar
+        // docs (collision rate ~ bands * s^rows decays fastest in rows).
+        require(!(opts.contains("threshold") &&
+            (opts.contains("num-hashes") || opts.contains("bands"))),
+          "--threshold only drives the planned banding; it conflicts with " +
+            "explicit --num-hashes/--bands")
+        val plan = resolveLshBanding(opts,
+          opts.getOrElse("threshold", "0.7").toDouble)
+        println(f"streamDedup banding: ${plan.bands} bands x ${plan.rows} " +
+          f"rows (${plan.numHashes} hashes)")
         val writer = graft.streaming.StreamingDedup.dedupNearWithFeedback(
           docs, "text", "ts", "doc_id", feedback,
           watermark = opts.getOrElse("watermark", "10 minutes"),
           shingleN = opts.getOrElse("shingle-n", "3").toInt,
-          numHashes = opts.getOrElse("num-hashes", "64").toInt,
-          bands = opts.getOrElse("bands", "16").toInt,
+          numHashes = plan.numHashes,
+          bands = plan.bands,
           stateTtlMs = opts.getOrElse("ttl-ms", "600000").toLong) { (surv, fb) =>
           surv.write.mode("append").json(outDir)
           // append ONLY non-empty correction sets: an empty append still

@@ -1362,6 +1362,112 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("--near-dup-threshold"))
   }
 
+  test("CLI: dedup banding resolves planned-from-threshold by default, " +
+    "explicit flags override, and contradictions fail loudly") {
+    import graft.operators.Dedup
+    // default: lshPlan(threshold, 0.99) — the r19 productization of the
+    // r18 recall find (a user naming a threshold gets the recall target,
+    // not the fixed 16x4's 0.644 boundary recall)
+    assert(Main.resolveLshBanding(Map.empty, 0.5) == Dedup.lshPlan(0.5, 0.99))
+    assert(Main.resolveLshBanding(Map("target-recall" -> "0.9"), 0.7) ==
+      Dedup.lshPlan(0.7, 0.9))
+    // the planned default meets its own target by the analytic curve
+    assert(Main.resolveLshBanding(Map.empty, 0.5).candidateProb(0.5) >= 0.99)
+    // explicit banding wins; a lone flag fills the other from legacy 64/16
+    assert(Main.resolveLshBanding(
+      Map("num-hashes" -> "32", "bands" -> "8"), 0.5) == Dedup.LshPlan(8, 4))
+    assert(Main.resolveLshBanding(Map("bands" -> "32"), 0.5) ==
+      Dedup.LshPlan(32, 2))
+    assert(Main.resolveLshBanding(Map("num-hashes" -> "128"), 0.5) ==
+      Dedup.LshPlan(16, 8))
+    val conflict = intercept[IllegalArgumentException] {
+      Main.resolveLshBanding(
+        Map("target-recall" -> "0.99", "bands" -> "8"), 0.5)
+    }
+    assert(conflict.getMessage.contains("--target-recall"))
+    val indivisible = intercept[IllegalArgumentException] {
+      Main.resolveLshBanding(Map("num-hashes" -> "10", "bands" -> "4"), 0.5)
+    }
+    assert(indivisible.getMessage.contains("--num-hashes"))
+  }
+
+  test("CLI: curate plans near-dup banding from the threshold (recall " +
+    "target catches a just-above-threshold near-copy) and gates LSH knobs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-planned")
+    val words = (0 until 400).map(i => s"pk$i")
+    def prose(seed: Int, k: Int): Seq[String] = {
+      val r = new Random(seed)
+      Seq.fill(k)(words(r.nextInt(words.length)))
+    }
+    val base = prose(21, 40)
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      // one appended token: 38 of 39 shingles shared -> jaccard 38/39 =
+      // 0.974, just above the 0.9 threshold — exactly the boundary class
+      // the planned banding exists to catch reliably
+      (1L, (base :+ "extraTok").mkString(" ")),
+      (2L, prose(22, 40).mkString(" ")))
+    spark.createDataset(docs).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", out, "--p", "4", "--min-tokens", "5",
+      "--near-dup-threshold", "0.9", "--target-recall", "0.99",
+      "--span-n", "0"))
+    val corpus = spark.read.parquet(out + "/corpus")
+      .as[(Long, String)].collect().toMap
+    assert(corpus.keySet == Set(0L, 2L),
+      s"planned banding must drop the near-copy: ${corpus.keySet}")
+    // explicit banding still honored end-to-end
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", dir.resolve("out2").toString, "--p", "4",
+      "--min-tokens", "5", "--near-dup-threshold", "0.9",
+      "--num-hashes", "64", "--bands", "16", "--span-n", "0"))
+    assert(spark.read.parquet(dir.resolve("out2").toString + "/corpus")
+      .count() >= 2)
+    // LSH knobs with the pass off / in hashed mode fail loudly (silently
+    // ignoring a recall target the user named would be a lie)
+    val offErr = intercept[IllegalArgumentException] {
+      Main.main(Array("curate",
+        "--docs", dir.resolve("docs.parquet").toString,
+        "--output", dir.resolve("out3").toString, "--p", "4",
+        "--target-recall", "0.95"))
+    }
+    assert(offErr.getMessage.contains("no effect"))
+    val hashedErr = intercept[IllegalArgumentException] {
+      Main.main(Array("curate",
+        "--docs", dir.resolve("docs.parquet").toString,
+        "--output", dir.resolve("out4").toString, "--p", "4",
+        "--near-dup-threshold", "0.9", "--near-dup-mode", "hashed",
+        "--bands", "8"))
+    }
+    assert(hashedErr.getMessage.contains("no effect"))
+  }
+
+  test("CLI: streamDedup rejects --threshold with explicit banding and " +
+    "--target-recall in span mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-sdedup-plan")
+    Files.createDirectories(dir.resolve("in"))
+    val conflict = intercept[IllegalArgumentException] {
+      Main.main(Array("streamDedup",
+        "--input", dir.resolve("in").toString,
+        "--output", dir.resolve("out").toString, "--p", "4",
+        "--threshold", "0.8", "--bands", "16"))
+    }
+    assert(conflict.getMessage.contains("--threshold"))
+    val spanErr = intercept[RuntimeException] {
+      Main.main(Array("streamDedup", "--mode", "span",
+        "--input", dir.resolve("in").toString,
+        "--output", dir.resolve("out").toString, "--p", "4",
+        "--target-recall", "0.99"))
+    }
+    assert(spanErr.getMessage.contains("target-recall"))
+  }
+
   test("CLI: annBuild writes a probe-ready IVF-PQ index; annQuery answers " +
     "from it without the corpus") {
     import spark.implicits._
