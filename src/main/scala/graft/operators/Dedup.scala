@@ -210,7 +210,16 @@ object Dedup {
     * candidate stage. lshPlan(0.5, 0.99, 256) instead yields 3-row bands
     * with candidateProb(0.5) >= 0.99 — more candidates to verify, near-
     * total boundary recall. That tradeoff should be an explicit choice,
-    * not an accident of the default. */
+    * not an accident of the default.
+    *
+    * CAVEAT — the analytic target covers the BANDING stage only: the
+    * candidate join also drops band buckets larger than `maxBucket`
+    * ([[capBuckets]]), so a true pair whose every shared bucket exceeds
+    * the cap is missed regardless of banding (boilerplate-heavy corpora).
+    * Deeper rows make buckets more selective and so LOWER cap pressure,
+    * but the end-to-end recall floor is corpus-dependent, not guaranteed;
+    * [[cappedBuckets]] names the dropped buckets when a measured floor
+    * breach needs attributing. */
   def lshPlan(threshold: Double, targetRecall: Double,
       maxHashes: Int = 256): LshPlan = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
@@ -234,7 +243,13 @@ object Dedup {
   }
 
   /** [[minhashDedup]] with the banding chosen by [[lshPlan]] for a recall
-    * target instead of hand-picked (numHashes, bands). */
+    * target instead of hand-picked (numHashes, bands).
+    *
+    * The target holds for pairs reachable through the banding; buckets
+    * larger than `maxBucket` are still capped away (see the [[lshPlan]]
+    * caveat), so on a corpus where near-identical boilerplate floods a
+    * bucket past the cap, measured recall can undershoot the target —
+    * run [[cappedBuckets]] with the same plan to attribute such a gap. */
   def minhashDedupPlanned(docs: Dataset[(Long, String)], shingleN: Int = 3,
       threshold: Double = 0.7, targetRecall: Double = 0.99,
       maxHashes: Int = 256, maxBucket: Int = DEFAULT_MAX_BUCKET,
@@ -242,6 +257,29 @@ object Dedup {
     val plan = lshPlan(threshold, targetRecall, maxHashes)
     minhashDedup(docs, shingleN, plan.numHashes, plan.bands, threshold,
       maxBucket, scope)
+  }
+
+  /** Diagnostic for the [[lshPlan]]/[[minhashDedupPlanned]] cap caveat:
+    * the band buckets `maxBucket` would DROP for this corpus and banding —
+    * (band, bucket, size), largest first. Empty ⇒ the cap removed nothing
+    * and the analytic recall curve is the whole story; non-empty rows name
+    * exactly where a measured recall-floor breach could hide. Off the hot
+    * path by design (a separate aggregation, run on demand), so the dedup
+    * pipeline itself stays unobserved. */
+  def cappedBuckets(docs: Dataset[(Long, String)], shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashSignatures(docs, shingleN, numHashes)
+      .flatMap { case (id, sig) =>
+        bandKeys(sig, bands).iterator.zipWithIndex
+          .map { case (h, b) => (b, h) }
+      }
+      .toDF("band", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
+      .orderBy(col("size").desc, col("band"), col("bucket"))
   }
 
   // ---------------- SimHash ----------------

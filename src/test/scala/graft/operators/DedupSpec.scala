@@ -278,6 +278,28 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cd.contains((9000L, 9001L)))
   }
 
+  test("cappedBuckets attributes cap-dropped recall: names the boilerplate " +
+    "mega-buckets and is empty on a cap-free corpus") {
+    import spark.implicits._
+    val boiler = (0L until 120L).map(i => (i, "the same license header " * 10))
+    val normal = Seq((9000L, randomDoc(80)), (9001L, randomDoc(81)))
+    val ds2 = spark.createDataset(boiler ++ normal)
+    // every band funnels the 120 identical docs into one bucket of size 120
+    val dropped = Dedup.cappedBuckets(ds2, shingleN = 3, numHashes = 64,
+      bands = 16, maxBucket = 100).collect()
+    assert(dropped.length == 16, s"one mega-bucket per band: ${dropped.length}")
+    assert(dropped.forall(_.getLong(2) == 120L))
+    // and those buckets are exactly what lshCandidates would drop — the
+    // diagnostic explains the missing pairs, the caveat in lshPlan's doc
+    val capped = Dedup.lshCandidates(
+      Dedup.minhashSignatures(ds2, 3, 64), 16, 4, maxBucket = 100)
+    assert(!capped.collect().exists(r => r.getLong(0) < 120L))
+    // cap-free corpus: the diagnostic is silent, the analytic curve is
+    // the whole recall story
+    val clean = spark.createDataset(normal)
+    assert(Dedup.cappedBuckets(clean, 3, 64, 16, maxBucket = 100).isEmpty)
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     val a = TextAnalysis.shingleSet(corpus.head._2, 3)
     val mutated = corpus.find(_._1 == 1000L).get._2
