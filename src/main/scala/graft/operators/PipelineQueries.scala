@@ -321,7 +321,15 @@ object PipelineQueries {
       Dedup.minhashDedup(docs(s, dir), shingleN = 3, numHashes = 64,
         bands = 16, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
-    }, Some(bruteJaccardSql), bench = true),
+    }, Some(bruteJaccardSql), bench = true,
+      // 16x4 candidateProb: 0.644 at s=0.5 (the boundary), 0.965 at 0.65,
+      // 0.9997 at 0.8 — misses are probabilistically expected all the way
+      // to ~0.8 (r19 ADVICE: the old 0.65 ceiling could flake on a corpus
+      // with pairs in the 0.65-0.8 band; ~3.5%/pair at 0.66). The recall
+      // floor still catches a broken pipeline (measured sf1.0 recall with
+      // a CORRECT pipeline: 0.9935).
+      lshRecall = Some(LshRecallPolicy(Seq("id_a", "id_b"), "jaccard",
+        missCeiling = 0.8, recallFloor = 0.98))),
 
     Q("t07_ngram_jaccard", (s, dir) => {
       import s.implicits._
@@ -342,7 +350,12 @@ object PipelineQueries {
       Dedup.minhashDedupPlanned(docs(s, dir), shingleN = 3, threshold = 0.5,
         targetRecall = 0.99, maxHashes = 256)
         .orderBy($"id_a", $"id_b")
-    }, Some(bruteJaccardSql)),
+    }, Some(bruteJaccardSql),
+      // 35x3 candidateProb: 0.9907 at s=0.5, 0.9976 at 0.55, 0.9998 at 0.6
+      // — the planner's own guarantee is the floor; a miss at >= 0.6 would
+      // contradict the much steeper 3-row curve
+      lshRecall = Some(LshRecallPolicy(Seq("id_a", "id_b"), "jaccard",
+        missCeiling = 0.6, recallFloor = 0.99))),
 
     // Oracle: the FULL simhash computation in SQL (shingles -> hashString
     // -> per-bit votes -> 64-bit signature -> pairwise popcount), brute

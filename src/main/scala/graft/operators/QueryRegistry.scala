@@ -15,6 +15,22 @@ import scala.collection.immutable.ListMap
   *     first, DuckDB last — avoid nullable sort keys);
   *   - timestamps never appear raw in outputs (ns vs us precision).
   */
+/** The honest relaxed contract for probabilistic-recall (MinHash-LSH)
+  * lanes, SINGLE-SOURCED here (r18 honesty flag: two checkers carrying
+  * their own copies can drift). Verify dumps every marked lane's policy as
+  * `lsh_recall_policy.json` next to oracle_sql.json, and
+  * tools/check_oracle.py reads THAT — no other lane name can enter the
+  * relaxed path without being marked in the registry. Semantics (enforced
+  * by the checker): exact equality is tried first; only a pure row
+  * SHORTFALL falls through to: spark ⊂ oracle with exact `simCol` values
+  * on common keys, every missed pair's similarity < `missCeiling` (a miss
+  * above the LSH boundary band means broken hashing, not probability),
+  * and recall ≥ `recallFloor` (a broken signature pipeline craters recall
+  * to ~0). False pairs always FAIL — LSH precision is exact. */
+final case class LshRecallPolicy(
+    keys: Seq[String], simCol: String,
+    missCeiling: Double, recallFloor: Double)
+
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
@@ -23,7 +39,9 @@ final case class Q(
     bench: Boolean = false,
     /** rows-only queries: one-line reason there is DELIBERATELY no oracle
       * (dumped as rows_only_by_design.json next to oracle_sql.json) */
-    rowsOnlyNote: Option[String] = None)
+    rowsOnlyNote: Option[String] = None,
+    /** probabilistic-recall lanes ONLY: the relaxed boundary contract */
+    lshRecall: Option[LshRecallPolicy] = None)
 
 object Q {
   /** Parquet table loader: the only data-access path queries use. */

@@ -30,15 +30,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # keys, every missed pair's similarity < miss_ceiling (a miss ABOVE the
 # boundary band means broken hashing, not LSH probability), and recall >=
 # recall_floor (a broken signature pipeline craters recall to ~0).
-LSH_RECALL = {
-    "t06_minhash_lsh": {"keys": ["id_a", "id_b"], "sim_col": "jaccard",
-                        "miss_ceiling": 0.65, "recall_floor": 0.98},
-    # the planned variant guarantees candidateProb(0.5) >= 0.99 by
-    # construction (35 bands x 3 rows), so its floor is the plan's target;
-    # misses above ~0.55 would contradict the much steeper 3-row curve
-    "t40_minhash_planned": {"keys": ["id_a", "id_b"], "sim_col": "jaccard",
-                            "miss_ceiling": 0.6, "recall_floor": 0.99},
-}
+#
+# SINGLE-SOURCED (r19): the table lives in the Scala registry
+# (graft.operators.Q.lshRecall, set on exactly the marked lanes) and is
+# dumped by Verify as <out_dir>/lsh_recall_policy.json — this checker READS
+# that dump, so no lane can enter the relaxed path without being marked in
+# the registry, and the two checkers cannot drift. Older dumps without the
+# file get an empty policy (exact-or-nothing).
+def load_lsh_recall(out_dir):
+    p = f"{out_dir}/lsh_recall_policy.json"
+    return json.load(open(p)) if os.path.exists(p) else {}
 
 
 def lsh_recall_check(name, spark_df, duck_df, pol):
@@ -83,6 +84,7 @@ def main(sf_dir, out_dir, only=None):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    lsh_recall = load_lsh_recall(out_dir)
     # GOLDEN-LANE queries read a pinned TSV (independent Python
     # reimplementation, tools/golden_*.py). The committed SQL points at the
     # sf0.01 golden (the driver's gate scale); at another SF swap the tag.
@@ -113,9 +115,9 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
             n_bad += 1; continue
         if len(spark_df) != len(duck_df):
-            if name in LSH_RECALL:
+            if name in lsh_recall:
                 ok, note = lsh_recall_check(name, spark_df, duck_df,
-                                            LSH_RECALL[name])
+                                            lsh_recall[name])
                 if ok:
                     print(f"OK   {name} ({len(spark_df)} rows) {note}")
                     n_ok += 1
