@@ -44,29 +44,46 @@ object Bench {
     }
     val gateWaitedS = (System.nanoTime() - gateT0) / 1e9
 
-    // Host-speed canary (r18): a fixed single-thread CPU workload timed
-    // min-of-3, stamped into the artifact as canary_sec. Round-over-round
-    // totals on this shared host have shown UNIFORM 1.2-1.4x swings with
-    // loadavg ~0 (three back-to-back r18 runs: every lane, including ones
-    // untouched for ten rounds, moved by the same factor — CPU
-    // throttling/steal, not code). Dividing totals by the canary ratio
-    // separates host speed from engine speed; a non-uniform per-lane swing
-    // with a flat canary is a REAL regression.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      var h = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < 150000000) {
-        h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
-        h ^= h >>> 27; h *= 0x94d049bb133111ebL
-        h ^= h >>> 31; h += i
-        i += 1
+    // Host-speed canary (r18, definition now shared in graft.HostCanary so
+    // the gate scripts stamp the same unit): stamped as canary_sec;
+    // dividing totals by the canary ratio separates host speed from engine
+    // speed — a non-uniform per-lane swing with a flat canary is a REAL
+    // regression.
+    val canarySec = HostCanary.measure()
+
+    // Canary-normalized round-over-round deltas (r19, closing the r18
+    // loop): parse the previous round's artifact (the driver's wrapper or
+    // a raw Bench line), divide this run's per-lane stat by the canary
+    // ratio, and ALERT on lanes that still moved >15%. The anchor's
+    // compact driver line only carries medians; when a full artifact (with
+    // queries_min) is given via SPARK_GRAFT_BENCH_ANCHOR, mins are used —
+    // anchor_stat records which. Unreadable/absent anchor -> fields omitted.
+    val anchorPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH_r18.json")
+    val anchor: Option[(Double, Map[String, Double], String)] = try {
+      import org.json4s._
+      val j0 = jackson.JsonMethods.parse(new java.io.File(anchorPath))
+      // the driver wraps the parsed line under "parsed"
+      val j = j0 \ "parsed" match { case JNothing => j0; case p => p }
+      def d(v: JValue): Option[Double] = v match {
+        case JDouble(x) => Some(x)
+        case JInt(x) => Some(x.toDouble)
+        case JDecimal(x) => Some(x.toDouble)
+        case _ => None
       }
-      // fold the result into stderr so the loop cannot be dead-code'd
-      if (h == 42L) System.err.println("canary collision")
-      (System.nanoTime() - t0) / 1e9
+      def lanes(field: String): Map[String, Double] = j \ field match {
+        case JObject(fs) => fs.flatMap { case (k, v) => d(v).map(k -> _) }.toMap
+        case _ => Map.empty
+      }
+      val c = d(j \ "canary_sec")
+      val mins = lanes("queries_min")
+      val (stats, statName) =
+        if (mins.nonEmpty) (mins, "min") else (lanes("queries"), "median")
+      c.filter(_ > 0).filter(_ => stats.nonEmpty).map((_, stats, statName))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] anchor $anchorPath unreadable: $e")
+      None
     }
-    val canarySec = Seq.fill(3)(canaryOnce()).min
 
     // one untimed warm-up action to JIT/codegen and prime the FS cache
     SparkEntry.benchQueries.headOption.foreach { case (_, q) =>
@@ -430,6 +447,32 @@ object Bench {
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // canary-normalized per-lane deltas vs the anchor round: positive =
+    // slower than the anchor AFTER removing the host-speed swing; alerts
+    // list lanes beyond ±15% — the threshold the r18 verdict asked the
+    // round-over-round read to use
+    val anchorCmp: Option[(Double, String, Seq[(String, Double)], Seq[String])] =
+      anchor.map { case (aCanary, aStats, statName) =>
+        val ratio = canarySec / aCanary
+        val deltas = results.flatMap { case (k, (med, min, _)) =>
+          val ours = if (statName == "min") min else med
+          aStats.get(k).filter(_ > 0).filter(_ => ours > 0)
+            .map(prev => k -> ((ours / ratio) / prev - 1.0))
+        }
+        val alerts = deltas.collect {
+          case (k, dd) if math.abs(dd) > 0.15 => k }.sorted
+        (aCanary, statName, deltas.toSeq, alerts.toSeq)
+      }
+    val canaryCmp: String = anchorCmp.map {
+      case (aCanary, statName, deltas, alerts) =>
+        s""","canary_anchor":${num(aCanary)}""" +
+          s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
+          s""","anchor_stat":"$statName"""" +
+          ""","normalized_deltas":""" + deltas.map { case (k, v) =>
+            "\"" + k + "\":" + num(v) }.mkString("{", ",", "}") +
+          ""","normalized_alerts":""" +
+          alerts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.getOrElse("")
     // Artifact-key continuity (r10 advice): "value"/"queries"/
     // "value_pre_r6_set" carry the MEDIAN, exactly as the r1-r9 artifacts
     // did under those keys — r10 silently moved min under them, so a
@@ -527,7 +570,7 @@ object Bench {
     // the noise-resistant choice and has been carried in value_min /
     // queries_min since r9 — compare THOSE keys, judged against
     // queries_iqr; "value"/"queries" stay medians for legacy continuity.
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)}$canaryCmp,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -549,9 +592,15 @@ object Bench {
     // prefix — the other half of why "parsed" was null through r10. If
     // the bench set ever grows the line past the window, the per-query
     // map is dropped rather than risking a truncated-head line.
-    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"queries":$qs,"sf":"$sf"}"""
+    // the compact driver line carries the canary RATIO + alert count so
+    // the round artifact itself says whether a total swing is host or code
+    val canaryBrief = anchorCmp.map { case (aCanary, statName, _, alerts) =>
+      s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
+        s""","anchor_stat":"$statName","normalized_alerts_n":${alerts.length}"""
+    }.getOrElse("")
+    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)}$canaryBrief,"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)}$canaryBrief,"sf":"$sf"}""")
     spark.stop()
   }
 }

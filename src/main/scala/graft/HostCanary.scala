@@ -1,0 +1,36 @@
+package graft
+
+/** Host-speed canary (r18): a fixed single-thread CPU workload (mix64
+  * avalanche loop) timed min-of-3. This shared host has shown UNIFORM
+  * 1.2-1.4x round-over-round swings at loadavg ~0 (CPU throttling/steal);
+  * dividing bench totals by the canary ratio separates host speed from
+  * engine speed — a non-uniform per-lane swing with a flat canary is a
+  * REAL regression. One definition so the number stamped by [[Bench]] and
+  * by the gate scripts (tools/gate_sf1.sh, tools/gate_cluster.sh, via
+  * `runMain graft.HostCanary`) is the same unit and directly comparable
+  * across artifacts. */
+object HostCanary {
+  def once(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 150000000) {
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^= h >>> 31; h += i
+      i += 1
+    }
+    // fold the result into stderr so the loop cannot be dead-code'd
+    if (h == 42L) System.err.println("canary collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** min-of-3: the noise-free single-thread cost on this host right now. */
+  def measure(): Double = Seq.fill(3)(once()).min
+
+  def main(args: Array[String]): Unit = {
+    val c = measure()
+    println(String.format(java.util.Locale.ROOT,
+      """{"canary_sec":%.3f}""", Double.box(c)))
+  }
+}

@@ -34,15 +34,30 @@ fi
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_GRAFT_VERIFY_ONLY="$LANES" \
   sbt -batch "runMain graft.Verify $SF1 $OUT"
 
+# ANN quality contracts at sf1.0 (r18 verdict ask #4): v04/v06/v07/v08/v10
+# recall measured against exact brute force + planted near-dup twins, each
+# with a named floor — merged into CORRECTNESS_sf1.json below. || true: a
+# FAIL is folded into the artifact status, not a silent script abort.
+ANN_JSON=/tmp/ann_recall_gate_sf1.json
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  sbt -batch "runMain graft.tools.AnnRecallGate $SF1 $ANN_JSON" || true
+
+# host-speed canary (same JVM loop Bench stamps — graft.HostCanary), so a
+# slow gate run is attributable to the host from the artifact alone
+CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
+  | grep -o '{"canary_sec":[0-9.]*}' | grep -o '[0-9.]*' || echo -1)
+
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
   STATUS=pass
 else
   STATUS=fail
 fi
-python3 - "$LOG" "$STATUS" <<'PYEOF'
-import json, re, sys
+python3 - "$LOG" "$STATUS" "$CANARY" "$ANN_JSON" <<'PYEOF'
+import json, os, re, sys
 log, status = open(sys.argv[1]).read(), sys.argv[2]
+canary = float(sys.argv[3]) if len(sys.argv) > 3 else -1.0
+ann_path = sys.argv[4] if len(sys.argv) > 4 else ""
 rows = {}
 for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.*))?$", log, re.M):
     ok, name, n, note = m.groups()
@@ -52,14 +67,27 @@ for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.
     # reasons travel into the artifact verbatim
     if (note or "").strip() and "[golden]" not in note:
         rows[name]["note"] = note.strip()
+# ANN quality lanes: named measured contracts (planted-twin recall + broad
+# recall@k vs exact brute force), never exact-or-nothing
+if ann_path and os.path.exists(ann_path):
+    ann = json.load(open(ann_path))
+    for name, r in ann.get("lanes", {}).items():
+        rows[f"{name}_quality"] = {
+            "ok": r["ok"], "rows": None, "golden": False,
+            "note": (f"[ann-recall planted {r['planted_recall']}>="
+                     f"{r['planted_floor']}, recall@{r['k']} "
+                     f"{r['recall_at_k']}>={r['broad_floor']}] "
+                     + r["contract"])}
+        if not r["ok"]:
+            status = "fail"
 out = {"sf": "1.0", "lanes": rows,
        "ok": sum(1 for r in rows.values() if r["ok"]),
        "fail": sum(1 for r in rows.values() if not r["ok"]),
-       "status": status,
+       "status": status, "canary_sec": canary,
        "note": ("DuckDB differential at sf1.0 over the BENCH sf1 heavy-lane "
                 "set; golden lanes pinned by _sf10 TSVs from the independent "
                 "Python rederivations (tools/golden_*.py)")}
 json.dump(out, open("CORRECTNESS_sf1.json", "w"), indent=1)
 print("wrote CORRECTNESS_sf1.json:", out["ok"], "ok,", out["fail"], "fail")
+sys.exit(0 if out["status"] == "pass" else 1)
 PYEOF
-[ "$STATUS" = pass ]
