@@ -79,7 +79,12 @@ object Bench {
       val mins = lanes("queries_min")
       val (stats, statName) =
         if (mins.nonEmpty) (mins, "min") else (lanes("queries"), "median")
-      c.filter(_ > 0).filter(_ => stats.nonEmpty).map((_, stats, statName))
+      // deltas are only meaningful at the SAME scale factor: an sf5 run
+      // normalized against an sf0.1 anchor would read as a 50x regression
+      val anchorSf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      val thisSf = sfDir.replaceAll(".*sf", "")
+      c.filter(_ > 0).filter(_ => stats.nonEmpty && anchorSf == thisSf)
+        .map((_, stats, statName))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] anchor $anchorPath unreadable: $e")
       None

@@ -238,7 +238,11 @@ object Main {
       prop: Option[String] = sys.props.get("spark.master"),
       env: Option[String] = sys.env.get("SPARK_MASTER"),
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): String =
-    prop.orElse(env).getOrElse(s"local[$cpus]")
+    // a SET-but-EMPTY source falls through to the next (SPARK_MASTER="" is
+    // how a shell unsets-for-one-command; "Could not parse Master URL: ''"
+    // would be the alternative)
+    prop.filter(_.trim.nonEmpty).orElse(env.filter(_.trim.nonEmpty))
+      .getOrElse(s"local[$cpus]")
 
   /** LSH banding for the dedup CLI surfaces. Explicit `--num-hashes` /
     * `--bands` win (either fills the other from the legacy 64/16 default);
@@ -268,15 +272,27 @@ object Main {
   }
 
   def session(buckets: Int): SparkSession = {
-    SparkSession.builder()
-      .master(resolveMaster())
+    val master = resolveMaster()
+    val b0 = SparkSession.builder()
+      .master(master)
       .appName("graft")
       // shuffle partitions pinned to the index bucket count so bucketed
       // joins stay shuffle-free on the index side
       .config("spark.sql.shuffle.partitions", buckets.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster is the cross-JVM TEST topology (real executor
+    // processes forked from SPARK_HOME): they don't inherit this JVM's
+    // classpath, so hand them ours. Real clusters (spark://, yarn, k8s)
+    // distribute the application jar through spark-submit instead — this
+    // branch deliberately never fires for them.
+    val b = if (master.startsWith("local-cluster")) {
+      b0.config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+    } else b0
+    b.getOrCreate()
   }
 
   def loadTaxonomy(spark: SparkSession, dir: String): Taxonomy = {

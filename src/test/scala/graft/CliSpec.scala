@@ -1808,6 +1808,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Main.resolveMaster(None, Some("local[9]"), "4") == "local[9]")
     assert(Main.resolveMaster(None, None, "4") == "local[4]")
     assert(Main.resolveMaster(None, None, "16") == "local[16]")
+    // set-but-EMPTY sources fall through (SPARK_MASTER="" is how a shell
+    // unsets-for-one-command; '' must not reach the master-URL parser)
+    assert(Main.resolveMaster(Some(""), Some(" "), "4") == "local[4]")
+    assert(Main.resolveMaster(Some(""), Some("local[9]"), "4") == "local[9]")
     // the live default path reads the real JVM property: set it, resolve,
     // restore — proves a manual `-Dspark.master=local[7]` run is honored
     val before = sys.props.get("spark.master")
