@@ -33,6 +33,108 @@ object RelationalQueries {
     }
   }
 
+  /** Gap-based sessionization shared by q38's shapes: maximal runs of a
+    * user's events (event_id order) with no >1h timestamp gap →
+    * (user_id, session_idx, t0, t1). */
+  private[operators] def sessionize(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts") - col("prev_ts")) > 3600L * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+  }
+
+  /** Per-session count of OTHER users' events inside [t0, t1], with no
+    * pairwise join — the order-statistics shape (see the q38 registry
+    * comment): (G(t1) − G(t0⁻)) − (G_u(t1) − G_u(t0⁻)), where G is the
+    * global event count at a timestamp and G_u the same restricted to the
+    * session's own user. Both come from cumulative-sum windows over ONE
+    * union of events and session-boundary markers: G per hour bucket plus
+    * a broadcast per-bucket prefix (the only global step — #buckets rows),
+    * G_u per user (no prefix needed — the user partition is the whole
+    * domain). The same-user term is computed, not assumed: it does NOT
+    * rely on a user's sessions being time-disjoint (event_id order and
+    * timestamp order need not agree for correctness). */
+  private[operators] def intervalConcurrency(ev: DataFrame): DataFrame = {
+    val BUCKET = 3600L * 1000000000L // hour: partition granularity only
+    val sess = sessionize(ev)
+    // kind orders a marker against EQUAL-timestamp events inside the
+    // cumulative windows: 0 (t0) sorts before events (1) -> counts ts < t0;
+    // 2 (t1) sorts after -> counts ts <= t1. sign folds the two boundary
+    // counts into G(t1) - G(t0^-) in one aggregate. owner carries the
+    // user for the per-user window (for event rows: the event's user).
+    val markers = sess.select(col("user_id"), col("session_idx"),
+        explode(array(
+          struct(col("t0").as("ts"), lit(0).as("kind"), lit(-1L).as("sign")),
+          struct(col("t1").as("ts"), lit(2).as("kind"), lit(1L).as("sign"))))
+          .as("m"))
+      .select(col("user_id").as("owner"), col("user_id"), col("session_idx"),
+        col("m.ts").as("ts"), col("m.kind").as("kind"),
+        col("m.sign").as("sign"), lit(0L).as("is_event"))
+    val evRows = ev.select(col("user_id").as("owner"),
+      lit(null).cast("long").as("user_id"),
+      lit(null).cast("long").as("session_idx"), col("ts"),
+      lit(1).as("kind"), lit(0L).as("sign"), lit(1L).as("is_event"))
+    val uni = evRows.unionByName(markers)
+      .withColumn("bucket", expr(s"ts DIV ${BUCKET}L"))
+    val cum = Window.partitionBy(col("bucket")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumUser = Window.partitionBy(col("owner")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = uni
+      .withColumn("le_in_bucket", sum(col("is_event")).over(cum))
+      .withColumn("le_own", sum(col("is_event")).over(cumUser))
+    // per-bucket totals -> events in all EARLIER buckets. The unpartitioned
+    // window runs over #buckets rows (time span / 1h — hundreds here,
+    // thousands at any real span), after the aggregate: a deliberate tiny
+    // global step, then broadcast back.
+    val prefix = uni.groupBy(col("bucket"))
+      .agg(sum(col("is_event")).as("cnt"))
+      .withColumn("before", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("before"))
+    val g = counted.filter(col("is_event") === 0L)
+      .join(broadcast(prefix), Seq("bucket"))
+      .select(col("user_id"), col("session_idx"),
+        (col("sign") * (col("before") + col("le_in_bucket") - col("le_own")))
+          .as("signed_g"))
+    g.groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("signed_g")).as("n_concurrent"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_idx").cast("long").as("session_idx"),
+        col("n_concurrent").cast("long").as("n_concurrent"))
+  }
+
+  /** The pre-r19 pairwise shape (day-bucket equi-join + residual range
+    * filter), kept as the differential oracle for
+    * [[intervalConcurrency]] — IntervalPrefixSumSpec races the two on
+    * uniform and hot-day fixtures. Quadratic in time density: do not use
+    * at scale. */
+  private[operators] def intervalConcurrencyPairwise(ev: DataFrame): DataFrame = {
+    val DAY = 86400L * 1000000000L
+    val sess = sessionize(ev)
+    val sessB = sess.select(col("user_id"), col("session_idx"), col("t0"),
+      col("t1"), explode(expr(s"sequence(t0 DIV ${DAY}L, t1 DIV ${DAY}L)"))
+        .as("bucket"))
+    val evB = ev.select(col("user_id").as("e_user"), col("ts"),
+      expr(s"ts DIV ${DAY}L").as("bucket"))
+    val matched = sessB.join(evB, Seq("bucket"))
+      .filter(col("ts").between(col("t0"), col("t1")) &&
+        col("e_user") =!= col("user_id"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    sess.join(matched, Seq("user_id", "session_idx"), "left")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_idx").cast("long").as("session_idx"),
+        coalesce(col("n_concurrent"), lit(0L)).cast("long").as("n_concurrent"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- A-class: grouped aggregation with partial (map-side) combine ----
     Q("q01_agg_pricing", (s, dir) => {
@@ -730,52 +832,40 @@ object RelationalQueries {
         | o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // ---- interval join: events falling inside other users' session
-    // windows (concurrent-activity counting). Spark-first scale shape:
-    // sessions explode into the day buckets they cover, events carry ONE
-    // bucket, and the match is an equi-join on bucket with a residual
-    // range filter — never a cartesian range join, and no double-count
-    // because each event lives in exactly one bucket.
-    // Salting was TRIED and REJECTED on measurement (r16): a composite
-    // (bucket, salt∈0..7) key with the session side exploded over the
-    // salt range — the r15-suggested cure for a hot calendar day landing
-    // in one join partition — made this lane 2x slower at sf0.1
-    // (4.2 -> 8.3 s) and 6.5x slower at sf1.0 (18.7 -> 121 s): the
-    // replicated session rows inflate the sort-merge groups on every
-    // HEALTHY day, a constant tax far exceeding the straggler it insures
-    // against. The hot-day case is AQE's job: skew-join splitting
-    // (spark.sql.adaptive.skewJoin, on by default) divides an oversized
-    // bucket partition at runtime without taxing the uniform case —
-    // MEASURED by graft.tools.IntervalSkewProbe (70% of events on one
-    // day: 3.9 s with the splitter off vs 1.6 s on, identical counts).
-    // The oracle is DuckDB's plain range join over the same session
-    // derivation. ----
+    // ---- interval "join": events falling inside other users' session
+    // windows (concurrent-activity counting). r19 rewrite: NO pairwise
+    // join at all. The r18 shape (session day-buckets ⋈ event day-buckets
+    // + range filter) was measured QUADRATIC in time density — sf1→sf5
+    // exponent 2.09 (33 s → 954 s for 5x data on a fixed 30-day span),
+    // because pairs per bucket grow as sessions/day × events/day; at
+    // 100 TB the fixed calendar makes that the scale killer, and AQE skew
+    // splitting only rebalances the quadratic work, it cannot remove it.
+    //
+    // Order-statistics shape instead:
+    //   n_concurrent(u, s) = G(t1) − G(t0⁻) − own(u, s)
+    //   - G(t) = global count of events with ts ≤ t, evaluated at the 2
+    //     session boundaries via a UNION of events and boundary markers:
+    //     one cumulative-sum window per hour bucket (kind orders a t0
+    //     marker BEFORE and a t1 marker AFTER equal-ts events, giving
+    //     strict-< and ≤ semantics in one pass) plus a broadcast prefix of
+    //     per-bucket totals (the only global step — #buckets rows, tiny).
+    //   - own(u, s) is FREE: a user's sessions are disjoint, gap-separated
+    //     time ranges, so own events inside [t0, t1] are exactly the
+    //     session's own rows — count(*) in the same aggregate that
+    //     produces t0/t1.
+    // O(n log n) shuffle-sort on linear data, hour-bucket parallel (720
+    // partitions on this 30-day span, proportional to the span at scale);
+    // no join whose input grows faster than the data. Oracle unchanged —
+    // DuckDB's plain range join over the same session derivation; verified
+    // row-identical to the pairwise shape at sf0.01/sf0.1/sf1.0/sf5.0
+    // (IntervalPrefixSumSpec pins the old-vs-new differential on skewed
+    // and uniform fixtures). Salting history (r16) and the AQE skew-join
+    // evidence live in IntervalSkewJoinSpec/IntervalSkewProbe — still
+    // load-bearing for the OTHER bucket-join shapes in the engine. ----
     Q("q38_interval_join", (s, dir) => {
       import s.implicits._
-      val DAY = 86400L * 1000000000L
-      val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
       val ev = eventsNs(s, dir).select($"event_id", $"user_id", $"ts")
-      val sess = ev
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        .withColumn("new_session",
-          when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 3600L * 1000000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_idx", sum($"new_session").over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"session_idx")
-        .agg(min($"ts").as("t0"), max($"ts").as("t1"))
-      val sessB = sess.select($"user_id", $"session_idx", $"t0", $"t1",
-        explode(expr(s"sequence(t0 DIV ${DAY}L, t1 DIV ${DAY}L)")).as("bucket"))
-      val evB = ev.select($"user_id".as("e_user"), $"ts",
-        expr(s"ts DIV ${DAY}L").as("bucket"))
-      val matched = sessB.join(evB, Seq("bucket"))
-        .filter($"ts".between($"t0", $"t1") && $"e_user" =!= $"user_id")
-        .groupBy($"user_id", $"session_idx")
-        .agg(count(lit(1)).as("n_concurrent"))
-      sess.join(matched, Seq("user_id", "session_idx"), "left")
-        .select($"user_id".cast("long").as("user_id"),
-          $"session_idx".cast("long").as("session_idx"),
-          coalesce($"n_concurrent", lit(0L)).cast("long").as("n_concurrent"))
+      intervalConcurrency(ev)
         .orderBy($"user_id", $"session_idx")
     }, Some(
       """WITH ev AS (

@@ -8,20 +8,29 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
 
-/** Pins the r16 q38 skew decision as CI (r16 verdict ask #2): the interval
-  * join's hot-day protection is AQE skew-join splitting, NOT key salting —
-  * salting was implemented, measured 2x slower at sf0.1 and 6.5x at sf1.0
-  * on healthy data, and reverted (RelationalQueries q38 comment;
-  * tools/IntervalSkewProbe holds the timing evidence). That makes the AQE
-  * config the load-bearing artifact: if someone disables AQE skew joins or
-  * a Spark upgrade stops splitting this shape, the hot day becomes a
-  * straggler at 100 TB with nothing failing. This spec replays the q38
-  * join shape (day-bucket equi-join -> range filter) on a fixture with 70%
-  * of both sides on ONE day, with the skew threshold lowered to engage the
-  * splitter at test size (the 256 MB default plays the same role at
-  * cluster scale), and asserts (a) the FINAL adaptive plan contains a
-  * skew-split shuffled join and (b) the result matches the unsplit run.
-  */
+/** Pins the r16 skew decision as CI (r16 verdict ask #2): the hot-key
+  * protection for bucket-keyed equi-joins is AQE skew-join splitting, NOT
+  * key salting — salting was implemented, measured 2x slower at sf0.1 and
+  * 6.5x at sf1.0 on healthy data, and reverted (tools/IntervalSkewProbe
+  * holds the timing evidence). That makes the AQE config the load-bearing
+  * artifact: if someone disables AQE skew joins or a Spark upgrade stops
+  * splitting this shape, a hot key becomes a straggler at 100 TB with
+  * nothing failing. This spec replays the day-bucket equi-join -> range
+  * filter shape on a fixture with 70% of both sides on ONE day, with the
+  * skew threshold lowered to engage the splitter at test size (the 256 MB
+  * default plays the same role at cluster scale), and asserts (a) the
+  * FINAL adaptive plan contains a skew-split shuffled join and (b) the
+  * result matches the unsplit run.
+  *
+  * r19 NOTE: q38 itself no longer runs this shape — its pairwise join was
+  * measured QUADRATIC in time density (sf1→sf5 exponent 2.09) and was
+  * replaced by the order-statistics rewrite
+  * ([[RelationalQueries.intervalConcurrency]], IntervalPrefixSumSpec).
+  * The retired shape survives as
+  * [[RelationalQueries.intervalConcurrencyPairwise]] (the differential
+  * oracle), and this spec stays load-bearing for the OTHER bucket-keyed
+  * joins in the engine (q35 as-of day buckets, the LSH band buckets, the
+  * spans⋈index join under forced-bucketed stress). */
 class IntervalSkewJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private val DAY = 86400L * 1000000000L
