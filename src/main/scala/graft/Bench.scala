@@ -50,6 +50,12 @@ object Bench {
     // speed — a non-uniform per-lane swing with a flat canary is a REAL
     // regression.
     val canarySec = HostCanary.measure()
+    // all-cores canary (r19): the r19 sf0.1 run showed a uniform +16%
+    // per-lane shift at canary ratio 1.035 — single-thread speed alone
+    // does not see multi-core throttle. Stamped alongside; normalization
+    // still uses the single-thread ratio (continuity with the r18 anchor),
+    // the MT value makes the residual uniform shift attributable.
+    val canaryMtSec = HostCanary.measureMulti()
 
     // Canary-normalized round-over-round deltas (r19, closing the r18
     // loop): parse the previous round's artifact (the driver's wrapper or
@@ -575,7 +581,7 @@ object Bench {
     // the noise-resistant choice and has been carried in value_min /
     // queries_min since r9 — compare THOSE keys, judged against
     // queries_iqr; "value"/"queries" stay medians for legacy continuity.
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)}$canaryCmp,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryCmp,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -603,9 +609,9 @@ object Bench {
       s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
         s""","anchor_stat":"$statName","normalized_alerts_n":${alerts.length}"""
     }.getOrElse("")
-    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)}$canaryBrief,"queries":$qs,"sf":"$sf"}"""
+    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryBrief,"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)}$canaryBrief,"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryBrief,"sf":"$sf"}""")
     spark.stop()
   }
 }

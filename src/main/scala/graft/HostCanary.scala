@@ -28,9 +28,30 @@ object HostCanary {
   /** min-of-3: the noise-free single-thread cost on this host right now. */
   def measure(): Double = Seq.fill(3)(once()).min
 
+  /** All-cores variant (r19): the same loop on `threads` concurrent
+    * threads, wall time of the slowest, min-of-2. The r19 sf0.1 run showed
+    * why both are needed: a UNIFORM +16% per-lane shift at a single-thread
+    * canary ratio of only 1.035 — this host throttles under MULTI-core
+    * load in a way a single busy core doesn't see. A flat canary_sec with
+    * a raised canary_mt_sec says "host, not code" for 32-thread lanes. */
+  def measureMulti(threads: Int = 16): Double = {
+    def onceAll(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { _ =>
+        val t = new Thread(() => { once(); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq.fill(2)(onceAll()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val c = measure()
+    val m = measureMulti()
     println(String.format(java.util.Locale.ROOT,
-      """{"canary_sec":%.3f}""", Double.box(c)))
+      """{"canary_sec":%.3f,"canary_mt_sec":%.3f}""",
+      Double.box(c), Double.box(m)))
   }
 }
