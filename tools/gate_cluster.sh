@@ -93,7 +93,7 @@ fi
 
 # host-speed canary (same JVM loop Bench stamps — graft.HostCanary)
 CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  | grep -o '{"canary_sec":[0-9.]*}' | grep -o '[0-9.]*' || echo -1)
+  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' || echo -1)
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF" "$OUT" "$LANES" | tee "$LOG"; then

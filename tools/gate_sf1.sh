@@ -45,7 +45,7 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
 # host-speed canary (same JVM loop Bench stamps — graft.HostCanary), so a
 # slow gate run is attributable to the host from the artifact alone
 CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  | grep -o '{"canary_sec":[0-9.]*}' | grep -o '[0-9.]*' || echo -1)
+  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' || echo -1)
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
