@@ -52,9 +52,12 @@ object Bench {
     val canarySec = HostCanary.measure()
     // all-cores canary (r19): the r19 sf0.1 run showed a uniform +16%
     // per-lane shift at canary ratio 1.035 — single-thread speed alone
-    // does not see multi-core throttle. Stamped alongside; normalization
-    // still uses the single-thread ratio (continuity with the r18 anchor),
-    // the MT value makes the residual uniform shift attributable.
+    // does not see multi-core throttle. r20 (verdict ask #1b): with the
+    // r19 artifacts now carrying canary_mt_sec as an anchor, the
+    // NORMALIZATION switches to the multi-thread ratio (every bench lane
+    // runs on the 32-thread session, so multi-core throttle is the swing
+    // that actually hits them); the single-thread ratio stays stamped and
+    // a _st delta map keeps the old normalization readable for continuity.
     val canaryMtSec = HostCanary.measureMulti()
 
     // Canary-normalized round-over-round deltas (r19, closing the r18
@@ -65,8 +68,9 @@ object Bench {
     // queries_min) is given via SPARK_GRAFT_BENCH_ANCHOR, mins are used —
     // anchor_stat records which. Unreadable/absent anchor -> fields omitted.
     val anchorPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH_r18.json")
-    val anchor: Option[(Double, Map[String, Double], String)] = try {
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH_r19.json")
+    // (st canary, mt canary if the anchor has one, per-lane stats, stat name)
+    val anchor: Option[(Double, Option[Double], Map[String, Double], String)] = try {
       import org.json4s._
       val j0 = jackson.JsonMethods.parse(new java.io.File(anchorPath))
       // the driver wraps the parsed line under "parsed"
@@ -82,15 +86,22 @@ object Bench {
         case _ => Map.empty
       }
       val c = d(j \ "canary_sec")
+      val cMt = d(j \ "canary_mt_sec").filter(_ > 0)
       val mins = lanes("queries_min")
+      // an anchor carrying only "queries" (the compact driver line) holds
+      // whatever its own headline_stat says — median through r19, min from
+      // r20 on; trusting a hardcoded "median" would mislabel the compare
+      val anchorHeadline = j \ "headline_stat" match {
+        case JString(s) => s; case _ => "median" }
       val (stats, statName) =
-        if (mins.nonEmpty) (mins, "min") else (lanes("queries"), "median")
+        if (mins.nonEmpty) (mins, "min")
+        else (lanes("queries"), anchorHeadline)
       // deltas are only meaningful at the SAME scale factor: an sf5 run
       // normalized against an sf0.1 anchor would read as a 50x regression
       val anchorSf = j \ "sf" match { case JString(s) => s; case _ => "" }
       val thisSf = sfDir.replaceAll(".*sf", "")
       c.filter(_ > 0).filter(_ => stats.nonEmpty && anchorSf == thisSf)
-        .map((_, stats, statName))
+        .map((_, cMt, stats, statName))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] anchor $anchorPath unreadable: $e")
       None
@@ -453,6 +464,16 @@ object Bench {
           "v02_native" -> -1.0, "v02_native_min" -> -1.0)
       }
 
+    // Post-run canary (r20, verdict ask #1c): the same two stamps AFTER all
+    // timed sections. A throttle arriving MID-run (r19's 76.9 s g13 rep on
+    // untouched code) is invisible to a start-only stamp; the pre/post delta
+    // makes intra-run host drift a first-class artifact field instead of a
+    // forensic argument.
+    val canarySecPost = HostCanary.measure()
+    val canaryMtSecPost = HostCanary.measureMulti()
+    val canaryDriftAlert =
+      math.abs(canarySecPost / canarySec - 1.0) > 0.15 ||
+        math.abs(canaryMtSecPost / canaryMtSec - 1.0) > 0.15
     val loadEnd = loadavg()
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
@@ -461,39 +482,61 @@ object Bench {
     // canary-normalized per-lane deltas vs the anchor round: positive =
     // slower than the anchor AFTER removing the host-speed swing; alerts
     // list lanes beyond ±15% — the threshold the r18 verdict asked the
-    // round-over-round read to use
-    val anchorCmp: Option[(Double, String, Seq[(String, Double)], Seq[String])] =
-      anchor.map { case (aCanary, aStats, statName) =>
-        val ratio = canarySec / aCanary
-        val deltas = results.flatMap { case (k, (med, min, _)) =>
-          val ours = if (statName == "min") min else med
-          aStats.get(k).filter(_ > 0).filter(_ => ours > 0)
-            .map(prev => k -> ((ours / ratio) / prev - 1.0))
-        }
-        val alerts = deltas.collect {
+    // round-over-round read to use. r20: the PRIMARY normalization ratio
+    // is the multi-thread canary when the anchor carries one (every lane
+    // is a 32-thread job; the r19 run proved the st canary blind to
+    // multi-core throttle); the st-normalized map is kept alongside as
+    // normalized_deltas_st, and normalization_canary names which ratio the
+    // alert list used. The PRE-run canary is the ratio's numerator — the
+    // anchor's stamp was pre-run too, so the units match; the post stamp
+    // covers intra-run drift separately.
+    val anchorCmp: Option[(Double, Option[Double], String,
+        Seq[(String, Double)], Seq[(String, Double)], Seq[String])] =
+      anchor.map { case (aCanary, aCanaryMt, aStats, statName) =>
+        val ratioSt = canarySec / aCanary
+        val ratioPrimary = aCanaryMt.map(canaryMtSec / _).getOrElse(ratioSt)
+        def deltas(ratio: Double): Seq[(String, Double)] =
+          results.flatMap { case (k, (med, min, _)) =>
+            val ours = if (statName == "min") min else med
+            aStats.get(k).filter(_ > 0).filter(_ => ours > 0)
+              .map(prev => k -> ((ours / ratio) / prev - 1.0))
+          }.toSeq
+        val primary = deltas(ratioPrimary)
+        val alerts = primary.collect {
           case (k, dd) if math.abs(dd) > 0.15 => k }.sorted
-        (aCanary, statName, deltas.toSeq, alerts.toSeq)
+        (aCanary, aCanaryMt, statName, primary, deltas(ratioSt), alerts)
       }
     val canaryCmp: String = anchorCmp.map {
-      case (aCanary, statName, deltas, alerts) =>
+      case (aCanary, aCanaryMt, statName, deltas, deltasSt, alerts) =>
+        def dmap(ds: Seq[(String, Double)]): String = ds.map { case (k, v) =>
+          "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
         s""","canary_anchor":${num(aCanary)}""" +
           s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
+          aCanaryMt.map(a =>
+            s""","canary_mt_anchor":${num(a)}""" +
+            s""","canary_mt_ratio_vs_prev":${num(canaryMtSec / a)}""")
+            .getOrElse("") +
+          s""","normalization_canary":"${
+            if (aCanaryMt.isDefined) "mt" else "st"}"""" +
           s""","anchor_stat":"$statName"""" +
-          ""","normalized_deltas":""" + deltas.map { case (k, v) =>
-            "\"" + k + "\":" + num(v) }.mkString("{", ",", "}") +
+          ""","normalized_deltas":""" + dmap(deltas) +
+          ""","normalized_deltas_st":""" + dmap(deltasSt) +
           ""","normalized_alerts":""" +
           alerts.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.getOrElse("")
-    // Artifact-key continuity (r10 advice): "value"/"queries"/
-    // "value_pre_r6_set" carry the MEDIAN, exactly as the r1-r9 artifacts
-    // did under those keys — r10 silently moved min under them, so a
-    // consumer comparing artifacts across rounds without checking
-    // headline_stat would have read min-vs-median as a spurious speedup.
-    // The noise-free round-over-round stat (min-of-reps, r9 verdict) is
-    // carried EXPLICITLY in value_min/queries_min/value_pre_r6_set_min;
-    // headline_stat documents what the legacy keys hold.
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + num(med) }
+    // Artifact-key semantics (r20, verdict ask #1a): "value"/"queries"/
+    // "value_pre_r6_set" now carry MIN-OF-REPS — the r19 headline median
+    // was driven by one 76.9 s host stall on an untouched lane, and the
+    // verdict asked for the robust stat as the headline. The change is NOT
+    // silent (the r10 lesson): headline_stat says "min", every median is
+    // still carried explicitly under *_median, and the _min keys keep
+    // their r9+ meaning (now equal to the unsuffixed keys). Round-over-
+    // round comparisons were already pinned to min (round_over_round_stat)
+    // since r11, so the delta machinery is unchanged.
+    val qs = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
       .mkString("{", ",", "}")
+    val qsMedian = results.map { case (k, (med, _, _)) =>
+      "\"" + k + "\":" + num(med) }.mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
       .mkString("{", ",", "}")
     val qsReps = results.map { case (k, (_, _, ts)) =>
@@ -581,7 +624,7 @@ object Bench {
     // the noise-resistant choice and has been carried in value_min /
     // queries_min since r9 — compare THOSE keys, judged against
     // queries_iqr; "value"/"queries" stay medians for legacy continuity.
-    val json = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","round_over_round_stat":"min","value_min":${num(totalMin)},"value_pre_r6_set":${num(comparable)},"value_pre_r6_set_min":${num(comparableMin)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryCmp,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","round_over_round_stat":"min","value_min":${num(totalMin)},"value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparableMin)},"value_pre_r6_set_min":${num(comparableMin)},"value_pre_r6_set_median":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_median":$qsMedian,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_sec_post":${num(canarySecPost)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryCmp,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -605,13 +648,19 @@ object Bench {
     // map is dropped rather than risking a truncated-head line.
     // the compact driver line carries the canary RATIO + alert count so
     // the round artifact itself says whether a total swing is host or code
-    val canaryBrief = anchorCmp.map { case (aCanary, statName, _, alerts) =>
-      s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
-        s""","anchor_stat":"$statName","normalized_alerts_n":${alerts.length}"""
+    val canaryBrief = anchorCmp.map {
+      case (aCanary, aCanaryMt, statName, _, _, alerts) =>
+        s""","canary_ratio_vs_prev":${num(canarySec / aCanary)}""" +
+          aCanaryMt.map(a =>
+            s""","canary_mt_ratio_vs_prev":${num(canaryMtSec / a)}""")
+            .getOrElse("") +
+          s""","normalization_canary":"${
+            if (aCanaryMt.isDefined) "mt" else "st"}"""" +
+          s""","anchor_stat":"$statName","normalized_alerts_n":${alerts.length}"""
     }.getOrElse("")
-    val compact = s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryBrief,"queries":$qs,"sf":"$sf"}"""
+    val compact = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(totalMedian)},"unit":"sec","headline_stat":"median","value_min":${num(totalMin)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)}$canaryBrief,"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -1265,6 +1265,26 @@ object Main {
         // pipeline's internal caches (banded buckets, shingle sets,
         // component labels) are dead weight from here on
         dedupScope.release()
+        // Cap observability (r19 verdict ask #5): a corpus that floods
+        // band buckets past maxBucket loses near-dup recall SILENTLY — the
+        // caveat was documented and diagnosable on demand, but a curate
+        // user never saw it. One extra off-hot-path aggregation (the dedup
+        // pipeline itself stays unobserved) counts the dropped buckets and
+        // the signatures inside them, logged into summary.tsv below.
+        // Minhash mode only: the hashed-cosine path buckets by hyperplane
+        // sign, not banded MinHash, so this diagnostic doesn't apply.
+        val cappedStats: Option[(Long, Long)] = lshBanding.map { plan =>
+          val r = graft.operators.Dedup.cappedBuckets(exact,
+              numHashes = plan.numHashes, bands = plan.bands)
+            .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L)))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        cappedStats.filter(_._1 > 0).foreach { case (nb, nr) =>
+          println(s"WARNING: near-dup bucket cap dropped $nb band buckets " +
+            s"($nr member signatures) — recall below the analytic curve is " +
+            s"possible; raise maxBucket or inspect Dedup.cappedBuckets")
+        }
         val spanN = opts.getOrElse("span-n", "8").toInt
         val cleaned =
           if (spanN == 0) deduped
@@ -1302,6 +1322,14 @@ object Main {
           sw.println(s"quality_gate\t$nGated")
           sw.println(s"exact_dedup\t$nExact")
           sw.println(s"near_dup\t$nNear")
+          // rows present only when the minhash near-dup pass ran: 0 means
+          // the cap removed nothing (the analytic recall curve is the
+          // whole story); >0 names exactly how much candidate mass was
+          // dropped (see Dedup.cappedBuckets for the per-bucket breakdown)
+          cappedStats.foreach { case (nb, nr) =>
+            sw.println(s"near_dup_capped_buckets\t$nb")
+            sw.println(s"near_dup_capped_signatures\t$nr")
+          }
           sw.println(s"words_before_span_strip\t$wordsBefore")
           sw.println(s"words_after_span_strip\t$wordsAfter")
         } finally sw.close()

@@ -11,7 +11,11 @@ object Verify {
     // the same dump through real executor processes (separate JVMs, real
     // serialization of CollectAligned/LcaAggregate buffers, real broadcast
     // transport) instead of the in-process local[] backend.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Same empty-string hardening as Main.resolveMaster: the shell
+    // SPARK_GRAFT_MASTER="" unset-for-one-command idiom must fall through
+    // to the default instead of reaching SparkSession.master("").
+    val master = sys.env.get("SPARK_GRAFT_MASTER").map(_.trim)
+      .filter(_.nonEmpty).getOrElse(s"local[$cpus]")
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -849,10 +849,11 @@ object RelationalQueries {
     //     marker BEFORE and a t1 marker AFTER equal-ts events, giving
     //     strict-< and ≤ semantics in one pass) plus a broadcast prefix of
     //     per-bucket totals (the only global step — #buckets rows, tiny).
-    //   - own(u, s) is FREE: a user's sessions are disjoint, gap-separated
-    //     time ranges, so own events inside [t0, t1] are exactly the
-    //     session's own rows — count(*) in the same aggregate that
-    //     produces t0/t1.
+    //   - own(u, s) is COMPUTED from the per-owner cumulative window
+    //     (G_u(t1) − G_u(t0⁻)), never assumed: event_id-ordered sessions
+    //     can time-overlap, so "own events in [t0, t1] = the session's own
+    //     rows" is false in general (IntervalPrefixSumSpec's
+    //     overlapping-sessions fixture pins exactly that trap).
     // O(n log n) shuffle-sort on linear data, hour-bucket parallel (720
     // partitions on this 30-day span, proportional to the span at scale);
     // no join whose input grows faster than the data. Oracle unchanged —

@@ -33,8 +33,20 @@ import graft.sources.InputFragment
   * path suppresses on unverified band collision, batch verifies Jaccard
   * and resolves transitive components).
   *
+  * Stage `neardup_ab` (r19 verdict ask #3, opt-in via RACE_STAGES) — the
+  * planned-vs-legacy banding A/B on the streaming near-dup surface at the
+  * 1M-doc tier: the r19 streamDedup default moved from 16 bands x 4 rows
+  * (64 hashes) to the threshold-planned 37 x 6 (222 hashes at the 0.7
+  * default), ~3.5x the signature compute, and its throughput cost on the
+  * surface where per-trigger latency matters was never measured. Each arm
+  * streams the SAME trigger files through [[graft.streaming.StreamingDedup
+  * .dedupNear]] and reports wall time per trigger plus suppression
+  * precision/recall vs the batch Jaccard-verified keeper set (measured,
+  * not asserted — StreamingDedupSpec pins the divergence contract).
+  *
   * Usage: runMain graft.tools.StreamingBatchRace [sfDir] [outJson]
-  * Env: RACE_STAGES=classify,dedup  RACE_READ_COPIES=17  RACE_DOC_COPIES=200
+  * Env: RACE_STAGES=classify,dedup[,neardup_ab]  RACE_READ_COPIES=17
+  *      RACE_DOC_COPIES=200  RACE_AB_COPIES=200  RACE_AB_TRIGGERS=8
   */
 object StreamingBatchRace {
 
@@ -60,6 +72,7 @@ object StreamingBatchRace {
     if (stages("classify")) results += classifyRace(spark, sfDir)
     if (stages("dedup")) { results += dedupExactRace(spark, sfDir)
       results += dedupNearRace(spark, sfDir) }
+    if (stages("neardup_ab")) results += dedupNearBandingAb(spark, sfDir)
 
     val json = results.mkString("[", ",", "]")
     println(json)
@@ -272,6 +285,105 @@ object StreamingBatchRace {
       """true group members, asserted at every trigger count; survivor """ +
       """ID is first-arrival (stream contract) vs min-id (batch)",""" +
       s""""outputs_identical":true,"sweep":${sweepRows.mkString("[", ",", "]")}}"""
+  }
+
+  /** Planned-vs-legacy banding A/B at the 1M-doc tier (see object scaladoc,
+    * stage `neardup_ab`). Both arms consume identical trigger files; the
+    * batch truth is the Jaccard-VERIFIED transitive keeper set computed
+    * with the deep planned banding (so candidate-stage misses in the truth
+    * itself are the planner's analytic <=1% — precision of the truth is
+    * exact by verification). Suppression precision = of the docs the
+    * stream dropped, how many the batch truth also drops; recall = of the
+    * docs the batch truth drops, how many the stream caught. */
+  private def dedupNearBandingAb(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val copies = sys.env.getOrElse("RACE_AB_COPIES", "200").toInt
+    val nTriggers = sys.env.getOrElse("RACE_AB_TRIGGERS", "8").toInt
+    val threshold = 0.7
+    val plan = graft.operators.Dedup.lshPlan(threshold, 0.99)
+    val docsDir = freshDir("ab-docs")
+    volumeDocs(spark, sfDir, copies)
+      .write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir).persist()
+    val nDocs = docs.count()
+
+    // batch truth: deep-banding candidates, Jaccard-verified, transitive
+    val tB0 = now()
+    val suppressedBatch = graft.operators.Dedup.dedupDecisions(
+        docs.select($"doc_id", $"text").as[(Long, String)],
+        numHashes = plan.numHashes, bands = plan.bands,
+        threshold = threshold)
+      .filter(!col("keep")).select(col("id")).persist()
+    val nSuppB = suppressedBatch.count()
+    val batchSec = now() - tB0
+
+    // trigger files written ONCE, consumed identically by both arms:
+    // doc-id ranges in sequence so the file source replays them in order
+    val chunkDir = freshDir("ab-chunks")
+    val bounds = (0 to nTriggers).map(i => nDocs * i / nTriggers)
+    for (k <- 0 until nTriggers)
+      docs.filter($"doc_id" >= bounds(k) && $"doc_id" < bounds(k + 1))
+        .coalesce(1).write.mode("append").parquet(chunkDir)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+    def arm(tag: String, numHashes: Int, bands: Int): String = {
+      val survDir = freshDir(s"ab-surv-$tag")
+      val streamDocs = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunkDir)
+        // monotone event time well inside the watermark: no state eviction
+        .withColumn("ts",
+          timestamp_millis(lit(base.getTime) + col("doc_id")))
+      val trigEnds = collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = now()
+      val query = graft.streaming.StreamingDedup.dedupNear(
+          streamDocs, "text", "ts", "doc_id", watermark = "2 hours",
+          numHashes = numHashes, bands = bands,
+          stateTtlMs = 2 * 3600 * 1000L) { surv =>
+        surv.select(col("doc_id")).write.mode("append").parquet(survDir)
+        trigEnds.synchronized { trigEnds += now() }
+      }.start()
+      query.processAllAvailable()
+      query.stop()
+      val totalSec = now() - t0
+      // per-trigger wall: consecutive foreachBatch completion deltas
+      val durs = (t0 +: trigEnds).sliding(2).map(w => w(1) - w(0)).toVector
+        .filter(_ > 0)
+      val sorted = durs.sorted
+      val perTrigMed = if (sorted.isEmpty) -1.0 else sorted(sorted.length / 2)
+      val perTrigMax = if (sorted.isEmpty) -1.0 else sorted.last
+      val surv = spark.read.parquet(survDir).select(col("doc_id").as("id"))
+      val nSurv = surv.count()
+      val suppS = docs.select(col("doc_id").as("id"))
+        .join(surv, Seq("id"), "left_anti").persist()
+      val nSuppS = suppS.count()
+      val tp = suppS.join(suppressedBatch, Seq("id")).count()
+      suppS.unpersist()
+      val precision = if (nSuppS == 0) 1.0 else tp.toDouble / nSuppS
+      val recall = if (nSuppB == 0) 1.0 else tp.toDouble / nSuppB
+      s"""{"arm":"$tag","bands":$bands,"rows":${numHashes / bands},""" +
+        s""""num_hashes":$numHashes,"total_sec":${f"$totalSec%.2f"},""" +
+        s""""triggers_ran":${trigEnds.length},""" +
+        s""""per_trigger_median_sec":${f"$perTrigMed%.2f"},""" +
+        s""""per_trigger_max_sec":${f"$perTrigMax%.2f"},""" +
+        s""""survivors":$nSurv,"suppressed":$nSuppS,""" +
+        s""""suppressed_also_by_batch":$tp,""" +
+        s""""suppression_precision":${f"$precision%.4f"},""" +
+        s""""suppression_recall":${f"$recall%.4f"}}"""
+    }
+    // legacy first, planned second — identical inputs, fresh state each
+    val legacy = arm("legacy_16x4", 64, 16)
+    val planned = arm(s"planned_${plan.bands}x${plan.rows}",
+      plan.numHashes, plan.bands)
+    suppressedBatch.unpersist(); docs.unpersist()
+    s"""{"stage":"streaming_neardup_banding_ab","scale":"$nDocs docs """ +
+      s"""(${copies}x sf0.1 documents), $nTriggers triggers",""" +
+      s""""threshold":$threshold,"batch_truth_sec":${f"$batchSec%.2f"},""" +
+      s""""batch_suppressed":$nSuppB,"equality":"suppression agreement """ +
+      """MEASURED vs the Jaccard-verified batch keeper set, not asserted """ +
+      """(StreamingDedupSpec pins the keeper divergence contract)",""" +
+      s""""arms":[$legacy,$planned]}"""
   }
 
   /** Near-dup agreement measurement (NOT an equality gate — see scaladoc). */

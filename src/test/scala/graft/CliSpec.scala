@@ -1244,12 +1244,46 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .toMap
     assert(summary("input") == 6L && summary("quality_gate") == 5L &&
       summary("exact_dedup") == 4L && summary("near_dup") == 4L)
+    // the minhash pass ran, so the cap diagnostic rows are present — and a
+    // 6-doc corpus cannot flood a 1024-cap bucket
+    assert(summary("near_dup_capped_buckets") == 0L)
+    assert(summary("near_dup_capped_signatures") == 0L)
     assert(summary("words_before_span_strip") -
       summary("words_after_span_strip") == 15L)
     // curate releases every stage cache before returning: a long-lived
     // driver composing this pipeline must not accumulate pinned blocks
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
     assert(leaked.isEmpty, s"curate leaked caches: $leaked")
+  }
+
+  test("CLI: curate surfaces bucket-cap drops in summary.tsv on a " +
+      "boilerplate-heavy corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-curate-capped")
+    // 1400 docs sharing an 80-token boilerplate block, each with one
+    // unique trailing token: pairwise jaccard 78/80 = 0.975, and per band
+    // the modal bucket holds ~1400 * (1 - 1/79)^4 ≈ 1330 signatures —
+    // past DEFAULT_MAX_BUCKET (1024), so the cap drops candidate mass and
+    // the summary must SAY so (the r19 silent-recall-loss caveat).
+    val block = (0 until 80).map(i => s"boiler$i").mkString(" ")
+    val docs = (0L until 1400L).map(i => (i, s"$block uniq$i"))
+    spark.createDataset(docs).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("docs.parquet").toString)
+    val out = dir.resolve("out").toString
+    Main.main(Array("curate",
+      "--docs", dir.resolve("docs.parquet").toString,
+      "--output", out, "--p", "4", "--min-tokens", "5",
+      "--near-dup-threshold", "0.9", "--num-hashes", "64", "--bands", "16",
+      "--span-n", "0"))
+    val summary = scala.io.Source.fromFile(out + "/summary.tsv").getLines()
+      .drop(1).map { l => val Array(a, b) = l.split("\t"); (a, b.toLong) }
+      .toMap
+    assert(summary("near_dup_capped_buckets") > 0L,
+      s"expected capped buckets on the boilerplate corpus: $summary")
+    // a capped bucket is by definition strictly larger than the cap
+    assert(summary("near_dup_capped_signatures") >
+      summary("near_dup_capped_buckets") * 1024L,
+      s"capped bucket members must exceed maxBucket each: $summary")
   }
 
   test("CLI: curate --near-dup-mode hashed drops reshuffled near-copies " +

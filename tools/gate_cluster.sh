@@ -91,9 +91,13 @@ PY
   echo "[gate_cluster] t1 CLI head-to-head: $CLI_T1"
 fi
 
-# host-speed canary (same JVM loop Bench stamps — graft.HostCanary)
+# host-speed canary (same JVM loop Bench stamps — graft.HostCanary).
+# head -1: sbt can echo the JSON line more than once (stdout + log replay);
+# a multi-line value would crash float() in the artifact writer AFTER all
+# the expensive gate work ran (r19 post-mortem).
 CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' || echo -1)
+  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' | head -1 || echo -1)
+CANARY=${CANARY:--1}
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF" "$OUT" "$LANES" | tee "$LOG"; then
@@ -101,11 +105,15 @@ if python3 tools/check_oracle.py "$SF" "$OUT" "$LANES" | tee "$LOG"; then
 else
   STATUS=fail
 fi
-python3 - "$LOG" "$STATUS" "$MASTER" "$SF" "$CANARY" "$CLI_T1" <<'PYEOF'
+# artifact name override (r20: the sf0.1 heavy-lane re-run writes its own
+# file instead of clobbering the full-114-lane sf0.01 artifact)
+OUT_JSON=${SPARK_GRAFT_CLUSTER_JSON:-CORRECTNESS_cluster.json}
+python3 - "$LOG" "$STATUS" "$MASTER" "$SF" "$CANARY" "$CLI_T1" "$OUT_JSON" <<'PYEOF'
 import json, re, sys
 log, status, master, sf = open(sys.argv[1]).read(), *sys.argv[2:5]
 canary = float(sys.argv[5]) if len(sys.argv) > 5 else -1.0
 cli_t1 = sys.argv[6] if len(sys.argv) > 6 else "skipped"
+out_json = sys.argv[7] if len(sys.argv) > 7 else "CORRECTNESS_cluster.json"
 if cli_t1 == "MISMATCH":
     status = "fail"
 rows = {}
@@ -131,7 +139,7 @@ out = {"master": master, "sf_dir": sf, "lanes": rows,
                 "SPARK_HOME by 2 standalone workers): aggregate-buffer "
                 "serialize/merge, broadcast shipping, and closure "
                 "serialization all cross process boundaries here")}
-json.dump(out, open("CORRECTNESS_cluster.json", "w"), indent=1)
-print("wrote CORRECTNESS_cluster.json:", out["ok"], "ok,", out["fail"], "fail")
+json.dump(out, open(out_json, "w"), indent=1)
+print(f"wrote {out_json}:", out["ok"], "ok,", out["fail"], "fail")
 sys.exit(0 if out["status"] == "pass" else 1)
 PYEOF

@@ -39,13 +39,20 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_GRAFT_VERIFY_ONLY="$LANES" \
 # with a named floor — merged into CORRECTNESS_sf1.json below. || true: a
 # FAIL is folded into the artifact status, not a silent script abort.
 ANN_JSON=/tmp/ann_recall_gate_sf1.json
+# rm first: a stale file from a previous run must never be silently merged
+# when this run's AnnRecallGate crashes before writing (r19 advice). The
+# artifact writer below marks the gate FAILED if the file is absent after
+# the run — the ANN lanes vanishing silently would misreport the r18-ask-#4
+# contract as still measured.
+rm -f "$ANN_JSON"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt -batch "runMain graft.tools.AnnRecallGate $SF1 $ANN_JSON" || true
 
 # host-speed canary (same JVM loop Bench stamps — graft.HostCanary), so a
 # slow gate run is attributable to the host from the artifact alone
 CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' || echo -1)
+  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' | head -1 || echo -1)
+CANARY=${CANARY:--1}
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
@@ -69,7 +76,15 @@ for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.
         rows[name]["note"] = note.strip()
 # ANN quality lanes: named measured contracts (planted-twin recall + broad
 # recall@k vs exact brute force), never exact-or-nothing
-if ann_path and os.path.exists(ann_path):
+if not (ann_path and os.path.exists(ann_path)):
+    # the gate script rm'd the path before running AnnRecallGate, so an
+    # absent file means the recall run crashed — fail loudly instead of
+    # letting the ANN contract lanes silently vanish from the artifact
+    rows["ann_recall_gate"] = {"ok": False, "rows": None, "golden": False,
+                               "note": "AnnRecallGate produced no output "
+                                       f"({ann_path} absent after run)"}
+    status = "fail"
+else:
     ann = json.load(open(ann_path))
     for name, r in ann.get("lanes", {}).items():
         rows[f"{name}_quality"] = {
