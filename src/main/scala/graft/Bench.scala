@@ -112,8 +112,8 @@ object Bench {
       try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    // Each query is timed REPS times and we report the median (headline) and
-    // min: a single-shot number has misled two rounds running (r2 recorded
+    // Each query is timed REPS times and we report min (headline, r20) and
+    // median: a single-shot number has misled two rounds running (r2 recorded
     // time-to-crash as a speedup; r3 recorded a loaded-machine outlier as a
     // 2x regression). Median damps transient load; min approximates the
     // noise-free cost. A failed query records -1 for every stat, never its
@@ -537,8 +537,10 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMedian = results.map { case (k, (med, _, _)) =>
       "\"" + k + "\":" + num(med) }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min, _)) => "\"" + k + "\":" + num(min) }
-      .mkString("{", ",", "}")
+    // deliberate alias since the r20 headline flip: queries_min keeps its
+    // r9+ name for round-over-round consumers, queries now holds the same
+    // min values (see the key-semantics comment above)
+    val qsMin = qs
     val qsReps = results.map { case (k, (_, _, ts)) =>
       "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -621,9 +623,10 @@ object Bench {
     val pipelinesFailed = pipelines.values.count(_ < 0)
     // round_over_round_stat PINS which stat to compare across rounds (r11
     // verdict: r10->r11 deltas were read off mixed stats): min-of-reps is
-    // the noise-resistant choice and has been carried in value_min /
-    // queries_min since r9 — compare THOSE keys, judged against
-    // queries_iqr; "value"/"queries" stay medians for legacy continuity.
+    // the noise-resistant choice, carried in value_min/queries_min since
+    // r9 and — since the r20 headline flip — ALSO under "value"/"queries"
+    // (headline_stat:"min"); medians live in value_median/queries_median.
+    // Compare min keys across rounds, judged against queries_iqr.
     val json = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","round_over_round_stat":"min","value_min":${num(totalMin)},"value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparableMin)},"value_pre_r6_set_min":${num(comparableMin)},"value_pre_r6_set_median":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_median":$qsMedian,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_sec_post":${num(canarySecPost)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryCmp,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail

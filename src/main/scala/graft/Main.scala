@@ -1271,8 +1271,14 @@ object Main {
         // user never saw it. One extra off-hot-path aggregation (the dedup
         // pipeline itself stays unobserved) counts the dropped buckets and
         // the signatures inside them, logged into summary.tsv below.
-        // Minhash mode only: the hashed-cosine path buckets by hyperplane
-        // sign, not banded MinHash, so this diagnostic doesn't apply.
+        // Cost, stated honestly: the diagnostic re-pays the signature+band
+        // stage over the exact-dedup survivors (band keys need the full
+        // MinHash signature, and the pipeline deliberately caches only the
+        // post-cap banded rows — reusing them cannot see what was capped
+        // away). That is a bounded fraction of the near-dup pass, not of
+        // the whole pipeline, and buys the observability where the silent
+        // loss actually happens. Minhash mode only: the hashed-cosine path
+        // buckets by hyperplane sign, so this diagnostic doesn't apply.
         val cappedStats: Option[(Long, Long)] = lshBanding.map { plan =>
           val r = graft.operators.Dedup.cappedBuckets(exact,
               numHashes = plan.numHashes, bands = plan.bands)

@@ -104,8 +104,13 @@ object G10Profile {
       }
       println(s"  evidence rows: ${ev.length}")
 
-      val samples = spans.select(sampleOf.as("sample")).distinct()
-        .as[String].collect()
+      // the sample enumeration is its own distributed scan over the spans
+      // (regexp_extract + distinct) — timed as its own phase so the
+      // per-phase sum reconciles with the lane's end-to-end wall
+      val samples = time("sample_enum") {
+        spans.select(sampleOf.as("sample")).distinct()
+          .as[String].collect()
+      }
       val (perSample, groups, sampleGrp) = time("selection") {
         val bySample = ev.groupBy(_._1)
         val per = samples.map { s =>

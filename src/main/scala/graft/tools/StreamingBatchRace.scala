@@ -372,7 +372,12 @@ object StreamingBatchRace {
         s""""suppression_precision":${f"$precision%.4f"},""" +
         s""""suppression_recall":${f"$recall%.4f"}}"""
     }
-    // legacy first, planned second — identical inputs, fresh state each
+    // legacy first, planned second — identical inputs, fresh state each.
+    // Arm-order bias (legacy absorbs streaming-query init + codegen +
+    // cold page cache) is damped two ways: the big batch-truth jobs above
+    // already warmed the JVM/shuffle machinery, and the reported stat is
+    // the PER-TRIGGER MEDIAN over >=8 triggers, which one cold first
+    // trigger cannot move. per_trigger_max shows the cold-trigger cost.
     val legacy = arm("legacy_16x4", 64, 16)
     val planned = arm(s"planned_${plan.bands}x${plan.rows}",
       plan.numHashes, plan.bands)

@@ -1281,9 +1281,10 @@ class CliSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(summary("near_dup_capped_buckets") > 0L,
       s"expected capped buckets on the boilerplate corpus: $summary")
     // a capped bucket is by definition strictly larger than the cap
+    val cap = graft.operators.Dedup.DEFAULT_MAX_BUCKET.toLong
     assert(summary("near_dup_capped_signatures") >
-      summary("near_dup_capped_buckets") * 1024L,
-      s"capped bucket members must exceed maxBucket each: $summary")
+      summary("near_dup_capped_buckets") * cap,
+      s"capped bucket members must exceed maxBucket ($cap) each: $summary")
   }
 
   test("CLI: curate --near-dup-mode hashed drops reshuffled near-copies " +
