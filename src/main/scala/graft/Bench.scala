@@ -59,6 +59,11 @@ object Bench {
     // that actually hits them); the single-thread ratio stays stamped and
     // a _st delta map keeps the old normalization readable for continuity.
     val canaryMtSec = HostCanary.measureMulti()
+    // third axis (r20): memory bandwidth — the r20 adjudication found
+    // shuffle-heavy lanes +40-90% at flat ALU canaries and zero steal;
+    // see HostCanary.measureBandwidth's scaladoc. No anchor exists yet,
+    // so it is stamped for analysis, not used for normalization.
+    val canaryBwGbps = HostCanary.measureBandwidth()
 
     // Canary-normalized round-over-round deltas (r19, closing the r18
     // loop): parse the previous round's artifact (the driver's wrapper or
@@ -471,9 +476,12 @@ object Bench {
     // forensic argument.
     val canarySecPost = HostCanary.measure()
     val canaryMtSecPost = HostCanary.measureMulti()
+    val canaryBwGbpsPost = HostCanary.measureBandwidth()
+    // bandwidth gets a wider band (its natural rep-to-rep spread is ~10%)
     val canaryDriftAlert =
       math.abs(canarySecPost / canarySec - 1.0) > 0.15 ||
-        math.abs(canaryMtSecPost / canaryMtSec - 1.0) > 0.15
+        math.abs(canaryMtSecPost / canaryMtSec - 1.0) > 0.15 ||
+        math.abs(canaryBwGbpsPost / canaryBwGbps - 1.0) > 0.25
     val loadEnd = loadavg()
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // which under e.g. de_DE would emit comma decimals — invalid JSON.
@@ -627,7 +635,7 @@ object Bench {
     // r9 and — since the r20 headline flip — ALSO under "value"/"queries"
     // (headline_stat:"min"); medians live in value_median/queries_median.
     // Compare min keys across rounds, judged against queries_iqr.
-    val json = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","round_over_round_stat":"min","value_min":${num(totalMin)},"value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparableMin)},"value_pre_r6_set_min":${num(comparableMin)},"value_pre_r6_set_median":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_median":$qsMedian,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_sec_post":${num(canarySecPost)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryCmp,"sf":"$sf"}"""
+    val json = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","round_over_round_stat":"min","value_min":${num(totalMin)},"value_median":${num(totalMedian)},"value_pre_r6_set":${num(comparableMin)},"value_pre_r6_set_min":${num(comparableMin)},"value_pre_r6_set_median":${num(comparable)},"added_queries":$addedJson,"failed":$failed,"failed_stages":$stagesFailed,"failed_pipelines":$pipelinesFailed,"failed_streaming":$streamingFailed,"reps":$reps,"subsec_reps":$subSecondReps,"queries":$qs,"queries_min":$qsMin,"queries_median":$qsMedian,"queries_iqr":$qsIqr,"stages":$stagesJson,"pipelines":$pipelinesJson,"streaming":$streamingJson,"rewrite_ab":$rewriteJson,"reps_sec":$qsReps,"load_gated":$gated,"load_gate_waited_s":${num(gateWaitedS)},"lane_order":"interleaved_shuffled","order_seed":$orderSeed,"regate_waits":$regateWaits,"regate_waited_s":${num(regateWaitedS)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_bw_gbps":${num(canaryBwGbps)},"canary_sec_post":${num(canarySecPost)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_bw_gbps_post":${num(canaryBwGbpsPost)},"canary_drift_alert":$canaryDriftAlert$canaryCmp,"sf":"$sf"}"""
     println(json)
     // Sidecar copy with no sbt [info] prefix noise, so harnesses that tail
     // stdout through sbt can still parse the metric line.
@@ -661,9 +669,9 @@ object Bench {
             if (aCanaryMt.isDefined) "mt" else "st"}"""" +
           s""","anchor_stat":"$statName","normalized_alerts_n":${alerts.length}"""
     }.getOrElse("")
-    val compact = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"queries":$qs,"sf":"$sf"}"""
+    val compact = s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_bw_gbps":${num(canaryBwGbps)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"queries":$qs,"sf":"$sf"}"""
     println(if (compact.length <= 1800) compact
-      else s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"sf":"$sf"}""")
+      else s"""{"metric":"total","value":${num(totalMin)},"unit":"sec","headline_stat":"min","value_median":${num(totalMedian)},"failed":$failed,"reps":$reps,"canary_sec":${num(canarySec)},"canary_mt_sec":${num(canaryMtSec)},"canary_mt_sec_post":${num(canaryMtSecPost)},"canary_bw_gbps":${num(canaryBwGbps)},"canary_drift_alert":$canaryDriftAlert$canaryBrief,"sf":"$sf"}""")
     spark.stop()
   }
 }

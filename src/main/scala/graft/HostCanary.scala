@@ -47,11 +47,40 @@ object HostCanary {
     Seq.fill(2)(onceAll()).min
   }
 
+  /** Memory-bandwidth canary (r20): sequential read+write sweep over a
+    * 256 MiB long array (defeats every cache level), best-of-3 after an
+    * untimed page-fault fill, reported as GB/s of traffic (8 B read +
+    * 8 B write per element). Motivation: the r20 full-bench adjudication
+    * found shuffle-heavy lanes +40-90% vs the r19 mins at a FLAT mix64
+    * canary and ZERO /proc/stat steal under a 16-way load probe — an ALU
+    * loop runs from registers and cannot see a hypervisor neighbor eating
+    * the shared memory bus, which is exactly the resource Spark shuffles
+    * feel first (this host's measured ceiling: ~10 GB/s single-thread,
+    * ~8-9 GB/s aggregate across processes). A flat canary_sec/canary_mt_sec
+    * with a dropped canary_bw_gbps reads "bus contention, not code". */
+  def measureBandwidth(): Double = {
+    val n = 32 << 20
+    val buf = new Array[Long](n)
+    java.util.Arrays.fill(buf, 1L)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0
+      while (i < n) { s += buf(i); buf(i) = s; i += 1 }
+      // fold the result into stderr so the loop cannot be dead-code'd
+      if (s == 42L) System.err.println("bw canary collision")
+      val sec = (System.nanoTime() - t0) / 1e9
+      16.0 * n / (1L << 30) / sec
+    }
+    Seq.fill(3)(once()).max // best pass = least-contended view
+  }
+
   def main(args: Array[String]): Unit = {
     val c = measure()
     val m = measureMulti()
+    val bw = measureBandwidth()
     println(String.format(java.util.Locale.ROOT,
-      """{"canary_sec":%.3f,"canary_mt_sec":%.3f}""",
-      Double.box(c), Double.box(m)))
+      """{"canary_sec":%.3f,"canary_mt_sec":%.3f,"canary_bw_gbps":%.2f}""",
+      Double.box(c), Double.box(m), Double.box(bw)))
   }
 }
