@@ -95,9 +95,15 @@ fi
 # head -1: sbt can echo the JSON line more than once (stdout + log replay);
 # a multi-line value would crash float() in the artifact writer AFTER all
 # the expensive gate work ran (r19 post-mortem).
-CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' | head -1 || echo -1)
+CANARY_LINE=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
+  | grep -o '{"canary_sec":[^}]*}' | head -1 || true)
+CANARY=$(echo "$CANARY_LINE" | grep -o '"canary_sec":[0-9.]*' \
+  | grep -o '[0-9.]*' | head -1)
 CANARY=${CANARY:--1}
+# memory-bandwidth axis (r20): see gate_sf1.sh
+CANARY_BW=$(echo "$CANARY_LINE" | grep -o '"canary_bw_gbps":[0-9.]*' \
+  | grep -o '[0-9.]*$' | head -1)
+CANARY_BW=${CANARY_BW:--1}
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF" "$OUT" "$LANES" | tee "$LOG"; then
@@ -108,12 +114,13 @@ fi
 # artifact name override (r20: the sf0.1 heavy-lane re-run writes its own
 # file instead of clobbering the full-114-lane sf0.01 artifact)
 OUT_JSON=${SPARK_GRAFT_CLUSTER_JSON:-CORRECTNESS_cluster.json}
-python3 - "$LOG" "$STATUS" "$MASTER" "$SF" "$CANARY" "$CLI_T1" "$OUT_JSON" <<'PYEOF'
+python3 - "$LOG" "$STATUS" "$MASTER" "$SF" "$CANARY" "$CLI_T1" "$OUT_JSON" "$CANARY_BW" <<'PYEOF'
 import json, re, sys
 log, status, master, sf = open(sys.argv[1]).read(), *sys.argv[2:5]
 canary = float(sys.argv[5]) if len(sys.argv) > 5 else -1.0
 cli_t1 = sys.argv[6] if len(sys.argv) > 6 else "skipped"
 out_json = sys.argv[7] if len(sys.argv) > 7 else "CORRECTNESS_cluster.json"
+canary_bw = float(sys.argv[8]) if len(sys.argv) > 8 else -1.0
 if cli_t1 == "MISMATCH":
     status = "fail"
 rows = {}
@@ -126,7 +133,7 @@ for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.
 out = {"master": master, "sf_dir": sf, "lanes": rows,
        "ok": sum(1 for r in rows.values() if r["ok"]),
        "fail": sum(1 for r in rows.values() if not r["ok"]),
-       "status": status, "canary_sec": canary,
+       "status": status, "canary_sec": canary, "canary_bw_gbps": canary_bw,
        "cli_t1_headtohead": cli_t1,
        "cli_t1_note": ("build+classify on the reference's shipped test "
                        "data (348,619-record index, 10,000 reads), "

@@ -50,9 +50,16 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
 
 # host-speed canary (same JVM loop Bench stamps — graft.HostCanary), so a
 # slow gate run is attributable to the host from the artifact alone
-CANARY=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
-  |  grep -o '"canary_sec":[0-9.]*' | grep -o '[0-9.]*' | head -1 || echo -1)
+CANARY_LINE=$(sbt -batch "runMain graft.HostCanary" 2>/dev/null \
+  | grep -o '{"canary_sec":[^}]*}' | head -1 || true)
+CANARY=$(echo "$CANARY_LINE" | grep -o '"canary_sec":[0-9.]*' \
+  | grep -o '[0-9.]*' | head -1)
 CANARY=${CANARY:--1}
+# memory-bandwidth axis (r20): shuffle lanes feel bus contention the ALU
+# canary cannot see — stamp it so slow gate runs are attributable
+CANARY_BW=$(echo "$CANARY_LINE" | grep -o '"canary_bw_gbps":[0-9.]*' \
+  | grep -o '[0-9.]*$' | head -1)
+CANARY_BW=${CANARY_BW:--1}
 
 LOG=$(mktemp)
 if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
@@ -60,11 +67,12 @@ if python3 tools/check_oracle.py "$SF1" "$OUT" "$LANES" | tee "$LOG"; then
 else
   STATUS=fail
 fi
-python3 - "$LOG" "$STATUS" "$CANARY" "$ANN_JSON" <<'PYEOF'
+python3 - "$LOG" "$STATUS" "$CANARY" "$ANN_JSON" "$CANARY_BW" <<'PYEOF'
 import json, os, re, sys
 log, status = open(sys.argv[1]).read(), sys.argv[2]
 canary = float(sys.argv[3]) if len(sys.argv) > 3 else -1.0
 ann_path = sys.argv[4] if len(sys.argv) > 4 else ""
+canary_bw = float(sys.argv[5]) if len(sys.argv) > 5 else -1.0
 rows = {}
 for m in re.finditer(r"^(OK|FAIL)\s+(\S+?):?(?:[ \t]+\((\d+) rows\))?(?:[ \t]+(.*))?$", log, re.M):
     ok, name, n, note = m.groups()
@@ -98,7 +106,7 @@ else:
 out = {"sf": "1.0", "lanes": rows,
        "ok": sum(1 for r in rows.values() if r["ok"]),
        "fail": sum(1 for r in rows.values() if not r["ok"]),
-       "status": status, "canary_sec": canary,
+       "status": status, "canary_sec": canary, "canary_bw_gbps": canary_bw,
        "note": ("DuckDB differential at sf1.0 over the BENCH sf1 heavy-lane "
                 "set; golden lanes pinned by _sf10 TSVs from the independent "
                 "Python rederivations (tools/golden_*.py)")}
