@@ -292,7 +292,7 @@ object Main {
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
     } else b0
-    b.getOrCreate()
+    SessionTuning(b).getOrCreate()
   }
 
   def loadTaxonomy(spark: SparkSession, dir: String): Taxonomy = {

@@ -29,7 +29,7 @@ object Verify {
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
     } else builder0
-    val spark = builder
+    val spark = SessionTuning(builder)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it as

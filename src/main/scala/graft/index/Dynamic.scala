@@ -56,7 +56,9 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
       case ClassifiedReads =>
-        index.classifyDF(spans, records, confidence, minHitGroups)
+        // count-only first pass: skip the per-read hit-string build
+        index.classifyDF(spans, records, confidence, minHitGroups,
+            detail = false)
           .filter(_.classified)
           .groupBy($"taxon").agg(count(lit(1)).cast("long").as("count"))
     }
@@ -131,11 +133,12 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None,
-      initConfidence: Option[Double] = None)
+      initConfidence: Option[Double] = None,
+      detail: Boolean = true)
       : (Dataset[ClassifiedRead], collection.BitSet, () => Unit) = {
     val (classified, _, taxa, _, _, cleanup) = classify2Full(reads, library,
       staticRecords, criterion, rank, threshold, confidence, minHitGroups,
-      goldSet, initConfidence)
+      goldSet, initConfidence, detail)
     (classified, taxa, cleanup)
   }
 
@@ -154,7 +157,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None,
-      initConfidence: Option[Double] = None)
+      initConfidence: Option[Double] = None,
+      detail: Boolean = true)
       : (Dataset[ClassifiedRead], Seq[Int], collection.BitSet,
         Dataset[(Int, String)], DataFrame, () => Unit) = {
     val spark = reads.sparkSession
@@ -185,7 +189,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // spans must stay cached until the returned dataset is consumed (eager
     // unpersist here would recompute the expensive span extraction), so the
     // caller gets an explicit release handle to call after materializing.
-    val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups)
+    val result = index.classifyDF(spans, dynRecords, confidence, minHitGroups,
+      detail)
     val cleanup = () => {
       spans.unpersist(blocking = false)
       dynRecords.unpersist(blocking = false)
@@ -218,7 +223,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
-      initConfidence: Option[Double] = None)
+      initConfidence: Option[Double] = None,
+      detail: Boolean = true)
       : (Dataset[ClassifiedRead], Map[String, collection.BitSet], () => Unit) = {
     val spark = reads.sparkSession
     import spark.implicits._
@@ -254,8 +260,10 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       case ClassifiedReads =>
         // initConfidence overrides the first-pass confidence only, like
         // the single-sample path
+        // count-only first pass: skip the per-read hit-string build
         index.classifyDF(spans, staticRecords,
-            initConfidence.getOrElse(confidence), minHitGroups)
+            initConfidence.getOrElse(confidence), minHitGroups,
+            detail = false)
           .filter(_.classified).toDF()
           .groupBy(sampleOf.as("sample"), col("taxon"))
           .agg(count(lit(1)).cast("long").as("count"))
@@ -294,7 +302,7 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
     val result = ClassifyKernel.resolve(
       ClassifyKernel.group(taggedSpans.join(dynRecords, "grp" +: keys, "left")),
-      bcTax, confidence, minHitGroups)
+      bcTax, confidence, minHitGroups, detail)
     val cleanup = () => {
       spans.unpersist(blocking = false)
       dynRecords.unpersist(blocking = false)

@@ -293,8 +293,10 @@ object IndexOps {
       minHitGroups: Int = 2): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
+    // count-only contract: per-(sample, taxon) totals — skip the per-read
+    // hit-string build (r21, guide §1.2: don't compute what is discarded)
     val classified = index.classifyDF(index.spansDF(reads), records,
-      confidence, minHitGroups)
+      confidence, minHitGroups, detail = false)
     classified
       .withColumn("sample",
         coalesce(nullif(regexp_extract($"title", sampleRegex, 1), lit("")),

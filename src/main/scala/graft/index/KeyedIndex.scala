@@ -86,9 +86,13 @@ trait KeyedIndex extends Serializable {
     * extra tag columns) into records grouped by (extraCols ++ keyCols). */
   def foldLeafPairs(pairs: DataFrame, extraCols: Seq[String] = Nil): DataFrame
 
-  /** Per-read classification of a span DataFrame (shape of [[spansDF]]). */
+  /** Per-read classification of a span DataFrame (shape of [[spansDF]]).
+    * `detail = false` skips the Kraken hit-string build (r21: count-only
+    * consumers aggregate per taxon and drop the string — don't compute
+    * what the plan discards, guide §1.2). */
   def classifyDF(spans: DataFrame, records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead]
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      detail: Boolean = true): Dataset[ClassifiedRead]
 
   /** Collect the records into a broadcast open-addressing table ONCE and
     * return a reusable zero-shuffle classifier over it — scan + lookup +

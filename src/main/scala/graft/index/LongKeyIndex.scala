@@ -267,17 +267,20 @@ abstract class LongKeyIndex extends KeyedIndex {
   // ---------------- classification ----------------
 
   override def classifyDF(spans: DataFrame, records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      detail: Boolean = true): Dataset[ClassifiedRead] =
     ClassifyKernel.resolve(
       ClassifyKernel.group(spans.join(records, keyCols, "left")),
-      bcTax, confidence, minHitGroups)
+      bcTax, confidence, minHitGroups, detail)
 
   /** Join spans against records (left; the bucketed record side does not
     * shuffle), then the shared kernel: sentinel projection, per-read
     * regroup, LCA resolution. */
   def classify(spans: Dataset[KeyedOrdinalSpan], records: DataFrame,
-      confidence: Double = 0.0, minHitGroups: Int = 2): Dataset[ClassifiedRead] =
-    classifyDF(dropUnused(spans.toDF()), records, confidence, minHitGroups)
+      confidence: Double = 0.0, minHitGroups: Int = 2,
+      detail: Boolean = true): Dataset[ClassifiedRead] =
+    classifyDF(dropUnused(spans.toDF()), records, confidence, minHitGroups,
+      detail)
 
   /** (title, taxon) projection of [[classify]], kept for report-only
     * callers. */

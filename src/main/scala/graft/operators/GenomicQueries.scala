@@ -60,9 +60,20 @@ object GenomicQueries {
 
   private val params = IndexParams(k = 35, m = 31, spaces = 7, buckets = 32)
 
-  /** Customer genomes: (taxon = 10 + nationkey, 128 bp dna from c_name). */
+  /** Orders fact scan, fanned out to the session parallelism when the local
+    * single-row-group file under-splits (identity at any at-scale layout —
+    * [[Q.fanOut]]): every read derivation feeds the md5 substring + span
+    * scan kernels, which otherwise run on ONE core before the first
+    * exchange (measured r21: g03 span stage 3.3 s single-task, lane
+    * parallel floor 0.76 s). */
+  private[operators] def ordersScan(s: SparkSession, dir: String): DataFrame =
+    Q.fanOut(t(s, dir, "orders"), col("o_orderkey"))
+
+  /** Customer genomes: (taxon = 10 + nationkey, 128 bp dna from c_name).
+    * Fanned out like [[ordersScan]]: the library scan feeds the 4-md5
+    * genome derivation and the leaf-pair minimizer scan. */
   private[operators] def customerGenomes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
+    Q.fanOut(t(s, dir, "customer"), col("c_custkey"))
       .select((col("c_nationkey") + 10).cast("int").as("taxon"),
         dnaCol(col("c_name")).as("dna"), col("c_name"))
 
@@ -95,7 +106,7 @@ object GenomicQueries {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
     }
     def readsDs(mod: Int, len: Int): Dataset[InputFragment] = {
-      val ds = t(s, dir, "orders")
+      val ds = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % mod) + 1).cast("int"),
@@ -122,7 +133,7 @@ object GenomicQueries {
         val reads = phased(ph, "reads")(readsDs(80, 44))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
-            confidence = 0.0, minHitGroups = 1)),
+            confidence = 0.0, minHitGroups = 1, detail = false)),
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () }, ph.toMap)
       }),
@@ -136,7 +147,8 @@ object GenomicQueries {
           index.inMemoryClassifier(index.makeRecords(lib)))
         val reads = phased(ph, "reads")(readsDs(80, 44))
         StagedRun(
-          () => agg(mem.classify(reads, confidence = 0.0, minHitGroups = 1)),
+          () => agg(mem.classify(reads, confidence = 0.0, minHitGroups = 1,
+            detail = false)),
           // close(): the broadcast open-addressing table would otherwise
           // stay pinned for the rest of the bench process
           () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () },
@@ -151,7 +163,7 @@ object GenomicQueries {
         val reads = phased(ph, "reads")(readsDs(60, 56))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
-            minHitGroups = 1)),
+            minHitGroups = 1, detail = false)),
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () }, ph.toMap)
       }),
@@ -164,7 +176,7 @@ object GenomicQueries {
           index.inMemoryClassifier(index.makeRecords(lib)))
         val reads = phased(ph, "reads")(readsDs(60, 56))
         StagedRun(
-          () => agg(mem.classify(reads, minHitGroups = 1)),
+          () => agg(mem.classify(reads, minHitGroups = 1, detail = false)),
           () => { reads.unpersist(false); mem.close(); bcTax.destroy(); () },
           ph.toMap)
       }),
@@ -193,7 +205,7 @@ object GenomicQueries {
         val reads = phased(ph, "reads")(readsDs(40, 72))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
-            minHitGroups = 1)),
+            minHitGroups = 1, detail = false)),
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () }, ph.toMap)
       }),
@@ -209,7 +221,7 @@ object GenomicQueries {
         val dyn = new graft.index.DynamicClassifier(params, bcTax)
         val staticRecords = phased(ph, "records")(
           materialize(dyn.index.buildRecords(lib)))
-        val reads = t(s, dir, "orders")
+        val reads = ordersScan(s, dir)
           .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
           .filter($"c_nationkey" % 2 === 0)
           .select($"o_orderkey",
@@ -223,7 +235,8 @@ object GenomicQueries {
           () => {
             val (classified, _, release) = dyn.classify2(reads, lib,
               staticRecords, criterion = graft.index.DistinctMinimizers,
-              rank = "species", threshold = 50, minHitGroups = 1)
+              rank = "species", threshold = 50, minHitGroups = 1,
+              detail = false)
             val counts = agg(classified).localCheckpoint(true)
             release()
             counts
@@ -256,7 +269,7 @@ object GenomicQueries {
         val reads = phased(ph, "reads")(readsDs(16, 112))
         StagedRun(
           () => agg(index.classify(index.spans(reads), records,
-            minHitGroups = 1)),
+            minHitGroups = 1, detail = false)),
           () => { records.unpersist(false); reads.unpersist(false)
             bcTax.destroy(); () }, ph.toMap)
       }))
@@ -302,7 +315,7 @@ object GenomicQueries {
       val dyn = new graft.index.DynamicClassifier(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val staticRecords = dyn.index.buildRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         // only orders of even nations: half the taxa are absent from the sample
         .filter($"c_nationkey" % 2 === 0)
@@ -313,7 +326,7 @@ object GenomicQueries {
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
       val (classified, _, release) = dyn.classify2(reads, lib, staticRecords,
         criterion = graft.index.DistinctMinimizers, rank = "species",
-        threshold = 50, minHitGroups = 1)
+        threshold = 50, minHitGroups = 1, detail = false)
       // localCheckpoint materializes the (small) per-taxon counts so the
       // internal spans/records caches can be released before returning —
       // without it they would outlive this query for the whole harness run
@@ -362,7 +375,7 @@ object GenomicQueries {
       val index = new MinimizerIndex(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey", $"o_orderpriority",
           substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
@@ -391,7 +404,7 @@ object GenomicQueries {
       val dyn = new graft.index.DynamicClassifier(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val staticRecords = dyn.index.buildRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .filter(($"c_nationkey" % 5) ===
           substring($"o_orderpriority", 1, 1).cast("int") - 1)
@@ -404,7 +417,7 @@ object GenomicQueries {
         }
       val (classified, _, release) = dyn.classify2MultiSample(reads, "(S\\d)R",
         lib, staticRecords, criterion = graft.index.DistinctMinimizers,
-        rank = "species", threshold = 50, minHitGroups = 1)
+        rank = "species", threshold = 50, minHitGroups = 1, detail = false)
       val counts = classified
         .groupBy(regexp_extract($"title", "(S\\d)R", 1).as("sample"),
           $"taxon".cast("long").as("taxon"))
@@ -424,14 +437,15 @@ object GenomicQueries {
       val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 60) + 1).cast("int"),
             lit(56)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classify(index.spans(reads), records, minHitGroups = 1)
+      index.classify(index.spans(reads), records, minHitGroups = 1,
+          detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -447,14 +461,15 @@ object GenomicQueries {
       val index = new graft.index.XWideMinimizerIndex(k = 100, m = 96, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 16) + 1).cast("int"),
             lit(112)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classify(index.spans(reads), records, minHitGroups = 1)
+      index.classify(index.spans(reads), records, minHitGroups = 1,
+          detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -478,14 +493,15 @@ object GenomicQueries {
         fraction = 1.0, topN = 65536)
       val index = new MinimizerIndex(params.copy(demoted = Some(demoted)), bcTax)
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classify(index.spans(reads), records, minHitGroups = 1)
+      index.classify(index.spans(reads), records, minHitGroups = 1,
+          detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -513,14 +529,15 @@ object GenomicQueries {
       val index = new graft.index.WideMinimizerIndex(k = 66, m = 64, bcTax,
         0, demoted)
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 40) + 1).cast("int"),
             lit(72)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classify(index.spans(reads), records, minHitGroups = 1)
+      index.classify(index.spans(reads), records, minHitGroups = 1,
+          detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -538,14 +555,15 @@ object GenomicQueries {
       val index = new MinimizerIndex(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classifyInMemory(reads, records, confidence = 0.0, minHitGroups = 1)
+      index.classifyInMemory(reads, records, confidence = 0.0,
+          minHitGroups = 1, detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -559,14 +577,14 @@ object GenomicQueries {
       val index = new graft.index.WideMinimizerIndex(k = 50, m = 40, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 60) + 1).cast("int"),
             lit(56)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classifyInMemory(reads, records, minHitGroups = 1)
+      index.classifyInMemory(reads, records, minHitGroups = 1, detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -579,14 +597,15 @@ object GenomicQueries {
       val index = new MinimizerIndex(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
       val records = index.makeRecords(lib)
-      val reads = t(s, dir, "orders")
+      val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey",
           substring($"dna", (($"o_orderkey" % 80) + 1).cast("int"),
             lit(44)).as("read"))
         .as[(Long, String)]
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
-      index.classify(index.spans(reads), records, confidence = 0.0, minHitGroups = 1)
+      index.classify(index.spans(reads), records, confidence = 0.0,
+          minHitGroups = 1, detail = false)
         .groupBy($"taxon".cast("long").as("taxon"))
         .agg(count(lit(1)).cast("long").as("n_reads"))
         .orderBy($"taxon")
@@ -606,7 +625,7 @@ object GenomicQueries {
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
       val index = new MinimizerIndex(params, bcTax)
       val full = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
-      val dup = t(s, dir, "customer")
+      val dup = Q.fanOut(t(s, dir, "customer"), col("c_custkey"))
         .filter($"c_custkey" % 7 === 0)
         .select(((($"c_nationkey" + 1) % 25) + 10).cast("int").as("taxon"),
           dnaCol(col("c_name")).as("dna"))

@@ -269,14 +269,21 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  // both loaders fan the single-row-group local scan out to the session
+  // parallelism (identity at scale — Q.fanOut): their consumers run
+  // CPU-heavy per-row kernels (shingle sets, minhash signatures, simhash,
+  // hashed embeddings) BEFORE any exchange, which otherwise all land on
+  // one core (measured r21: t28's gram stage 2.8 s on 1 of 32 cores)
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+    Q.fanOut(t(s, dir, "documents"), $"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)]
   }
 
   private def vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    t(s, dir, "embeddings").select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    Q.fanOut(t(s, dir, "embeddings"), $"vec_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
   }
 
   /** Brute-force 3-gram Jaccard pairs at threshold 0.5 — the oracle for

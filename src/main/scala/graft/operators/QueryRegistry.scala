@@ -48,6 +48,27 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew: one
+    * huge unsplittable file ... repartition immediately after the read").
+    * The local bench inputs are single-file, SINGLE-ROW-GROUP parquet, so a
+    * scan plans exactly ONE task no matter what the split configs say
+    * (parquet cannot split below a row group), and every CPU-heavy
+    * derivation before the first exchange — the md5 genome chains, the
+    * minimizer scan kernels, the gram-digest explode — runs on one core of
+    * the session (measured: g03's span stage 3.3 s on 1 of 32 cores, lane
+    * parallel floor 0.76 s; plans/r21). When the PLANNED scan parallelism
+    * is below half the session's default parallelism, redistribute by a
+    * deterministic key (hash repartition — no sort-before-repartition cost,
+    * retry-safe per guide §2.5); when the scan already splits (any at-scale
+    * layout with normal row groups), this is the IDENTITY — no extra
+    * exchange ever reaches a large-input plan. The partition probe reads
+    * only the planned file splits, never data. */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target <= 1 || df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Golden-lane oracle: DuckDB `read_csv` over a pinned TSV derived by an
     * INDEPENDENT Python reimplementation of the kernel (tools/golden_*.py,
     * themselves fuzzed against the Scala kernels by

@@ -349,7 +349,7 @@ object TextQueries {
         .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"h").orderBy($"doc_id")
-      t(s, dir, "documents")
+      Q.fanOut(t(s, dir, "documents"), $"doc_id")
         .withColumn("n_toks", toks)
         .filter($"n_toks".between(10, 500))
         .withColumn("h", md5($"text".cast("binary")))
@@ -412,7 +412,8 @@ object TextQueries {
     Q("t21_span_dedup", (s, dir) => {
       import s.implicits._
       Dedup.duplicateSpans(
-          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          Q.fanOut(t(s, dir, "documents"), $"doc_id")
+            .select($"doc_id", $"text").as[(Long, String)],
           n = 8)
         .select($"doc_id".cast("long").as("doc_id"),
           $"span_start".cast("long").as("span_start"),
@@ -608,7 +609,8 @@ object TextQueries {
     Q("t28_span_rewrite", (s, dir) => {
       import s.implicits._
       Dedup.stripSpans(
-          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          Q.fanOut(t(s, dir, "documents"), $"doc_id")
+            .select($"doc_id", $"text").as[(Long, String)],
           n = 8)
         .toDF("doc_id", "text")
         .select($"doc_id".cast("long").as("doc_id"), $"text")
@@ -956,7 +958,7 @@ object TextQueries {
     // totals come from size(w) arithmetic — the count never explodes ----
     Q("t34_bloom_decon", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = Q.fanOut(t(s, dir, "documents"), $"doc_id")
       bloomDecon(
         corpus = docs.filter($"doc_id" % 97 =!= 0),
         evalDocs = docs.filter($"doc_id" % 97 === 0 && $"doc_id" < 97L * 200))

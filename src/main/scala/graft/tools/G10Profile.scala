@@ -33,12 +33,12 @@ object G10Profile {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -62,15 +62,18 @@ object G10Profile {
       val dyn = new DynamicClassifier(params, bcTax)
       val index = dyn.index
 
-      // g10's derivations verbatim (GenomicQueries.scala g10 lane)
+      // g10's derivations verbatim (GenomicQueries.scala g10 lane),
+      // including the r21 scale-adaptive scan fan-out (Q.fanOut)
       val customer = spark.read.parquet(s"$sfDir/customer.parquet")
-      val lib = customer
+      val lib = graft.operators.Q
+        .fanOut(customer, col("c_custkey"))
         .select((col("c_nationkey") + 10).cast("int").as("taxon"),
           GenomicQueries.dnaCol(col("c_name")).as("dna"))
         .as[(Int, String)]
       val customerDna = customer.select(col("c_custkey"), col("c_nationkey"),
         GenomicQueries.dnaCol(col("c_name")).as("dna"))
-      val readsDf = spark.read.parquet(s"$sfDir/orders.parquet")
+      val readsDf = graft.operators.Q
+        .fanOut(spark.read.parquet(s"$sfDir/orders.parquet"), col("o_orderkey"))
         .join(customerDna, col("o_custkey") === col("c_custkey"))
         .filter((col("c_nationkey") % 5) ===
           substring(col("o_orderpriority"), 1, 1).cast("int") - 1)

@@ -32,7 +32,7 @@ class AqePlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the flagship classify path: AQE must not demote the one-sided
     // bucketed sort-merge join into something that re-shuffles the index
     // side or adds a nested loop (r17 guard — the 100 TB classify topology)
-    "g03_classify" -> 4)
+    "g03_classify" -> 6)
 
   /** Walk an executed adaptive plan, descending into materialized query
     * stages (QueryStageExec.plan is not a `children` edge) but NOT into
