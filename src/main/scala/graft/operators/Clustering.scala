@@ -423,7 +423,7 @@ object Clustering {
     // exact integer distance per vector. The oracle re-runs the identical
     // integer Lloyd's, unrolled into SQL ----
     Q("c01_kmeans", (s, dir) => {
-      assignments(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters)
+      assignments(t(s, dir, "embeddings"), K, Iters)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"),
           col("dist").cast("long").as("dist"))
@@ -438,7 +438,7 @@ object Clustering {
     // keepers. Oracle: k-means CTEs + exact integer cosine gate + the t13
     // recursive transitive closure ----
     Q("c02_semantic_dedup", (s, dir) => {
-      semanticDecisions(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters, Tau)
+      semanticDecisions(t(s, dir, "embeddings"), K, Iters, Tau)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"),
           col("rep").cast("long").as("rep"), col("keep"))
@@ -483,7 +483,7 @@ object Clustering {
     // ---- temperature-balanced cluster sample: quotas ∝ floor(sqrt(size)),
     // members by md5 rank ----
     Q("c03_cluster_sample", (s, dir) => {
-      clusterSample(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters, SampleTotal)
+      clusterSample(t(s, dir, "embeddings"), K, Iters, SampleTotal)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"))
         .orderBy("vec_id")
@@ -516,7 +516,7 @@ object Clustering {
     // broadcast back onto the scan: no window, no per-cluster sort, and
     // the only shuffle is the k-row partial agg ----
     Q("c04_centroid_outliers", (s, dir) => {
-      centroidOutliers(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters)
+      centroidOutliers(t(s, dir, "embeddings"), K, Iters)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"),
           col("dist").cast("long").as("dist"), col("outlier"))
@@ -545,7 +545,7 @@ object Clustering {
     // covers every vector. Oracle: the same unrolled integer Lloyd's with
     // its training CTE LIMITed to the identical deterministic sample ----
     Q("c05_kmeans_sampled", (s, dir) => {
-      assignments(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters, trainN = Some(TrainBound))
+      assignments(t(s, dir, "embeddings"), K, Iters, trainN = Some(TrainBound))
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"),
           col("dist").cast("long").as("dist"))
@@ -563,7 +563,7 @@ object Clustering {
     // dossier's measured adversarial case). Still exactly oracle-able:
     // DuckDB derives the identical hex ordering ----
     Q("c06_kmeans_scatter", (s, dir) => {
-      assignments(Q.fanOut(t(s, dir, "embeddings"), col("vec_id")), K, Iters,
+      assignments(t(s, dir, "embeddings"), K, Iters,
           trainN = Some(TrainBound), scatter = true)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("long").as("cluster"),
@@ -587,7 +587,7 @@ object Clustering {
     // cluster the pair join is tiny — the measured cost IS the k=1024
     // argmin scan, which is the point ----
     Q("c07_semantic_dedup_k1024", (s, dir) => {
-      val expanded = Q.fanOut(t(s, dir, "embeddings"), col("vec_id"))
+      val expanded = t(s, dir, "embeddings")
         .select(explode(array((0 until 4).map(j =>
             struct((col("vec_id") * 4 + j).as("vec_id"),
               slice(col("embedding"), j * 16 + 1, 16).as("embedding"))): _*))

@@ -269,21 +269,20 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
-  // both loaders fan the single-row-group local scan out to the session
-  // parallelism (identity at scale — Q.fanOut): their consumers run
-  // CPU-heavy per-row kernels (shingle sets, minhash signatures, simhash,
-  // hashed embeddings) BEFORE any exchange, which otherwise all land on
-  // one core (measured r21: t28's gram stage 2.8 s on 1 of 32 cores)
+  // NO scan fan-out here (r21 A/B, LaneProfile): these loaders feed lanes
+  // whose per-row kernels are cheap relative to the 32-task stage overhead
+  // the extra exchange costs on the local single-row-group inputs —
+  // measured fanout-off/on wall ratios t06 0.89, v04 0.65, v07 0.64,
+  // v10 0.38. The genomic scans (GenomicQueries.ordersScan/customerGenomes)
+  // keep the fan-out, where it measures 1.25-1.9x the other way.
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    Q.fanOut(t(s, dir, "documents"), $"doc_id")
-      .select($"doc_id", $"text").as[(Long, String)]
+    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
   }
 
   private def vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    Q.fanOut(t(s, dir, "embeddings"), $"vec_id")
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    t(s, dir, "embeddings").select($"vec_id", $"embedding").as[(Long, Array[Float])]
   }
 
   /** Brute-force 3-gram Jaccard pairs at threshold 0.5 — the oracle for

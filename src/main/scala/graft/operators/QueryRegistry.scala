@@ -64,8 +64,14 @@ object Q {
     * exchange ever reaches a large-input plan. The partition probe reads
     * only the planned file splits, never data. */
   def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // A/B toggle (spark.graft.fanout=false disables every call site) so the
+    // per-lane win/loss of the fan-out exchange is measurable in isolation
+    // (LaneProfile SPARK_GRAFT_EXTRA_CONF) — the r21 bench showed the
+    // exchange LOSES on lanes whose pre-exchange kernel is cheap.
+    val enabled = df.sparkSession.conf
+      .getOption("spark.graft.fanout").forall(_.toBoolean)
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (target <= 1 || df.rdd.getNumPartitions * 2 >= target) df
+    if (!enabled || target <= 1 || df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target, key)
   }
 

@@ -349,7 +349,7 @@ object TextQueries {
         .otherwise(length(tr) - length(regexp_replace(tr, " ", "")) + 1L)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"h").orderBy($"doc_id")
-      Q.fanOut(t(s, dir, "documents"), $"doc_id")
+      t(s, dir, "documents")
         .withColumn("n_toks", toks)
         .filter($"n_toks".between(10, 500))
         .withColumn("h", md5($"text".cast("binary")))
@@ -609,8 +609,7 @@ object TextQueries {
     Q("t28_span_rewrite", (s, dir) => {
       import s.implicits._
       Dedup.stripSpans(
-          Q.fanOut(t(s, dir, "documents"), $"doc_id")
-            .select($"doc_id", $"text").as[(Long, String)],
+          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
           n = 8)
         .toDF("doc_id", "text")
         .select($"doc_id".cast("long").as("doc_id"), $"text")
@@ -958,7 +957,7 @@ object TextQueries {
     // totals come from size(w) arithmetic — the count never explodes ----
     Q("t34_bloom_decon", (s, dir) => {
       import s.implicits._
-      val docs = Q.fanOut(t(s, dir, "documents"), $"doc_id")
+      val docs = t(s, dir, "documents")
       bloomDecon(
         corpus = docs.filter($"doc_id" % 97 =!= 0),
         evalDocs = docs.filter($"doc_id" % 97 === 0 && $"doc_id" < 97L * 200))
