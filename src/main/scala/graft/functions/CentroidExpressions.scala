@@ -53,6 +53,32 @@ object CentroidKernels {
     new GenericInternalRow(Array[Any](bestD, bestC))
   }
 
+  /** [[argmin]] over a plain long array, returning only the cluster index —
+    * the executor-side kernel of the k-means treeAggregate round
+    * ([[graft.operators.Clustering.kmeansCentroids]]). Same exact long
+    * arithmetic, same partial-distance pruning, same (distance, index)
+    * tie-break, so the RDD loop and the Catalyst expression assign
+    * identically. */
+  def argminIdx(qv: Array[Long], cents: Array[Array[Long]]): Int = {
+    var bestD = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val m = cents(c)
+      val n = math.min(qv.length, m.length)
+      var s = 0L
+      var i = 0
+      while (i < n && s < bestD) {
+        val d = qv(i) - m(i)
+        s += d * d
+        i += 1
+      }
+      if (i == n && s < bestD) { bestD = s; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
   /** The `n` nearest centroid indices ordered by (distance, index) — the
     * IVF probe list. Returns array<long> of cluster ids. */
   def nearest(qv: ArrayData, cents: Array[Array[Long]], n: Int): ArrayData = {

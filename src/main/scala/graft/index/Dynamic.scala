@@ -134,11 +134,12 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None,
       initConfidence: Option[Double] = None,
-      detail: Boolean = true)
+      detail: Boolean = true,
+      staticLeafPairs: Option[DataFrame] = None)
       : (Dataset[ClassifiedRead], collection.BitSet, () => Unit) = {
     val (classified, _, taxa, _, _, cleanup) = classify2Full(reads, library,
       staticRecords, criterion, rank, threshold, confidence, minHitGroups,
-      goldSet, initConfidence, detail)
+      goldSet, initConfidence, detail, staticLeafPairs)
     (classified, taxa, cleanup)
   }
 
@@ -151,14 +152,25 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     * @param initConfidence confidence for the FIRST pass only (the
     *   ClassifiedReads evidence scan) — the reference's --init-confidence
     *   (Slacken.scala:219-221, default 0.15 there); None = reuse
-    *   `confidence`, the pre-existing behavior. */
+    *   `confidence`, the pre-existing behavior.
+    * @param staticLeafPairs the library's distinct (key..., taxon) leaf
+    *   pairs, when the caller already has them (typically cached beside the
+    *   static records they were folded from): the sub-index then derives by
+    *   a broadcast taxon filter + re-fold of THESE pairs instead of
+    *   re-extracting the library's minimizers from scratch (r21, guide
+    *   §1.2 step 1 — the re-extraction was the single largest phase of the
+    *   g04/g10 lanes). Legal because a subset's record LCA depends only on
+    *   the subset's leaf pairs, and the LCA fold is idempotent (fold over
+    *   the distinct pair set ≡ fold over the raw multiset). None = extract
+    *   from the filtered library, the pre-existing behavior. */
   def classify2Full(reads: Dataset[InputFragment], library: Dataset[(Int, String)],
       staticRecords: DataFrame, criterion: TaxonCriterion = DistinctMinimizers,
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       goldSet: Option[Set[Int]] = None,
       initConfidence: Option[Double] = None,
-      detail: Boolean = true)
+      detail: Boolean = true,
+      staticLeafPairs: Option[DataFrame] = None)
       : (Dataset[ClassifiedRead], Seq[Int], collection.BitSet,
         Dataset[(Int, String)], DataFrame, () => Unit) = {
     val spark = reads.sparkSession
@@ -181,10 +193,17 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       collection.immutable.BitSet.empty ++ bcTax.value.withDescendants(base)
     val bcTaxa = spark.sparkContext.broadcast(taxa)
 
-    // rebuild restricted to selected taxa: filter BEFORE extraction
+    // rebuild restricted to selected taxa: filter BEFORE extraction — or,
+    // when the caller supplied the static leaf pairs, filter THOSE by a
+    // broadcast taxon join and re-fold (no second extraction at all)
     val subLibrary = library.filter(g => bcTaxa.value.contains(g._1))
-    val dynRecords = index.buildRecords(subLibrary)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dynRecords = (staticLeafPairs match {
+      case Some(lp) =>
+        val taxaDf = spark.createDataset(taxa.toSeq)(
+          org.apache.spark.sql.Encoders.scalaInt).toDF("taxon")
+        index.foldLeafPairs(lp.join(broadcast(taxaDf), "taxon"))
+      case None => index.buildRecords(subLibrary)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // spans must stay cached until the returned dataset is consumed (eager
     // unpersist here would recompute the expensive span extraction), so the
@@ -224,14 +243,20 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
       rank: String = "species", threshold: Long = 100,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       initConfidence: Option[Double] = None,
-      detail: Boolean = true)
+      detail: Boolean = true,
+      staticLeafPairs: Option[DataFrame] = None)
       : (Dataset[ClassifiedRead], Map[String, collection.BitSet], () => Unit) = {
     val spark = reads.sparkSession
     import spark.implicits._
     val keys = index.keyCols
-    def sampleOf = regexp_extract(col("title"), sampleRegex, 1)
 
-    val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
+    // the sample id is extracted ONCE into the cached span frame (r21):
+    // three consumers read it (sample enumeration, the evidence rollup,
+    // the group tag join) and each previously re-ran the regex over every
+    // span row
+    val spans = index.spansDF(reads)
+      .withColumn("sample", regexp_extract(col("title"), sampleRegex, 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // guard the driver BEFORE collecting any per-(sample, taxon) evidence:
     // a too-broad regex (e.g. the "^(.*)$" output default) would make every
@@ -239,7 +264,7 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // later selection — would degenerate into per-read driver state. Samples
     // enumerate from the spans, not the evidence, so a sample whose reads
     // hit nothing still gets an (empty) selection and a result.
-    val samples = spans.select(sampleOf.as("sample")).distinct()
+    val samples = spans.select(col("sample")).distinct()
       .as[String].collect()
     require(samples.length <= 100000,
       s"sample regex '$sampleRegex' yields ${samples.length} distinct " +
@@ -250,22 +275,25 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     val ev: Array[(String, Int, Long)] = (criterion match {
       case TotalMinimizers =>
         spans.join(staticRecords, keys)
-          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .groupBy(col("sample"), col("taxon"))
           .agg(sum($"kmers").cast("long").as("count"))
       case DistinctMinimizers =>
         spans.join(staticRecords, keys)
-          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .groupBy(col("sample"), col("taxon"))
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
       case ClassifiedReads =>
         // initConfidence overrides the first-pass confidence only, like
         // the single-sample path
-        // count-only first pass: skip the per-read hit-string build
+        // count-only first pass: skip the per-read hit-string build.
+        // classifyDF re-derives per-read rows, so the cached sample column
+        // is not in scope here — re-extract from the title
         index.classifyDF(spans, staticRecords,
             initConfidence.getOrElse(confidence), minHitGroups,
             detail = false)
           .filter(_.classified).toDF()
-          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .groupBy(regexp_extract(col("title"), sampleRegex, 1).as("sample"),
+            col("taxon"))
           .agg(count(lit(1)).cast("long").as("count"))
     }).as[(String, Int, Long)].collect()
 
@@ -285,20 +313,27 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
 
     // ONE extraction over the union of all selections, then per-group LCA
     // records via broadcast taxon->grp tagging (a taxon selected by several
-    // groups duplicates only its small (key, taxon) pairs, never the library)
-    val union = perSample.values
-      .foldLeft(collection.immutable.BitSet.empty: collection.BitSet)(_ | _)
-    val bcUnion = spark.sparkContext.broadcast(union)
-    val subLibrary = library.filter(g => bcUnion.value.contains(g._1))
+    // groups duplicates only its small (key, taxon) pairs, never the
+    // library). With caller-supplied static leaf pairs the extraction is
+    // skipped entirely: the broadcast taxon->grp join restricts the pairs
+    // to the union of selections by itself (see classify2Full's
+    // staticLeafPairs note for why the re-fold is exact).
     val taxonGrp = groups.flatMap { case (set, g) => set.toSeq.map(t => (t, g)) }
       .toDF("taxon", "grp")
+    val pairsSrc = staticLeafPairs.getOrElse {
+      val union = perSample.values
+        .foldLeft(collection.immutable.BitSet.empty: collection.BitSet)(_ | _)
+      val bcUnion = spark.sparkContext.broadcast(union)
+      index.buildLeafPairs(library.filter(g => bcUnion.value.contains(g._1)))
+    }
     val dynRecords = index.foldLeafPairs(
-        index.buildLeafPairs(subLibrary).join(broadcast(taxonGrp), "taxon"),
+        pairsSrc.join(broadcast(taxonGrp), "taxon"),
         extraCols = Seq("grp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one classification join on (grp, key...)
-    val taggedSpans = spans.withColumn("sample", sampleOf)
+    // one classification join on (grp, key...); the sample tag is already
+    // a cached span column
+    val taggedSpans = spans
       .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
     val result = ClassifyKernel.resolve(
       ClassifyKernel.group(taggedSpans.join(dynRecords, "grp" +: keys, "left")),

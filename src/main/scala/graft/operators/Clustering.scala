@@ -25,12 +25,14 @@ import Q.t
   *   - every argmin breaks ties on the smallest cluster index via struct
   *     ordering (dist, cid).
   *
-  * Scale shape: Lloyd's is iters+1 full scans; each scan is a narrow map
-  * (assignment against a k·dim TORRENT-BROADCAST long matrix via the native
-  * [[graft.functions.ArgminCentroids]] expression — one plan node and one
-  * static call per row for any k) plus a
-  * [[VectorSumAggregate]] partial agg whose shuffle is k·dim longs per task.
-  * Centroids (k·dim·8 bytes) are the ONLY driver-side state. SemDeDup pairs
+  * Scale shape: Lloyd's is iters+1 full scans; the training rounds run as
+  * one treeAggregate job each over a primitive-array RDD cached once
+  * (assignment against a k·dim TORRENT-BROADCAST long matrix via the same
+  * argmin kernel the native [[graft.functions.ArgminCentroids]] expression
+  * calls; per-task state k·(dim+1) longs, no shuffle, no per-round Catalyst
+  * pass — r21, guide §1.2/§7.3), and the final assignment pass is a narrow
+  * map with the expression (one plan node and one static call per row for
+  * any k). Centroids (k·dim·8 bytes) are the ONLY driver-side state. SemDeDup pairs
   * only within a cluster — the paper's regime keeps k ∝ corpus size so
   * cluster populations (and the pair blowup) stay bounded; k is a parameter
   * here for exactly that reason.
@@ -97,26 +99,59 @@ object Clustering {
     var cents: Array[Array[Long]] = q.orderBy(initOrder(scatter): _*).limit(k)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
-    VectorSumAggregate.register(spark, dim = cents.head.length)
-    for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val rows = q
-        .select(assignStruct(col("qv"), bc).getField("cluster").as("cluster"),
-          col("qv"))
-        .groupBy("cluster")
-        .agg(VectorSumAggregate.vecSum(col("qv")).as("s"), count(lit(1)).as("c"))
-        .collect()
-      // the collect above is this broadcast's only consumer — free it
-      bc.destroy()
-      val byCluster = rows.map(r =>
-        r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
-      cents = cents.zipWithIndex.map { case (old, j) =>
-        byCluster.get(j.toLong).map { case (s, c) =>
+    if (iters <= 0) return cents
+    val dim = cents.head.length
+    // Lloyd's rounds as ONE treeAggregate job each over a primitive-array
+    // RDD materialized once (r21; guide §1.2 step 1, §7.3): the previous
+    // per-round DataFrame aggregation re-entered Catalyst (analyze /
+    // optimize / codegen) and ran a 2-stage shuffle per round, and on the
+    // iterative lanes (c01-c07, IVF training) that driver-side planning
+    // loop measured LARGER than all task time combined. The fold below is
+    // the identical exact integer math — argminIdx is the same kernel the
+    // ArgminCentroids expression calls (strict-improvement argmin, ties to
+    // the smallest index), the per-cluster (Σqv, n) accumulators are plain
+    // long additions (commutative — any partition order yields the same
+    // sums), and the round-half-up update is unchanged — so the centroids
+    // are bit-identical at every round. Per-task state is k·(dim+1) longs;
+    // no shuffle, no per-round function registration, no plan growth.
+    val vecs = q.select(col("qv")).queryExecution.toRdd
+      .map(_.getArray(0).toLongArray())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sc = spark.sparkContext
+      for (_ <- 1 to iters) {
+        val bc = sc.broadcast(cents)
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.ofDim[Long](k, dim), new Array[Long](k)))(
+          seqOp = { case ((s, n), v) =>
+            val best = graft.functions.CentroidKernels.argminIdx(v, bc.value)
+            val row = s(best)
+            val lim = math.min(dim, v.length)
+            var i = 0
+            while (i < lim) { row(i) += v(i); i += 1 }
+            n(best) += 1
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < k) {
+              val a = s1(c); val b = s2(c)
+              var i = 0
+              while (i < dim) { a(i) += b(i); i += 1 }
+              n1(c) += n2(c)
+              c += 1
+            }
+            (s1, n1)
+          })
+        bc.destroy()
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0) old
           // round-half-up of the exact rational mean s/c, in integers
-          s.map(si => Math.floorDiv(2 * si + c, 2 * c))
-        }.getOrElse(old)
+          else sums(j).map(si =>
+            Math.floorDiv(2 * si + counts(j), 2 * counts(j)))
+        }
       }
-    }
+    } finally vecs.unpersist(blocking = false)
     cents
   }
 

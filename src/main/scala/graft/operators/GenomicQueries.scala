@@ -219,8 +219,12 @@ object GenomicQueries {
         val ph = collection.mutable.LinkedHashMap.empty[String, Double]
         val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
         val dyn = new graft.index.DynamicClassifier(params, bcTax)
+        // leaf pairs materialized beside the static fold (r21): the
+        // classify stage's sub-index re-folds them instead of re-extracting
+        val leafPairs = phased(ph, "leaf_pairs")(
+          materialize(dyn.index.buildLeafPairs(lib)))
         val staticRecords = phased(ph, "records")(
-          materialize(dyn.index.buildRecords(lib)))
+          materialize(dyn.index.foldLeafPairs(leafPairs)))
         val reads = ordersScan(s, dir)
           .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
           .filter($"c_nationkey" % 2 === 0)
@@ -236,13 +240,13 @@ object GenomicQueries {
             val (classified, _, release) = dyn.classify2(reads, lib,
               staticRecords, criterion = graft.index.DistinctMinimizers,
               rank = "species", threshold = 50, minHitGroups = 1,
-              detail = false)
+              detail = false, staticLeafPairs = Some(leafPairs))
             val counts = agg(classified).localCheckpoint(true)
             release()
             counts
           },
-          () => { staticRecords.unpersist(false); reads.unpersist(false)
-            bcTax.destroy(); () }, ph.toMap)
+          () => { staticRecords.unpersist(false); leafPairs.unpersist(false)
+            reads.unpersist(false); bcTax.destroy(); () }, ph.toMap)
       }),
       // bracken weights (r11 verdict ask: oracled, never benched). Build
       // stage = LCA records; weights stage = fragment scan + one-sided LCA
@@ -314,7 +318,13 @@ object GenomicQueries {
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
       val dyn = new graft.index.DynamicClassifier(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
-      val staticRecords = dyn.index.buildRecords(lib)
+      // leaf pairs cached once: the static records fold from them AND the
+      // sub-index re-fold reads them back (r21 — the sub-index previously
+      // re-extracted the library's minimizers from scratch; LCA over the
+      // distinct pair set is identical to LCA over the raw multiset)
+      val leafPairs = dyn.index.buildLeafPairs(lib)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val staticRecords = dyn.index.foldLeafPairs(leafPairs)
       val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         // only orders of even nations: half the taxa are absent from the sample
@@ -326,7 +336,8 @@ object GenomicQueries {
         .map { case (ok, read) => InputFragment(s"order$ok", 0L, read, None) }
       val (classified, _, release) = dyn.classify2(reads, lib, staticRecords,
         criterion = graft.index.DistinctMinimizers, rank = "species",
-        threshold = 50, minHitGroups = 1, detail = false)
+        threshold = 50, minHitGroups = 1, detail = false,
+        staticLeafPairs = Some(leafPairs))
       // localCheckpoint materializes the (small) per-taxon counts so the
       // internal spans/records caches can be released before returning —
       // without it they would outlive this query for the whole harness run
@@ -336,6 +347,7 @@ object GenomicQueries {
         .orderBy($"taxon")
         .localCheckpoint(true)
       release()
+      leafPairs.unpersist(false)
       counts
     }, Some(Q.goldenTaxonReads("g04_classify2_sf001.tsv")), bench = true),
 
@@ -403,7 +415,11 @@ object GenomicQueries {
       val bcTax = s.sparkContext.broadcast(starTaxonomy(s, dir))
       val dyn = new graft.index.DynamicClassifier(params, bcTax)
       val lib = customerGenomes(s, dir).select($"taxon", $"dna").as[(Int, String)]
-      val staticRecords = dyn.index.buildRecords(lib)
+      // leaf pairs cached once, shared by the static fold and the per-group
+      // sub-index re-fold (r21 — see g04's note; identical records)
+      val leafPairs = dyn.index.buildLeafPairs(lib)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val staticRecords = dyn.index.foldLeafPairs(leafPairs)
       val reads = ordersScan(s, dir)
         .join(customerDna(s, dir), $"o_custkey" === $"c_custkey")
         .filter(($"c_nationkey" % 5) ===
@@ -417,7 +433,8 @@ object GenomicQueries {
         }
       val (classified, _, release) = dyn.classify2MultiSample(reads, "(S\\d)R",
         lib, staticRecords, criterion = graft.index.DistinctMinimizers,
-        rank = "species", threshold = 50, minHitGroups = 1, detail = false)
+        rank = "species", threshold = 50, minHitGroups = 1, detail = false,
+        staticLeafPairs = Some(leafPairs))
       val counts = classified
         .groupBy(regexp_extract($"title", "(S\\d)R", 1).as("sample"),
           $"taxon".cast("long").as("taxon"))
@@ -425,6 +442,7 @@ object GenomicQueries {
         .orderBy($"sample", $"taxon")
         .localCheckpoint(true)
       release()
+      leafPairs.unpersist(false)
       counts
     }, Some(Q.golden("g10_multisample2_sf001.tsv", "sample" -> "VARCHAR",
       "taxon" -> "BIGINT", "n_reads" -> "BIGINT")), bench = true),

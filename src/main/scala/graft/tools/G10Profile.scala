@@ -87,31 +87,41 @@ object G10Profile {
       val reads = readsDf.persist(StorageLevel.MEMORY_AND_DISK)
       time("reads_derive")(println("  reads: " + reads.count()))
 
-      val staticRecords = index.buildRecords(lib)
+      // r21: the lane builds its static records by folding CACHED leaf
+      // pairs, which the sub-index phase then re-folds per group instead of
+      // re-extracting the library (GenomicQueries g10 / Dynamic.scala
+      // staticLeafPairs) — mirrored here so the phases stay honest
+      val leafPairs = index.buildLeafPairs(lib)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val staticRecords = index.foldLeafPairs(leafPairs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       time("static_records")(println("  records: " + staticRecords.count()))
 
-      val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
+      // r21: the sample id is extracted once into the cached span frame
+      // (classify2MultiSample does the same) — enumeration, evidence and
+      // the tag join all read the cached column
+      val spans = index.spansDF(reads)
+        .withColumn("sample", regexp_extract(col("title"), "(S\\d)R", 1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       time("spans")(println("  spans: " + spans.count()))
 
       // classify2MultiSample internals from here (Dynamic.scala:226-298),
       // DistinctMinimizers criterion / rank species / threshold 50
       val keys = index.keyCols
-      def sampleOf = regexp_extract(col("title"), "(S\\d)R", 1)
       val ev = time("evidence") {
         spans.join(staticRecords, keys)
-          .groupBy(sampleOf.as("sample"), col("taxon"))
+          .groupBy(col("sample"), col("taxon"))
           .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
             .cast("long").as("count"))
           .as[(String, Int, Long)].collect()
       }
       println(s"  evidence rows: ${ev.length}")
 
-      // the sample enumeration is its own distributed scan over the spans
-      // (regexp_extract + distinct) — timed as its own phase so the
-      // per-phase sum reconciles with the lane's end-to-end wall
+      // the sample enumeration is its own distributed scan over the cached
+      // spans — timed as its own phase so the per-phase sum reconciles
+      // with the lane's end-to-end wall
       val samples = time("sample_enum") {
-        spans.select(sampleOf.as("sample")).distinct()
+        spans.select(col("sample")).distinct()
           .as[String].collect()
       }
       val (perSample, groups, sampleGrp) = time("selection") {
@@ -128,15 +138,13 @@ object G10Profile {
       println(s"  samples: ${samples.length}, distinct selections: ${groups.length}")
 
       val dynRecords = time("subindex") {
-        val union = perSample.values
-          .foldLeft(collection.immutable.BitSet.empty: collection.BitSet)(_ | _)
-        val bcUnion = spark.sparkContext.broadcast(union)
-        val subLibrary = lib.filter(g => bcUnion.value.contains(g._1))
         val taxonGrp = groups
           .flatMap { case (set, g) => set.toSeq.map(t => (t, g)) }
           .toDF("taxon", "grp")
+        // r21: re-fold the CACHED static leaf pairs (the broadcast
+        // taxon->grp join restricts to the union of selections by itself)
         val r = index.foldLeafPairs(
-            index.buildLeafPairs(subLibrary).join(broadcast(taxonGrp), "taxon"),
+            leafPairs.join(broadcast(taxonGrp), "taxon"),
             extraCols = Seq("grp"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         println("  dyn records: " + r.count())
@@ -144,7 +152,7 @@ object G10Profile {
       }
 
       time("second_pass") {
-        val taggedSpans = spans.withColumn("sample", sampleOf)
+        val taggedSpans = spans
           .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
         val result = ClassifyKernel.resolve(
           ClassifyKernel.group(
@@ -157,7 +165,7 @@ object G10Profile {
           .write.format("noop").mode("overwrite").save()
       }
 
-      spans.unpersist(); staticRecords.unpersist()
+      spans.unpersist(); staticRecords.unpersist(); leafPairs.unpersist()
       dynRecords.unpersist(); reads.unpersist()
       bcTax.destroy()
     }
