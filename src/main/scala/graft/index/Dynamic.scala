@@ -176,6 +176,12 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     val spark = reads.sparkSession
     import spark.implicits._
 
+    // the spans cache is deliberately NOT pre-partitioned on the keys:
+    // caching it repartition(keys)+sorted was measured SLOWER (r21 A/B,
+    // +0.4 s on g04/g10 at sf0.1) — the cache-build exchange moves FULL
+    // span rows (title strings included), while the per-join exchanges it
+    // would replace shuffle pruned projections (the evidence join ships
+    // only keys+kmers[+sample]).
     val spans = index.spansDF(reads).persist(StorageLevel.MEMORY_AND_DISK)
     val base: Seq[Int] = goldSet match {
       case Some(g) => g.toSeq.sorted
@@ -253,7 +259,9 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // the sample id is extracted ONCE into the cached span frame (r21):
     // three consumers read it (sample enumeration, the evidence rollup,
     // the group tag join) and each previously re-ran the regex over every
-    // span row
+    // span row. Not pre-partitioned on the keys — see classify2Full's note
+    // (the full-row cache exchange measured slower than the pruned
+    // per-join exchanges it would replace).
     val spans = index.spansDF(reads)
       .withColumn("sample", regexp_extract(col("title"), sampleRegex, 1))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -56,13 +56,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // vs the old 5 whose bucket JOIN input grew quadratically with time
     // density (sf1→sf5 exponent 2.09; the rewrite measured 0.0x there).
     // Two more shuffles of O(n) beats two fewer of O(n²/day).
-    // r21: several budgets grew by exactly the scale-adaptive scan fan-out
-    // (Q.fanOut — the local single-row-group files plan 1-task scans, so
-    // the CPU-heavy pre-exchange derivations ran on one core; the added
-    // exchange moves a few MB and is the IDENTITY at any at-scale layout).
-    // Affected: t09-t11/t19/t34 (+1 docs), m01-m04 (+1 media docs),
-    // g02/g05/g06/g11/g12 (+1), g03/g07/g08/g09/g13/g14/g15 (+2:
-    // library + reads scans). Census re-derived with PlanDump (r21).
+    // r21: budgets first grew by the scale-adaptive scan fan-out (Q.fanOut,
+    // +1/+2 exchanges), then a per-lane LaneProfile A/B showed the exchange
+    // only pays where the pre-exchange kernel is expensive — it was KEPT on
+    // the genomic library/reads scans and t21 (g02/g05/g06/g11/g12 +1,
+    // g03/g07/g08/g09/g13/g14/g15 +2, t21 +1) and REMOVED from the cheap-
+    // kernel lanes, whose pins were re-tightened (t09-t11/t19/t34, m01-m04
+    // back to their r20 values). Census re-derived with PlanDump (r21).
     "q37_unpivot" -> ((3, 0)), "q38_interval_join" -> ((7, 0)),
     "t01_dedup_exact" -> ((2, 0)), "t02_dedup_prefix_block" -> ((2, 0)),
     "t03_token_count" -> ((1, 0)), "t04_quality_score" -> ((1, 0)),
@@ -71,19 +71,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // same budget — more bands change signature width, not the exchanges
     "t40_minhash_planned" -> ((2, 0)),
     "t07_ngram_jaccard" -> ((3, 0)), "t08_simhash" -> ((2, 0)),
-    "t09_langid" -> ((3, 0)), "t10_fingerprints" -> ((2, 0)),
-    "t11_token_estimate" -> ((2, 0)), "t12_quality_metrics" -> ((1, 0)),
+    "t09_langid" -> ((2, 0)), "t10_fingerprints" -> ((1, 0)),
+    "t11_token_estimate" -> ((1, 0)), "t12_quality_metrics" -> ((1, 0)),
     "t13_dedup_decisions" -> ((1, 0)), "t14_repetition" -> ((3, 0)),
     "t15_source_similarity" -> ((2, 0)), "t16_stable_split" -> ((2, 0)),
     "t17_source_quota" -> ((2, 0)), "t18_decontaminate" -> ((2, 0)),
-    "t19_curation_pipeline" -> ((4, 0)), "t20_bigram_topk" -> ((1, 0)),
+    "t19_curation_pipeline" -> ((3, 0)), "t20_bigram_topk" -> ((1, 0)),
     "t21_span_dedup" -> ((3, 0)), "t22_entropy" -> ((3, 0)),
     "t23_tfidf_terms" -> ((7, 1)), "t24_span_strip" -> ((3, 0)),
     "t25_hash_sample" -> ((2, 0)), "t26_lang_confusion" -> ((2, 0)),
     "t27_pack" -> ((2, 0)), "t28_span_rewrite" -> ((6, 0)),
     "t29_chunk" -> ((1, 0)), "t30_unigram_nll" -> ((5, 1)),
     "t31_overlap_decon" -> ((3, 0)), "t32_pii_redact" -> ((1, 0)),
-    "t33_mixture_weights" -> ((4, 1)), "t34_bloom_decon" -> ((4, 0)),
+    "t33_mixture_weights" -> ((4, 1)), "t34_bloom_decon" -> ((3, 0)),
     "t35_normalize" -> ((1, 0)), "t36_temperature_sample" -> ((5, 1)),
     "t37_cc_contraction" -> ((1, 0)), "t38_hashed_embedding" -> ((1, 0)),
     "t39_hashed_neardup" -> ((2, 0)),
@@ -92,8 +92,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "v05_cosine_dedup" -> ((2, 0)), "v06_ivf_knn" -> ((1, 0)),
     "v07_pq_knn" -> ((3, 0)), "v08_int8_knn" -> ((2, 0)),
     "v09_cosine_pairs_exact" -> ((1, 1)), "v10_ivfpq_knn" -> ((1, 0)),
-    "m01_media_features" -> ((2, 0)), "m02_audio_features" -> ((2, 0)),
-    "m03_frame_sample" -> ((2, 0)), "m04_video_meta" -> ((2, 0)),
+    "m01_media_features" -> ((1, 0)), "m02_audio_features" -> ((1, 0)),
+    "m03_frame_sample" -> ((1, 0)), "m04_video_meta" -> ((1, 0)),
     "c01_kmeans" -> ((1, 0)), "c02_semantic_dedup" -> ((1, 0)),
     "c03_cluster_sample" -> ((2, 0)), "c04_centroid_outliers" -> ((2, 0)),
     "c05_kmeans_sampled" -> ((1, 0)), "c06_kmeans_scatter" -> ((1, 0)),
