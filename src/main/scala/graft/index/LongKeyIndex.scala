@@ -51,7 +51,7 @@ trait KeyTaxonTable extends Serializable {
   *  - records are bucketed by the key columns so every classification join
   *    is one-sided (only the read spans shuffle);
   *  - the LCA groupBy gets map-side partial aggregation from the native
-  *    TypedImperativeAggregate;
+  *    codegen'd DeclarativeAggregate (whole-stage HashAggregate, r21);
   *  - ambiguous spans carry random keys for load balance;
   *  - the taxonomy is a broadcast array structure, never a join. */
 abstract class LongKeyIndex extends KeyedIndex {
@@ -241,7 +241,8 @@ abstract class LongKeyIndex extends KeyedIndex {
 
   /** The LCA fold: groupBy(key cols), optionally in two salted stages
     * (legal because LCA is associative and commutative). Uses the native
-    * TypedImperativeAggregate (Int buffer, map-side combine). */
+    * codegen'd DeclarativeAggregate (Int buffer slot in the standard
+    * UnsafeRow hash map — whole-stage HashAggregate, map-side combine). */
   private def foldRecords(pairs: DataFrame, saltBuckets: Int): DataFrame = {
     val spark = pairs.sparkSession
     val lcaName = graft.taxa.LcaAggregate.register(spark, bcTax)
