@@ -64,6 +64,61 @@ object ClassifyKernel {
     }
   }
 
+  /** Count-only regroup (r21, guide §2.3 "shuffle fewer bytes"): when the
+    * consumer discards the Kraken hit string (`detail = false`),
+    * resolution needs neither the span ORDINALS (LcaResolver.classify sums
+    * per-taxon counts — the hit-count map is order-independent, and the
+    * tie-break folds ties through the commutative LCA) nor the DISTINCT
+    * flags inside the buffer (the hit-group gate is a pre-aggregated SUM
+    * column). The collected hit struct narrows from (ordinal, taxon,
+    * kmers, distinct) to (taxon, kmers) — the regroup exchange and the
+    * per-group object buffers shed the two columns. Row-identical to
+    * [[group]] + [[resolve]] at `detail = false` (pinned by the oracle on
+    * every classify lane and by OrderInsensitivitySpec). */
+  def groupCounts(joined: DataFrame): Dataset[(String, Seq[(Int, Int)], Long, Int)] = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val taxon = sentinelTaxon($"flag", $"taxon")
+    joined
+      .select($"title",
+        struct(taxon.as("_1"), $"kmers".as("_2")).as("hit"),
+        when($"distinct" && taxon > 0, 1).otherwise(0).as("hg"),
+        $"seqLen")
+      .groupBy($"title")
+      .agg(collect_list($"hit").as("hits"),
+        sum($"hg").as("hitGroups"),
+        max($"seqLen").as("seqLen"))
+      .as[(String, Seq[(Int, Int)], Long, Int)]
+  }
+
+  /** Resolve count-only groups ([[groupCounts]]) to per-read
+    * classifications — the `detail = false` twin of [[resolve]]. */
+  def resolveCounts(grouped: Dataset[(String, Seq[(Int, Int)], Long, Int)],
+      bcTax: Broadcast[Taxonomy], confidence: Double, minHitGroups: Int)
+      : Dataset[ClassifiedRead] = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    grouped.mapPartitions { it =>
+      val resolver = new LcaResolver(bcTax.value)
+      it.map { case (title, hits, hitGroups, seqLen) =>
+        val taxon =
+          if (hitGroups < minHitGroups) Taxonomy.NONE
+          else resolver.classify(hits, confidence)
+        ClassifiedRead(title, taxon != Taxonomy.NONE, taxon, seqLen, "")
+      }
+    }
+  }
+
+  /** [[group]]+[[resolve]] or the narrow [[groupCounts]]+[[resolveCounts]]
+    * pair, chosen by `detail` — the shared entry every classify join path
+    * routes through. */
+  def classifyJoined(joined: DataFrame, bcTax: Broadcast[Taxonomy],
+      confidence: Double, minHitGroups: Int, detail: Boolean)
+      : Dataset[ClassifiedRead] =
+    if (detail)
+      resolve(group(joined), bcTax, confidence, minHitGroups, detail = true)
+    else resolveCounts(groupCounts(joined), bcTax, confidence, minHitGroups)
+
   /** Resolve ONE read's ordered hits executor-locally — the core of the
     * zero-shuffle in-memory classification path
     * ([[MinimizerIndex.classifyInMemory]]). Semantically identical to

@@ -343,8 +343,8 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // a cached span column
     val taggedSpans = spans
       .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
-    val result = ClassifyKernel.resolve(
-      ClassifyKernel.group(taggedSpans.join(dynRecords, "grp" +: keys, "left")),
+    val result = ClassifyKernel.classifyJoined(
+      taggedSpans.join(dynRecords, "grp" +: keys, "left"),
       bcTax, confidence, minHitGroups, detail)
     val cleanup = () => {
       spans.unpersist(blocking = false)

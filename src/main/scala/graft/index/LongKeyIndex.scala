@@ -270,8 +270,7 @@ abstract class LongKeyIndex extends KeyedIndex {
   override def classifyDF(spans: DataFrame, records: DataFrame,
       confidence: Double = 0.0, minHitGroups: Int = 2,
       detail: Boolean = true): Dataset[ClassifiedRead] =
-    ClassifyKernel.resolve(
-      ClassifyKernel.group(spans.join(records, keyCols, "left")),
+    ClassifyKernel.classifyJoined(spans.join(records, keyCols, "left"),
       bcTax, confidence, minHitGroups, detail)
 
   /** Join spans against records (left; the bucketed record side does not

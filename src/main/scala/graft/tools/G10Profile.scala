@@ -154,10 +154,10 @@ object G10Profile {
       time("second_pass") {
         val taggedSpans = spans
           .join(broadcast(sampleGrp.toDF("sample", "grp")), Seq("sample"))
-        val result = ClassifyKernel.resolve(
-          ClassifyKernel.group(
-            taggedSpans.join(dynRecords, "grp" +: keys, "left")),
-          bcTax, 0.0, 1)
+        // detail=false like the lane (count-only regroup — classifyJoined)
+        val result = ClassifyKernel.classifyJoined(
+          taggedSpans.join(dynRecords, "grp" +: keys, "left"),
+          bcTax, 0.0, 1, detail = false)
         result.toDF()
           .groupBy(regexp_extract(col("title"), "(S\\d)R", 1).as("sample"),
             col("taxon").cast("long").as("taxon"))
