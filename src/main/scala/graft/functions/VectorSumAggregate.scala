@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Exactness is the point of summing longs: integer addition is associative,
   * so the merge order Spark picks cannot perturb the result — the property
   * the deterministic k-means in [[graft.operators.Clustering]] is built on.
+  *
+  * Since r21 the Lloyd's training rounds run as treeAggregate jobs
+  * ([[graft.operators.Clustering.kmeansCentroids]]) and no production path
+  * calls this aggregate; it is retained as a tested reference kernel for
+  * the DataFrame formulation (VectorSumAggregateSpec) and as the sparse
+  * per-occupied-cluster alternative should a huge-k regime outgrow the
+  * treeAggregate's dense per-task accumulator (see the note there).
   */
 case class VectorSumAggregate(
     child: Expression,

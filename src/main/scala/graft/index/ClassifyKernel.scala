@@ -74,18 +74,31 @@ object ClassifyKernel {
     * kmers, distinct) to (taxon, kmers) — the regroup exchange and the
     * per-group object buffers shed the two columns. Row-identical to
     * [[group]] + [[resolve]] at `detail = false` (pinned by the oracle on
-    * every classify lane and by OrderInsensitivitySpec). */
+    * every classify lane and by OrderInsensitivitySpec).
+    *
+    * r22 (guide §2.3 "aggregate before you shuffle"): the hit list is now
+    * built by [[graft.functions.TaxonCountsAggregate]] — a per-group
+    * (taxon -> Σkmers) counter — instead of `collect_list(struct(taxon,
+    * kmers))`. A read's spans mostly repeat the same taxon (a read is
+    * drawn from one genome), so the partial-aggregation buffers that cross
+    * the title regroup exchange carry one (taxon, Σkmers) entry per
+    * DISTINCT taxon per read instead of one entry per span. Legal by the
+    * same order-independence argument as the r21 narrowing: the resolver
+    * only ever sums kmers per taxon (sums of sums), and its tie arm
+    * LCA-folds the max-scoring taxa commutatively. Pinned by
+    * TaxonCountsAggregateSpec + ClassifyCountsSpec + the full oracle. */
   def groupCounts(joined: DataFrame): Dataset[(String, Seq[(Int, Int)], Long, Int)] = {
     val spark = joined.sparkSession
     import spark.implicits._
+    graft.functions.TaxonCountsAggregate.register(spark)
     val taxon = sentinelTaxon($"flag", $"taxon")
     joined
-      .select($"title",
-        struct(taxon.as("_1"), $"kmers".as("_2")).as("hit"),
+      .select($"title", taxon.as("t"), $"kmers",
         when($"distinct" && taxon > 0, 1).otherwise(0).as("hg"),
         $"seqLen")
       .groupBy($"title")
-      .agg(collect_list($"hit").as("hits"),
+      .agg(graft.functions.TaxonCountsAggregate.taxonCounts($"t", $"kmers")
+          .as("hits"),
         sum($"hg").as("hitGroups"),
         max($"seqLen").as("seqLen"))
       .as[(String, Seq[(Int, Int)], Long, Int)]

@@ -48,13 +48,27 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     val keys = index.keyCols
     criterion match {
       case TotalMinimizers =>
-        spans.join(records, keys)
+        // pre-aggregate Σkmers per key BEFORE the join (guide §2.3
+        // "aggregate before you shuffle"): the join's span-side exchange
+        // then ships one (key, Σkmers) row per distinct span key instead
+        // of every span row; the per-taxon total is a sum of sums
+        spans.groupBy(keys.map(col): _*)
+          .agg(sum($"kmers").as("kmers"))
+          .join(records, keys)
           .groupBy($"taxon").agg(sum($"kmers").cast("long").as("count"))
       case DistinctMinimizers =>
-        spans.join(records, keys)
-          .groupBy($"taxon")
-          .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
-            .cast("long").as("count"))
+        // countDistinct(keys) grouped by taxon planned a second
+        // (taxon, keys) dedup exchange AFTER the join; the records side is
+        // unique per key (the LCA fold is a groupBy(keys)), so the same
+        // number is the per-taxon row count of (distinct span keys) ⋈
+        // records. Deduping the span keys BEFORE the join also ships only
+        // the deduped key columns through the join exchange, and the
+        // distinct's output partitioning (keys) is exactly the join's, so
+        // the plan drops from 3 exchanges to 2 (r22, guide §2.3/§2.4;
+        // plans/r22/g04_classify2_*.txt)
+        spans.select(keys.map(col): _*).distinct()
+          .join(records, keys)
+          .groupBy($"taxon").agg(count(lit(1)).cast("long").as("count"))
       case ClassifiedReads =>
         // count-only first pass: skip the per-read hit-string build
         index.classifyDF(spans, records, confidence, minHitGroups,
@@ -282,14 +296,23 @@ final class DynamicClassifier(val index: KeyedIndex, bcTax: Broadcast[Taxonomy])
     // one evidence aggregation for every sample at once
     val ev: Array[(String, Int, Long)] = (criterion match {
       case TotalMinimizers =>
-        spans.join(staticRecords, keys)
+        // per-(sample, key) Σkmers BEFORE the join — see the single-sample
+        // evidence note (sum of sums; the join ships pre-aggregated rows)
+        spans.groupBy((col("sample") +: keys.map(col)): _*)
+          .agg(sum($"kmers").as("kmers"))
+          .join(staticRecords, keys)
           .groupBy(col("sample"), col("taxon"))
           .agg(sum($"kmers").cast("long").as("count"))
       case DistinctMinimizers =>
-        spans.join(staticRecords, keys)
+        // distinct (sample, key) pairs BEFORE the join — the records side
+        // is unique per key, so per-(sample, taxon) countDistinct(keys)
+        // equals the joined row count (see the single-sample evidence
+        // note); the dedup exchange moves to the slim pre-join projection
+        // and the post-join countDistinct expand disappears
+        spans.select((col("sample") +: keys.map(col)): _*).distinct()
+          .join(staticRecords, keys)
           .groupBy(col("sample"), col("taxon"))
-          .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
-            .cast("long").as("count"))
+          .agg(count(lit(1)).cast("long").as("count"))
       case ClassifiedReads =>
         // initConfidence overrides the first-pass confidence only, like
         // the single-sample path

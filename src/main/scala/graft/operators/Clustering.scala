@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.{TopKAggregate, VectorSumAggregate}
+import graft.functions.TopKAggregate
 import Q.t
 
 /** Embedding-space curation: deterministic k-means, SemDeDup-style
@@ -114,6 +114,12 @@ object Clustering {
     // sums), and the round-half-up update is unchanged — so the centroids
     // are bit-identical at every round. Per-task state is k·(dim+1) longs;
     // no shuffle, no per-round function registration, no plan growth.
+    // NOTE (ADVICE r21): the dense zero value ships k·(dim+1) longs per
+    // task — ~10-50 MB at SemDeDup-regime k ~ 10^4-10^5, dim 64, which is
+    // inside a normal multi-GB-per-core executor budget but NOT free; a
+    // huge-k regime that shows memory pressure here should switch the
+    // accumulator to a sparse map of occupied clusters (the old
+    // hash-aggregate path materialized only those).
     val vecs = q.select(col("qv")).queryExecution.toRdd
       .map(_.getArray(0).toLongArray())
       .persist(StorageLevel.MEMORY_AND_DISK)

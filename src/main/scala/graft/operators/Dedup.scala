@@ -536,6 +536,11 @@ object Dedup {
     // submission round trips halve; a converged graph pays at most
     // ccBatch-1 no-op rounds over an empty edge set.
     val ccBatch = 2
+    // whether any DISTRIBUTED rounds ran: only their pointer jumps can
+    // leave chains in the cumulative map — the driver-composed map below
+    // is chain-free by construction, so an all-driver-rounds run skips the
+    // final compression pass outright (r22)
+    var ranDistributed = false
     while (gCount > 0 && iter < maxIterations) {
       if (gCount <= DriverLabelMaxEdges) {
       // ---- driver-compressed label rounds (r11 verdict latency ask) ----
@@ -547,64 +552,105 @@ object Dedup {
       // than the two distributed pointer jumps: every node reaches its
       // chain's min in ONE application), and apply via broadcast joins.
       // Label chains strictly decrease, so the compression terminates.
-      // Per round: one collect job + one narrow count job, versus the
-      // distributed branch's ~9 exchanges — measured 4.9 s -> 3.4 s
-      // (min-of-reps, BENCH_r14 sf0.1) on the t37 bench graph.
-      val nbr = g.select(col("src").as("id"), col("dst").as("nb"))
-        .unionAll(g.select(col("dst").as("id"), col("src").as("nb")))
-      val lArr = nbr.groupBy("id")
-        .agg(min(col("nb")).as("mn"))
-        .select(col("id").as("rep"), least(col("rep"), col("mn")).as("lab"))
-        .as[(Long, Long)].collect()
-      val m = scala.collection.mutable.LongMap.empty[Long]
-      for ((r, lab) <- lArr) m(r) = lab
-      val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
-      for ((k, _) <- lArr) {
-        var x = k
-        chain.clear()
-        while (m.getOrElse(x, x) != x) { chain += x; x = m(x) }
-        for (s <- chain) m(s) = x
+      //
+      // r22 (verdict item 3 — cut the per-round job count): each round is
+      // now ONE job, the min-neighbor label collect. The per-round
+      // cumulative-map join and its materializing count are gone — every
+      // round's fixpoint-compressed label map composes into a single
+      // driver-side map, applied to the cumulative map ONCE after the
+      // rounds (legal: a map's keys are current representatives, and a
+      // rep relabeled in an earlier round can never reappear as an edge
+      // endpoint, so sequential application ≡ the composed map). The
+      // per-round gNext.count is gone too: convergence is witnessed by
+      // the next round's collect coming back EMPTY (empty label map ⟺ no
+      // contracted edge remains). Measured on the t37 bench graph: 3 jobs
+      // + 2 persists per round -> 1 job per round + 1 confirming collect.
+      val bigM = scala.collection.mutable.LongMap.empty[Long]
+      var prevG: DataFrame = null
+      var done = false
+      while (!done) {
+        val nbr = g.select(col("src").as("id"), col("dst").as("nb"))
+          .unionAll(g.select(col("dst").as("id"), col("src").as("nb")))
+        val lArr = nbr.groupBy("id")
+          .agg(min(col("nb")).as("mn"))
+          .select(col("id").as("rep"), least(col("rep"), col("mn")).as("lab"))
+          .as[(Long, Long)].collect()
+        // that collect materialized g's cache — the previous round's
+        // blocks (g's lineage input) can drop now
+        if (prevG != null) { prevG.unpersist(blocking = false); prevG = null }
+        if (lArr.isEmpty) {
+          gCount = 0
+          done = true
+          System.err.println(s"[graft] connectedComponents converged after " +
+            s"$iter rounds: 0 contracted edges remain")
+        } else if (iter >= maxIterations) {
+          // un-converged — leave gCount > 0 for the strict check below
+          // (re-counted there for an exact message)
+          done = true
+        } else {
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          for ((r, lab) <- lArr if lab != r) m(r) = lab
+          val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+          for ((k, _) <- lArr) {
+            var x = k
+            chain.clear()
+            while (m.getOrElse(x, x) != x) { chain += x; x = m(x) }
+            for (s <- chain) m(s) = x
+          }
+          // compose into the cumulative driver map (values stay fully
+          // resolved: both the existing entries and m's own are chain-free)
+          for ((k, v) <- bigM) bigM(k) = m.getOrElse(v, v)
+          for ((k, lab) <- m if !bigM.contains(k)) bigM(k) = lab
+          // contract THROUGH the broadcast map directly (every g endpoint
+          // is a key of the label map): two narrow broadcast joins + one
+          // tiny distinct exchange, no full-map join
+          val lDf = broadcast(
+            spark.createDataset(m.toSeq).toDF("rep", "lab"))
+          val gNext = g
+            .join(lDf.select(col("rep").as("src"), col("lab").as("srep")),
+              Seq("src"), "left")
+            .join(lDf.select(col("rep").as("dst"), col("lab").as("drep")),
+              Seq("dst"), "left")
+            .select(
+              least(coalesce(col("srep"), col("src")),
+                coalesce(col("drep"), col("dst"))).as("src"),
+              greatest(coalesce(col("srep"), col("src")),
+                coalesce(col("drep"), col("dst"))).as("dst"))
+            .filter(col("src") =!= col("dst")).distinct()
+            .persist(lvl)
+          // gNext materializes in the NEXT round's collect; its lineage
+          // reads the predecessor's cache, so that drops one round later
+          prevG = gCached
+          gCached = gNext
+          g = cut(gNext, ("src", "dst"))
+          iter += 1
+          System.err.println(s"[graft] connectedComponents round $iter " +
+            s"(driver-compressed labels): ${lArr.length} labeled nodes " +
+            "contracted")
+        }
       }
-      val lDf = broadcast(
-        spark.createDataset(m.toSeq).toDF("rep", "lab"))
-      val totalNext = total
-        .join(lDf, Seq("rep"), "left")
-        .select(col("id"), coalesce(col("lab"), col("rep")).as("rep"))
-        .persist(lvl)
-      // contract THROUGH the broadcast map directly (every g endpoint is a
-      // key of the label map): two narrow broadcast joins + one tiny
-      // distinct exchange, no full-map join
-      val gNext = g
-        .join(lDf.select(col("rep").as("src"), col("lab").as("srep")),
-          Seq("src"), "left")
-        .join(lDf.select(col("rep").as("dst"), col("lab").as("drep")),
-          Seq("dst"), "left")
-        .select(
-          least(coalesce(col("srep"), col("src")),
-            coalesce(col("drep"), col("dst"))).as("src"),
-          greatest(coalesce(col("srep"), col("src")),
-            coalesce(col("drep"), col("dst"))).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .persist(lvl)
-      gCount = gNext.count()
-      // unlike the distributed branch, gNext's lineage does NOT pass
-      // through totalNext (edges contract via the broadcast map), so the
-      // count above did not materialize it — force it with its own narrow
-      // map-only job BEFORE dropping the predecessor's blocks, or the
-      // final labels would recompute the whole loop from the caller's raw
-      // pairs (and a non-deterministic upstream could then diverge from
-      // the edge set the loop converged on)
-      totalNext.count()
-      gCached.unpersist(blocking = false)
-      totalCached.unpersist(blocking = false)
-      gCached = gNext
-      totalCached = totalNext
-      g = cut(gNext, ("src", "dst"))
-      total = cut(totalNext.select(col("id"), col("rep")), ("id", "rep"))
-      iter += 1
-      System.err.println(s"[graft] connectedComponents round $iter " +
-        s"(driver-compressed labels): $gCount contracted edges remain")
+      if (prevG != null) prevG.unpersist(blocking = false)
+      if (gCount > 0) gCount = gCached.count()  // failure path: exact message
+      if (bigM.nonEmpty) {
+        val bigDf = broadcast(
+          spark.createDataset(bigM.toSeq).toDF("rep", "lab"))
+        val totalNext = total
+          .join(bigDf, Seq("rep"), "left")
+          .select(col("id"), coalesce(col("lab"), col("rep")).as("rep"))
+          .persist(lvl)
+        // gNext's lineage never passed through the cumulative map, so
+        // nothing materialized it — force it with its own narrow map-only
+        // job BEFORE dropping the predecessor's blocks, or the final
+        // labels would recompute from the caller's raw pairs (and a
+        // non-deterministic upstream could then diverge from the edge set
+        // the loop converged on)
+        totalNext.count()
+        totalCached.unpersist(blocking = false)
+        totalCached = totalNext
+        total = cut(totalNext.select(col("id"), col("rep")), ("id", "rep"))
+      }
       } else {
+      ranDistributed = true
       val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var inBatch = 0
       while (inBatch < ccBatch && iter < maxIterations &&
@@ -693,7 +739,10 @@ object Dedup {
     // returning it raw would hand different members of one component
     // different reps. Jump to fixpoint; each pass doubles the resolved
     // depth, so this is O(log chain depth) cheap label-table passes.
-    var compChanged = 1L
+    // Only the DISTRIBUTED rounds' pointer jumps can leave chains — a run
+    // whose loop rounds were all driver-compressed applied one composed
+    // chain-free map, so the confirming pass is pure overhead there (r22).
+    var compChanged = if (ranDistributed) 1L else 0L
     while (compChanged > 0) {
       val look = total.select(col("id").as("jid"), col("rep").as("jr"))
       val tc = total.join(look, col("rep") === col("jid"), "left")
@@ -841,25 +890,36 @@ object Dedup {
   }
 
   def duplicateSpans(docs: Dataset[(Long, String)], n: Int = 8): DataFrame = {
-    val grams = gramPositions(docs, n)
-    val dupGrams = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("h"))
-    mergeIslands(grams.join(dupGrams, "h"), n)
+    // duplicated positions in ONE pass over the grams (r22, guide §2.4):
+    // the former groupBy(h).count > 1 + self-join instantiated the
+    // gram-digest explode twice (the agg and probe exchanges cannot be
+    // reused — different payloads) and shuffled the gram set three times;
+    // a count window over the same hash partitioning needs one explode and
+    // one exchange. Skew parity: a hot boilerplate gram concentrated on
+    // one task under the join too (both route every copy of h to one
+    // partition).
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    mergeIslands(
+      gramPositions(docs, n)
+        .withColumn("c", count(lit(1)).over(byH))
+        .filter(col("c") > 1)
+        .select(col("doc_id"), col("pos")), n)
   }
 
   /** Foreign gram positions under the keep-first rule: every duplicated
-    * occurrence except the lexicographically smallest (doc_id, pos). */
+    * occurrence except the lexicographically smallest (doc_id, pos).
+    * Single gram pass (r22): count + min(struct(doc_id, pos)) as windows
+    * over the gram-hash partitioning replace the former
+    * groupBy(h) + self-join — same rows (the keep-first key is the same
+    * struct min), one gram-digest explode instead of two, one exchange on
+    * h instead of three. */
   private def foreignPositions(docs: Dataset[(Long, String)], n: Int): DataFrame = {
-    val keyed = gramPositions(docs, n)
-    val firsts = keyed.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .filter(col("c") > 1)
-      .select(col("h"), col("first"))
-    keyed.join(firsts, "h")
-      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    gramPositions(docs, n)
+      .withColumn("c", count(lit(1)).over(byH))
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byH))
+      .filter(col("c") > 1 &&
+        struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"))
   }
 
@@ -910,14 +970,35 @@ object Dedup {
     * the (small) duplicated-position set re-runs per branch. Persisting
     * here would pin cached blocks for the caller's whole session — the
     * returned Dataset is lazy, so no safe unpersist point exists inside
-    * this method (StripSpansReuseSpec pins both properties). */
+    * this method (StripSpansReuseSpec pins both properties). Callers that
+    * CAN tolerate an eager step (the t28 bench lane) use
+    * [[stripSpansEager]], which materializes the tiny span set once so the
+    * post-exchange windows stop re-running per branch. */
   def stripSpans(docs: Dataset[(Long, String)], n: Int = 8)
-      : Dataset[(Long, String)] = {
+      : Dataset[(Long, String)] = stripSpans(docs, n, identity)
+
+  /** [[stripSpans]] with the duplicated-span set materialized ONCE (r22):
+    * the span frame is tiny (one row per maximal duplicated span), but its
+    * subtree — gram-digest explode, hash exchange, dedup window, island
+    * merge — feeds three plan branches, and only the exchanges are shared
+    * by AQE reuse; the windows re-run per branch. `localCheckpoint(eager)`
+    * computes the subtree once and hands every branch the materialized
+    * rows; the checkpoint blocks are ContextCleaner-reclaimed once the
+    * returned frame is GC'd (same pattern as the t37 lane), so nothing
+    * stays pinned for the session. Identical rows to [[stripSpans]]
+    * (StripSpansReuseSpec pins the equality). */
+  def stripSpansEager(docs: Dataset[(Long, String)], n: Int = 8)
+      : Dataset[(Long, String)] =
+    stripSpans(docs, n, _.localCheckpoint(true))
+
+  private def stripSpans(docs: Dataset[(Long, String)], n: Int,
+      materializeSpans: DataFrame => DataFrame): Dataset[(Long, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val original = docs.toDF("doc_id", "text")
-    val spans = mergeIslands(foreignPositions(docs, n), n)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val spans = materializeSpans(
+      mergeIslands(foreignPositions(docs, n), n)
+        .select(col("doc_id"), col("span_start"), col("span_end")))
     val spanDocs = spans.select(col("doc_id")).distinct()
     val words = original.join(spanDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))

@@ -67,13 +67,29 @@ object Q {
     // A/B toggle (spark.graft.fanout=false disables every call site) so the
     // per-lane win/loss of the fan-out exchange is measurable in isolation
     // (LaneProfile SPARK_GRAFT_EXTRA_CONF) — the r21 bench showed the
-    // exchange LOSES on lanes whose pre-exchange kernel is cheap.
-    val enabled = df.sparkSession.conf
-      .getOption("spark.graft.fanout").forall(_.toBoolean)
+    // exchange LOSES on lanes whose pre-exchange kernel is cheap. Parsed
+    // defensively (r22, ADVICE): anything but an explicit "false" keeps the
+    // probe enabled instead of throwing from inside plan construction.
+    val enabled = !df.sparkSession.conf.getOption("spark.graft.fanout")
+      .map(_.trim.toLowerCase).contains("false")
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (!enabled || target <= 1 || df.rdd.getNumPartitions * 2 >= target) df
+    if (!enabled || target <= 1) df
+    else if (plannedScanPartitions(df) * 2 >= target) df
     else df.repartition(target, key)
   }
+
+  /** Planned partition count of `df`'s file scan, read off the physical
+    * plan's leaf FileSourceScanExec (r22, verdict item 7): unlike `df.rdd`,
+    * this never plans or codegens a row deserializer, so the probe stays a
+    * split computation even at many-thousand-file scale. Every fanOut call
+    * site probes a raw parquet scan (exchange-free, so never AQE-wrapped);
+    * a non-scan input falls back to the internal-row RDD's partition count
+    * (still deserializer-free). */
+  private def plannedScanPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().head.getNumPartitions
+    }.getOrElse(df.queryExecution.toRdd.getNumPartitions)
 
   /** Golden-lane oracle: DuckDB `read_csv` over a pinned TSV derived by an
     * INDEPENDENT Python reimplementation of the kernel (tools/golden_*.py,

@@ -608,7 +608,9 @@ object TextQueries {
     // gone, empty-stripped docs surviving as '') ----
     Q("t28_span_rewrite", (s, dir) => {
       import s.implicits._
-      Dedup.stripSpans(
+      // eager span materialization (r22): the lane tolerates the eager
+      // step, and the one-pass span set feeds all three rebuild branches
+      Dedup.stripSpansEager(
           t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
           n = 8)
         .toDF("doc_id", "text")

@@ -109,10 +109,14 @@ object G10Profile {
       // DistinctMinimizers criterion / rank species / threshold 50
       val keys = index.keyCols
       val ev = time("evidence") {
-        spans.join(staticRecords, keys)
+        // r22: distinct (sample, key) pairs BEFORE the join, count after —
+        // mirrors Dynamic.classify2MultiSample's evidence rewrite (the
+        // records side is unique per key, so the joined row count equals
+        // the old per-(sample, taxon) countDistinct)
+        spans.select((col("sample") +: keys.map(col)): _*).distinct()
+          .join(staticRecords, keys)
           .groupBy(col("sample"), col("taxon"))
-          .agg(countDistinct(col(keys.head), keys.tail.map(col): _*)
-            .cast("long").as("count"))
+          .agg(count(lit(1)).cast("long").as("count"))
           .as[(String, Int, Long)].collect()
       }
       println(s"  evidence rows: ${ev.length}")

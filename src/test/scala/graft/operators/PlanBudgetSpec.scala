@@ -77,7 +77,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "t15_source_similarity" -> ((2, 0)), "t16_stable_split" -> ((2, 0)),
     "t17_source_quota" -> ((2, 0)), "t18_decontaminate" -> ((2, 0)),
     "t19_curation_pipeline" -> ((3, 0)), "t20_bigram_topk" -> ((1, 0)),
-    "t21_span_dedup" -> ((3, 0)), "t22_entropy" -> ((3, 0)),
+    // t21: 3 -> 4 in r22, deliberately — the dup-position filter moved
+    // from groupBy(h) + broadcast join (which left the fan-out's doc_id
+    // partitioning intact into the island window) to a single count
+    // window over the gram-hash partitioning: one extra small exchange to
+    // re-co-locate the (tiny) duplicated-position set per document, in
+    // return for ONE gram-digest explode instead of two and no dependence
+    // on the dup-digest set fitting a broadcast (measured min 1.34 ->
+    // 0.71 s at sf0.1; SpanDedupSpec pins the join-free single-pass shape)
+    "t21_span_dedup" -> ((4, 0)), "t22_entropy" -> ((3, 0)),
     "t23_tfidf_terms" -> ((7, 1)), "t24_span_strip" -> ((3, 0)),
     "t25_hash_sample" -> ((2, 0)), "t26_lang_confusion" -> ((2, 0)),
     "t27_pack" -> ((2, 0)), "t28_span_rewrite" -> ((6, 0)),

@@ -170,8 +170,8 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (1L, 8L, 0L, 8L, 0L), (2L, 8L, 0L, 8L, 0L), (3L, 10L, 10L, 0L, 1L)))
   }
 
-  test("duplicateSpans plan: dup-digest set broadcasts, exactly two " +
-    "shuffles (gram agg + per-doc window)") {
+  test("duplicateSpans plan: join-free single gram pass, exactly two " +
+    "shuffles (gram window + per-doc window)") {
     import spark.implicits._
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
     val corpus = (0L until 100L).map { i =>
@@ -184,14 +184,16 @@ class SpanDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // plan — assert on the final section only
     val executed = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // the dup-digest join must be a broadcast join (AQE picks the build
-    // side by measured size) — a shuffled sort-merge join here would move
-    // the whole gram-position set a second time at corpus scale
-    assert(executed.contains("BroadcastHashJoin"),
-      s"dup-digest join is not broadcast:\n$executed")
-    // shuffle budget: one exchange for the gram-digest count aggregation,
-    // one to co-locate positions per document for the island window — a
-    // third exchange is a plan regression
+    // r22: the dup-digest set no longer joins back at all — the count
+    // rides a window over the gram-hash partitioning, so the gram-digest
+    // explode runs ONCE and no join (broadcast or otherwise) may appear
+    assert(!executed.contains("Join"),
+      s"dup-position filter regressed to a join:\n$executed")
+    assert("gramdigests".r.findAllMatchIn(executed).length == 1,
+      s"gram-digest explode must run exactly once:\n$executed")
+    // shuffle budget: one exchange on the gram hash for the dup-count
+    // window, one to co-locate positions per document for the island
+    // window — a third exchange is a plan regression
     val shuffles = "Exchange hashpartitioning".r
       .findAllMatchIn(executed).length
     assert(shuffles <= 2, s"expected <= 2 shuffle exchanges, saw $shuffles:\n$executed")

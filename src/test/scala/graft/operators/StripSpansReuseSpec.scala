@@ -41,4 +41,21 @@ class StripSpansReuseSpec extends AnyFunSuite with SparkSessionTestWrapper {
       l.contains("ReusedExchange") || l.contains("reuses"))
     assert(reused >= 1, s"expected at least one reused exchange:\n$executed")
   }
+
+  test("stripSpansEager rewrites identically to stripSpans") {
+    val ss = spark.newSession()
+    import ss.implicits._
+    val boiler = (1 to 12).map(i => s"c$i").mkString(" ")
+    val corpus = ss.createDataset((0L until 120L).map { i =>
+      val unique = (0 until 20).map(j => s"v${i}_$j").mkString(" ")
+      if (i % 3 == 0) (i, s"$boiler $unique $boiler") else (i, unique)
+    })
+    val lazyRows = Dedup.stripSpans(corpus, n = 8).collect().toMap
+    val eagerRows = Dedup.stripSpansEager(corpus, n = 8).collect().toMap
+    assert(eagerRows == lazyRows,
+      "eager span materialization changed the rewrite")
+    // the fixture must actually strip something
+    assert((0L until 120L by 3).count(i => eagerRows(i) != corpus.collect()
+      .toMap.apply(i)) > 0)
+  }
 }
