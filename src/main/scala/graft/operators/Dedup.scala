@@ -454,10 +454,25 @@ object Dedup {
       val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
       srcB.sizeHint(gCount.toInt)
       dstB.sizeHint(gCount.toInt)
-      val it = g0.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        srcB += r.getLong(0); dstB += r.getLong(1)
+      if (gCount <= DriverLabelMaxEdges) {
+        // small graph: ONE collect job (r22) — toLocalIterator submits a
+        // job PER cached partition, which at a 32-partition session is 32
+        // tiny jobs of driver round-trip each (measured: the CC step of
+        // the SemDeDup lanes was mostly this). 2^20 boxed edge rows are
+        // ~32 MB transient, the same driver budget as the label maps.
+        val rows = g0.collect()
+        var i = 0
+        while (i < rows.length) {
+          srcB += rows(i).getLong(0); dstB += rows(i).getLong(1)
+          i += 1
+        }
+      } else {
+        // big graph: stream one partition of boxed rows at a time
+        val it = g0.toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          srcB += r.getLong(0); dstB += r.getLong(1)
+        }
       }
       g0.unpersist(blocking = false)
       val srcA = srcB.result()

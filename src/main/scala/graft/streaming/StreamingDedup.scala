@@ -186,9 +186,14 @@ object StreamingDedup {
 
   /** One micro-batch's survivor fold. `survivors`/`feedback` are lazy
     * distributed frames over the persisted batch — consume them, then call
-    * `cleanup()`. `residualDocs` of `totalDocs` reached the driver greedy. */
+    * `cleanup()`. `residualDocs` of `totalDocs()` reached the driver
+    * greedy. `totalDocs` is a THUNK (r22): it runs its own count job over
+    * the persisted batch, and the production sinks ([[dedupNear]], the
+    * bench lane) never read it — per-trigger latency should not pay a job
+    * for a diagnostic only tests and monitoring consume. Call it before
+    * `cleanup()`. */
   final case class BatchFold(survivors: DataFrame, feedback: Dataset[Feedback],
-      totalDocs: Long, residualDocs: Long, cleanup: () => Unit)
+      totalDocs: () => Long, residualDocs: Long, cleanup: () => Unit)
 
   /** Distributed survivor fold over one micro-batch of [[OwnedRow]]s.
     *
@@ -268,7 +273,7 @@ object StreamingDedup {
         coalesce(col("surv_toucher"), lit(ReleaseOwner)).as("newOwner"),
         col("ts"))
       .as[Feedback]
-    BatchFold(survivors, corrections, perDoc.count(),
+    BatchFold(survivors, corrections, () => perDoc.count(),
       residual.iterator.map(_._1).toSet.size,
       () => { survivorIds.unpersist(); rows.unpersist(); () })
   }

@@ -202,9 +202,9 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     val fold = StreamingDedup.foldBatch(spark.createDataset(rows.toSeq))
     try {
-      assert(fold.totalDocs == 105)
+      assert(fold.totalDocs() == 105)
       assert(fold.residualDocs == 5, "only the 5 Y docs need the greedy")
-      assert(fold.residualDocs.toDouble / fold.totalDocs < 0.10)
+      assert(fold.residualDocs.toDouble / fold.totalDocs() < 0.10)
       val ids = fold.survivors.select("docId").collect().map(_.getLong(0)).toSet
       assert(ids == ((1 to 90) ++ (96 to 100)).map(_.toLong).toSet)
       // X's fresh buckets get reassigned to their surviving toucher Y
