@@ -42,6 +42,7 @@ case class TaxonCountsAggregate(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[graft.taxa.IntCounter] {
 
+  override def prettyName: String = TaxonCountsAggregate.Name
   override def children: Seq[Expression] = Seq(taxon, kmers)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

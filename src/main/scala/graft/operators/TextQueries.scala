@@ -609,9 +609,14 @@ object TextQueries {
     Q("t28_span_rewrite", (s, dir) => {
       import s.implicits._
       // eager span materialization (r22): the lane tolerates the eager
-      // step, and the one-pass span set feeds all three rebuild branches
+      // step, and the one-pass span set feeds all three rebuild branches.
+      // fanOut re-enabled (r22): r21 removed it as a wash when the gram
+      // subtree ran per-branch (the exchange amortized over repeats); with
+      // the single-window gram pass + eager spans the explode runs ONCE,
+      // and the sf1 8-vs-32-core ratio sat at 1.00 — single-task bound.
       Dedup.stripSpansEager(
-          t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)],
+          Q.fanOut(t(s, dir, "documents"), $"doc_id")
+            .select($"doc_id", $"text").as[(Long, String)],
           n = 8)
         .toDF("doc_id", "text")
         .select($"doc_id".cast("long").as("doc_id"), $"text")

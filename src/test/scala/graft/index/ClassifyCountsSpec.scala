@@ -89,6 +89,35 @@ class ClassifyCountsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("detail=true keeps the wide hit struct; detail=false ships no ordinals") {
+    import spark.implicits._
+    val spans = index.spans(spark.createDataset(reads.take(20)))
+    val joined = spans.toDF().drop("id2", "id3", "id4")
+      .join(records, index.keyCols, "left")
+    // the Kraken hit-string lanes NEED ordinals and distinct flags in the
+    // buffer — pin the wide struct so a future count-only "optimization"
+    // cannot silently narrow the detail=true path (r22, verdict item 9)
+    val wide = ClassifyKernel.resolve(ClassifyKernel.group(joined),
+      bcTax, 0.0, 1, detail = true)
+    val wplan = wide.queryExecution.optimizedPlan.toString
+    assert(wplan.contains("collect_list"),
+      s"detail=true regroup lost its collect_list:\n$wplan")
+    for (f <- Seq("ordinal", "distinct"))
+      assert(wplan.contains(f),
+        s"detail=true regroup no longer carries '$f':\n$wplan")
+    // and the count-only twin must stay narrow: taxon_counts aggregate,
+    // no collect_list, no ordinal column surviving into the regroup
+    val slim = ClassifyKernel.resolveCounts(
+      ClassifyKernel.groupCounts(joined), bcTax, 0.0, 1)
+    val splan = slim.queryExecution.optimizedPlan.toString
+    assert(splan.contains("taxon_counts"),
+      s"count-only regroup lost the taxon_counts aggregate:\n$splan")
+    assert(!splan.contains("collect_list"),
+      s"count-only regroup regressed to collect_list:\n$splan")
+    assert(!splan.contains("ordinal"),
+      s"count-only regroup still ships ordinals:\n$splan")
+  }
+
   test("count-only regroup is order-insensitive") {
     import spark.implicits._
     val spans = index.spans(spark.createDataset(reads)).cache()
