@@ -324,7 +324,16 @@ object PipelineQueries {
   val queries: Seq[Q] = Seq(
     Q("t06_minhash_lsh", (s, dir) => {
       import s.implicits._
-      Dedup.minhashDedup(docs(s, dir), shingleN = 3, numHashes = 64,
+      // lane-local fan-out (r22): the r21 A/B removed it from the SHARED
+      // docs() loader (a wash at sf0.1), but the sf1 scaling lens showed
+      // t06's signature kernel serial (8-vs-32-core ratio 1.08) — the
+      // shingle+minhash flatMap is the heavy pre-exchange kernel here, so
+      // this lane fans its own scan; the other docs() lanes keep the
+      // measured r21 choice
+      Dedup.minhashDedup(
+        Q.fanOut(t(s, dir, "documents"), $"doc_id")
+          .select($"doc_id", $"text").as[(Long, String)],
+        shingleN = 3, numHashes = 64,
         bands = 16, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }, Some(bruteJaccardSql), bench = true,

@@ -964,7 +964,11 @@ object TextQueries {
     // totals come from size(w) arithmetic — the count never explodes ----
     Q("t34_bloom_decon", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // fanned scan (r22): the sf1 lens measured the lane serial (8-vs-32
+      // ratio 0.98) — the corpus gram explode + hash kernel ran on the
+      // single-row-group file's one task; r21's removal was A/B'd only at
+      // overhead-bound sf0.1
+      val docs = Q.fanOut(t(s, dir, "documents"), $"doc_id")
       bloomDecon(
         corpus = docs.filter($"doc_id" % 97 =!= 0),
         evalDocs = docs.filter($"doc_id" % 97 === 0 && $"doc_id" < 97L * 200))
